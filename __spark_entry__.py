@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (rollup summary over the documents
+fixture — the reference's whole reason to exist, README.md:13-27).
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md section 2 (+ section 7.4 extensions); the driver runs
+Spark vs DuckDB side-by-side at sf0.01 and hash-compares.
+
+Registry pattern: every query is registered once with its Spark callable
+and (when SQL-expressible) its DuckDB oracle, kept adjacent so the pair
+stays in sync. Column names/aliases MUST match between the two.
 """
 
 from __future__ import annotations
@@ -13,26 +17,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from calculate_file_content_size_for_vector_db_spark import entry_queries
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-document size metrics + SUM TOTAL rollup."""
+    return entry_queries.REGISTRY["rollup_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in entry_queries.REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: q.oracle
+        for name, q in entry_queries.REGISTRY.items()
+        if q.oracle is not None
+    }
