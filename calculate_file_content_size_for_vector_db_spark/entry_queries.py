@@ -444,3 +444,292 @@ def csv_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary = _pipe(spark).summary(_docs(spark, sf_dir))
     write_csv(summary, out)
     return spark.read.option("header", True).csv(out)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis extension (SURVEY.md section 7.4; operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+)
+
+
+@register(
+    "text_tokens",
+    f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKENS}) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars_text
+FROM documents
+""",
+)
+def text_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_chars_text"
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+WITH t AS (
+    SELECT doc_id, text, {_SQL_TOKENS} AS ws,
+           CAST(length(text) AS DOUBLE) AS n
+    FROM documents
+), m AS (
+    SELECT doc_id, n,
+           CAST(len(ws) AS DOUBLE) AS n_toks,
+           CAST(n - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS stop,
+           CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) AS tok_chars
+    FROM t
+), r AS (
+    SELECT doc_id,
+           round(CASE WHEN n = 0 THEN NULL ELSE punct / n END, 6) AS punct_ratio,
+           round(CASE WHEN n = 0 THEN NULL ELSE alpha / n END, 6) AS alpha_ratio,
+           round(CASE WHEN n_toks = 0 THEN NULL ELSE stop / n_toks END, 6) AS stopword_ratio,
+           round(CASE WHEN n_toks = 0 THEN NULL ELSE tok_chars / n_toks END, 6) AS mean_word_len
+    FROM m
+)
+SELECT doc_id, punct_ratio, alpha_ratio, stopword_ratio, mean_word_len,
+       round(1.0 - coalesce(punct_ratio, 1.0) + coalesce(stopword_ratio, 0.0), 6)
+           AS quality_score
+FROM r
+""",
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "punct_ratio", "alpha_ratio", "stopword_ratio",
+        "mean_word_len", "quality_score",
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents
+), s AS (
+    SELECT doc_id,
+           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS INT) AS score_en,
+           CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','ein'))) AS INT) AS score_de,
+           CAST(len(list_filter(ws, w -> w IN ('el','la','de','que','y','un'))) AS INT) AS score_es,
+           CAST(len(list_filter(ws, w -> w IN ('le','la','et','les','des','un'))) AS INT) AS score_fr,
+           CAST(len(list_filter(ws, w -> w IN ('的','是','了','在'))) AS INT) AS score_zh
+    FROM t
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+       CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+            WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+            WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM s
+""",
+)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "score_en", "score_de", "score_es", "score_fr", "score_zh",
+        "predicted_lang",
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+SELECT doc_id,
+       CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+            ELSE list_reduce(
+                list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+                (a, b) -> (a * 31 + b) % 1000000007) END AS fp
+FROM documents
+""",
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import fingerprint
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication extension (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = f"""
+ws_t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents
+),
+sh_t AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+    FROM ws_t
+    WHERE len(ws) >= 3
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT sha256(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("content_hash", "keeper_id", "dup_count")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH "
+    + _SQL_SHINGLES
+    + """,
+pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           len(a.sh) AS n_a, len(b.sh) AS n_b
+    FROM sh_t a, sh_t b
+    WHERE a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+""",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+_SQL_MINHASH_BANDS = (
+    "WITH "
+    + _SQL_SHINGLES
+    + """,
+sig_t AS (
+    SELECT doc_id,
+           list_transform(range(0, 8),
+               s -> list_min(list_transform(sh, g -> md5(CAST(s AS VARCHAR) || '|' || g)))) AS signature
+    FROM sh_t
+),
+band_t AS (
+    SELECT doc_id, signature, CAST(unnest(range(0, 4)) AS INT) AS band FROM sig_t
+),
+bands AS (
+    SELECT doc_id, band,
+           md5(signature[2*band + 1] || '|' || signature[2*band + 2]) AS band_hash
+    FROM band_t
+)
+"""
+)
+
+
+@register(
+    "minhash_signature",
+    _SQL_MINHASH_BANDS + "SELECT doc_id, band, band_hash FROM bands",
+)
+def minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+    )
+
+    return minhash_bands(minhash_signature(_docs(spark, sf_dir))).select(
+        "doc_id", "band", "band_hash"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    _SQL_MINHASH_BANDS
+    + """,
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.a_id, c.b_id,
+           len(list_intersect(sa.sh, sb.sh)) AS inter,
+           len(sa.sh) AS n_a, len(sb.sh) AS n_b
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id,
+       round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+FROM verified
+WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+""",
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+_SQL_SIMHASH = f"""
+ws_t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents
+),
+h_t AS (
+    SELECT doc_id,
+           list_transform(ws, w -> list_reduce(
+               list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+    FROM ws_t
+),
+sim_t AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) = 0 THEN 0
+                ELSE CAST(list_sum(list_transform(range(0, 16),
+                    b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                              THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) END AS simhash
+    FROM h_t
+)
+"""
+
+
+@register(
+    "dedup_simhash",
+    "WITH " + _SQL_SIMHASH + "SELECT doc_id, simhash FROM sim_t",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+@register(
+    "simhash_pairs",
+    "WITH "
+    + _SQL_SIMHASH
+    + """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim_t a, sim_t b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)

@@ -1,0 +1,223 @@
+"""Deduplication operators (SURVEY.md section 7.4; training-data
+pipeline surface): exact, word-n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+- exact dedup is one hash-agg shuffle on sha256(text) — scales linearly;
+- exact pairwise Jaccard is quadratic and exists as the small-scale /
+  verification path; the scale path is MinHash LSH: per-doc signature
+  (narrow), band -> bucket grouping (shuffle on band hash, bucket sizes
+  bounded by banding), candidate pairs only within buckets, exact
+  verify on the candidates. This is the standard shingle->minhash->
+  band->bucket-join pipeline, all in native Column expressions;
+- SimHash gives a 16-bit per-doc sketch; near-dup = hamming<=k within
+  identical-prefix buckets at scale (here: direct pair filter).
+
+Hash parity note: MinHash uses md5 hex strings ordered
+lexicographically (min over a uniform 128-bit hash — seed-prefixed);
+SimHash/fingerprint use the polynomial code-point hash from textstats.
+Both are reproducible bit-for-bit in DuckDB for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+    token_hash,
+    tokens,
+)
+
+MINHASH_FUNCS = 8
+MINHASH_BANDS = 4  # rows per band = MINHASH_FUNCS / MINHASH_BANDS = 2
+SIMHASH_BITS = 16
+NGRAM = 3
+
+
+def shingles(col: Column | str, n: int = NGRAM) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by sha256(text); keeper = min key; dup_count
+    per group. One hash-agg shuffle, linear at any scale."""
+    hashed = df.select(F.col(key), F.sha2(F.col(text_col), 256).alias("content_hash"))
+    return hashed.groupBy("content_hash").agg(
+        F.min(key).alias("keeper_id"),
+        F.count("*").cast("long").alias("dup_count"),
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """(key, shingle) exploded distinct shingles — the join key for
+    candidate generation."""
+    return df.select(F.col(key), F.explode(shingles(text_col)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (a < b, jaccard >=
+    threshold).
+
+    Candidate generation by shingle equi-join (linear in co-occurring
+    pairs, NOT a cross join), then |A ∩ B| = join count, |A ∪ B| =
+    |A| + |B| - |A ∩ B|. The threshold > 0 guarantees parity with a
+    naive all-pairs oracle: pairs sharing zero shingles can't pass.
+    """
+    sh = shingle_table(df, text_col, key)
+    sizes = sh.groupBy(key).agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .groupBy(F.col(f"a.{key}").alias("a_id"), F.col(f"b.{key}").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({key: "a_id", "n_shingles": "n_a"}), "a_id")
+        .join(sizes.withColumnsRenamed({key: "b_id", "n_shingles": "n_b"}), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    n_hashes: int = MINHASH_FUNCS,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[s] = min over shingles of
+    md5('<s>|' + shingle). Docs with no shingles are excluded."""
+    sh = shingles(text_col)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: F.md5(F.concat(s.cast("string"), F.lit("|"), g)))
+        ),
+    )
+    return df.where(F.size(sh) > 0).select(F.col(key), sig.alias("signature"))
+
+
+def minhash_bands(
+    signatures: DataFrame,
+    n_bands: int = MINHASH_BANDS,
+    n_hashes: int = MINHASH_FUNCS,
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, band, band_hash): hash each signature band to a bucket."""
+    rows_per_band = n_hashes // n_bands
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at(F.col("signature"), (b * rows_per_band + r + 1).cast("int"))
+                    for r in range(rows_per_band)
+                ],
+            )
+        ),
+    )
+    return signatures.select(
+        key, F.posexplode(bands).alias("band", "band_hash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket candidates, exact-Jaccard
+    verified (>= threshold). The 100 TB path: the only shuffles are the
+    band-hash grouping and the bounded candidate verify."""
+    bands = minhash_bands(minhash_signature(df, text_col=text_col, key=key), key=key)
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .select(F.col(f"a.{key}").alias("a_id"), F.col(f"b.{key}").alias("b_id"))
+        .distinct()
+    )
+    sh = df.select(F.col(key), shingles(text_col).alias("sh"))
+    return (
+        candidates.join(sh.withColumnsRenamed({key: "a_id", "sh": "sh_a"}), "a_id")
+        .join(sh.withColumnsRenamed({key: "b_id", "sh": "sh_b"}), "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over whitespace tokens: bit b is set when tokens
+    whose polynomial hash has bit b outnumber those that don't."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: token_hash(t))
+    n = F.size(toks)
+    # static unroll over bit positions (shiftright needs a literal int);
+    # the predicate must be a ONE-arg lambda — a second (default) arg
+    # would make PySpark treat it as an (element, index) lambda
+    def bit_set(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
+
+    value = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        cnt = F.size(F.filter(hashes, bit_set(b)))
+        value = value + F.when(cnt * 2 > n, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return df.select(F.col(key), value.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (<= max_hamming).
+    Fixture-scale all-pairs; at 100 TB bucket on simhash prefix first."""
+    s = simhash(df, text_col, key)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{key}").alias("a_id"),
+            F.col(f"b.{key}").alias("b_id"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,137 @@
+"""Text analysis over document columns (SURVEY.md section 7.4; the
+training-data-pipeline extension surface).
+
+All operators are pure Column expressions (whole-stage codegen, no
+Python in the hot path): language-ID by marker-word scoring, quality
+scoring from length/punctuation/stopword ratios, whitespace + BPE-ish
+token counting, and polynomial-rolling-hash document fingerprinting.
+
+At 100 TB these are narrow per-row transforms: no shuffle, fully
+pipelined with the scan; the only care is keeping them JVM-side, which
+ruling out UDFs here guarantees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker ("stop") words per language for the n-gram/marker heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "que", "y", "un"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "zh": ("的", "是", "了", "在"),
+}
+# deterministic tie-break: first language in this order wins
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+STOPWORDS = LANG_MARKERS["en"]
+
+# "BPE-ish" pre-tokenization: letter runs | digit runs | single other glyph
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+HASH_MOD = 1_000_000_007
+HASH_BASE = 31
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, "\\s+"), lambda t: t != "")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens (whitespace), n_bpe_tokens (regex pre-tokenizer),
+    n_chars."""
+    return df.withColumns(
+        {
+            "n_tokens": F.size(tokens(text_col)).cast("int"),
+            "n_bpe_tokens": F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("int"),
+            "n_chars_text": F.length(text_col).cast("int"),
+        }
+    )
+
+
+def _marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("int")
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """score_<lang> = count of marker-word hits per language."""
+    toks = tokens(text_col)
+    return df.withColumns(
+        {f"score_{lang}": _marker_score(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """predicted_lang = argmax marker score (ties -> LANG_ORDER)."""
+    scored = lang_scores(df, text_col)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("predicted_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality metrics + a composite score.
+
+    punct_ratio: non-alnum/non-space chars per char; alpha_ratio:
+    letters per char; stopword_ratio: stopword tokens per token;
+    mean_word_len; quality_score: a fixed linear blend, rounded.
+    """
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+    toks = tokens(text_col)
+    n_toks = F.size(toks).cast("double")
+    punct = (n - F.length(F.regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+    alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).cast("double")
+    stop = _marker_score(toks, STOPWORDS).cast("double")
+    tok_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, b: a + b
+    ).cast("double")
+    out = df.withColumns(
+        {
+            "punct_ratio": F.round(F.try_divide(punct, n), 6),
+            "alpha_ratio": F.round(F.try_divide(alpha, n), 6),
+            "stopword_ratio": F.round(F.try_divide(stop, n_toks), 6),
+            "mean_word_len": F.round(F.try_divide(tok_chars, n_toks), 6),
+        }
+    )
+    # integer weights keep the blend on the 1e-6 grid of the rounded
+    # inputs — a fractional weight would land sums exactly on round-half
+    # boundaries where Spark (HALF_UP on shortest-repr) and C/DuckDB
+    # (binary value) disagree
+    score = (
+        F.lit(1.0)
+        - F.coalesce(F.col("punct_ratio"), F.lit(1.0))
+        + F.coalesce(F.col("stopword_ratio"), F.lit(0.0))
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Polynomial rolling hash over code points, mod 1e9+7 — a
+    deterministic 'document fingerprint' (empty/NULL -> 0)."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+    )
+    return F.coalesce(h, F.lit(0).cast("bigint"))
+
+
+def token_hash(tok: Column) -> Column:
+    """Same polynomial hash for a single token (used by simhash)."""
+    codes = F.transform(F.split(tok, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+    )
