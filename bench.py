@@ -1,0 +1,87 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query executes end-to-end into a noop sink (full computation, no
+driver-side result materialization, no column-prune shortcut a count()
+would allow).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+from calculate_file_content_size_for_vector_db_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: the flagship chunk pipeline, the heavy relational joins,
+# the scale-path dedup/similarity operators, and the windowed streaming
+# equivalents — the queries whose plans matter at 100 TB.
+HEADLINE = [
+    "rollup_summary",
+    "chunk_split",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "events_tumbling",
+    "events_session",
+    "events_asof_join",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+WARMUP_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
+
+    # Warm JIT/codegen/classloading per query shape at a small scale
+    # factor, so the measured numbers reflect steady-state throughput
+    # (what a long-running cluster job sees), not one-time startup.
+    for name in HEADLINE:
+        REGISTRY[name].fn(spark, WARMUP_DIR).write.mode("overwrite").format("noop").save()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

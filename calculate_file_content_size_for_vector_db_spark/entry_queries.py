@@ -52,7 +52,9 @@ def _pipe(spark: SparkSession) -> DocumentPipeline:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents")
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    return spread(read_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -733,3 +735,470 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search extension (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+_SQL_EMB = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+_SQL_LSH_BUCKETS = (
+    "buck AS (SELECT vec_id, CAST(list_sum(list_transform(range(0, 16), p -> "
+    "CASE WHEN list_dot_product(v, list_transform(range(0, 64), j -> "
+    "((j + p * 64) * 2654435761 % 1000003) / 1000003.0 - 0.5)) > 0 "
+    "THEN (1::BIGINT << CAST(p AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS bucket FROM e)"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+WITH {_SQL_EMB},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a, e b
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_bruteforce
+
+    emb = _emb(spark, sf_dir)
+    return topk_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "sim_nearest_neighbor",
+    f"""
+WITH {_SQL_EMB},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a, e b WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+) WHERE rn = 1
+""",
+)
+def sim_nearest_neighbor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import nearest_neighbor
+
+    return nearest_neighbor(_emb(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding",
+    f"""
+WITH {_SQL_EMB}
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+""",
+)
+def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    return cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+@register(
+    "sim_lsh_buckets",
+    f"WITH {_SQL_EMB},\n{_SQL_LSH_BUCKETS}\nSELECT vec_id, bucket FROM buck",
+)
+def sim_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import lsh_buckets
+
+    return lsh_buckets(_emb(spark, sf_dir))
+
+
+@register(
+    "sim_topk_lsh",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_LSH_BUCKETS},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a
+    JOIN buck ba ON a.vec_id = ba.vec_id
+    JOIN buck bb ON ba.bucket = bb.bucket
+    JOIN e b ON b.vec_id = bb.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_lsh
+
+    emb = _emb(spark, sf_dir)
+    return topk_lsh(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface — batch-mode equivalents (streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_tumbling",
+    """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.streaming.windows import tumbling_agg
+
+    return tumbling_agg(_events(spark, sf_dir))
+
+
+@register(
+    "events_sliding",
+    """
+WITH x AS (
+    SELECT ts, value,
+           time_bucket(INTERVAL '5 minutes', ts) - to_minutes(CAST(k * 5 AS INT)) AS ws
+    FROM events, (SELECT unnest(range(0, 2)) AS k) ks
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM x GROUP BY 1
+""",
+)
+def events_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.streaming.windows import sliding_agg
+
+    return sliding_agg(_events(spark, sf_dir))
+
+
+_SQL_SESSIONS = """
+WITH x AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), y AS (
+    SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM x
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM y GROUP BY user_id, sid
+"""
+
+
+@register("events_session", _SQL_SESSIONS)
+def events_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.streaming.windows import session_agg
+
+    return session_agg(_events(spark, sf_dir))
+
+
+@register("events_sessionize_lag", _SQL_SESSIONS)
+def events_sessionize_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.streaming.windows import sessionize_lag
+
+    return sessionize_lag(_events(spark, sf_dir))
+
+
+@register(
+    "events_json",
+    "SELECT event_id, CAST(props->>'k' AS INT) AS k_value FROM events",
+)
+def events_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.streaming.windows import json_props
+
+    return json_props(_events(spark, sf_dir))
+
+
+@register(
+    "events_topk_per_user",
+    """
+SELECT user_id, event_id, value_r, rank FROM (
+    SELECT user_id, event_id, round(value, 6) AS value_r,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY round(value, 6) DESC, event_id) AS INT) AS rank
+    FROM events
+) WHERE rank <= 3
+""",
+)
+def events_topk_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.streaming.windows import topk_per_key
+
+    return topk_per_key(_events(spark, sf_dir), k=3)
+
+
+@register(
+    "events_lag_delta",
+    """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+           AS value_delta
+FROM events
+""",
+)
+def events_lag_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.streaming.windows import lag_delta
+
+    return lag_delta(_events(spark, sf_dir))
+
+
+@register(
+    "events_asof_join",
+    """
+SELECT e.event_id, e.user_id, round(p.value, 6) AS last_purchase_value
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def events_asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import asof_join_events
+
+    return asof_join_events(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (operators/relational.py) over the TPC-H-ish schema
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import pricing_summary
+
+    return pricing_summary(read_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "tpch_q3",
+    """
+SELECT o_orderkey, orderdate, o_orderpriority, revenue FROM (
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+) ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+)
+def tpch_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import shipping_priority
+
+    return shipping_priority(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "tpch_q5",
+    """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def tpch_q5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        local_supplier_volume,
+    )
+
+    return local_supplier_volume(
+        read_table(spark, sf_dir, "region"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "supplier"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def anti_join_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        customers_without_orders,
+    )
+
+    return customers_without_orders(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "semi_join_customers",
+    """
+SELECT count(*) AS n_customers FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+)
+def semi_join_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        customers_with_orders_count,
+    )
+
+    return customers_with_orders_count(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "nation_set_ops",
+    """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS set_op
+FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'customers_only' AS set_op
+FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+""",
+)
+def nation_set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import nation_set_ops
+
+    return nation_set_ops(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "doc_cube",
+    """
+SELECT COALESCE(lang, 'ALL') AS lang_g, COALESCE(source, 'ALL') AS source_g,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY CUBE(lang, source)
+""",
+)
+def doc_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import doc_cube
+
+    return doc_cube(_docs(spark, sf_dir))
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "lang_pivot",
+    "SELECT source, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (lang = '{lg}') AS BIGINT) AS n_{lg}" for lg in _LANGS
+    )
+    + " FROM documents GROUP BY source",
+)
+def lang_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import lang_pivot
+
+    return lang_pivot(_docs(spark, sf_dir), _LANGS)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (operators/multimodal.py) — binary payload plumbing
+# with a deterministic fake decoder (no media libs in this container),
+# so the mapInPandas output is oracle-checkable arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_image_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INT) AS height,
+       CAST(octet_length(encode(text)) % 3 + 1 AS INT) AS channels,
+       'fake' AS format
+FROM documents
+""",
+)
+def multimodal_image_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.multimodal import (
+        decode_image_meta,
+        text_as_binary,
+    )
+
+    return decode_image_meta(text_as_binary(_docs(spark, sf_dir)))
+
+
+@register(
+    "multimodal_frames",
+    """
+SELECT doc_id,
+       CAST(unnest(range(0, octet_length(encode(text)) // 64 + 1)) AS INT) AS frame_index,
+       CAST(unnest(range(0, octet_length(encode(text)) // 64 + 1)) * 64 AS BIGINT) AS frame_offset
+FROM documents
+""",
+)
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.multimodal import (
+        sample_frames,
+        text_as_binary,
+    )
+
+    return sample_frames(text_as_binary(_docs(spark, sf_dir)))

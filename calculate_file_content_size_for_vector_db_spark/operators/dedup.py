@@ -58,8 +58,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
 
 def shingle_table(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """(key, shingle) exploded distinct shingles — the join key for
-    candidate generation."""
-    return df.select(F.col(key), F.explode(shingles(text_col)).alias("shingle"))
+    candidate generation. Input is spread across cores first: shingling
+    is compute-bound and fixture tables arrive as one split."""
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    return spread(df).select(F.col(key), F.explode(shingles(text_col)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -108,15 +111,24 @@ def minhash_signature(
     key: str = "doc_id",
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[s] = min over shingles of
-    md5('<s>|' + shingle). Docs with no shingles are excluded."""
-    sh = shingles(text_col)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda g: F.md5(F.concat(s.cast("string"), F.lit("|"), g)))
-        ),
+    md5('<s>|' + shingle). Docs with no shingles are excluded.
+
+    Plan shape: explode shingles once, then ONE hash-agg computing all
+    n mins (map-side partial min keeps the shuffle tiny). The naive
+    alternative — array_min(transform(shingles, ...)) per seed —
+    re-evaluates the whole tokenize+shingle expression once per seed
+    (projection collapsing inlines it), an n_hashes-fold recompute.
+    """
+    sh = shingle_table(df, text_col, key)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return (
+        sh.groupBy(key)
+        .agg(*aggs)
+        .select(key, F.array(*[f"h{s}" for s in range(n_hashes)]).alias("signature"))
     )
-    return df.where(F.size(sh) > 0).select(F.col(key), sig.alias("signature"))
 
 
 def minhash_bands(
@@ -161,7 +173,9 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{key}").alias("a_id"), F.col(f"b.{key}").alias("b_id"))
         .distinct()
     )
-    sh = df.select(F.col(key), shingles(text_col).alias("sh"))
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    sh = spread(df).select(F.col(key), shingles(text_col).alias("sh"))
     return (
         candidates.join(sh.withColumnsRenamed({key: "a_id", "sh": "sh_a"}), "a_id")
         .join(sh.withColumnsRenamed({key: "b_id", "sh": "sh_b"}), "b_id")
@@ -182,6 +196,9 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """16-bit SimHash over whitespace tokens: bit b is set when tokens
     whose polynomial hash has bit b outnumber those that don't."""
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    df = spread(df)
     toks = tokens(text_col)
     hashes = F.transform(toks, lambda t: token_hash(t))
     n = F.size(toks)

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing (SURVEY.md section 7.4): image/audio/
+video as opaque binary columns with typed metadata, decoded /
+feature-extracted / frame-sampled through Arrow-batched mapInPandas.
+
+The image/audio libraries are not in this container, so the DECODE
+step is stubbed: ``decode_image_meta`` uses PIL when importable and
+otherwise a clearly-marked deterministic fake (pure arithmetic on the
+byte length). Everything Spark-side — schema, partitioning, UDF
+signature, batch shape, frame fan-out — is real and tested; swapping
+the fake for a real decoder changes one function.
+
+At 100 TB: binary payloads ride in parquet/binaryFile splits; decode is
+a narrow mapInPandas (one Python worker per partition, Arrow batches);
+frame sampling fans out rows exactly like PDF page extraction, after
+which everything is columnar again.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:
+    from PIL import Image  # not in this container
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_offset", LongType()),
+    ]
+)
+
+
+def fake_image_meta(n_bytes: int) -> tuple[int, int, int, str]:
+    """Deterministic FAKE decode: metadata derived arithmetically from
+    the payload size. Replace with PIL/libav for real decoding."""
+    width = n_bytes % 640 + 1
+    height = (n_bytes * 31) % 480 + 1
+    channels = n_bytes % 3 + 1
+    return width, height, channels, "fake"
+
+
+def decode_image_meta(
+    files: DataFrame, key_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """binary column -> typed image metadata rows (mapInPandas)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for key, content in zip(batch[key_col], batch[content_col]):
+                data = bytes(content)
+                if HAVE_PIL:
+                    import io
+
+                    with Image.open(io.BytesIO(data)) as im:
+                        rows.append(
+                            (key, len(data), im.width, im.height,
+                             len(im.getbands()), im.format or "unknown")
+                        )
+                else:
+                    w, h, c, fmt = fake_image_meta(len(data))
+                    rows.append((key, len(data), w, h, c, fmt))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
+
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    return spread(files.select(key_col, content_col)).mapInPandas(_decode, IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    files: DataFrame,
+    every_n_bytes: int = 64,
+    key_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """'Video' frame sampling stub: one row per sampled frame (every
+    ``every_n_bytes`` of payload -> one frame). The row fan-out and
+    downstream re-parallelization are the real part; a real decoder
+    would emit actual frame tensors per row."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for key, content in zip(batch[key_col], batch[content_col]):
+                n = len(bytes(content))
+                n_frames = n // every_n_bytes + 1
+                for i in range(n_frames):
+                    rows.append((key, i, i * every_n_bytes))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    return spread(files.select(key_col, content_col)).mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def text_as_binary(documents: DataFrame) -> DataFrame:
+    """Fixture adapter: synthesize an opaque binary column from text
+    (the fixtures ship no real media payloads)."""
+    return documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )

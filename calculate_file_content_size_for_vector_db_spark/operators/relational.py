@@ -1,0 +1,198 @@
+"""Relational analytics coverage (joins, aggregation, top-k, set ops,
+cube, pivot, as-of join) over the TPC-H-ish fixture star schema.
+
+The reference performs zero joins (SURVEY.md section 2.8) — this module
+is the engine's general-purpose relational surface, shaped after the
+classic OLAP patterns (TPC-H Q1/Q3/Q5 style) so the join/agg planner
+paths are exercised and benchmarked.
+
+Scale notes per operator are inline; the common themes:
+- dimension tables (region/nation/supplier/customer) broadcast —
+  no shuffle on the fact side for those joins;
+- fact-fact joins (orders-lineitem) shuffle on the join key once, and
+  AQE handles skew;
+- top-k uses window rank, which shuffles on the partition key only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with derived
+    expressions. One shuffle (4 groups); everything else is map-side."""
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast join into the
+    fact chain -> grouped revenue -> deterministic top-10."""
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    joined = (
+        F.broadcast(customer.where(F.col("c_mktsegment") == segment))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(
+            lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    grouped = joined.groupBy(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    ).agg(revenue)
+    return grouped.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join where customer and supplier must
+    share a nation; revenue per nation. All dims broadcast; the single
+    big shuffle is orders-lineitem."""
+    dims = (
+        F.broadcast(
+            region.where(F.col("r_name") == region_name)
+            .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        )
+    )
+    joined = (
+        customer.join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join: customers that never ordered."""
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def customers_with_orders_count(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi join + count: how many customers have ordered at all."""
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def nation_set_ops(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Set-op surface: nation keys with customers INTERSECT suppliers,
+    and customers EXCEPT suppliers, labeled and unioned."""
+    c = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c.intersect(s).withColumn("set_op", F.lit("both"))
+    only_c = c.exceptAll(s).withColumn("set_op", F.lit("customers_only"))
+    return both.unionByName(only_c)
+
+
+def doc_cube(documents: DataFrame) -> DataFrame:
+    """CUBE over (lang, source): counts + char sums at all 4 grouping
+    levels (grouping-sets surface)."""
+    return (
+        documents.cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang_g"),
+            F.coalesce("source", F.lit("ALL")).alias("source_g"),
+            "n_docs",
+            "chars",
+        )
+    )
+
+
+def lang_pivot(documents: DataFrame, langs: list[str]) -> DataFrame:
+    """Pivot: docs per source with one count column per language."""
+    pivoted = documents.groupBy("source").pivot("lang", langs).count()
+    renamed = pivoted.select(
+        "source", *[F.coalesce(F.col(lg), F.lit(0)).alias(f"n_{lg}") for lg in langs]
+    )
+    return renamed
+
+
+def asof_join_events(events: DataFrame) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md section 4 /
+    guide 'common OLAP patterns'): attach to every event the most
+    recent PRIOR purchase value of the same user.
+
+    Implementation: union the reference rows into the probe stream and
+    carry the last non-null reference value forward with a window —
+    one shuffle on (user_id), no range-join blowup. The DuckDB oracle
+    uses its native ASOF JOIN.
+    """
+    probes = events.select(
+        "event_id", "user_id", "ts", F.lit(None).cast("double").alias("ref_value"), F.lit(1).alias("is_probe")
+    )
+    refs = events.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("ref_value"),
+        F.lit(0).alias("is_probe"),
+    )
+    unioned = probes.unionByName(refs)
+    # order refs before probes at identical ts: "most recent prior or
+    # simultaneous" = strictly-before semantics needs refs first only
+    # when ts strictly less; use is_probe ASC so a ref at the same ts
+    # is visible to the probe (ASOF >= semantics, matching DuckDB)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "last_purchase_value", F.round(F.last("ref_value", ignorenulls=True).over(w), 6)
+    )
+    return carried.where(F.col("is_probe") == 1).select(
+        "event_id", "user_id", "last_purchase_value"
+    )

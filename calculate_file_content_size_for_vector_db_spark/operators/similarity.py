@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (SURVEY.md section 7.4).
+
+Two paths, both native Column expressions (no UDFs — the dot products
+run inside whole-stage codegen via higher-order functions):
+
+- Brute-force cosine top-k: query set x corpus join, windowed rank.
+  Exact; quadratic. The correctness baseline and the right choice when
+  the query set is small (broadcast the queries, scan the corpus once).
+
+- LSH-bucketed ANN (random hyperplanes): each vector gets a 16-bit
+  bucket from the signs of 16 deterministic pseudo-random projections;
+  candidates are same-bucket only. At 100 TB: bucket assignment is a
+  narrow map, the bucket join is an equi-join (shuffle on bucket id,
+  bucket sizes ~N/2^16), no quadratic blowup. Recall is tunable by
+  bands/probes; this implements single-probe.
+
+Hyperplane weights are integer-arithmetic pseudo-random
+(Knuth multiplicative hash mod a prime), so the DuckDB oracle
+reproduces them bit-for-bit: w[p][j] = ((p*64+j)*2654435761 % 1000003)
+/ 1000003 - 0.5.
+
+Determinism: cosine is rounded to 6 decimals BEFORE ranking, ties
+broken by neighbor id — so rank order is reproducible across engines
+and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+N_PLANES = 16
+DIM = 64
+LSH_MULT = 2654435761  # Knuth multiplicative constant
+LSH_PRIME = 1000003
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    return F.round(F.try_divide(dot(a, b), norm(a) * norm(b)), decimals)
+
+
+def topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Plan shape: broadcast-worthy query side x corpus scan -> one pass;
+    rank with a window partitioned by query id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def nearest_neighbor(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-1 neighbor for EVERY vector (the all-pairs variant of
+    topk_bruteforce; quadratic — fixture/verification scale only)."""
+    a = embeddings.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    b = spread(embeddings).select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        a.crossJoin(b)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >=
+    threshold). Scale path: run within LSH buckets instead of all-pairs."""
+    a = embeddings.select(F.col(id_col).alias("a_id"), as_double(vec_col).alias("av"))
+    b = spread(embeddings).select(F.col(id_col).alias("b_id"), as_double(vec_col).alias("bv"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _plane(p: int) -> Column:
+    """Deterministic pseudo-random hyperplane p (values in [-0.5, 0.5))."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: ((j + p * DIM).cast("bigint") * LSH_MULT % LSH_PRIME)
+        / F.lit(float(LSH_PRIME))
+        - 0.5,
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, bucket): 16-bit random-hyperplane signature per vector."""
+    embeddings = spread(embeddings)
+    v = as_double(vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for p in range(N_PLANES):
+        bucket = bucket + F.when(
+            dot(v, _plane(p)) > 0, F.lit(1 << p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact rank restricted to same-LSH-bucket candidates.
+    May return < k rows per query (single-probe recall tradeoff)."""
+    buckets = lsh_buckets(embeddings, id_col, vec_col)
+    emb_b = embeddings.join(buckets, id_col)
+    q = emb_b.join(queries.select(id_col), id_col).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "bucket"
+    )
+    c = emb_b.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -47,6 +47,9 @@ class DocumentPipeline:
         """Chunk table: doc_id, chunk_index, start_index, chunk_text
         (raw), content (processed, Q3), chunk_length (processed length),
         chunk_offset_in_file (W1)."""
+        from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+        docs = spread(docs)
         if self.recursive:
             chunked = chunk_ops.chunk_recursive(
                 docs, self.chunk_size, self.chunk_overlap, keep_cols=["doc_id"]

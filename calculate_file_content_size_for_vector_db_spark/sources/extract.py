@@ -135,7 +135,9 @@ def extract_pages(files: DataFrame, path_col: str = "path", content_col: str = "
                     rows.append((path, i, text, len(pages), len(data)))
             yield pd.DataFrame(rows, columns=[f.name for f in PAGE_SCHEMA.fields])
 
-    return files.select(path_col, content_col).mapInPandas(_extract, PAGE_SCHEMA)
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    return spread(files.select(path_col, content_col)).mapInPandas(_extract, PAGE_SCHEMA)
 
 
 def text_to_pdf_udf(first_page_chars: int = 100):

@@ -41,7 +41,19 @@ TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-materialized fixture table (TESTDATA.md)."""
+    """Load one driver-materialized fixture table (TESTDATA.md).
+
+    The events table stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; read nanos as long and convert to a microsecond
+    TimestampType (the fixture's sub-microsecond parts are all zero,
+    so the conversion is lossless and matches DuckDB's view).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,199 @@
+"""Streaming surface (SURVEY.md section 7.4): tumbling / sliding /
+session windows, watermarked streaming aggregation, stateful dedup.
+
+Every operator here works in BOTH batch and streaming mode — the same
+`window()` / `session_window()` expressions apply to a static DataFrame
+(used by the DuckDB-oracle queries) and to a `readStream` source (used
+by the streaming smoke tests in tests/test_streaming.py). That is the
+Spark-idiomatic shape: one declarative aggregation, two execution modes.
+
+Scale notes: windowed aggregation shuffles on (window, key) with
+map-side partial aggregation; watermarks bound state for unbounded
+streams; `dropDuplicatesWithinWatermark` keeps exactly-once dedup state
+bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _fmt(c: Column) -> Column:
+    return F.date_format(c, TS_FMT)
+
+
+def tumbling_agg(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts/sums per key; window start as string."""
+    return (
+        events.groupBy(F.window(ts_col, duration).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(_fmt(F.col("w.start")).alias("window_start"), key_col, "n_events", "total_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in
+    duration/slide windows)."""
+    return (
+        events.groupBy(F.window(ts_col, duration, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(_fmt(F.col("w.start")).alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events arrive within `gap`; closes at last_event + gap."""
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(_fmt(F.col("w.start")).alias("session_start"), key_col, "n_events", "total_value")
+    )
+
+
+def sessionize_lag(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization via lag + gap-flag cumulative sum — the
+    window-function equivalent of session_agg (identical output;
+    useful where session_window isn't available, and the form a SQL
+    oracle can express)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+                >= gap_s
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w2))
+    return (
+        sessions.groupBy(key_col, "session_id")
+        .agg(
+            _fmt(F.min(ts_col)).alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select("session_start", key_col, "n_events", "total_value")
+    )
+
+
+def json_props(events: DataFrame, props_col: str = "props") -> DataFrame:
+    """JSON property extraction (get_json_object surface)."""
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col(props_col), "$.k").cast("int").alias("k_value"),
+    )
+
+
+def topk_per_key(
+    events: DataFrame,
+    k: int = 3,
+    key_col: str = "user_id",
+    order_col: str = "value",
+) -> DataFrame:
+    """Top-k events per key by value (rank windows; deterministic
+    tie-break on event_id)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(F.round(F.col(order_col), 6)), F.asc("event_id")
+    )
+    return (
+        events.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(key_col, "event_id", F.round(order_col, 6).alias("value_r"), "rank")
+    )
+
+
+def lag_delta(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-user value delta vs previous event (lead/lag surface)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        F.col(key_col),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# True streaming runners (used by tests; the aggregations above are
+# shared between batch and stream)
+# ---------------------------------------------------------------------------
+
+
+def stream_events(spark, sf_dir: str, schema) -> DataFrame:
+    """readStream over the events fixture directory (file micro-batch
+    source) — drives the SAME aggregations as the batch path."""
+    return (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, name: str, output_mode: str = "complete"):
+    """Execute a streaming aggregation to a memory sink synchronously;
+    returns the StreamingQuery (stopped)."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def watermarked_tumbling(events: DataFrame, duration: str = "10 minutes", delay: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling aggregation (late data beyond `delay` is
+    dropped; state bounded)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(_fmt(F.col("w.start")).alias("window_start"), "event_type", "n_events")
+    )
+
+
+def stream_dedup(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """Stateful streaming dedup with bounded state."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])

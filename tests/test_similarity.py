@@ -1,0 +1,63 @@
+"""Unit tests for similarity operators on crafted vectors."""
+
+import math
+
+from calculate_file_content_size_for_vector_db_spark.operators import similarity as sim
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _pad(v, dim=64):
+    return v + [0.0] * (dim - len(v))
+
+
+def test_topk_exact_ordering(spark):
+    rows = [
+        (0, _pad([1.0, 0.0])),       # query
+        (1, _pad([1.0, 0.0])),       # identical -> cosine 1
+        (2, _pad([1.0, 1.0])),       # 45 degrees -> ~0.7071
+        (3, _pad([0.0, 1.0])),       # orthogonal -> 0
+        (4, _pad([-1.0, 0.0])),      # opposite -> -1
+    ]
+    df = _emb(spark, rows)
+    got = sim.topk_bruteforce(df, df.where("vec_id = 0"), k=3).collect()
+    assert [(r.neighbor_id, r.rank) for r in got] == [(1, 1), (2, 2), (3, 3)]
+    assert got[0].cosine == 1.0
+    assert abs(got[1].cosine - round(1 / math.sqrt(2), 6)) < 1e-9
+
+
+def test_nearest_neighbor_symmetric_pair(spark):
+    rows = [(0, _pad([1.0, 0.1])), (1, _pad([1.0, 0.11])), (2, _pad([0.0, 1.0]))]
+    df = _emb(spark, rows)
+    nn = {r.query_id: r.neighbor_id for r in sim.nearest_neighbor(df).collect()}
+    assert nn[0] == 1 and nn[1] == 0
+
+
+def test_lsh_same_vector_same_bucket(spark):
+    rows = [(0, _pad([0.5, -0.25, 0.125])), (1, _pad([0.5, -0.25, 0.125])), (2, _pad([-3.0, 2.0, -1.0]))]
+    df = _emb(spark, rows)
+    b = {r.vec_id: r.bucket for r in sim.lsh_buckets(df).collect()}
+    assert b[0] == b[1]
+    assert 0 <= b[0] < 2**sim.N_PLANES
+
+
+def test_topk_lsh_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(50)]
+    df = _emb(spark, rows)
+    q = df.where("vec_id < 3")
+    exact = {(r.query_id, r.neighbor_id) for r in sim.topk_bruteforce(df, q, k=5).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in sim.topk_lsh(df, q, k=5).collect()}
+    # ANN returns same-bucket candidates ranked exactly; every ANN hit
+    # must be a real vector pair and bucket-consistent (subset not
+    # guaranteed vs exact top-5, but each query returns <= 5)
+    assert all(qid < 3 for qid, _ in ann)
+    per_q = {}
+    for qid, nid in ann:
+        per_q.setdefault(qid, set()).add(nid)
+    assert all(len(v) <= 5 for v in per_q.values())
+    assert len(exact) == 15
