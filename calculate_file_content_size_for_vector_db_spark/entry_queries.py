@@ -1202,3 +1202,189 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return sample_frames(text_as_binary(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (operators/similarity.py): centroids, assignment, cell search
+# ---------------------------------------------------------------------------
+
+_SQL_IVF = f"""
+{_SQL_EMB},
+el AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+    SELECT cell, list(avg_x ORDER BY pos) AS cv FROM (
+        SELECT label AS cell, t.pos AS pos, avg(v[t.pos]) AS avg_x
+        FROM el, (SELECT unnest(range(1, 65)) AS pos) t
+        GROUP BY label, t.pos
+    ) GROUP BY cell
+),
+assign AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+    ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "sim_ivf_centroids",
+    f"""
+WITH {_SQL_IVF}
+SELECT CAST(cell AS INT) AS cell,
+       list_transform(cv, x -> round(x, 6)) AS centroid_r
+FROM cent
+""",
+)
+def sim_ivf_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import ivf_centroids
+
+    return ivf_centroids(_emb(spark, sf_dir)).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid_r"),
+    )
+
+
+@register(
+    "sim_ivf_assign",
+    f"""
+WITH {_SQL_IVF}
+SELECT vec_id, CAST(cell AS INT) AS cell, cell_cosine FROM assign
+""",
+)
+def sim_ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import ivf_assign
+
+    return ivf_assign(_emb(spark, sf_dir)).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "cell_cosine"
+    )
+
+
+@register(
+    "sim_topk_ivf",
+    f"""
+WITH {_SQL_IVF},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a
+    JOIN assign sa ON a.vec_id = sa.vec_id
+    JOIN assign sb ON sa.cell = sb.cell
+    JOIN e b ON b.vec_id = sb.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    return topk_ivf(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Additional analytic surface: time-series trend, rank distribution,
+# exact percentiles, distinct + approx-distinct, unpivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_monthly_revenue",
+    """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+""",
+)
+def orders_monthly_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "customer_balance_ntile",
+    """
+SELECT c_custkey,
+       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile,
+       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
+FROM customer
+""",
+)
+def customer_balance_ntile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@register(
+    "lineitem_percentiles",
+    """
+SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem
+""",
+)
+def lineitem_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+@register(
+    "distinct_customers_ordering",
+    "SELECT count(DISTINCT o_custkey) AS n_distinct FROM orders",
+)
+def distinct_customers_ordering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_distinct")
+    )
+
+
+@register("approx_distinct_customers", None)
+def approx_distinct_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx-distinct (sketch internals differ engine-to-engine ->
+    rows-only check; the exact twin above is the oracle-checked path)."""
+    return read_table(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx")
+    )
+
+
+@register(
+    "part_unpivot",
+    """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+""",
+)
+def part_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (metric, value)",
+    )

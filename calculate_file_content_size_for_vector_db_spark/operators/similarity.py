@@ -185,3 +185,85 @@ def topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> cell assignment -> search
+# within the probed cell. The classic scale path when LSH recall is not
+# enough: centroid computation is one narrow explode + hash-agg, cell
+# assignment is a small broadcast join (n_cells rows), and search is an
+# equi-join on cell id. Here the coarse quantizer uses the fixture's
+# label column as the training partition (k-means would drop in the
+# same shape: anything that yields (cell, centroid) rows works).
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, centroid): elementwise mean vector per label/cell."""
+    e = spread(embeddings).select(
+        F.col(label_col).alias("cell"), F.posexplode(as_double(vec_col)).alias("pos", "x")
+    )
+    per_dim = e.groupBy("cell", "pos").agg(F.avg("x").alias("c"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, cell_cosine): nearest centroid per vector (rounded
+    cosine, ties -> smallest cell id). Broadcast the tiny centroid set."""
+    cents = ivf_centroids(embeddings, label_col, vec_col)
+    v = embeddings.select(F.col(id_col), as_double(vec_col).alias("v"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cell",
+        cosine(F.col("v"), F.col("centroid")).alias("cell_cosine"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_cosine"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "cell", "cell_cosine")
+    )
+
+
+def topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k searching only the query's own IVF cell (single-probe).
+    Join shape: equi-join on cell id — candidate count ~ N / n_cells."""
+    assign = ivf_assign(embeddings, id_col, label_col, vec_col)
+    emb_c = embeddings.join(assign.select(id_col, "cell"), id_col)
+    q = emb_c.join(queries.select(id_col), id_col).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "cell"
+    )
+    c = emb_c.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -30,13 +30,21 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: None if v is None else v)
+            # arrays/lists (e.g. signature, centroid columns) are not
+            # sortable/hashable as ndarray — canonicalize to tuples
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, (str, bytes)) else v
+            )
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            _values_equal(_null(x), _null(y)) for x, y in zip(a, b)
+        )
     if isinstance(a, float) or isinstance(b, float):
         fa = float("nan") if a is None else float(a)
         fb = float("nan") if b is None else float(b)

@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the properties that matter at
+100 TB (predicate pushdown, column pruning, broadcast joins, shuffle
+counts) must not silently regress."""
+
+import pytest
+
+from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _formatted(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _physical(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _formatted(spark, "tpch_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan  # PushedFilters
+    # column pruning: unused lineitem columns never read
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q5_broadcasts_dims_single_shuffle(spark):
+    plan = _physical(spark, "tpch_q5")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # only the groupBy
+
+
+def test_q3_broadcasts(spark):
+    plan = _physical(spark, "tpch_q3")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_file_chunk_join_broadcasts(spark):
+    plan = _physical(spark, "per_file_metrics")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" not in plan
+
+
+def test_preprocess_column_pruning(spark):
+    plan = _formatted(spark, "preprocess_text")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read and "source" not in read and "n_chars" not in read
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = _physical(spark, "dedup_exact")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_chunk_pipeline_no_python_udf(spark):
+    # the fixed-width chunk pipeline must stay fully JVM-side
+    for name in ("per_file_metrics", "rollup_summary", "running_offset"):
+        plan = _physical(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_recursive_chunk_uses_arrow_udf(spark):
+    # the recursive splitter is the ONE sanctioned Python hop, Arrow-batched
+    plan = _physical(spark, "chunk_split")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

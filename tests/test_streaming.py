@@ -83,3 +83,41 @@ def test_streaming_session_window_runs(spark, batch_events, stream_dir):
     assert set(got).issubset(set(expected))
     assert all(expected[k] == v for k, v in got.items())
     assert len(got) >= 0.9 * len(expected)
+
+
+def test_stateful_running_totals(spark, batch_events, stream_dir):
+    from calculate_file_content_size_for_vector_db_spark.streaming.stateful import (
+        running_user_totals,
+    )
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(stream_dir)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per user == batch totals
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM stateful_out) WHERE rn = 1"""
+        ).collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.tv)
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u][0] == expected[u][0]
+        assert abs(got[u][1] - expected[u][1]) < 1e-6
