@@ -42,6 +42,8 @@ HEADLINE = [
     "events_asof_join",
     "text_quality",
     "text_fingerprint",
+    "training_pipeline",
+    "sim_topk_ivf",
 ]
 
 

@@ -1388,3 +1388,221 @@ def part_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (metric, value)",
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintenance / robustness patterns (operators/maintenance.py) + SQL API
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_event_counts",
+    """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY event_type
+""",
+)
+def salted_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage agg — result identical to direct groupBy
+    (which is what the oracle expresses)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import salted_count
+
+    return salted_count(_events(spark, sf_dir), "event_type", "value")
+
+
+@register(
+    "cdc_upsert",
+    """
+WITH updates AS (
+    SELECT doc_id, 'UPDATED:' || lang AS lang FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT -1 AS doc_id, 'new' AS lang
+)
+SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+UNION ALL
+SELECT doc_id, lang FROM updates
+""",
+)
+def cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import merge_upsert
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    updates = (
+        docs.where(F.col("doc_id") < 10)
+        .select("doc_id", F.concat(F.lit("UPDATED:"), F.col("lang")).alias("lang"))
+        .unionByName(
+            docs.sparkSession.createDataFrame([(-1, "new")], "doc_id long, lang string")
+        )
+    )
+    return merge_upsert(docs, updates, "doc_id")
+
+
+@register(
+    "grouping_sets_lang_source",
+    """
+SELECT COALESCE(lang, 'ALL') AS lang_g, COALESCE(source, 'ALL') AS source_g,
+       count(*) AS n_docs
+FROM documents GROUP BY GROUPING SETS ((lang), (source))
+""",
+)
+def grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the spark.sql() surface."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(lang, 'ALL') AS lang_g, COALESCE(source, 'ALL') AS source_g,
+               count(*) AS n_docs
+        FROM documents_v GROUP BY GROUPING SETS ((lang), (source))
+        """
+    )
+
+
+@register(
+    "events_json_struct",
+    "SELECT event_id, CAST(props->>'k' AS INT) AS k_struct FROM events",
+)
+def events_json_struct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (from_json -> typed struct field)."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k_struct"),
+    )
+
+
+@register(
+    "fuzzy_source_match",
+    """
+WITH s AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS a_source, b.source AS b_source,
+       CAST(levenshtein(a.source, b.source) AS INT) AS edit_dist
+FROM s a, s b
+WHERE a.source < b.source AND levenshtein(a.source, b.source) <= 2
+""",
+)
+def fuzzy_source_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _docs(spark, sf_dir).select("source").distinct()
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("a_source"),
+            F.col("b.source").alias("b_source"),
+            F.levenshtein(F.col("a.source"), F.col("b.source")).cast("int").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 2)
+    )
+
+
+@register(
+    "orders_moving_avg",
+    """
+SELECT o_orderkey, o_custkey,
+       round(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM orders
+""",
+)
+def orders_moving_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end pipeline: the full training-data prep flow as ONE
+# lazy DataFrame graph — quality gate -> near-dup removal (MinHash LSH,
+# keep smallest doc_id of each dup pair) -> chunk -> corpus stats.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_pipeline",
+    "WITH "
+    + _SQL_SHINGLES
+    + """,
+sig_t AS (
+    SELECT doc_id,
+           list_transform(range(0, 8),
+               s -> list_min(list_transform(sh, g -> md5(CAST(s AS VARCHAR) || '|' || g)))) AS signature
+    FROM sh_t
+),
+band_t AS (
+    SELECT doc_id, signature, CAST(unnest(range(0, 4)) AS INT) AS band FROM sig_t
+),
+bands AS (
+    SELECT doc_id, band,
+           md5(signature[2*band + 1] || '|' || signature[2*band + 2]) AS band_hash
+    FROM band_t
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+dup_pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) >= 0.5
+),
+quality AS (
+    SELECT doc_id, text,
+           round(CASE WHEN length(text) = 0 THEN NULL
+                 ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) END, 6) AS punct_ratio
+    FROM documents
+),
+kept AS (
+    SELECT q.doc_id, q.text FROM quality q
+    WHERE COALESCE(q.punct_ratio, 1.0) <= 0.1
+      AND q.doc_id NOT IN (SELECT b_id FROM dup_pairs)
+),
+chunked AS (
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(ceil(length(text) / 100.0) AS INT))) AS INT) AS chunk_index,
+           text
+    FROM kept WHERE length(text) > 0
+)
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(SUM(length(substring(text, chunk_index * 100 + 1, 100))) AS BIGINT) AS total_chars
+FROM chunked
+""",
+)
+def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate -> MinHash-LSH dedup (drop the larger id of each
+    verified pair) -> fixed chunking -> one-row corpus stats. At scale:
+    two shuffles (signature agg, candidate join) + one final agg."""
+    from calculate_file_content_size_for_vector_db_spark.operators.chunk import chunk_fixed
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    dup_b = minhash_lsh_pairs(docs, threshold=0.5).select(
+        F.col("b_id").alias("doc_id")
+    ).distinct()
+    kept = (
+        quality_score(docs)
+        .where(F.coalesce(F.col("punct_ratio"), F.lit(1.0)) <= 0.1)
+        .join(dup_b, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    chunks = chunk_fixed(kept, chunk_size=FIXTURE_CHUNK_SIZE, keep_cols=["doc_id"])
+    return chunks.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("chunk_text")).cast("long").alias("total_chars"),
+    )

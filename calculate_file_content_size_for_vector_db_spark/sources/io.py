@@ -47,7 +47,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; read nanos as long and convert to a microsecond
     TimestampType (the fixture's sub-microsecond parts are all zero,
     so the conversion is lossless and matches DuckDB's view).
+
+    The session timezone is pinned to UTC here (runtime-settable SQL
+    conf) so timestamp literals and date_format output match DuckDB's
+    UTC-naive timestamps even when the caller's session default isn't
+    UTC — the driver's own SparkSession is outside our control.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
