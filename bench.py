@@ -44,6 +44,7 @@ HEADLINE = [
     "text_fingerprint",
     "training_pipeline",
     "sim_topk_ivf",
+    "sim_nearest_neighbor",
 ]
 
 

@@ -100,10 +100,13 @@ def nearest_neighbor(
 ) -> DataFrame:
     """Top-1 neighbor for EVERY vector (the all-pairs variant of
     topk_bruteforce; quadratic — fixture/verification scale only)."""
-    a = embeddings.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    b = spread(embeddings).select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    # spread the STREAMED (left) side — cross-join output partitioning
+    # follows it, so an unspread left side serializes the whole O(N^2)
+    # scoring onto one task; broadcast the other side
+    a = spread(embeddings).select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    b = embeddings.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     scored = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
     )
@@ -123,10 +126,10 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >=
     threshold). Scale path: run within LSH buckets instead of all-pairs."""
-    a = embeddings.select(F.col(id_col).alias("a_id"), as_double(vec_col).alias("av"))
-    b = spread(embeddings).select(F.col(id_col).alias("b_id"), as_double(vec_col).alias("bv"))
+    a = spread(embeddings).select(F.col(id_col).alias("a_id"), as_double(vec_col).alias("av"))
+    b = embeddings.select(F.col(id_col).alias("b_id"), as_double(vec_col).alias("bv"))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
@@ -171,11 +174,11 @@ def topk_lsh(
     q = emb_b.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "bucket"
     )
-    c = emb_b.select(
+    c = spread(emb_b).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "bucket"
     )
     scored = (
-        q.join(c, "bucket")
+        c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
     )
@@ -253,11 +256,11 @@ def topk_ivf(
     q = emb_c.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "cell"
     )
-    c = emb_c.select(
+    c = spread(emb_c).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
     )
     scored = (
-        q.join(c, "cell")
+        c.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
     )
@@ -266,4 +269,86 @@ def topk_ivf(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matrix-block bulk scoring: for ALL-pairs workloads the pair-expansion
+# plans above materialize O(N^2) rows before ranking. This path
+# broadcasts the corpus as ONE numpy matrix and scores query batches
+# with a BLAS matmul inside mapInPandas, emitting only the top-k rows —
+# no quadratic row materialization, one Arrow batch per partition.
+# Memory bound: corpus matrix (N x dim x 8B) must fit per executor —
+# at larger N, shard the corpus (IVF cells / LSH buckets) first.
+# ---------------------------------------------------------------------------
+
+
+def _matrix_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool = True,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([r[1] for r in rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((ids, Cn))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+
+    def _score(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy()
+            Q = np.stack(pdf[vec_col].values).astype(np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = np.round(Qn @ c_mat.T, 6)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                s = S[qi]
+                # rank by (-cosine, neighbor_id); optionally drop self
+                order = np.lexsort((c_ids, -s))
+                rank = 0
+                for j in order:
+                    if exclude_self and c_ids[j] == qid:
+                        continue
+                    rank += 1
+                    out.append((int(qid), int(c_ids[j]), float(s[j]), rank))
+                    if rank >= k:
+                        break
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine", "rank"])
+
+    return spread(queries.select(id_col, vec_col)).mapInPandas(_score, out_schema)
+
+
+def nearest_neighbor_matrix(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-1 neighbor for every vector via matrix-block scoring —
+    same result as nearest_neighbor, linear row count."""
+    return _matrix_topk(embeddings, embeddings, 1, id_col, vec_col).select(
+        "query_id", "neighbor_id", "cosine"
     )
