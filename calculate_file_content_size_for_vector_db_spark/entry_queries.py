@@ -1608,3 +1608,91 @@ def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum(F.length("chunk_text")).cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# More relational shapes: Q6-style filter-agg, Q4-style EXISTS,
+# correlated-average comparison
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "late_shipment_orders",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def late_shipment_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS as a conditional left-semi join."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "above_avg_customers",
+    """
+WITH nation_avg AS (
+    SELECT c_nationkey, avg(c_acctbal) AS navg FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_custkey, round(c.c_acctbal, 2) AS acctbal,
+       round(n.navg, 6) AS nation_avg
+FROM customer c JOIN nation_avg n USING (c_nationkey)
+WHERE c.c_acctbal > n.navg
+""",
+)
+def above_avg_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-average comparison, decorrelated as agg + broadcast
+    join (what Catalyst does to the EXISTS/IN subquery form anyway)."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("navg"))
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("navg"))
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("navg", 6).alias("nation_avg"),
+        )
+    )
