@@ -27,19 +27,38 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            # money sums in DECIMAL: double summation is partition-order
+            # dependent (~1e-5 absolute on a 1e9 sum) and can flip the
+            # 2-decimal rounding boundary; decimal addition is exact and
+            # associative, so the result is bit-stable on ANY cluster
+            # layout (and matches the DuckDB oracle's decimal sums)
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
             F.round(
                 F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
                 ),
                 2,
-            ).alias("sum_charge"),
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(18,4)")
+                        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                    ).cast("decimal(28,8)")
+                    * (F.lit(1).cast("decimal(18,4)") + F.col("l_tax").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -57,9 +76,17 @@ def shipping_priority(
 ) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> broadcast join into the
     fact chain -> grouped revenue -> deterministic top-10."""
-    revenue = F.round(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-    ).alias("revenue")
+    revenue = (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
     joined = (
         F.broadcast(customer.where(F.col("c_mktsegment") == segment))
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -105,9 +132,15 @@ def local_supplier_volume(
         )
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
         )
+        .cast("double")
+        .alias("revenue")
     )
 
 
