@@ -161,11 +161,30 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     key: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket candidates, exact-Jaccard
     verified (>= threshold). The 100 TB path: the only shuffles are the
-    band-hash grouping and the bounded candidate verify."""
+    band-hash grouping and the bounded candidate verify.
+
+    ``max_bucket_size``: low-entropy corpora can put thousands of docs
+    into one band bucket, making candidate generation quadratic again
+    (a 200k-doc synthetic word-soup corpus produces ~250M intra-bucket
+    pairs). Setting a cap DROPS oversized buckets — bounded work, with
+    a recall tradeoff: members of a dropped bucket can still pair via
+    their other bands. None (default) keeps exact LSH semantics."""
     bands = minhash_bands(minhash_signature(df, text_col=text_col, key=key), key=key)
+    if max_bucket_size is not None:
+        # window count, not a groupBy+self-join — the join form would
+        # evaluate the whole signature pipeline twice
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_hash")
+        bands = (
+            bands.withColumn("_bn", F.count("*").over(w))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(b, ["band", "band_hash"])
@@ -195,26 +214,34 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """16-bit SimHash over whitespace tokens: bit b is set when tokens
-    whose polynomial hash has bit b outnumber those that don't."""
+    whose polynomial hash has bit b outnumber those that don't.
+
+    Plan shape: explode tokens, hash each token ONCE, then one hash-agg
+    with 16 conditional sums (map-side partial). The array-expression
+    alternative re-evaluates every token hash once per bit (16x).
+    Zero-token docs are preserved via a left join (simhash 0).
+    """
     from calculate_file_content_size_for_vector_db_spark.partitioning import spread
 
     df = spread(df)
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: token_hash(t))
-    n = F.size(toks)
-    # static unroll over bit positions (shiftright needs a literal int);
-    # the predicate must be a ONE-arg lambda — a second (default) arg
-    # would make PySpark treat it as an (element, index) lambda
-    def bit_set(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
-
+    tok = df.select(F.col(key), F.explode(tokens(text_col)).alias("tok"))
+    hashed = tok.select(key, token_hash(F.col("tok")).alias("h"))
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1)).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = hashed.groupBy(key).agg(*aggs)
     value = F.lit(0).cast("bigint")
     for b in range(SIMHASH_BITS):
-        cnt = F.size(F.filter(hashes, bit_set(b)))
-        value = value + F.when(cnt * 2 > n, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return df.select(F.col(key), value.alias("simhash"))
+        value = value + F.when(
+            F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    sims = bits.select(key, value.alias("simhash"))
+    return (
+        df.select(key)
+        .join(sims, key, "left")
+        .select(key, F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"))
+    )
 
 
 def simhash_pairs(

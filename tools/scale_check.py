@@ -1,0 +1,117 @@
+"""Scale self-check: run the scale-path operators on a synthetic corpus
+N x larger than the largest fixture, generated deterministically
+in-flight (no driver-side data, no fixture modification).
+
+    python tools/scale_check.py [n_docs] [n_vectors]
+
+Prints one JSON line with per-operator wall times. This is evidence
+that the operator plans hold as data grows: generation is a narrow
+projection over spark.range, so the measured cost is the operators'.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from calculate_file_content_size_for_vector_db_spark.session import get_spark
+
+VOCAB = (
+    "the a of and to in is key agg row scan slow fast table value part hash "
+    "merge batch window spark join stream order column group customer query "
+    "line data small big"
+).split()
+
+
+def synth_documents(spark, n_docs: int, words_per_doc: int = 80):
+    """Deterministic word-soup docs, effectively unique per doc.
+
+    The word index mixes a NONLINEAR d*i term: a purely linear formula
+    (d*A + i*B) mod |V| makes text depend only on d mod |V|, i.e. the
+    corpus becomes n/|V| exact copies of |V| texts — which turns every
+    LSH bucket into an O((n/|V|)^2) pair bomb. Varying length + d*i
+    mixing keeps documents distinct like a real corpus.
+    """
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    d = F.col("id")
+    n_words = (F.lit(40) + (d * 13 % 40)).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda i: F.element_at(
+            vocab,
+            (
+                (d * 2654435761 + i.cast("bigint") * 40503 + d * i.cast("bigint") * 97)
+                % 1000003
+                % len(VOCAB)
+                + 1
+            ).cast("int"),
+        ),
+    )
+    return spark.range(n_docs).select(
+        d.alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+    ).withColumn("n_chars", F.length("text"))
+
+
+def synth_embeddings(spark, n_vectors: int, dim: int = 64):
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            ((F.col("id") * 64 + j.cast("bigint")) * 22695477 % 1000003) / 1000003.0 - 0.5
+        ).cast("float"),
+    )
+    return spark.range(n_vectors).select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"),
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_vec = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    spark = get_spark(app_name="scale-check")
+    docs = synth_documents(spark, n_docs)
+    emb = synth_embeddings(spark, n_vec)
+    docs.write.mode("overwrite").format("noop").save()  # warm generation path
+
+    from calculate_file_content_size_for_vector_db_spark.operators import dedup, similarity
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import quality_score
+    from calculate_file_content_size_for_vector_db_spark.plans.pipeline import DocumentPipeline
+
+    timings: dict[str, float] = {}
+
+    def t(name, df):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    t("chunk_rollup", DocumentPipeline(spark, chunk_size=100).summary(docs))
+    t("exact_dedup", dedup.exact_dedup(docs))
+    t("minhash_signature", dedup.minhash_signature(docs))
+    # capped buckets: this synthetic corpus is low-entropy (31-word
+    # vocab) and produces ~250M intra-bucket candidate pairs uncapped
+    t("minhash_lsh_pairs_capped", dedup.minhash_lsh_pairs(docs, max_bucket_size=64))
+    t("simhash", dedup.simhash(docs))
+    t("quality", quality_score(docs).select("doc_id", "quality_score"))
+    t("lsh_buckets", similarity.lsh_buckets(emb))
+    t("topk_lsh", similarity.topk_lsh(emb, emb.where("vec_id < 10")))
+    t("nn_matrix", similarity.nearest_neighbor_matrix(emb.where("vec_id < 20000")))
+
+    print(
+        json.dumps(
+            {"n_docs": n_docs, "n_vectors": n_vec, "timings": timings,
+             "total_sec": round(sum(timings.values()), 2)}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
