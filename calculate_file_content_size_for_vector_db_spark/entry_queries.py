@@ -1706,3 +1706,147 @@ def above_avg_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("navg", 6).alias("nation_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus/ML utilities: vocabulary, TF-IDF, deterministic splits,
+# map explode, window-function breadth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocabulary",
+    f"""
+WITH toks AS (
+    SELECT unnest({_SQL_TOKENS}) AS word FROM documents
+)
+SELECT word, count(*) AS n,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS INT) AS rank
+FROM toks GROUP BY word
+""",
+)
+def vocabulary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequency ranks (explode + count + rank)."""
+    from pyspark.sql import Window
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import tokens
+
+    toks = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("word"))
+    counts = toks.groupBy("word").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents
+),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+),
+df_t AS (
+    SELECT word, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY word
+),
+n_docs AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.word,
+           round(tf.tf * ln(CAST(n_docs.n AS DOUBLE) / df_t.dfreq), 6) AS tfidf
+    FROM tf JOIN df_t USING (word) CROSS JOIN n_docs
+)
+SELECT doc_id, word, tfidf, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 3
+""",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: two hash-aggs (term-freq, doc-freq) + a broadcast join of
+    the term dictionary + windowed top-3 terms per doc."""
+    from pyspark.sql import Window
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dft = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n = docs.count()
+    scored = tf.join(F.broadcast(dft), "word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("dfreq")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "word", "tfidf", "rank")
+    )
+
+
+@register(
+    "train_test_split",
+    """
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 < 8
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+""",
+)
+def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test assignment (stable under
+    reshuffling and incremental loads, unlike random sampling)."""
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 10
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(bucket < 8, "train").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "events_props_map",
+    """
+SELECT event_id, k AS prop_key, CAST(props ->> k AS INT) AS prop_value
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+""",
+)
+def events_props_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON -> map -> exploded key/value rows (map surface)."""
+    ev = _events(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+
+
+@register(
+    "orders_window_stats",
+    """
+SELECT o_orderkey, o_custkey,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price,
+       round(cume_dist() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey), 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def orders_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cd = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+        F.round(F.cume_dist().over(w_cd), 6).alias("cd"),
+    )
