@@ -304,7 +304,9 @@ def _matrix_topk(
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.array([r[1] for r in rows], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Cn = np.where(norms > 0, C / norms, 0.0)  # zero-norm -> all-zero row
     sc = embeddings.sparkSession.sparkContext
     bc = sc.broadcast((ids, Cn))
 
@@ -324,7 +326,9 @@ def _matrix_topk(
                 continue
             q_ids = pdf[id_col].to_numpy()
             Q = np.stack(pdf[vec_col].values).astype(np.float64)
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Qn = np.where(qn > 0, Q / qn, 0.0)
             S = np.round(Qn @ c_mat.T, 6)
             out = []
             for qi, qid in enumerate(q_ids):
