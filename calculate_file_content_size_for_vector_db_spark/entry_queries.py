@@ -1850,3 +1850,102 @@ def orders_window_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
         F.round(F.cume_dist().over(w_cd), 6).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: correlation/stddev, grouped percentiles,
+# histogram bucketing, arg-max, sorted collect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_stats",
+    """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def lineitem_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )
+
+
+@register(
+    "grouped_percentiles",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def grouped_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+@register(
+    "value_histogram",
+    """
+SELECT CAST(CASE WHEN value < 0 THEN 0
+                 WHEN value >= 100 THEN 11
+                 ELSE floor(value / 10) + 1 END AS INT) AS bucket,
+       count(*) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM events GROUP BY 1
+""",
+)
+def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(10)).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@register(
+    "richest_customer_per_nation",
+    """
+SELECT c_nationkey, c_custkey AS richest_custkey,
+       round(c_acctbal, 2) AS max_acctbal
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+    FROM customer
+) WHERE rn = 1
+""",
+)
+def richest_customer_per_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max with a deterministic (balance, key) tie-break."""
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.expr("max_by(c_custkey, struct(c_acctbal, c_custkey))").alias("richest_custkey"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+    )
+
+
+@register(
+    "langs_per_source",
+    """
+SELECT source, list_sort(list(DISTINCT lang)) AS langs
+FROM documents GROUP BY source
+""",
+)
+def langs_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).groupBy("source").agg(
+        F.array_sort(F.collect_set("lang")).alias("langs")
+    )
