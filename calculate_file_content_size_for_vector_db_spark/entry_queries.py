@@ -1949,3 +1949,22 @@ def langs_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).groupBy("source").agg(
         F.array_sort(F.collect_set("lang")).alias("langs")
     )
+
+
+@register(
+    "zscore_by_lang",
+    """
+SELECT doc_id, lang,
+       round(CASE WHEN stddev_samp(n_chars) OVER (PARTITION BY lang) > 0
+             THEN (n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                  / stddev_samp(n_chars) OVER (PARTITION BY lang)
+             ELSE 0.0 END, 6) AS zscore
+FROM documents
+""",
+)
+def zscore_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas surface (per-group normalization),
+    oracle-verified against the pure-SQL window form."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import zscore_by_group
+
+    return zscore_by_group(_docs(spark, sf_dir))

@@ -135,3 +135,40 @@ def token_hash(tok: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
     )
+
+
+def zscore_by_group(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-group z-score normalization via applyInPandas (grouped-map:
+    one pandas DataFrame per group in, one out — the API shape for
+    per-entity model scoring / normalization at scale; each group must
+    fit in one worker's memory, groups process in parallel).
+
+    Semantics are deliberately also SQL-expressible (sample stddev) so
+    the DuckDB oracle can verify this Python path exactly.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(key, LongType()),
+            StructField(group_col, StringType()),
+            StructField("zscore", DoubleType()),
+        ]
+    )
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype("float64")
+        sd = v.std(ddof=1)
+        z = (v - v.mean()) / sd if sd and sd > 0 else v * 0.0
+        return pd.DataFrame(
+            {key: pdf[key], group_col: pdf[group_col], "zscore": z.round(6)}
+        )
+
+    return df.select(key, group_col, value_col).groupBy(group_col).applyInPandas(_norm, schema)
