@@ -1968,3 +1968,45 @@ def zscore_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calculate_file_content_size_for_vector_db_spark.operators.textstats import zscore_by_group
 
     return zscore_by_group(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_clusters",
+    _SQL_MINHASH_BANDS
+    + """,
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) >= 0.5
+),
+sym AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach AS (
+    WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+    )
+    SELECT * FROM r
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected-components clustering of near-duplicates
+    (oracle: transitive closure via recursive CTE)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import neardup_clusters
+
+    return neardup_clusters(_docs(spark, sf_dir), threshold=0.5)

@@ -265,3 +265,60 @@ def simhash_pairs(
             "hamming",
         )
     )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    a duplicate cluster gets the cluster's smallest doc id as label.
+
+    Iterative min-label propagation (the standard distributed CC
+    algorithm): labels start as self, each round every node takes the
+    min label in its neighborhood, stop at fixpoint. Rounds needed =
+    graph diameter (near-dup clusters are tiny, so 2-4 in practice);
+    each round is one join + one aggregation. The driver-side loop only
+    carries a row COUNT per iteration — no data is collected.
+    """
+    pairs = minhash_lsh_pairs(df, threshold, text_col, key)
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias(key), F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out
