@@ -248,11 +248,31 @@ def simhash_pairs(
     df: DataFrame, max_hamming: int = 3, text_col: str = "text", key: str = "doc_id"
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance (<= max_hamming).
-    Fixture-scale all-pairs; at 100 TB bucket on simhash prefix first."""
+
+    Exact, but NOT all-pairs: the 16-bit sketch is split into
+    ``max_hamming + 1`` segments. By pigeonhole, any pair within
+    hamming distance k must agree exactly on at least one of the k+1
+    segments, so candidates come from an equi-join on
+    (segment_index, segment_value) — a bucketed shuffle join with
+    bucket sizes ~N / 2^(16/(k+1)) per segment, no quadratic stage.
+    Candidates are then verified with the exact bit_count and
+    deduplicated (a pair can agree on several segments).
+    """
+    n_segments = max_hamming + 1
+    seg_bits = SIMHASH_BITS // n_segments  # 16 // 4 = 4 for k = 3
     s = simhash(df, text_col, key)
-    a, b = s.alias("a"), s.alias("b")
+    seg_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * seg_bits)
+            .bitwiseAND((1 << seg_bits) - 1)
+            .cast("int")
+            for i in range(n_segments)
+        ]
+    )
+    segs = s.select(key, "simhash", F.posexplode(seg_vals).alias("seg", "seg_val"))
+    a, b = segs.alias("a"), segs.alias("b")
     return (
-        a.crossJoin(b)
+        a.join(b, ["seg", "seg_val"])
         .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
         .withColumn(
             "hamming",
@@ -264,6 +284,7 @@ def simhash_pairs(
             F.col(f"b.{key}").alias("b_id"),
             "hamming",
         )
+        .distinct()
     )
 
 

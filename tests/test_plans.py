@@ -67,3 +67,10 @@ def test_recursive_chunk_uses_arrow_udf(spark):
     plan = _physical(spark, "chunk_split")
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_simhash_pairs_no_quadratic_join(spark):
+    # pigeonhole segment equi-join, not an all-pairs product
+    plan = _physical(spark, "simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
