@@ -797,10 +797,10 @@ SELECT query_id, neighbor_id, cosine FROM (
 )
 def sim_nearest_neighbor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
-        nearest_neighbor_matrix,
+        nearest_neighbor_blocked,
     )
 
-    return nearest_neighbor_matrix(_emb(spark, sf_dir))
+    return nearest_neighbor_blocked(_emb(spark, sf_dir))
 
 
 @register(

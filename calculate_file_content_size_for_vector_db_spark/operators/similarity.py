@@ -123,16 +123,31 @@ def cosine_neardup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >=
-    threshold). Scale path: run within LSH buckets instead of all-pairs."""
-    a = spread(embeddings).select(F.col(id_col).alias("a_id"), as_double(vec_col).alias("av"))
-    b = embeddings.select(F.col(id_col).alias("b_id"), as_double(vec_col).alias("bv"))
+    threshold). Exact — every pair is scored once, from its smaller-id
+    side — but never materializes O(N^2) rows: the corpus is packed
+    into n_blocks array rows (see _corpus_blocks) and matches are
+    filtered inside the block array before exploding, so row count is
+    O(N * n_blocks + matches). For sublinear candidate generation at
+    low thresholds, pre-filter with lsh_buckets instead."""
+    blocks = _corpus_blocks(embeddings, id_col, vec_col, n_blocks)
+    v = spread(embeddings).select(
+        F.col(id_col).alias("a_id"), unit(vec_col).alias("av")
+    )
+    scored = F.transform(
+        F.filter(F.col("cands"), lambda c: c["nid"] > F.col("a_id")),
+        lambda c: F.struct(
+            c["nid"].alias("b_id"),
+            F.round(dot(F.col("av"), c["nv"]), 6).alias("cosine"),
+        ),
+    )
+    matches = F.filter(scored, lambda s: s["cosine"] >= F.lit(threshold))
     return (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+        v.crossJoin(F.broadcast(blocks))
+        .select("a_id", F.explode(matches).alias("m"))
+        .select("a_id", F.col("m.b_id").alias("b_id"), F.col("m.cosine").alias("cosine"))
     )
 
 
@@ -273,86 +288,179 @@ def topk_ivf(
 
 
 # ---------------------------------------------------------------------------
-# Matrix-block bulk scoring: for ALL-pairs workloads the pair-expansion
-# plans above materialize O(N^2) rows before ranking. This path
-# broadcasts the corpus as ONE numpy matrix and scores query batches
-# with a BLAS matmul inside mapInPandas, emitting only the top-k rows —
-# no quadratic row materialization, one Arrow batch per partition.
-# Memory bound: corpus matrix (N x dim x 8B) must fit per executor —
-# at larger N, shard the corpus (IVF cells / LSH buckets) first.
+# Block-nested-loop bulk scoring: for ALL-pairs workloads the
+# pair-expansion plans above materialize O(N^2) rows before ranking.
+# This path packs the corpus into ``n_blocks`` array rows
+# (collect_list per block — a distributed agg, NOT a driver collect),
+# joins queries x blocks, and reduces each block to its k best
+# candidates with native higher-order functions, so only
+# O(N * n_blocks * k) narrow rows ever shuffle. Exact all-pairs
+# scoring is inherently O(N^2) compute no matter the layout; what this
+# buys at scale is (a) no driver-side corpus materialization, (b) no
+# quadratic row blowup, (c) block size as the memory knob
+# (block row bytes ~ (N / n_blocks) * dim * 8). For sublinear candidate
+# generation switch to lsh_buckets / IVF cells above.
 # ---------------------------------------------------------------------------
 
 
-def _matrix_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    k: int,
-    id_col: str,
-    vec_col: str,
-    exclude_self: bool = True,
-) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
+def unit(col: Column | str) -> Column:
+    """L2-normalized copy of a vector; zero-norm maps to the zero
+    vector (so any dot with it scores 0.0, matching the all-cosines-0
+    convention for degenerate embeddings)."""
+    v = as_double(col)
+    n = norm(v)
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(
+        F.transform(v, lambda x: x * 0.0)
     )
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    C = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(C, axis=1, keepdims=True)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        Cn = np.where(norms > 0, C / norms, 0.0)  # zero-norm -> all-zero row
-    sc = embeddings.sparkSession.sparkContext
-    bc = sc.broadcast((ids, Cn))
 
-    out_schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField("neighbor_id", LongType()),
-            StructField("cosine", DoubleType()),
-            StructField("rank", IntegerType()),
-        ]
+def _corpus_blocks(
+    embeddings: DataFrame, id_col: str, vec_col: str, n_blocks: int
+) -> DataFrame:
+    """(blk, cands): corpus packed into n_blocks array-of-struct rows.
+    Vectors are pre-normalized ONCE here so per-pair scoring is a
+    single dot product instead of dot + two norms."""
+    return (
+        spread(embeddings)
+        .select(F.col(id_col).alias("nid"), unit(vec_col).alias("nv"))
+        .withColumn("blk", F.pmod(F.col("nid"), F.lit(n_blocks)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("nid", "nv")).alias("cands"))
+    )
+
+
+def topk_blocked(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact top-k neighbors for EVERY query vector, fully distributed.
+
+    Per (query, block) row the block's candidates are scored, the k
+    best kept via array_sort + slice (cosine desc, id asc; zero-norm
+    cosine coalesced to 0.0), then a window over the per-block winners
+    picks the global top k. Self-pairs are excluded.
+    """
+    blocks = _corpus_blocks(embeddings, id_col, vec_col, n_blocks)
+    q = spread(queries).select(
+        F.col(id_col).alias("query_id"), unit(vec_col).alias("qv")
+    )
+    scored = F.transform(
+        F.filter(F.col("cands"), lambda c: c["nid"] != F.col("query_id")),
+        lambda c: F.struct(
+            (-F.round(dot(F.col("qv"), c["nv"]), 6)).alias("negcos"),
+            c["nid"].alias("nid"),
+        ),
+    )
+    block_best = F.slice(F.array_sort(scored), 1, k)
+    # broadcast the n_blocks packed rows so the (large) query side stays
+    # the streamed side — otherwise the tiny block side streams through
+    # ONE task and serializes all scoring
+    per_block = q.crossJoin(F.broadcast(blocks)).select(
+        "query_id", F.explode(block_best).alias("s")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("s.negcos"), F.asc("s.nid"))
+    return (
+        per_block.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("s.nid").alias("neighbor_id"),
+            (-F.col("s.negcos")).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def _packed_blocks(
+    embeddings: DataFrame, id_col: str, vec_col: str, n_blocks: int, prefix: str
+) -> DataFrame:
+    """(blk, <prefix>ids, <prefix>mat): ids and unit vectors packed per
+    block. The two collect_lists run in one aggregation buffer, so their
+    element orders align row-for-row."""
+    return (
+        spread(embeddings)
+        .select(F.col(id_col).alias("id"), unit(vec_col).alias("v"))
+        .withColumn(f"{prefix}blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+        .groupBy(f"{prefix}blk")
+        .agg(
+            F.collect_list("id").alias(f"{prefix}ids"),
+            F.collect_list("v").alias(f"{prefix}mat"),
+        )
+    )
+
+
+def topk_grid(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact top-k for every query via a distributed block GRID with
+    vectorized scoring: both sides are packed into blocks (a normal
+    aggregation — no driver collect/broadcast), the Qb x Cb grid of
+    block pairs is the join, and each grid cell is one numpy matmul
+    inside mapInPandas (Arrow-batched). Only per-cell top-k rows leave
+    Python; a final window picks the global top k. Memory per task is
+    two block matrices, tunable via n_blocks."""
+    import numpy as np
+    import pandas as pd
+
+    qb = _packed_blocks(queries, id_col, vec_col, n_blocks, "q")
+    cb = _packed_blocks(embeddings, id_col, vec_col, n_blocks, "c")
+    # the post-agg block frames collapse to one partition on small
+    # inputs; repartition the grid so each cell (one matmul) is its own
+    # task instead of all Qb x Cb cells serializing through one core
+    grid = (
+        qb.crossJoin(F.broadcast(cb))
+        .select("qids", "qmat", "cids", "cmat")
+        .repartition(n_blocks * n_blocks)
     )
 
     def _score(batches):
-        c_ids, c_mat = bc.value
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q_ids = pdf[id_col].to_numpy()
-            Q = np.stack(pdf[vec_col].values).astype(np.float64)
-            qn = np.linalg.norm(Q, axis=1, keepdims=True)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                Qn = np.where(qn > 0, Q / qn, 0.0)
-            S = np.round(Qn @ c_mat.T, 6)
-            out = []
-            for qi, qid in enumerate(q_ids):
-                s = S[qi]
-                # rank by (-cosine, neighbor_id); optionally drop self
-                order = np.lexsort((c_ids, -s))
-                rank = 0
-                for j in order:
-                    if exclude_self and c_ids[j] == qid:
-                        continue
-                    rank += 1
-                    out.append((int(qid), int(c_ids[j]), float(s[j]), rank))
-                    if rank >= k:
-                        break
-            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine", "rank"])
+            out_q, out_n, out_c = [], [], []
+            for row in pdf.itertuples(index=False):
+                qids = np.asarray(row.qids, dtype=np.int64)
+                cids = np.asarray(row.cids, dtype=np.int64)
+                Q = np.stack([np.asarray(v, dtype=np.float64) for v in row.qmat])
+                C = np.stack([np.asarray(v, dtype=np.float64) for v in row.cmat])
+                S = np.round(Q @ C.T, 6)
+                # rank candidates per query: cosine desc, id asc
+                order = np.lexsort((np.broadcast_to(cids, S.shape), -S), axis=1)
+                kk = min(k + 1, S.shape[1])  # +1 slack for self-exclusion
+                for qi in range(S.shape[0]):
+                    top = order[qi, :kk]
+                    top = top[cids[top] != qids[qi]][:k]
+                    out_q.extend([int(qids[qi])] * len(top))
+                    out_n.extend(int(cids[j]) for j in top)
+                    out_c.extend(float(S[qi, j]) for j in top)
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
 
-    return spread(queries.select(id_col, vec_col)).mapInPandas(_score, out_schema)
+    per_cell = grid.mapInPandas(
+        _score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        per_cell.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
-def nearest_neighbor_matrix(
+def nearest_neighbor_blocked(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Top-1 neighbor for every vector via matrix-block scoring —
-    same result as nearest_neighbor, linear row count."""
-    return _matrix_topk(embeddings, embeddings, 1, id_col, vec_col).select(
+    """Top-1 neighbor for every vector via block-grid scoring —
+    same result as nearest_neighbor, without O(N^2) rows or any
+    driver-side collect/broadcast of the corpus."""
+    return topk_grid(embeddings, embeddings, 1, id_col, vec_col).select(
         "query_id", "neighbor_id", "cosine"
     )

@@ -6,7 +6,7 @@ import pytest
 
 from calculate_file_content_size_for_vector_db_spark.operators import dedup, textstats
 from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
-    nearest_neighbor_matrix,
+    nearest_neighbor_blocked,
 )
 from calculate_file_content_size_for_vector_db_spark.plans.pipeline import DocumentPipeline
 
@@ -53,10 +53,10 @@ def test_simhash_preserves_all_docs(spark, weird_docs):
     assert got[0] == 0 and got[1] == 0
 
 
-def test_matrix_nn_zero_norm_ranks_last(spark):
+def test_blocked_nn_zero_norm_ranks_last(spark):
     rows = [(0, [0.0] * 64), (1, [1.0] * 64), (2, [1.0] * 32 + [0.0] * 32)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    nn = {r.query_id: (r.neighbor_id, r.cosine) for r in nearest_neighbor_matrix(emb).collect()}
+    nn = {r.query_id: (r.neighbor_id, r.cosine) for r in nearest_neighbor_blocked(emb).collect()}
     # zero vector: all cosines 0, tie-break -> smallest other id
     assert nn[0] == (1, 0.0)
     # real vectors prefer each other over the zero vector

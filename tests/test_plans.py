@@ -74,3 +74,19 @@ def test_simhash_pairs_no_quadratic_join(spark):
     plan = _physical(spark, "simhash_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_neighbor_distributed_grid(spark):
+    # block-grid NN: corpus packed by a distributed agg (the old path
+    # collected the corpus to the driver and broadcast it); the one
+    # Python stage is the Arrow-batched per-cell matmul, never row-at-a-time
+    plan = _physical(spark, "sim_nearest_neighbor")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_embedding_jvm_native_blocked(spark):
+    plan = _physical(spark, "dedup_embedding")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -103,7 +103,7 @@ def main() -> None:
     t("quality", quality_score(docs).select("doc_id", "quality_score"))
     t("lsh_buckets", similarity.lsh_buckets(emb))
     t("topk_lsh", similarity.topk_lsh(emb, emb.where("vec_id < 10")))
-    t("nn_matrix", similarity.nearest_neighbor_matrix(emb.where("vec_id < 20000")))
+    t("nn_blocked", similarity.nearest_neighbor_blocked(emb.where("vec_id < 20000")))
 
     print(
         json.dumps(
