@@ -1207,19 +1207,48 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN (operators/similarity.py): centroids, assignment, cell search
+# IVF ANN (operators/similarity.py): k-means centroids, assignment,
+# cell search. The oracle unrolls the same Lloyd rounds as the Spark
+# implementation (similarity.ivf_centroids): init = k smallest-id
+# vectors, per-round rounded-cosine argmax assignment (ties -> smallest
+# cell) and per-dimension avg rounded to 6 decimals.
 # ---------------------------------------------------------------------------
+
+
+def _sql_kmeans_chain(k: int = 8, iters: int = 3) -> str:
+    parts = [
+        "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv"
+        f" FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}"
+        parts.append(
+            f"""assign{i} AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, {prev} c
+    ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""cent{i} AS (
+    SELECT cell, list(cx ORDER BY pos) AS cv FROM (
+        SELECT s.cell, t.pos AS pos, round(avg(a.v[t.pos]), 6) AS cx
+        FROM e a JOIN assign{i} s ON a.vec_id = s.vec_id,
+             (SELECT unnest(range(1, 65)) AS pos) t
+        GROUP BY s.cell, t.pos
+    ) GROUP BY cell
+)"""
+        )
+    return ",\n".join(parts)
+
 
 _SQL_IVF = f"""
 {_SQL_EMB},
-el AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (
-    SELECT cell, list(avg_x ORDER BY pos) AS cv FROM (
-        SELECT label AS cell, t.pos AS pos, avg(v[t.pos]) AS avg_x
-        FROM el, (SELECT unnest(range(1, 65)) AS pos) t
-        GROUP BY label, t.pos
-    ) GROUP BY cell
-),
+{_sql_kmeans_chain()},
+cent AS (SELECT cell, cv FROM cent3),
 assign AS (
     SELECT vec_id, cell, cell_cosine FROM (
         SELECT a.vec_id, c.cell,

@@ -208,52 +208,105 @@ def topk_lsh(
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer -> cell assignment -> search
 # within the probed cell. The classic scale path when LSH recall is not
-# enough: centroid computation is one narrow explode + hash-agg, cell
-# assignment is a small broadcast join (n_cells rows), and search is an
-# equi-join on cell id. Here the coarse quantizer uses the fixture's
-# label column as the training partition (k-means would drop in the
-# same shape: anything that yields (cell, centroid) rows works).
+# enough: centroid training is a few Lloyd (k-means) rounds — each one
+# broadcast join (k rows) + one hash-agg — cell assignment is the same
+# broadcast join, and search is an equi-join on cell id.
+#
+# Determinism (the oracle must reproduce the quantizer bit-for-bit):
+# initial centroids are the k vectors with the smallest ids; every
+# cosine and every centroid component is rounded to 6 decimals each
+# round; assignment ties break to the smallest cell id. Cells that
+# attract no vectors in a round drop out (both engines agree).
 # ---------------------------------------------------------------------------
+
+IVF_CELLS = 8
+IVF_ITERS = 3
+
+
+def _assign_to(
+    vectors: DataFrame, centroids: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, cell, cell_cosine): nearest centroid by rounded cosine,
+    ties -> smallest cell id.
+
+    Shuffle-free: the k centroids are packed into ONE broadcast row and
+    the argmax runs as a higher-order array_max per vector — a narrow
+    map, no per-vector window. (A window/row_number formulation would
+    shuffle every (vector, centroid) pair on vector id each round.)"""
+    packed = centroids.groupBy().agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.coalesce(cosine(F.col("v"), c["centroid"]), F.lit(-2.0)).alias("cc"),
+                (-c["cell"]).alias("negcell"),
+            ),
+        )
+    )
+    return (
+        vectors.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), best.alias("best"))
+        .select(
+            id_col,
+            (-F.col("best.negcell")).cast("int").alias("cell"),
+            F.col("best.cc").alias("cell_cosine"),
+        )
+    )
 
 
 def ivf_centroids(
     embeddings: DataFrame,
-    label_col: str = "label",
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(cell, centroid): elementwise mean vector per label/cell."""
-    e = spread(embeddings).select(
-        F.col(label_col).alias("cell"), F.posexplode(as_double(vec_col)).alias("pos", "x")
+    """(cell, centroid): k-means centroids after ``iters`` Lloyd
+    rounds, trained in pure DataFrame ops (no driver-side data).
+
+    The loop is unrolled into the lazy plan: each round is a broadcast
+    join against the k current centroids plus one per-dimension
+    hash-agg. k rows flow between rounds — nothing is collected."""
+    v = spread(embeddings).select(F.col(id_col), as_double(vec_col).alias("v"))
+    # init = the k vectors with the smallest ids. limit(k) is a
+    # distributed partial top-k; the single-partition window then only
+    # ever sees k rows.
+    w0 = Window.orderBy(id_col)
+    cents = (
+        v.orderBy(id_col)
+        .limit(k)
+        .withColumn("cell", (F.row_number().over(w0) - 1).cast("int"))
+        .select("cell", F.col("v").alias("centroid"))
     )
-    per_dim = e.groupBy("cell", "pos").agg(F.avg("x").alias("c"))
-    return per_dim.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("centroid")
-    )
+    for _ in range(iters):
+        assigned = _assign_to(v, cents, id_col).select(id_col, "cell")
+        per_dim = (
+            v.join(assigned, id_col)
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+        )
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            ).alias("centroid")
+        )
+    return cents
 
 
 def ivf_assign(
     embeddings: DataFrame,
     id_col: str = "vec_id",
-    label_col: str = "label",
     vec_col: str = "embedding",
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
 ) -> DataFrame:
-    """(id, cell, cell_cosine): nearest centroid per vector (rounded
-    cosine, ties -> smallest cell id). Broadcast the tiny centroid set."""
-    cents = ivf_centroids(embeddings, label_col, vec_col)
+    """(id, cell, cell_cosine): nearest learned centroid per vector."""
+    cents = ivf_centroids(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     v = embeddings.select(F.col(id_col), as_double(vec_col).alias("v"))
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        "cell",
-        cosine(F.col("v"), F.col("centroid")).alias("cell_cosine"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cell_cosine"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "cell", "cell_cosine")
-    )
+    return _assign_to(v, cents, id_col)
 
 
 def topk_ivf(
@@ -261,12 +314,15 @@ def topk_ivf(
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
-    label_col: str = "label",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k searching only the query's own IVF cell (single-probe).
-    Join shape: equi-join on cell id — candidate count ~ N / n_cells."""
-    assign = ivf_assign(embeddings, id_col, label_col, vec_col)
+    Join shape: equi-join on cell id — candidate count ~ N / n_cells.
+
+    The assignment feeds both the query side and the candidate side of
+    the cell join; persist it so the unrolled k-means lineage runs once
+    (Spark does not dedupe common subplans)."""
+    assign = ivf_assign(embeddings, id_col, vec_col).persist()
     emb_c = embeddings.join(assign.select(id_col, "cell"), id_col)
     q = emb_c.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "cell"

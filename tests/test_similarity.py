@@ -61,3 +61,41 @@ def test_topk_lsh_subset_of_exact(spark):
         per_q.setdefault(qid, set()).add(nid)
     assert all(len(v) <= 5 for v in per_q.values())
     assert len(exact) == 15
+
+
+def test_kmeans_ivf_separates_obvious_clusters(spark):
+    # two tight direction-clusters, ids interleaved so the first-k init
+    # seeds both; Lloyd rounds must keep them in disjoint cells
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, _pad([10.0 + i * 0.01, 0.1])))      # even ids: ~x-axis
+        rows.append((2 * i + 1, _pad([0.1, 10.0 + i * 0.01])))  # odd ids: ~y-axis
+    df = _emb(spark, rows)
+    assign = {r.vec_id: r.cell for r in sim.ivf_assign(df, k=2, iters=3).collect()}
+    cells_a = {assign[2 * i] for i in range(10)}
+    cells_b = {assign[2 * i + 1] for i in range(10)}
+    assert len(cells_a) == 1 and len(cells_b) == 1
+    assert cells_a.isdisjoint(cells_b)
+
+
+def test_kmeans_ivf_deterministic(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    df = _emb(spark, rows)
+    a = sorted((r.cell, tuple(r.centroid)) for r in sim.ivf_centroids(df, k=4, iters=2).collect())
+    b = sorted((r.cell, tuple(r.centroid)) for r in sim.ivf_centroids(df, k=4, iters=2).collect())
+    assert a == b
+
+
+def test_topk_grid_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    df = _emb(spark, rows)
+    q = df.where("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id, r.rank) for r in sim.topk_bruteforce(df, q, k=3).collect()}
+    grid = {(r.query_id, r.neighbor_id, r.rank) for r in sim.topk_grid(df, q, k=3).collect()}
+    assert grid == exact
