@@ -73,6 +73,20 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Per-query delta vs the previous round's recorded bench (if any),
+    # so regressions are visible per query rather than only in the total.
+    prev = _previous_round_timings()
+    if prev:
+        for name, t in timings.items():
+            p = prev.get(name)
+            if p:
+                sign = "+" if t >= p else ""
+                print(
+                    f"# delta {name}: {t:.2f}s vs prev {p:.2f}s ({sign}{(t - p) / p * 100:.0f}%)",
+                    file=sys.stderr,
+                )
+
     print(
         json.dumps(
             {
@@ -84,6 +98,28 @@ def main() -> None:
             }
         )
     )
+
+
+def _previous_round_timings() -> dict[str, float]:
+    """Per-query times from the latest BENCH_r{N}.json the driver wrote."""
+    import glob
+    import re
+
+    best: tuple[int, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            queries = (data.get("parsed") or {}).get("queries") or data.get("queries") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        n = int(m.group(1))
+        if queries and (best is None or n > best[0]):
+            best = (n, queries)
+    return best[1] if best else {}
 
 
 if __name__ == "__main__":

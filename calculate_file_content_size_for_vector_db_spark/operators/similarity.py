@@ -455,15 +455,18 @@ def topk_grid(
     k: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Exact top-k for every query via a distributed block GRID with
     vectorized scoring: both sides are packed into blocks (a normal
     aggregation — no driver collect/broadcast), the Qb x Cb grid of
     block pairs is the join, and each grid cell is one numpy matmul
     inside mapInPandas (Arrow-batched). Only per-cell top-k rows leave
-    Python; a final window picks the global top k. Memory per task is
-    two block matrices, tunable via n_blocks."""
+    Python; a final reduction picks the global top k (hash-agg max for
+    k=1, window otherwise). Memory per task is two block matrices —
+    size n_blocks so (N / n_blocks) * dim * 8 B fits task memory and
+    the Qb x Cb grid is at least the cluster parallelism; the default
+    suits fixture scale."""
     import numpy as np
     import pandas as pd
 
@@ -503,6 +506,25 @@ def topk_grid(
     per_cell = grid.mapInPandas(
         _score, "query_id long, neighbor_id long, cosine double"
     )
+    if k == 1:
+        # top-1 needs no sort window: a hash-agg max over
+        # struct(cosine, -id) combines map-side, one light shuffle
+        return (
+            per_cell.groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cosine"), (-F.col("neighbor_id")).alias("negid")
+                    )
+                ).alias("b")
+            )
+            .select(
+                "query_id",
+                (-F.col("b.negid")).alias("neighbor_id"),
+                F.col("b.cosine").alias("cosine"),
+                F.lit(1).cast("int").alias("rank"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         per_cell.withColumn("rank", F.row_number().over(w).cast("int"))
