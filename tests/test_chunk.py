@@ -68,6 +68,58 @@ class TestRecursiveSplitter:
         joined = "".join(chunks)
         assert len(joined) >= len(text.replace(" ", ""))
 
+    # Goldens hand-derived by executing the published
+    # RecursiveCharacterTextSplitter algorithm (split with separator
+    # kept on the following piece -> greedy merge with the
+    # total>overlap eviction loop -> strip; add_start_index searches
+    # forward from index + prev_len - overlap) step by step on paper.
+
+    def test_overlap_golden_space_separator(self):
+        got = split_with_start_index("aa bb cc dd", 8, 3)
+        assert got == [("aa bb cc", 0), ("cc dd", 6)]
+
+    def test_overlap_golden_paragraph_recursion(self):
+        text = "para one\n\npara two is long\n\nshort"
+        got = split_with_start_index(text, 12, 4)
+        assert got == [
+            ("para one", 0),
+            ("para two is", 10),
+            ("is long", 19),
+            ("short", 28),
+        ]
+        # every start index points at its chunk in the ORIGINAL text
+        for chunk, idx in got:
+            assert text[idx : idx + len(chunk)] == chunk
+
+    @settings(max_examples=150, deadline=None)
+    @given(TEXTY, st.integers(min_value=8, max_value=50), st.integers(min_value=1, max_value=7))
+    def test_overlap_chunk_size_bound(self, text, size, overlap):
+        for c in split_text_recursive(text, chunk_size=size, chunk_overlap=overlap):
+            assert 0 < len(c) <= size
+
+    @settings(max_examples=150, deadline=None)
+    @given(TEXTY, st.integers(min_value=8, max_value=50), st.integers(min_value=1, max_value=7))
+    def test_overlap_start_index_points_at_chunk(self, text, size, overlap):
+        idxs = []
+        for chunk, idx in split_with_start_index(text, size, overlap):
+            assert idx >= 0
+            assert text[idx : idx + len(chunk)] == chunk
+            idxs.append(idx)
+        assert idxs == sorted(idxs)
+
+    @settings(max_examples=100, deadline=None)
+    @given(TEXTY, st.integers(min_value=8, max_value=50), st.integers(min_value=0, max_value=7))
+    def test_all_content_covered(self, text, size, overlap):
+        # chunks cover the original text: every non-whitespace char of
+        # the input appears in the union of [idx, idx+len) spans
+        covered = [False] * len(text)
+        for chunk, idx in split_with_start_index(text, size, overlap):
+            for j in range(idx, idx + len(chunk)):
+                covered[j] = True
+        for j, ch in enumerate(text):
+            if not ch.isspace():
+                assert covered[j], (text, j, ch)
+
 
 class TestFixedChunker:
     def test_exact_multiple_boundary(self, spark):
