@@ -1513,15 +1513,28 @@ WHERE a.source < b.source AND levenshtein(a.source, b.source) <= 2
 """,
 )
 def fuzzy_source_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pairs over distinct sources, length-blocked.
+
+    Lossless blocking: levenshtein(a, b) >= |len(a) - len(b)|, so any
+    pair within distance 2 is within 2 in length. One side explodes to
+    length keys len-2..len+2, the other keys by exact length — an
+    equi-join (each pair meets on exactly one key), never a cross join
+    over the distinct-source set."""
     s = _docs(spark, sf_dir).select("source").distinct()
-    a, b = s.alias("a"), s.alias("b")
+    a = s.select(
+        F.col("source").alias("a_source"),
+        F.explode(
+            F.sequence(F.length("source") - 2, F.length("source") + 2)
+        ).alias("lkey"),
+    )
+    b = s.select(F.col("source").alias("b_source"), F.length("source").alias("lkey"))
     return (
-        a.crossJoin(b)
-        .where(F.col("a.source") < F.col("b.source"))
+        a.join(b, "lkey")
+        .where(F.col("a_source") < F.col("b_source"))
         .select(
-            F.col("a.source").alias("a_source"),
-            F.col("b.source").alias("b_source"),
-            F.levenshtein(F.col("a.source"), F.col("b.source")).cast("int").alias("edit_dist"),
+            "a_source",
+            "b_source",
+            F.levenshtein(F.col("a_source"), F.col("b_source")).cast("int").alias("edit_dist"),
         )
         .where(F.col("edit_dist") <= 2)
     )
