@@ -212,14 +212,25 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
-    """16-bit SimHash over whitespace tokens: bit b is set when tokens
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash sketch over whitespace tokens: bit b is set when tokens
     whose polynomial hash has bit b outnumber those that don't.
 
+    ``bits`` sizes the sketch (default 16 for fixture parity; the token
+    hash carries ~30 usable bits, so scale deployments should run 28+ —
+    segment-bucket candidate generation in simhash_pairs gets
+    2^(bits/(k+1)) buckets per segment, and 16-bit sketches cap that at
+    16 buckets, quadratic-ish beyond ~10k docs).
+
     Plan shape: explode tokens, hash each token ONCE, then one hash-agg
-    with 16 conditional sums (map-side partial). The array-expression
-    alternative re-evaluates every token hash once per bit (16x).
-    Zero-token docs are preserved via a left join (simhash 0).
+    with ``bits`` conditional sums (map-side partial). The
+    array-expression alternative re-evaluates every token hash once per
+    bit. Zero-token docs are preserved via a left join (simhash 0).
     """
     from calculate_file_content_size_for_vector_db_spark.partitioning import spread
 
@@ -228,15 +239,15 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataF
     hashed = tok.select(key, token_hash(F.col("tok")).alias("h"))
     aggs = [F.count("*").alias("n")] + [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1)).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     ]
-    bits = hashed.groupBy(key).agg(*aggs)
+    bit_counts = hashed.groupBy(key).agg(*aggs)
     value = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         value = value + F.when(
             F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-    sims = bits.select(key, value.alias("simhash"))
+    sims = bit_counts.select(key, value.alias("simhash"))
     return (
         df.select(key)
         .join(sims, key, "left")
@@ -245,22 +256,29 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataF
 
 
 def simhash_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", key: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    key: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance (<= max_hamming).
 
-    Exact, but NOT all-pairs: the 16-bit sketch is split into
+    Exact, but NOT all-pairs: the ``bits``-wide sketch is split into
     ``max_hamming + 1`` segments. By pigeonhole, any pair within
     hamming distance k must agree exactly on at least one of the k+1
     segments, so candidates come from an equi-join on
     (segment_index, segment_value) — a bucketed shuffle join with
-    bucket sizes ~N / 2^(16/(k+1)) per segment, no quadratic stage.
+    bucket sizes ~N / 2^(bits/(k+1)) per segment, no quadratic stage.
     Candidates are then verified with the exact bit_count and
-    deduplicated (a pair can agree on several segments).
+    deduplicated (a pair can agree on several segments). Size ``bits``
+    so 2^(bits/(k+1)) comfortably exceeds the corpus' near-dup cluster
+    count (16-bit default suits fixtures; use 28+ at scale).
     """
     n_segments = max_hamming + 1
-    seg_bits = SIMHASH_BITS // n_segments  # 16 // 4 = 4 for k = 3
-    s = simhash(df, text_col, key)
+    seg_bits = bits // n_segments  # 16 // 4 = 4 for k = 3
+    s = simhash(df, text_col, key, bits)
     seg_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), i * seg_bits)
@@ -270,6 +288,19 @@ def simhash_pairs(
         ]
     )
     segs = s.select(key, "simhash", F.posexplode(seg_vals).alias("seg", "seg_val"))
+    if max_bucket_size is not None:
+        # same guard as minhash_lsh_pairs: low-entropy corpora collapse
+        # sketches, making one segment bucket quadratic; dropping
+        # oversized buckets bounds the work (recall tradeoff — a pair in
+        # a dropped bucket can still meet via its other segments)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("seg", "seg_val")
+        segs = (
+            segs.withColumn("_bn", F.count("*").over(w))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a, b = segs.alias("a"), segs.alias("b")
     return (
         a.join(b, ["seg", "seg_val"])

@@ -123,32 +123,45 @@ def cosine_neardup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >=
-    threshold). Exact — every pair is scored once, from its smaller-id
-    side — but never materializes O(N^2) rows: the corpus is packed
-    into n_blocks array rows (see _corpus_blocks) and matches are
-    filtered inside the block array before exploding, so row count is
-    O(N * n_blocks + matches). For sublinear candidate generation at
-    low thresholds, pre-filter with lsh_buckets instead."""
-    blocks = _corpus_blocks(embeddings, id_col, vec_col, n_blocks)
-    v = spread(embeddings).select(
-        F.col(id_col).alias("a_id"), unit(vec_col).alias("av")
+    threshold). Exact, never materializes O(N^2) rows, and scores with
+    vectorized matmuls: the same block GRID as topk_grid (both sides
+    packed into n_blocks array rows by a distributed agg, grid of block
+    pairs joined, one numpy matmul per cell inside Arrow-batched
+    mapInPandas). Only rows >= threshold leave Python; the a < b
+    orientation keeps each unordered pair in exactly one grid cell.
+    For sublinear candidate generation at low thresholds, pre-filter
+    with lsh_buckets instead."""
+    import numpy as np
+    import pandas as pd
+
+    qb = _packed_blocks(embeddings, id_col, vec_col, n_blocks, "q")
+    cb = _packed_blocks(embeddings, id_col, vec_col, n_blocks, "c")
+    grid = (
+        qb.crossJoin(F.broadcast(cb))
+        .select("qids", "qmat", "cids", "cmat")
+        .repartition(n_blocks * n_blocks)
     )
-    scored = F.transform(
-        F.filter(F.col("cands"), lambda c: c["nid"] > F.col("a_id")),
-        lambda c: F.struct(
-            c["nid"].alias("b_id"),
-            F.round(dot(F.col("av"), c["nv"]), 6).alias("cosine"),
-        ),
-    )
-    matches = F.filter(scored, lambda s: s["cosine"] >= F.lit(threshold))
-    return (
-        v.crossJoin(F.broadcast(blocks))
-        .select("a_id", F.explode(matches).alias("m"))
-        .select("a_id", F.col("m.b_id").alias("b_id"), F.col("m.cosine").alias("cosine"))
-    )
+
+    def _score(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for row in pdf.itertuples(index=False):
+                qids = np.asarray(row.qids, dtype=np.int64)
+                cids = np.asarray(row.cids, dtype=np.int64)
+                Q = np.stack([np.asarray(v, dtype=np.float64) for v in row.qmat])
+                C = np.stack([np.asarray(v, dtype=np.float64) for v in row.cmat])
+                S = np.round(Q @ C.T, 6)
+                ai, bj = np.nonzero(S >= threshold)
+                keep = qids[ai] < cids[bj]
+                out_a.extend(qids[ai][keep].tolist())
+                out_b.extend(cids[bj][keep].tolist())
+                out_c.extend(S[ai[keep], bj[keep]].tolist())
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "cosine": out_c})
+
+    return grid.mapInPandas(_score, "a_id long, b_id long, cosine double")
 
 
 def _plane(p: int) -> Column:

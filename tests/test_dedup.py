@@ -57,3 +57,36 @@ def test_simhash_pairs_hamming_zero_for_dups(spark):
     df = _docs(spark, [(0, "m n o p q"), (1, "m n o p q")])
     pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
     assert [(p.a_id, p.b_id, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_simhash_pairs_wide_sketch_matches_narrow_semantics(spark):
+    # the 28-bit scale sketch must agree with a brute-force hamming
+    # computation over its own simhash values (pigeonhole banding is
+    # lossless at any width)
+    docs = [(i, f"w{i} common tokens shared by all docs {i % 3}") for i in range(12)]
+    df = _docs(spark, docs)
+    s = {r.doc_id: r.simhash for r in dedup.simhash(df, bits=28).collect()}
+    expect = sorted(
+        (a, b, bin(s[a] ^ s[b]).count("1"))
+        for a in s
+        for b in s
+        if a < b and bin(s[a] ^ s[b]).count("1") <= 3
+    )
+    got = sorted(
+        (p.a_id, p.b_id, p.hamming)
+        for p in dedup.simhash_pairs(df, max_hamming=3, bits=28).collect()
+    )
+    assert got == expect
+    # the token hash really carries entropy above bit 16, so a 28-bit
+    # sketch has live high bits (even if this tiny corpus's majority
+    # vote zeroes them)
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import token_hash
+    from pyspark.sql import functions as F
+
+    hashes = [
+        r.h
+        for r in spark.createDataFrame([(f"token{i}",) for i in range(50)], "tok string")
+        .select(token_hash(F.col("tok")).alias("h"))
+        .collect()
+    ]
+    assert any(h >= (1 << 16) for h in hashes)

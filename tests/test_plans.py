@@ -86,7 +86,10 @@ def test_nearest_neighbor_distributed_grid(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_dedup_embedding_jvm_native_blocked(spark):
+def test_dedup_embedding_distributed_grid(spark):
+    # block-grid near-dup pairs: Arrow-batched per-cell matmul, never a
+    # row-per-pair product or a driver-side corpus
     plan = _physical(spark, "dedup_embedding")
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan

@@ -100,10 +100,18 @@ def main() -> None:
     # vocab) and produces ~250M intra-bucket candidate pairs uncapped
     t("minhash_lsh_pairs_capped", dedup.minhash_lsh_pairs(docs, max_bucket_size=64))
     t("simhash", dedup.simhash(docs))
+    # wide sketch at scale: 28-bit -> 2^9 buckets per segment; the
+    # bucket cap bounds this corpus' pathology (31-word soup collapses
+    # sketches, so the TRUE near-dup pair set is itself quadratic)
+    t("simhash_pairs_28bit_capped", dedup.simhash_pairs(docs, max_hamming=2, bits=28, max_bucket_size=64))
     t("quality", quality_score(docs).select("doc_id", "quality_score"))
     t("lsh_buckets", similarity.lsh_buckets(emb))
     t("topk_lsh", similarity.topk_lsh(emb, emb.where("vec_id < 10")))
-    t("nn_blocked", similarity.nearest_neighbor_blocked(emb.where("vec_id < 20000")))
+    # block-grid exact NN over the FULL vector set (the round-1 matrix
+    # path collected the corpus to the driver; this one never does) —
+    # n_blocks sized so each block matrix stays ~ (N/32) * 64 * 8 B
+    t("nn_grid_full", similarity.topk_grid(emb, emb, 1, n_blocks=32))
+    t("neardup_grid", similarity.cosine_neardup_pairs(emb, threshold=0.9, n_blocks=32))
 
     print(
         json.dumps(
