@@ -2054,6 +2054,77 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    "sim_topk_lsh_multiprobe",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_LSH_BUCKETS},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a
+    JOIN buck ba ON a.vec_id = ba.vec_id
+    JOIN buck bb ON (ba.bucket = bb.bucket OR bit_count(xor(ba.bucket, bb.bucket)) = 1)
+    JOIN e b ON b.vec_id = bb.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN (own bucket + every 1-bit-flip bucket)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        topk_lsh_multiprobe,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return topk_lsh_multiprobe(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "json_source",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def json_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip: write the documents metadata as
+    JSON, read it back with an explicit schema. The oracle compares
+    VALUES against the original table, so the round-trip must be
+    lossless — a stronger check than the rows-only csv_sink."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="json_source_") + "/docs"
+    _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).json(out)
+    return spark.read.schema(
+        "doc_id bigint, lang string, source string, n_chars bigint"
+    ).json(out)
+
+
+@register(
+    "partitioned_source_prune",
+    "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'",
+)
+def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned scan: write documents
+    partitioned by lang, read back filtering one partition. At scale
+    the filter prunes directories before any file is opened
+    (PartitionFilters in the scan; pinned by tests/test_plans.py)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="part_source_") + "/docs"
+    _docs(spark, sf_dir).write.mode("overwrite").partitionBy("lang").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -2064,6 +2135,9 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "sim_topk_lsh_multiprobe",
+    "json_source",
+    "partitioned_source_prune",
     "multimodal_frames",
     "sim_ivf_centroids",
     "sim_ivf_assign",

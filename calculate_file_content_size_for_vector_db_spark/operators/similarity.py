@@ -218,6 +218,57 @@ def topk_lsh(
     )
 
 
+def topk_lsh_multiprobe(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing the query's own LSH bucket PLUS every bucket
+    at hamming distance 1 (one flipped hyperplane sign) — the standard
+    multi-probe recall boost without extra tables.
+
+    Plan shape stays an equi-join: the query side explodes to its
+    n_planes+1 probe buckets (all distinct, so each candidate pair
+    meets on exactly one bucket — no dedup needed) and candidates
+    stream through the same broadcast-query bucket join as single-probe
+    topk_lsh. Candidate count ~ (n_planes+1) * N / 2^n_planes."""
+    buckets = lsh_buckets(embeddings, id_col, vec_col)
+    emb_b = embeddings.join(buckets, id_col)
+    probe = F.explode(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("bigint"))
+                for p in range(N_PLANES)
+            ],
+        )
+    )
+    q = (
+        emb_b.join(queries.select(id_col), id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            as_double(vec_col).alias("qv"),
+            probe.alias("bucket"),
+        )
+    )
+    c = spread(emb_b).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer -> cell assignment -> search
 # within the probed cell. The classic scale path when LSH recall is not

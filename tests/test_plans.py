@@ -86,6 +86,14 @@ def test_nearest_neighbor_distributed_grid(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_partitioned_source_prune_partition_filter(spark):
+    # the lang predicate must prune hive partitions at the scan, not
+    # filter rows after reading every directory
+    plan = _formatted(spark, "partitioned_source_prune")
+    read = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "lang" in read
+
+
 def test_dedup_embedding_distributed_grid(spark):
     # block-grid near-dup pairs: Arrow-batched per-cell matmul, never a
     # row-per-pair product or a driver-side corpus

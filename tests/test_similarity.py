@@ -99,3 +99,24 @@ def test_topk_grid_matches_bruteforce(spark):
     exact = {(r.query_id, r.neighbor_id, r.rank) for r in sim.topk_bruteforce(df, q, k=3).collect()}
     grid = {(r.query_id, r.neighbor_id, r.rank) for r in sim.topk_grid(df, q, k=3).collect()}
     assert grid == exact
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    df = _emb(spark, rows)
+    q = df.where("vec_id < 4")
+    single = {(r.query_id, r.neighbor_id) for r in sim.topk_lsh(df, q, k=5).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in sim.topk_lsh_multiprobe(df, q, k=5).collect()}
+    # multi-probe candidates strictly contain single-probe candidates,
+    # so per-query hit counts can only grow
+    def per_q(s):
+        d = {}
+        for qid, nid in s:
+            d.setdefault(qid, set()).add(nid)
+        return d
+    ps, pm = per_q(single), per_q(multi)
+    for qid, hits in ps.items():
+        assert len(pm.get(qid, set())) >= len(hits)
