@@ -2055,6 +2055,31 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_interval_join",
+    """
+SELECT a.user_id, a.event_id AS a_event, b.event_id AS b_event,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS a_time,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS b_time
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 3600 SECONDS
+""",
+)
+def events_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click -> purchase attribution within an hour: the batch face of
+    the watermarked stream-stream interval join (streaming/windows.py
+    interval_join; true-streaming smoke in tests/test_streaming.py)."""
+    from calculate_file_content_size_for_vector_db_spark.streaming.windows import interval_join
+
+    ev = _events(spark, sf_dir)
+    return interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        max_gap_seconds=3600,
+    )
+
+
+@register(
     "sim_topk_lsh_multiprobe",
     f"""
 WITH {_SQL_EMB},
@@ -2135,6 +2160,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "events_interval_join",
     "sim_topk_lsh_multiprobe",
     "json_source",
     "partitioned_source_prune",

@@ -197,3 +197,46 @@ def watermarked_tumbling(events: DataFrame, duration: str = "10 minutes", delay:
 def stream_dedup(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
     """Stateful streaming dedup with bounded state."""
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap_seconds: int = 120,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pair each left event
+    with the same user's right events in (left.ts, left.ts + gap].
+
+    Batch mode this is an equi-join on the key with a time-range
+    residual. Streaming mode the SAME expression is Spark's canonical
+    watermarked stream-stream join: with watermarks on both sides the
+    time bound lets the engine discard buffered state older than
+    watermark - gap, so state stays bounded (see
+    tests/test_streaming.py::test_stream_stream_interval_join).
+    """
+    a = clicks.select(
+        F.col(key_col),
+        F.col("event_id").alias("a_event"),
+        F.col(ts_col).alias("a_ts"),
+    )
+    b = purchases.select(
+        F.col(key_col).alias("_bk"),
+        F.col("event_id").alias("b_event"),
+        F.col(ts_col).alias("b_ts"),
+    )
+    return (
+        a.join(b, (F.col(key_col) == F.col("_bk")))
+        .where(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {max_gap_seconds} SECONDS"))
+        )
+        .select(
+            key_col,
+            "a_event",
+            "b_event",
+            _fmt(F.col("a_ts")).alias("a_time"),
+            _fmt(F.col("b_ts")).alias("b_time"),
+        )
+    )

@@ -121,3 +121,41 @@ def test_stateful_running_totals(spark, batch_events, stream_dir):
     for u in expected:
         assert got[u][0] == expected[u][0]
         assert abs(got[u][1] - expected[u][1]) < 1e-6
+
+
+def test_stream_stream_interval_join(spark, batch_events, stream_dir):
+    # canonical watermarked stream-stream join: both sides watermarked,
+    # time-range condition bounds buffered state
+    from pyspark.sql import functions as F
+
+    def sides(df):
+        clicks = df.where(F.col("event_type") == "click").withWatermark("ts", "2 hours")
+        purchases = df.where(F.col("event_type") == "purchase").withWatermark("ts", "2 hours")
+        return clicks, purchases
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(stream_dir)
+    joined = W.interval_join(*sides(stream), max_gap_seconds=3600)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.a_event, r.b_event)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    bc, bp = (
+        batch_events.where(F.col("event_type") == "click"),
+        batch_events.where(F.col("event_type") == "purchase"),
+    )
+    expected = {
+        (r.user_id, r.a_event, r.b_event)
+        for r in W.interval_join(bc, bp, max_gap_seconds=3600).collect()
+    }
+    # inner stream-stream join emits matched pairs; with availableNow
+    # over a finite source every match is produced
+    assert got == expected and len(expected) > 0
