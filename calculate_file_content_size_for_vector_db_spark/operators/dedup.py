@@ -78,8 +78,12 @@ def ngram_jaccard_pairs(
     pairs, NOT a cross join), then |A ∩ B| = join count, |A ∪ B| =
     |A| + |B| - |A ∩ B|. The threshold > 0 guarantees parity with a
     naive all-pairs oracle: pairs sharing zero shingles can't pass.
+
+    The shingle table feeds three plan branches (both join sides and
+    the size agg); persist it so tokenize+shingle runs once, not three
+    times (Spark does not dedupe common subplans).
     """
-    sh = shingle_table(df, text_col, key)
+    sh = shingle_table(df, text_col, key).persist()
     sizes = sh.groupBy(key).agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -172,8 +176,14 @@ def minhash_lsh_pairs(
     (a 200k-doc synthetic word-soup corpus produces ~250M intra-bucket
     pairs). Setting a cap DROPS oversized buckets — bounded work, with
     a recall tradeoff: members of a dropped bucket can still pair via
-    their other bands. None (default) keeps exact LSH semantics."""
-    bands = minhash_bands(minhash_signature(df, text_col=text_col, key=key), key=key)
+    their other bands. None (default) keeps exact LSH semantics.
+
+    The band table self-joins (both candidate sides) and the shingle
+    table feeds both verify sides; persist both so the signature
+    pipeline runs once."""
+    bands = minhash_bands(
+        minhash_signature(df, text_col=text_col, key=key), key=key
+    ).persist()
     if max_bucket_size is not None:
         # window count, not a groupBy+self-join — the join form would
         # evaluate the whole signature pipeline twice
@@ -194,7 +204,7 @@ def minhash_lsh_pairs(
     )
     from calculate_file_content_size_for_vector_db_spark.partitioning import spread
 
-    sh = spread(df).select(F.col(key), shingles(text_col).alias("sh"))
+    sh = spread(df).select(F.col(key), shingles(text_col).alias("sh")).persist()
     return (
         candidates.join(sh.withColumnsRenamed({key: "a_id", "sh": "sh_a"}), "a_id")
         .join(sh.withColumnsRenamed({key: "b_id", "sh": "sh_b"}), "b_id")
