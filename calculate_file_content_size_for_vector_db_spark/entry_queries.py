@@ -2055,6 +2055,57 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rag_ingest",
+    f"""
+WITH {_SQL_CHUNKS},
+fp AS (
+    SELECT doc_id, chunk_index,
+           CASE WHEN content IS NULL OR length(content) = 0 THEN 0
+                ELSE list_reduce(
+                    list_transform(string_split(content, ''), c -> CAST(ord(c) AS BIGINT)),
+                    (a, b) -> (a * 31 + b) % 1000000007) END AS h
+    FROM chunk_sized
+),
+emb AS (
+    SELECT doc_id, chunk_index,
+           list_transform(range(0, 64),
+               j -> ((h + j * 40503) * 2654435761 % 1000003) / 1000003.0 - 0.5) AS v
+    FROM fp
+)
+SELECT doc_id, chunk_index,
+       CAST(list_sum(list_transform(range(0, 16), p ->
+           CASE WHEN list_dot_product(v, list_transform(range(0, 64), j ->
+               ((j + p * 64) * 2654435761 % 1000003) / 1000003.0 - 0.5)) > 0
+           THEN (1::BIGINT << CAST(p AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS bucket,
+       list_transform(v, x -> round(x, 6)) AS embedding_r
+FROM emb
+""",
+)
+def rag_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-db ingestion pipeline the reference sizes capacity
+    FOR (README.md:4-8), composed end-to-end as one lazy graph:
+    chunk -> preprocess -> embed (deterministic hash projection
+    standing in for a model encoder) -> LSH index bucket. Everything
+    is a narrow map after the chunk explode — zero joins, zero
+    Python, one shuffle-free scan at 100 TB."""
+    from calculate_file_content_size_for_vector_db_spark.operators.embed import hash_embedding
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        lsh_bucket_expr,
+    )
+
+    chunks = _pipe(spark).chunks(_docs(spark, sf_dir)).select(
+        "doc_id", "chunk_index", "content"
+    )
+    emb = chunks.withColumn("v", hash_embedding("content", 64))
+    return emb.select(
+        "doc_id",
+        "chunk_index",
+        lsh_bucket_expr(F.col("v")).alias("bucket"),
+        F.transform("v", lambda x: F.round(x, 6)).alias("embedding_r"),
+    )
+
+
+@register(
     "events_interval_join",
     """
 SELECT a.user_id, a.event_id AS a_event, b.event_id AS b_event,
@@ -2160,6 +2211,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "rag_ingest",
     "events_interval_join",
     "sim_topk_lsh_multiprobe",
     "json_source",

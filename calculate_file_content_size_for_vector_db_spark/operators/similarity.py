@@ -174,18 +174,26 @@ def _plane(p: int) -> Column:
     )
 
 
-def lsh_buckets(
-    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """(id, bucket): 16-bit random-hyperplane signature per vector."""
-    embeddings = spread(embeddings)
-    v = as_double(vec_col)
+def lsh_bucket_expr(v: Column) -> Column:
+    """16-bit random-hyperplane signature of a (double-array) vector —
+    a pure Column expression, reusable on any keyed frame (vectors
+    table, chunk-embedding table, ...)."""
     bucket = F.lit(0).cast("bigint")
     for p in range(N_PLANES):
         bucket = bucket + F.when(
             dot(v, _plane(p)) > 0, F.lit(1 << p).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-    return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_buckets(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, bucket): 16-bit random-hyperplane signature per vector."""
+    embeddings = spread(embeddings)
+    return embeddings.select(
+        F.col(id_col), lsh_bucket_expr(as_double(vec_col)).alias("bucket")
+    )
 
 
 def topk_lsh(

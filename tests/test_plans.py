@@ -101,3 +101,12 @@ def test_dedup_embedding_distributed_grid(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rag_ingest_narrow_no_python(spark):
+    # chunk -> embed -> bucket is a single shuffle-free scan: no joins,
+    # no Python, everything in whole-stage codegen after the explode
+    plan = _physical(spark, "rag_ingest")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
