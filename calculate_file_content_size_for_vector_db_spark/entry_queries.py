@@ -2055,6 +2055,32 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_windows",
+    """
+WITH w AS (
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS INT) AS window_index,
+           text
+    FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, window_index,
+       CAST(window_index * 64 AS BIGINT) AS start_offset,
+       CAST(length(substring(text, window_index * 64 + 1, 64)) AS INT) AS n_samples,
+       round(list_sum(list_transform(string_split(substring(text, window_index * 64 + 1, 64), ''),
+                 c -> CAST(ord(c) AS BIGINT)))
+             / CAST(length(substring(text, window_index * 64 + 1, 64)) AS DOUBLE), 6)
+           AS mean_amplitude
+FROM w
+""",
+)
+def multimodal_audio_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-rate sample windowing + per-window amplitude feature."""
+    from calculate_file_content_size_for_vector_db_spark.operators.multimodal import audio_windows
+
+    return audio_windows(_docs(spark, sf_dir))
+
+
+@register(
     "rag_ingest",
     f"""
 WITH {_SQL_CHUNKS},
@@ -2211,6 +2237,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "multimodal_audio_windows",
     "rag_ingest",
     "events_interval_join",
     "sim_topk_lsh_multiprobe",

@@ -126,3 +126,44 @@ def text_as_binary(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
+
+
+def audio_windows(
+    documents: DataFrame,
+    window_samples: int = 64,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """'Audio' windowing: cut a sample stream into fixed-rate windows
+    and compute one amplitude feature per window — the audio face of
+    the multimodal surface (image meta / video frames above).
+
+    The fixtures ship no PCM payloads, so code points of the text
+    column stand in for samples; the window semantics (fixed rate,
+    offset bookkeeping, per-window feature agg) are the real part, and
+    they run as pure Column expressions — sequence/substring fan-out +
+    a higher-order mean, zero Python, zero shuffle. A real PCM decode
+    would swap the sample source, not the plan shape."""
+    c = F.col(text_col)
+    n_windows = F.ceil(F.length(c) / F.lit(float(window_samples))).cast("int")
+    win = documents.select(
+        F.col(key_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_windows - 1),
+                lambda i: F.substring(c, i * window_samples + 1, window_samples),
+            )
+        ).alias("window_index", "seg"),
+    ).where(F.length(c) > 0)
+    codes = F.transform(F.split(F.col("seg"), ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return win.select(
+        key_col,
+        F.col("window_index"),
+        (F.col("window_index") * window_samples).cast("bigint").alias("start_offset"),
+        F.length("seg").cast("int").alias("n_samples"),
+        F.round(
+            F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, x: a + x)
+            / F.length("seg"),
+            6,
+        ).alias("mean_amplitude"),
+    )
