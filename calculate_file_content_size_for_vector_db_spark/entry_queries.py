@@ -2055,6 +2055,54 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_join_revenue",
+    """
+SELECT c_mktsegment,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def bucketed_join_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketed tables: both sides are
+    written bucketBy(8) + sortBy on the join key, so the sort-merge
+    join needs ZERO exchange — the pre-partitioning pattern for joins
+    repeated across a 100 TB pipeline (amortize one shuffle at write
+    time, join shuffle-free forever after). The oracle checks values
+    against the plain join; tests/test_bucketing.py pins the no-shuffle
+    plan."""
+    import shutil
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
+    for tbl in ("orders_rb", "customer_rb"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    orders.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).saveAsTable("orders_rb")
+    customer.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).saveAsTable("customer_rb")
+    return (
+        spark.table("orders_rb")
+        .hint("merge")
+        .join(spark.table("customer_rb"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+
+
+@register(
     "multimodal_audio_windows",
     """
 WITH w AS (
@@ -2237,6 +2285,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "bucketed_join_revenue",
     "multimodal_audio_windows",
     "rag_ingest",
     "events_interval_join",
