@@ -2055,6 +2055,145 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_type_islands",
+    """
+WITH seq AS (
+    SELECT user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+    FROM events
+)
+SELECT user_id, event_type,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS run_end,
+       count(*) AS n_events
+FROM seq GROUP BY user_id, event_type, grp
+""",
+)
+def event_type_islands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's CONSECUTIVE same-type
+    events into runs via the row_number-difference trick — two windows
+    sharing one (user) shuffle, then a hash agg. The classic SQL-hard
+    sessionization primitive, fully native."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+    )
+    return seq.groupBy("user_id", "event_type", "grp").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("run_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("run_end"),
+        F.count("*").alias("n_events"),
+    ).drop("grp")
+
+
+@register(
+    "funnel_conversion",
+    """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+    FROM events GROUP BY user_id
+),
+clicks AS (
+    SELECT p.user_id, min(e.ts) AS t_click
+    FROM per_user p JOIN events e ON e.user_id = p.user_id
+    WHERE e.event_type = 'click' AND e.ts > p.t_view
+    GROUP BY p.user_id
+),
+purchases AS (
+    SELECT c.user_id, min(e.ts) AS t_purchase
+    FROM clicks c JOIN events e ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY c.user_id
+)
+SELECT 'view' AS stage, count(t_view) AS n_users FROM per_user
+UNION ALL
+SELECT 'click_after_view' AS stage, count(*) AS n_users FROM clicks
+UNION ALL
+SELECT 'purchase_after_click' AS stage, count(*) AS n_users FROM purchases
+""",
+)
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> first click after it ->
+    first purchase after that), the product-analytics staple: three
+    stage frames chained on user equi-joins, each one hash agg."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(per_user, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        per_user.agg(
+            F.lit("view").alias("stage"), F.count("t_view").alias("n_users")
+        )
+        .unionByName(
+            clicks.agg(
+                F.lit("click_after_view").alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+        .unionByName(
+            purchases.agg(
+                F.lit("purchase_after_click").alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+
+
+@register(
+    "column_profile_orders",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def column_profile_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (pipeline observability): per-column
+    null count, distinct count, min/max — typed aggs per column,
+    stringified for the uniform report schema. One scan feeds every
+    branch; at scale swap count(DISTINCT) for approx_count_distinct."""
+    orders = read_table(spark, sf_dir, "orders")
+    out = None
+    for c in _PROFILE_COLS:
+        prof = orders.agg(
+            F.lit(c).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+@register(
     "bucketed_join_revenue",
     """
 SELECT c_mktsegment,
@@ -2285,6 +2424,9 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "event_type_islands",
+    "funnel_conversion",
+    "column_profile_orders",
     "bucketed_join_revenue",
     "multimodal_audio_windows",
     "rag_ingest",
