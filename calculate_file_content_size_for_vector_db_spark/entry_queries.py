@@ -2054,6 +2054,51 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+_PRICE_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("standard", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, 1e18),
+]
+
+
+@register(
+    "orders_price_band_join",
+    "WITH bands(band, lo, hi) AS (VALUES "
+    + ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+    + """)
+SELECT b.band, count(*) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders o JOIN bands b
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""",
+)
+def orders_price_band_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a band dimension: the fact side streams, the
+    tiny band table broadcasts, and the inequality predicate evaluates
+    in the broadcast nested-loop — the standard banding shape (each
+    fact row matches exactly one band, so output stays linear). At a
+    100 TB fact table this is a narrow scan + one agg shuffle; a
+    non-broadcastable range join would instead want bucketed range
+    partitioning."""
+    orders = read_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 @register(
     "event_type_islands",
     """
@@ -2424,6 +2469,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "orders_price_band_join",
     "event_type_islands",
     "funnel_conversion",
     "column_profile_orders",
