@@ -204,9 +204,12 @@ def topk_lsh(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: exact rank restricted to same-LSH-bucket candidates.
-    May return < k rows per query (single-probe recall tradeoff)."""
+    May return < k rows per query (single-probe recall tradeoff).
+
+    The bucketed frame feeds both the query and candidate sides;
+    persist it so the 16-plane signature runs once."""
     buckets = lsh_buckets(embeddings, id_col, vec_col)
-    emb_b = embeddings.join(buckets, id_col)
+    emb_b = embeddings.join(buckets, id_col).persist()
     q = emb_b.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "bucket"
     )
@@ -243,7 +246,7 @@ def topk_lsh_multiprobe(
     stream through the same broadcast-query bucket join as single-probe
     topk_lsh. Candidate count ~ (n_planes+1) * N / 2^n_planes."""
     buckets = lsh_buckets(embeddings, id_col, vec_col)
-    emb_b = embeddings.join(buckets, id_col)
+    emb_b = embeddings.join(buckets, id_col).persist()
     probe = F.explode(
         F.array(
             F.col("bucket"),
