@@ -2054,6 +2054,61 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    "quality_quarantine",
+    f"""
+WITH t AS (
+    SELECT doc_id, text, n_chars, length(text) AS n,
+           CAST(length(text) AS DOUBLE) AS nd,
+           {_SQL_TOKENS} AS ws
+    FROM documents
+), m AS (
+    SELECT doc_id, n_chars, n,
+           round(CASE WHEN nd = 0 THEN NULL
+                 ELSE (nd - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / nd END, 6)
+               AS punct_ratio,
+           round(CASE WHEN len(ws) = 0 THEN NULL
+                 ELSE CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                      / len(ws) END, 6) AS stopword_ratio
+    FROM t
+)
+SELECT CASE WHEN n IS NULL OR n = 0 THEN 'empty'
+            WHEN n < 60 THEN 'too_short'
+            WHEN round(1.0 - coalesce(punct_ratio, 1.0) + coalesce(stopword_ratio, 0.0), 6) < 1.04
+                THEN 'low_quality'
+            ELSE 'ok' END AS reject_reason,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM m GROUP BY 1
+""",
+)
+def quality_quarantine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter quality gate: every doc is routed to exactly one
+    lane — 'empty' / 'too_short' / 'low_quality' (composite score
+    below threshold) / 'ok' — and the per-lane summary is emitted.
+    The training pipeline keeps the 'ok' lane; the quarantine lanes
+    keep provenance for re-ingestion. One scan, one agg shuffle."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir))
+    reason = (
+        F.when(
+            F.col("text").isNull() | (F.length("text") == 0), F.lit("empty")
+        )
+        .when(F.length("text") < 60, F.lit("too_short"))
+        .when(F.col("quality_score") < 1.04, F.lit("low_quality"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        scored.select(reason.alias("reject_reason"), "n_chars")
+        .groupBy("reject_reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 _PRICE_BANDS = [
     ("budget", 0.0, 50_000.0),
     ("standard", 50_000.0, 150_000.0),
@@ -2469,6 +2524,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "quality_quarantine",
     "orders_price_band_join",
     "event_type_islands",
     "funnel_conversion",
