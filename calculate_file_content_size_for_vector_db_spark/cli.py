@@ -40,6 +40,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--chunk-size", type=int, default=1200)
     ap.add_argument("--chunk-overlap", type=int, default=0)
     ap.add_argument("--print-metadata", action="store_true")
+    ap.add_argument(
+        "--progress",
+        action="store_true",
+        help="print each file's row as it completes (K1, pdf_reader.py:592-614); "
+        "rows arrive in task-completion order, and the reference's per-file "
+        "seconds column is omitted (per-file wall time has no meaning when one "
+        "file's pages run as many parallel tasks)",
+    )
     ap.add_argument("--output-dir", default=".")
     args = ap.parse_args(argv)
 
@@ -84,6 +92,17 @@ def main(argv: list[str] | None = None) -> int:
             .withColumn("ratio", metrics.ratio("file_size", "text_size", 2))
             .withColumn("filename", F.element_at(F.split("path", "/"), -1))
         )
+        if args.progress:
+            # stream per-file rows to the console as partitions finish
+            # (completion order, like the reference's pool workers);
+            # persist so the summary below reuses the computed rows
+            per_file = per_file.persist()
+            for r in per_file.toLocalIterator():
+                ratio_s = "n/a" if r.ratio is None else f"{r.ratio:,.2f}"
+                print(
+                    f"done {r.filename}: pages={r.pages:,} chunks={r.chunks:,} "
+                    f"file_size={r.file_size:,} text_size={r.text_size:,} ratio={ratio_s}"
+                )
         summary = metrics.rollup_summary(per_file)
         rows = summary.orderBy(F.desc("file_size")).collect()
         if args.print_metadata:

@@ -33,3 +33,19 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert len(csv_dirs) == 1
     csv_df = spark.read.option("header", True).csv(str(out_dir / csv_dirs[0]))
     assert csv_df.count() == 3  # 2 files + SUM TOTAL
+
+
+def test_cli_progress_streams_per_file_rows(spark, tmp_path, capsys):
+    pdf_dir = tmp_path / "pdfs_p"
+    pdf_dir.mkdir()
+    (pdf_dir / "x.pdf").write_bytes(make_simple_pdf(["alpha beta " * 20]))
+    (pdf_dir / "y.pdf").write_bytes(make_simple_pdf(["gamma delta"]))
+    out_dir = tmp_path / "out_p"
+    out_dir.mkdir()
+    rc = main([str(pdf_dir), "--chunk-size", "40", "--output-dir", str(out_dir), "--progress"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    # one 'done <file>' line per input file, before the summary table
+    assert printed.count("done x.pdf:") == 1
+    assert printed.count("done y.pdf:") == 1
+    assert printed.index("done x.pdf:") < printed.index("SUM TOTAL")
