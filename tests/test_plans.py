@@ -110,3 +110,12 @@ def test_rag_ingest_narrow_no_python(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_islands_single_shuffle(spark):
+    # both row_number windows AND the run aggregation ride ONE
+    # user_id exchange (the second window re-sorts in place; the agg
+    # keys are a superset of the partitioning)
+    plan = _physical(spark, "event_type_islands")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
