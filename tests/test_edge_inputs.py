@@ -61,3 +61,51 @@ def test_blocked_nn_zero_norm_ranks_last(spark):
     assert nn[0] == (1, 0.0)
     # real vectors prefer each other over the zero vector
     assert nn[1][0] == 2 and nn[2][0] == 1
+
+
+def test_audio_windows_weird_docs(spark, weird_docs):
+    from calculate_file_content_size_for_vector_db_spark.operators.multimodal import audio_windows
+
+    rows = audio_windows(weird_docs, window_samples=4).collect()
+    got_ids = {r.doc_id for r in rows}
+    # NULL/empty docs yield no windows; everything else windows cleanly
+    assert got_ids == {2, 3, 4, 5}
+    for r in rows:
+        assert 1 <= r.n_samples <= 4
+        assert r.start_offset == r.window_index * 4
+
+
+def test_hash_embedding_empty_and_unicode(spark, weird_docs):
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.embed import hash_embedding
+
+    rows = weird_docs.select(
+        "doc_id", hash_embedding("text", 8).alias("v")
+    ).collect()
+    vs = {r.doc_id: r.v for r in rows}
+    assert len(vs) == 6
+    # NULL and empty text share the fingerprint-0 embedding
+    assert vs[0] == vs[1]
+    for v in vs.values():
+        assert len(v) == 8 and all(-0.5 <= x < 0.5 for x in v)
+
+
+def test_grid_ops_single_vector(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame([(0, [1.0] * 64)], "vec_id long, embedding array<float>")
+    # a 1-vector corpus has no non-self neighbors and no pairs
+    assert sim.nearest_neighbor_blocked(emb).count() == 0
+    assert sim.cosine_neardup_pairs(emb).count() == 0
+
+
+def test_interval_join_no_matches(spark):
+    from calculate_file_content_size_for_vector_db_spark.streaming.windows import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7), (2, "2024-01-01 10:00:00", 7)],
+        "event_id long, ts_s string, user_id long",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id")
+    out = interval_join(ev, ev, max_gap_seconds=60)
+    assert out.count() == 0  # 10h apart > 60s gap; self-pairs excluded by b_ts > a_ts
