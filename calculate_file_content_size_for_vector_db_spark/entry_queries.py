@@ -407,6 +407,20 @@ def chunk_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("chunk_split_overlap", None)
+def chunk_split_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 with chunk_overlap > 0 (pdf_reader.py:310 exposes the knob;
+    the CLI default is 0, so this covers the library-consumer path).
+    Rows-only like chunk_split; the overlap merge/eviction semantics
+    are pinned by goldens and properties in tests/test_chunk.py."""
+    pipe = DocumentPipeline(
+        spark, chunk_size=FIXTURE_CHUNK_SIZE, chunk_overlap=20, recursive=True
+    )
+    return pipe.chunks(_docs(spark, sf_dir)).select(
+        "doc_id", "chunk_index", "start_index", "chunk_length", "content"
+    )
+
+
 @register("file_scan", None)
 def file_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRC1/SRC2: real binaryFile recursive scan (of the fixture dir
@@ -2524,6 +2538,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "chunk_split_overlap",
     "quality_quarantine",
     "orders_price_band_join",
     "event_type_islands",
