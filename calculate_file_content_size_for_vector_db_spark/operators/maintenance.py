@@ -14,10 +14,10 @@ analytic operators:
   (guide: 'CDC/SCD2 -> anti-join + union'): updated rows replace
   matched target rows, unmatched updates are inserted.
 
-- bucketed join: see tests/test_bucketing.py — writing both sides
-  bucketed by the join key lets Spark join without ANY shuffle
-  (SortMergeJoin with zero Exchange). Demonstrated as a test because
-  bucketing requires a writable warehouse, not a fixture query.
+- bucketed join: writing both sides bucketed by the join key lets
+  Spark join without ANY shuffle (SortMergeJoin with zero Exchange).
+  Registered as the ``bucketed_join_revenue`` query; the no-shuffle
+  plan is pinned by tests/test_bucketing.py.
 """
 
 from __future__ import annotations

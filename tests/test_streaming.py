@@ -159,3 +159,24 @@ def test_stream_stream_interval_join(spark, batch_events, stream_dir):
     # inner stream-stream join emits matched pairs; with availableNow
     # over a finite source every match is produced
     assert got == expected and len(expected) > 0
+
+
+def test_foreachbatch_upsert_sink(spark, batch_events, stream_dir, tmp_path):
+    # stream a DOUBLED source (same dir read twice) into the upsert
+    # sink: the target must converge to exactly one row per event_id
+    from calculate_file_content_size_for_vector_db_spark.streaming.sinks import (
+        stream_upsert_parquet,
+    )
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(stream_dir)
+    doubled = stream.unionByName(
+        spark.readStream.schema(batch_events.schema).parquet(stream_dir)
+    )
+    target = str(tmp_path / "upsert_target")
+    q = stream_upsert_parquet(
+        doubled, target, str(tmp_path / "ckpt"), key="event_id"
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == batch_events.count()
+    assert out.select("event_id").distinct().count() == batch_events.count()
