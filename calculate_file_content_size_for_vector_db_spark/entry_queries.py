@@ -2069,6 +2069,41 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winsorize_chars",
+    """
+WITH bounds AS (
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.05), 6) AS lo,
+           round(quantile_cont(n_chars, 0.95), 6) AS hi
+    FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       round(least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi), 6) AS clipped_chars
+FROM documents d JOIN bounds b ON d.lang = b.lang
+""",
+)
+def winsorize_chars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping to per-group p05/p95) — the
+    data-cleaning step before length-sensitive training statistics.
+    The per-group bounds frame is tiny (one row per lang) and
+    broadcasts; the clip itself is a narrow map."""
+    docs = _docs(spark, sf_dir)
+    bounds = docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("hi"),
+    )
+    return docs.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            F.least(F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")),
+            6,
+        ).alias("clipped_chars"),
+    )
+
+
+@register(
     "quality_quarantine",
     f"""
 WITH t AS (
@@ -2541,6 +2576,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "winsorize_chars",
     "chunk_split_overlap",
     "quality_quarantine",
     "orders_price_band_join",
