@@ -67,3 +67,17 @@ def test_golden_pdf_fixture_distributed(spark):
         (0, "first run second (run)", 2, len(GOLDEN_PDF)),
         (1, "back\\slash tail", 2, len(GOLDEN_PDF)),
     ]
+
+
+def test_corrupt_pdf_among_good_files(spark):
+    # a corrupt/truncated payload must not fail the job: it simply
+    # contributes zero page rows while good files extract normally
+    rows = [
+        ("good.pdf", make_simple_pdf(["fine text"])),
+        ("corrupt.pdf", b"%PDF-1.4\ngarbage \xff\xfe truncated"),
+        ("empty.pdf", b""),
+    ]
+    files = spark.createDataFrame(rows, "path string, content binary")
+    out = extract_pages(files).collect()
+    assert {r.path for r in out} == {"good.pdf"}
+    assert out[0].page_text == "fine text"
