@@ -2453,20 +2453,15 @@ def rag_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing in for a model encoder) -> LSH index bucket. Everything
     is a narrow map after the chunk explode — zero joins, zero
     Python, one shuffle-free scan at 100 TB."""
-    from calculate_file_content_size_for_vector_db_spark.operators.embed import hash_embedding
-    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
-        lsh_bucket_expr,
+    from calculate_file_content_size_for_vector_db_spark.operators.embed import (
+        rag_ingest_frame,
     )
 
     chunks = _pipe(spark).chunks(_docs(spark, sf_dir)).select(
         "doc_id", "chunk_index", "content"
     )
-    emb = chunks.withColumn("v", hash_embedding("content", 64))
-    return emb.select(
-        "doc_id",
-        "chunk_index",
-        lsh_bucket_expr(F.col("v")).alias("bucket"),
-        F.transform("v", lambda x: F.round(x, 6)).alias("embedding_r"),
+    return rag_ingest_frame(chunks).select(
+        "doc_id", "chunk_index", "bucket", "embedding_r"
     )
 
 

@@ -34,3 +34,21 @@ def hash_embedding(col: Column | str, dim: int = 64) -> Column:
         / F.lit(float(EMBED_PRIME))
         - 0.5,
     )
+
+
+def rag_ingest_frame(chunks, chunk_text_col: str = "content", dim: int = 64):
+    """chunk rows -> (…, bucket, embedding_r): embed + LSH-bucket each
+    chunk. Pure narrow Column expressions, so the SAME transform runs
+    in batch (the registered ``rag_ingest`` query) and in Structured
+    Streaming (readStream -> chunk -> this -> sink; smoke test in
+    tests/test_streaming.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        lsh_bucket_expr,
+    )
+
+    emb = chunks.withColumn("_v", hash_embedding(chunk_text_col, dim))
+    return emb.select(
+        *[c for c in chunks.columns],
+        lsh_bucket_expr(F.col("_v")).alias("bucket"),
+        F.transform("_v", lambda x: F.round(x, 6)).alias("embedding_r"),
+    )

@@ -180,3 +180,39 @@ def test_foreachbatch_upsert_sink(spark, batch_events, stream_dir, tmp_path):
     out = spark.read.parquet(target)
     assert out.count() == batch_events.count()
     assert out.select("event_id").distinct().count() == batch_events.count()
+
+
+def test_streaming_rag_ingest(spark, tmp_path):
+    # the chunk -> embed -> LSH-bucket ingestion transform is all
+    # narrow Column expressions, so it runs unchanged on a stream
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.chunk import chunk_fixed
+    from calculate_file_content_size_for_vector_db_spark.operators.embed import rag_ingest_frame
+
+    docs = spark.createDataFrame(
+        [(i, f"stream doc {i} " * 12) for i in range(40)], "doc_id long, text string"
+    )
+    d = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    chunks = chunk_fixed(stream, chunk_size=50).withColumnRenamed("chunk_text", "content")
+    out = rag_ingest_frame(chunks.select("doc_id", "chunk_index", "content"))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rag_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM rag_stream").collect()
+    batch = rag_ingest_frame(
+        chunk_fixed(docs, chunk_size=50)
+        .withColumnRenamed("chunk_text", "content")
+        .select("doc_id", "chunk_index", "content")
+    ).collect()
+    key = lambda r: (r.doc_id, r.chunk_index, r.bucket, tuple(r.embedding_r))
+    assert sorted(map(key, got)) == sorted(map(key, batch)) and len(batch) > 0
