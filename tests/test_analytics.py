@@ -1,0 +1,56 @@
+"""Behavioral tests for the analytics queries (funnel ordering,
+islands run-splitting) on crafted event sequences."""
+
+from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    )
+    return df
+
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "purchase", 0.0, "{}"),
+        # user 2: view -> click, but the purchase PRECEDES the first
+        # click -> click credit yes, purchase credit no
+        (4, "2024-01-01 00:00:00", 2, "view", 0.0, "{}"),
+        (5, "2024-01-01 00:02:00", 2, "purchase", 0.0, "{}"),
+        (6, "2024-01-01 00:03:00", 2, "click", 0.0, "{}"),
+        # user 3: click with NO prior view -> no click stage credit
+        (7, "2024-01-01 00:00:00", 3, "click", 0.0, "{}"),
+    ]
+    d = str(tmp_path)
+    _events(spark, rows).write.mode("overwrite").parquet(d + "/events.parquet")
+    got = {
+        r.stage: r.n_users
+        for r in REGISTRY["funnel_conversion"].fn(spark, d).collect()
+    }
+    assert got == {"view": 2, "click_after_view": 2, "purchase_after_click": 1}
+
+
+def test_islands_split_on_interleave(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "view", 0.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "click", 0.0, "{}"),
+        (4, "2024-01-01 00:03:00", 1, "view", 0.0, "{}"),  # new view run
+    ]
+    d = str(tmp_path)
+    _events(spark, rows).write.mode("overwrite").parquet(d + "/events.parquet")
+    runs = sorted(
+        (r.event_type, r.run_start, r.n_events)
+        for r in REGISTRY["event_type_islands"].fn(spark, d).collect()
+    )
+    assert runs == [
+        ("click", "2024-01-01 00:02:00", 1),
+        ("view", "2024-01-01 00:00:00", 2),
+        ("view", "2024-01-01 00:03:00", 1),
+    ]
