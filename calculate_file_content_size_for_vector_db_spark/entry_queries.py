@@ -2069,6 +2069,33 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_evolution_read",
+    """
+SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source FROM documents
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, source FROM documents
+""",
+)
+def schema_evolution_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: two parquet batches written
+    with DIFFERENT schemas (an early pipeline wrote (doc_id, lang),
+    a later one (doc_id, source)) read back as ONE frame via
+    mergeSchema — each batch's missing columns surface as NULLs.
+    The oracle mirrors the union-with-NULL-fill semantics exactly."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="schema_evo_") + "/docs"
+    docs = _docs(spark, sf_dir)
+    docs.select("doc_id", "lang").write.mode("overwrite").parquet(out + "/batch=1")
+    docs.select("doc_id", "source").write.mode("append").parquet(out + "/batch=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
     "winsorize_chars",
     """
 WITH bounds AS (
@@ -2571,6 +2598,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "schema_evolution_read",
     "winsorize_chars",
     "chunk_split_overlap",
     "quality_quarantine",

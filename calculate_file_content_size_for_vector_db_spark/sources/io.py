@@ -96,3 +96,28 @@ def write_csv(df: DataFrame, out_path: str, single_file: bool = True) -> None:
     """K3: CSV sink with header (pdf_reader.py:186)."""
     writer = df.coalesce(1) if single_file else df
     writer.write.mode("overwrite").option("header", True).csv(out_path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Small-files compaction: rewrite a parquet location into
+    ceil(rows / target) files. The operational chore every
+    streaming/incremental sink accumulates (thousands of tiny
+    microbatch files destroy scan planning at scale).
+
+    Reads, repartitions, writes to a sibling temp dir, then swaps —
+    never overwrites the files it is still reading. Returns the new
+    file count."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

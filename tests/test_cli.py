@@ -49,3 +49,20 @@ def test_cli_progress_streams_per_file_rows(spark, tmp_path, capsys):
     assert printed.count("done x.pdf:") == 1
     assert printed.count("done y.pdf:") == 1
     assert printed.index("done x.pdf:") < printed.index("SUM TOTAL")
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from calculate_file_content_size_for_vector_db_spark.sources.io import compact_parquet
+
+    d = str(tmp_path / "frag")
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    df.repartition(40).write.mode("overwrite").parquet(d)
+    import os
+
+    before = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(before) == 40
+    n_files = compact_parquet(spark, d, target_rows_per_file=500)
+    after = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert n_files == 2 and len(after) == 2
+    assert spark.read.parquet(d).count() == 1000
+    assert {r.k for r in spark.read.parquet(d).collect()} == set(range(1000))
