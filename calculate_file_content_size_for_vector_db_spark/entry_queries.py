@@ -2069,6 +2069,58 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "duplicated_spans",
+    f"""
+WITH ws_t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])) AS span_hash
+    FROM ws_t, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) t
+    WHERE len(ws) >= 5
+)
+SELECT span_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_occurrences
+FROM spans
+GROUP BY span_hash
+HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (the exact-substring
+    dedup signal from training-data curation): every 5-token span is
+    hashed and grouped; spans occurring in >= 2 distinct docs are the
+    boilerplate/duplication candidates. One explode + one hash-agg —
+    linear at any corpus size, no pairwise stage at all (contrast the
+    pair-producing dedup ops above)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import tokens
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    n = 5
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+        ),
+    )
+    exploded = docs.where(F.size(toks) >= n).select(
+        "doc_id", F.explode(spans).alias("span_hash")
+    )
+    return (
+        exploded.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@register(
     "schema_evolution_read",
     """
 SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source FROM documents
@@ -2598,6 +2650,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "duplicated_spans",
     "schema_evolution_read",
     "winsorize_chars",
     "chunk_split_overlap",

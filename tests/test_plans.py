@@ -119,3 +119,12 @@ def test_islands_single_shuffle(spark):
     plan = _physical(spark, "event_type_islands")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 2
+
+
+def test_aqe_active_coalesces_shuffle_reads(spark):
+    # AQE isn't just configured — the executed plan must show adaptive
+    # shuffle reads (runtime-coalesced partitions on fixture-small data)
+    df = REGISTRY["tpch_q1"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan
