@@ -2068,6 +2068,83 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+_SQL_REV = (
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)"
+)
+
+
+@register(
+    "tpch_q10",
+    f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, revenue FROM (
+    SELECT c_custkey, c_name, c_acctbal, n_name, {_SQL_REV} AS revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+) ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def tpch_q10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        returned_item_customers,
+    )
+
+    return returned_item_customers(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "tpch_q14",
+    """
+SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+           THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+           ELSE CAST(0 AS DECIMAL(18,4)) END)
+       / sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+""",
+)
+def tpch_q14_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        promo_revenue_ratio,
+    )
+
+    return promo_revenue_ratio(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "tpch_q19",
+    f"""
+SELECT {_SQL_REV} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+""",
+)
+def tpch_q19_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        disjunctive_part_revenue,
+    )
+
+    return disjunctive_part_revenue(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
 @register(
     "duplicated_spans",
     f"""
@@ -2650,6 +2727,9 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q19",
     "duplicated_spans",
     "schema_evolution_read",
     "winsorize_chars",

@@ -229,3 +229,95 @@ def asof_join_events(events: DataFrame) -> DataFrame:
     return carried.where(F.col("is_probe") == 1).select(
         "event_id", "user_id", "last_purchase_value"
     )
+
+
+def _revenue_expr():
+    return (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: which customers returned the most revenue in a
+    quarter. Fact chain filtered early (returnflag + quarter window
+    push to the scans), dims broadcast, deterministic top-k."""
+    joined = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(
+            lineitem.where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue_expr())
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def promo_revenue_ratio(
+    lineitem: DataFrame,
+    part: DataFrame,
+    month_from: str = "1996-01-01",
+    month_to: str = "1996-02-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: percentage of a month's revenue from PROMO
+    parts. One broadcast join + one ungrouped agg with a conditional
+    numerator — the classic promotion-effect probe."""
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    joined = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(month_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(month_to).cast("timestamp"))
+    ).join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+            / F.sum(rev),
+            6,
+        )
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
+
+
+def disjunctive_part_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    conjunctions — the disjunctive-predicate pushdown probe. The OR
+    evaluates after the broadcast join; each disjunct alone is
+    scan-prunable."""
+    joined = lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 10)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 20)
+    )
+    return joined.where(cond).agg(_revenue_expr())
