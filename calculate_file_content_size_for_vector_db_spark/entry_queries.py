@@ -2146,6 +2146,107 @@ def tpch_q19_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q7",
+    f"""
+SELECT supp_nation, cust_nation, l_year, {_SQL_REV} AS revenue
+FROM (
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           l_extendedprice, l_discount
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+    WHERE ns.n_name < nc.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape generalized to every nation pair: cross-border
+    shipping volume by (supplier nation, customer nation, year). Two
+    broadcast nation joins on different keys; the fact chain shuffles
+    once for the final group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
+        .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    rev = (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(rev)
+
+
+@register(
+    "tpch_q18",
+    """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice,
+       round(total_qty, 6) AS total_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+) big ON big.l_orderkey = o_orderkey
+""",
+)
+def tpch_q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — a grouped HAVING
+    pre-aggregation of the fact table joined back to its dimensions.
+    The aggregation shrinks the fact side BEFORE the joins, so the
+    join input is orders-above-threshold, not all lineitems."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 200)
+    )
+    return (
+        orders.join(big, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            F.round("total_qty", 6).alias("total_qty"),
+        )
+    )
+
+
+@register(
     "duplicated_spans",
     f"""
 WITH ws_t AS (
@@ -2727,6 +2828,8 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "tpch_q7",
+    "tpch_q18",
     "tpch_q10",
     "tpch_q14",
     "tpch_q19",
