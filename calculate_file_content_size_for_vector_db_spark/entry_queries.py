@@ -2146,6 +2146,50 @@ def tpch_q19_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_multi_rollup",
+    """
+SELECT granularity, bucket, n_events, total_value FROM (
+    SELECT CASE WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS granularity,
+           CASE WHEN grouping(h) = 0 THEN strftime(h, '%Y-%m-%d %H:%M:%S')
+                ELSE strftime(d, '%Y-%m-%d %H:%M:%S') END AS bucket,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM (
+        SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d, value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((h, d), (d))
+)
+""",
+)
+def events_multi_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups
+    of the event stream in ONE pass via GROUPING SETS — the
+    multi-granularity materialization a time-series store keeps. Each
+    hour belongs to one day, so (hour, day) grouping equals hour
+    grouping while letting grouping() label the level. One shuffle for
+    both granularities; partial aggregation runs map-side."""
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "value",
+    )
+    # grouping() is only legal inside the grouping-sets aggregation
+    # itself, so the level label and bucket are computed in agg()
+    g = ev.groupingSets([["h", "d"], ["d"]], "h", "d").agg(
+        F.when(F.grouping("h") == 0, F.lit("hour"))
+        .otherwise(F.lit("day"))
+        .alias("granularity"),
+        F.when(F.grouping("h") == 0, F.date_format("h", "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.date_format("d", "yyyy-MM-dd HH:mm:ss"))
+        .alias("bucket"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    return g.select("granularity", "bucket", "n_events", "total_value")
+
+
+@register(
     "tpch_q7",
     f"""
 SELECT supp_nation, cust_nation, l_year, {_SQL_REV} AS revenue
@@ -2828,6 +2872,7 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "events_multi_rollup",
     "tpch_q7",
     "tpch_q18",
     "tpch_q10",
