@@ -616,16 +616,18 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH "
     + _SQL_SHINGLES
     + """,
-pairs AS (
+ex AS (
+    SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh_t
+),
+cand AS (
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           len(list_intersect(a.sh, b.sh)) AS inter,
-           len(a.sh) AS n_a, len(b.sh) AS n_b
-    FROM sh_t a, sh_t b
-    WHERE a.doc_id < b.doc_id
+           count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
 )
 SELECT a_id, b_id,
        round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
-FROM pairs
+FROM cand
 WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
 """,
 )
@@ -2863,6 +2865,588 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion: the 12 query shapes not yet covered (q2, q8, q9,
+# q11, q12, q13, q15, q16, q17, q20, q21, q22), adapted to the fixture
+# schema where TPC-H columns don't exist (no partsupp table, no
+# l_commitdate/l_receiptdate/l_shipmode, no c_phone): part-supplier
+# economics derive from lineitem, "late" predicates from shipdate, and
+# q22's phone-prefix grouping becomes nation grouping. Together with
+# q1/q3/q5/q6/q7/q10/q14/q18/q19 and late_shipment_orders (the q4
+# EXISTS shape), all 22 TPC-H query shapes are registered.
+# ---------------------------------------------------------------------------
+
+
+def _d184(c):
+    """DECIMAL(18,4) operand for exact cross-engine revenue sums."""
+    return F.col(c).cast("decimal(18,4)")
+
+
+_DISC_REV = None  # revenue expr built inline per query (column names vary)
+
+
+@register(
+    "tpch_q2",
+    """
+WITH unit AS (
+    SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eligible AS (
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, cost
+    FROM unit
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE p_type = 'SMALL' AND r_name = 'EUROPE'
+),
+ranked AS (
+    SELECT *, min(cost) OVER (PARTITION BY p_partkey) AS min_cost FROM eligible
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(cost, 6) AS unit_cost
+FROM ranked WHERE cost = min_cost
+""",
+)
+def tpch_q2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region.
+    The partsupp table doesn't exist in the fixtures, so unit cost is
+    derived from lineitem (min observed extendedprice/quantity per
+    part-supplier pair) — same correlated-min query shape. The min is
+    decorrelated as a window over the already-filtered eligible set, so
+    the heavy lineitem aggregation happens once; part/supplier/nation/
+    region are all broadcast. Ties at the min keep every tied supplier,
+    as in TPC-H."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eligible = (
+        unit.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    ranked = eligible.withColumn(
+        "min_cost", F.min("cost").over(Window.partitionBy("p_partkey"))
+    )
+    return ranked.where(F.col("cost") == F.col("min_cost")).select(
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_name",
+        F.round("cost", 6).alias("unit_cost"),
+    )
+
+
+@register(
+    "tpch_q8",
+    """
+WITH flat AS (
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+           ns.n_name AS supp_nation
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+    JOIN region r ON r.r_regionkey = nc.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    WHERE p_type = 'PROMO' AND r.r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM flat GROUP BY o_year
+""",
+)
+def tpch_q8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's fraction of
+    yearly revenue for a part type sold into a region. Star-join chain
+    with every dimension broadcast; the only shuffle is the final
+    2-group aggregation. The share is a conditional-sum over the same
+    rows, so one pass computes numerator and denominator."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (_d184("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _d184("l_discount"))).alias(
+        "volume"
+    )
+    flat = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("nc_region"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"), volume, "supp_nation"
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9",
+    """
+WITH flat AS (
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+             - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) * CAST(0.1 AS DECIMAL(18,4)) AS amount
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+)
+SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM flat GROUP BY nation, o_year
+""",
+)
+def tpch_q9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year). The fixture
+    has no partsupp.ps_supplycost, so cost is proxied as 10% of
+    p_retailprice per unit — the query shape (substring part filter,
+    profit expression, two-key group) is unchanged. All decimal
+    arithmetic so the cross-engine sums are exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    amount = (
+        _d184("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _d184("l_discount"))
+        - _d184("p_retailprice") * _d184("l_quantity") * F.lit(0.1).cast("decimal(18,4)")
+    ).alias("amount")
+    flat = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+            amount,
+        )
+    )
+    return flat.groupBy("nation", "o_year").agg(
+        F.round(F.sum("amount"), 2).cast("double").alias("sum_profit")
+    )
+
+
+@register(
+    "tpch_q11",
+    """
+WITH value_t AS (
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM value_t
+WHERE CAST(val AS DOUBLE) > 0.001 * (SELECT CAST(sum(val) AS DOUBLE) FROM value_t)
+""",
+)
+def tpch_q11_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part value restricted to one
+    region's suppliers, kept only when above a fraction of the grand
+    total — the grand total is a scalar subquery over the SAME
+    aggregate. The per-part aggregate is computed once and reused for
+    both branches (persist), with the 1-row total broadcast back — no
+    second scan of lineitem and no shuffle for the filter."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    value_t = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_d184("l_extendedprice")).alias("val"))
+        .persist()
+    )
+    total = value_t.agg(F.sum("val").cast("double").alias("grand_total"))
+    return (
+        value_t.crossJoin(F.broadcast(total))
+        .where(F.col("val").cast("double") > 0.001 * F.col("grand_total"))
+        .select("l_partkey", F.round("val", 2).cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "tpch_q12",
+    """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def tpch_q12_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes vs priority): the fixture has no
+    l_shipmode, so l_returnflag is the grouping dimension. The point of
+    the shape survives: fact-to-fact join with the date filter pushed
+    into the lineitem scan, then conditional counts in one pass."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    """
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def tpch_q13_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join
+    with the extra predicate INSIDE the join condition (customers with
+    zero qualifying orders must survive with count 0), then a
+    distribution-of-counts double aggregation. count(o_orderkey) counts
+    non-null matches only — the left-join NULL row contributes 0."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").cast("bigint").alias("custdist"))
+
+
+@register(
+    "tpch_q15",
+    """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue view, max-revenue
+    scalar subquery, equality join back — ties all survive. The
+    revenue aggregate is persisted and reused for both the max and the
+    filter; decimal sums make the cross-engine equality exact (a
+    floating-point == here would be flaky)."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    sup = read_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                _d184("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - _d184("l_discount"))
+            ).alias("total_revenue")
+        )
+        .persist()
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q16",
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier count by part attributes): the part-supplier
+    relation comes from lineitem (no partsupp in the fixtures), the
+    complaints exclusion becomes negative-balance suppliers. NOT IN is
+    a broadcast anti-join (the excluded set is tiny); the distinct
+    count shuffles once on the group keys."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_sup = read_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_sup), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17",
+    """
+WITH avg_qty AS (
+    SELECT l_partkey AS ap_key, 0.2 * avg(l_quantity) AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avg_qty ON ap_key = l_partkey
+WHERE p_brand = 'Brand#5' AND l_quantity < qty_threshold
+""",
+)
+def tpch_q17_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity revenue): the correlated per-part
+    average-quantity subquery, decorrelated as an aggregate joined back
+    on the part key — exactly what Catalyst's subquery rewrite does.
+    Quantities are integer-valued doubles so the avg is exact across
+    engines; the revenue sum is decimal, converted to double before the
+    final /7 so both engines do the identical IEEE division."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#5")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ap_key") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum(_d184("l_extendedprice")).cast("double") / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q20",
+    """
+WITH shipped AS (
+    SELECT l_suppkey AS sk, sum(l_quantity) AS qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_name, n_name, round(qty, 6) AS shipped_qty
+FROM supplier
+JOIN shipped ON sk = s_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE qty > 1.5 * (SELECT avg(qty) FROM shipped)
+""",
+)
+def tpch_q20_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of a part subset):
+    partsupp.ps_availqty doesn't exist, so "stock" is the quantity
+    actually shipped of name-filtered parts in the window, and the
+    threshold is 1.5x the cross-supplier average (a scalar over the
+    same aggregate, broadcast back). Same nested-aggregate + semi-join
+    shape; quantity sums are integer-valued doubles, exact in both
+    engines."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = read_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("l_quantity").alias("qty"))
+        .persist()
+    )
+    avg_qty = shipped.agg(F.avg("qty").alias("avg_qty"))
+    return (
+        shipped.crossJoin(F.broadcast(avg_qty))
+        .where(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("sk"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name", F.round("qty", 6).alias("shipped_qty"))
+    )
+
+
+@register(
+    "tpch_q21",
+    """
+WITH l1 AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R' AND o_orderstatus = 'F'
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+)
+GROUP BY s_name
+""",
+)
+def tpch_q21_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): R-flagged
+    lines in finished multi-supplier orders where no OTHER supplier
+    also flagged R. The EXISTS / NOT EXISTS pair is computed as ONE
+    per-order aggregate (distinct suppliers, distinct R-suppliers)
+    joined back — two self-semi-joins collapse into a single shuffle
+    of lineitem. l1's supplier is R, so "no other R supplier" is
+    exactly n_r_supp == 1, and "another supplier exists" is
+    n_supp > 1."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    sup = read_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    l1 = li.where(F.col("l_returnflag") == "R").join(
+        orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    return (
+        l1.join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22",
+    """
+WITH avg_bal AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS ab
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT ab FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+""",
+)
+def tpch_q22_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): above-average-balance
+    customers with no recent orders, grouped by nation (the fixture has
+    no c_phone for prefix grouping; every fixture customer has SOME
+    order, so the anti-join is against orders since 2000 to stay
+    non-trivial). The global average is an exact decimal sum divided
+    once as a double; the NOT EXISTS is a broadcast anti-join against
+    the date-filtered order keys."""
+    cust = read_table(spark, sf_dir, "customer")
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_d184("c_acctbal")).cast("double") / F.count("*")).alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum(_d184("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -2872,6 +3456,18 @@ def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
     "events_multi_rollup",
     "tpch_q7",
     "tpch_q18",
