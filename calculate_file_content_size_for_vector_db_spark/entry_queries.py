@@ -3447,6 +3447,174 @@ def tpch_q22_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation surface (operators/curation.py): PII
+# redaction, Gopher-style quality rules, sequence packing, embedding
+# quantization — the corpus-preparation steps between ingestion and
+# training-shard writing.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "pii_redact",
+    f"""
+WITH pii AS (
+    SELECT doc_id,
+           text || ' Contact: user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) AS t
+    FROM documents
+),
+st AS (
+    SELECT doc_id, t, regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1 FROM pii
+),
+st2 AS (
+    SELECT doc_id, t, t1, regexp_replace(t1, '{_PII_PHONE}', '[PHONE]', 'g') AS t2 FROM st
+)
+SELECT doc_id,
+       regexp_replace(t2, '{_PII_IP}', '[IP]', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t2, '{_PII_IP}')) AS BIGINT) AS n_ip
+FROM st2
+""",
+)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents. The fixture text contains no real
+    PII, so a deterministic contact line (email + phone + IP derived
+    from doc_id) is appended first — the redactor is then exercised on
+    every row, and the oracle builds the identical input. Map-only
+    regexp pipeline, zero shuffles (operators/curation.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import redact_pii
+
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        d.cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 3) % 256).cast("string"),
+    )
+    staged = _docs(spark, sf_dir).select("doc_id", pii_text.alias("pii_text"))
+    return redact_pii(staged, text_col="pii_text")
+
+
+@register(
+    "gopher_quality",
+    """
+WITH ws_t AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           len(ws) AS n_words,
+           list_sum(list_transform(ws, w -> length(w))) AS word_chars,
+           len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_symbol,
+           len(list_filter(ws, w -> list_contains(['the','and','of','to','a','in','is','it'], lower(w)))) AS stop_hits
+    FROM ws_t
+),
+f2 AS (
+    SELECT doc_id, n_words, n_chars, stop_hits,
+           (n_chars IS NULL OR n_chars = 0 OR n_words = 0) AS empty,
+           round(word_chars / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+           round(n_alpha / CAST(n_words AS DOUBLE), 6) AS alpha_ratio,
+           round(n_symbol / CAST(n_chars AS DOUBLE), 6) AS symbol_ratio
+    FROM feat
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CASE WHEN NOT empty THEN mean_word_len END AS mean_word_len,
+       CASE WHEN NOT empty THEN alpha_ratio END AS alpha_ratio,
+       CASE WHEN NOT empty THEN symbol_ratio END AS symbol_ratio,
+       CAST(stop_hits AS BIGINT) AS stopword_hits,
+       CASE WHEN empty THEN FALSE ELSE
+           (n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 12.0
+            AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1 AND stop_hits >= 2) END AS keep
+FROM f2
+""",
+)
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality gate (word count, mean word length,
+    alpha-word ratio, symbol ratio, stopword floor) with per-rule
+    features and the final keep verdict (operators/curation.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+@register(
+    "pack_sequences",
+    """
+WITH tok AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+    FROM tok
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(cum / 512.0) AS BIGINT) AS seq_id,
+       cum % 512 AS seq_offset
+FROM packed
+""",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing into 512-token training
+    sequences, parallel per source stream (operators/curation.py —
+    the corpus-level lift of the reference's running chunk offset,
+    pdf_reader.py:483-485)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+@register(
+    "embedding_quantize",
+    """
+WITH s AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+    FROM embeddings
+)
+SELECT vec_id, round(sc, 6) AS scale,
+       CASE WHEN sc > 0 THEN
+           CAST(to_json(list_transform(embedding, x -> CAST(round(127.0 * CAST(x AS DOUBLE) / sc) AS INT))) AS VARCHAR)
+       END AS q_embedding
+FROM s
+""",
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with a
+    per-vector scale (operators/curation.py). The int array is
+    JSON-serialized on both sides so the value compare is exact and
+    representation-independent."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        quantize_embeddings,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select("vec_id", "scale", F.to_json("q_embedding").alias("q_embedding"))
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -3456,6 +3624,10 @@ def tpch_q22_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "pii_redact",
+    "gopher_quality",
+    "pack_sequences",
+    "embedding_quantize",
     "tpch_q2",
     "tpch_q8",
     "tpch_q9",

@@ -1,0 +1,160 @@
+"""Training-data curation operators: PII redaction, Gopher-style
+quality rules, sequence packing, and embedding quantization.
+
+These are the corpus-preparation steps a large-scale LLM data pipeline
+runs between raw ingestion and training-shard writing (reference repo
+has no equivalent — this is north-star surface, cf. SURVEY.md §7.4).
+Everything is pure Column expressions (JVM-side, whole-stage codegen);
+no Python UDFs anywhere, so each op scales linearly with one shuffle
+or none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Conservative PII patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it")
+
+
+def _toks(text_col: Column) -> Column:
+    return F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses from a text
+    column, counting hits per category BEFORE replacement.
+
+    Order matters: emails first (their local part can contain dots and
+    digits that the later patterns must not see), then phones, then
+    IPs. The counts come from ``regexp_count`` on the original text, so
+    overlapping categories are counted against the earliest pattern
+    that matches them in the redaction order. One projection, zero
+    shuffles — at 100 TB this is a map-only pass."""
+    text = F.col(text_col)
+    n_email = F.regexp_count(text, F.lit(EMAIL_RE))
+    after_email = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    n_phone = F.regexp_count(after_email, F.lit(PHONE_RE))
+    after_phone = F.regexp_replace(after_email, PHONE_RE, "[PHONE]")
+    n_ip = F.regexp_count(after_phone, F.lit(IPV4_RE))
+    clean = F.regexp_replace(after_phone, IPV4_RE, "[IP]")
+    return df.select(
+        F.col(key),
+        clean.alias("clean_text"),
+        n_email.cast("bigint").alias("n_email"),
+        n_phone.cast("bigint").alias("n_phone"),
+        n_ip.cast("bigint").alias("n_ip"),
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_ratio: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    — public paper; thresholds adapted to the short synthetic
+    fixtures): word count bounds, mean word length band, fraction of
+    words containing an alphabetic character, symbol-to-char ratio,
+    and a minimum number of stopword occurrences. Emits the per-rule
+    features plus the final ``keep`` verdict so downstream filters can
+    re-threshold without recomputing. Pure higher-order-function
+    column arithmetic — no UDF, no shuffle."""
+    text = F.col(text_col)
+    ws = _toks(text)
+    n_words = F.size(ws)
+    word_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.round(word_chars.cast("double") / n_words, 6)
+    n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(n_alpha_words.cast("double") / n_words, 6)
+    n_chars = F.length(text)
+    n_symbol = n_chars - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+    symbol_ratio = F.round(n_symbol.cast("double") / n_chars, 6)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (stop_hits >= min_stopword_hits)
+    )
+    empty = (n_chars.isNull()) | (n_chars == 0) | (n_words == 0)
+    return df.select(
+        F.col(key),
+        n_words.cast("bigint").alias("n_words"),
+        F.when(~empty, mean_word_len).alias("mean_word_len"),
+        F.when(~empty, alpha_ratio).alias("alpha_ratio"),
+        F.when(~empty, symbol_ratio).alias("symbol_ratio"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        F.when(empty, F.lit(False)).otherwise(keep).alias("keep"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    key: str = "doc_id",
+    stream_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are concatenated in
+    ``key`` order within each ``stream_col`` stream and chopped into
+    fixed ``budget``-token training sequences; each document records
+    which sequence it starts in and at what offset (documents straddle
+    boundaries, as in standard LLM pretraining packing).
+
+    The running offset is an exclusive-frame window sum PER STREAM —
+    the same shape as the reference's chunk_offset_in_file
+    (pdf_reader.py:483-485) lifted to the corpus level. Partitioning by
+    stream keeps the window parallel at scale (a single global ordered
+    window would serialize onto one task); streams are independent
+    training shards, matching how corpora are actually packed."""
+    n_tokens = F.size(_toks(F.col(text_col)))
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return (
+        df.select(F.col(key), F.col(stream_col), n_tokens.cast("bigint").alias("n_tokens"))
+        .withColumn("seq_id", F.floor(cum_before / F.lit(budget)).cast("bigint"))
+        .withColumn("seq_offset", (cum_before % F.lit(budget)).cast("bigint"))
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", key: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max |component|,
+    q[i] = round(127 * x[i] / scale). Cuts vector storage 4x for
+    ANN-index shipping; the scale column allows approximate
+    dequantization. Components are widened float->double BEFORE any
+    arithmetic so both engines (and any reader) compute on identical
+    doubles. Map-only, no shuffle."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(vec, F.abs))
+    q = F.when(scale > 0, F.transform(vec, lambda x: F.round(F.lit(127.0) * x / scale).cast("int")))
+    return df.select(
+        F.col(key),
+        F.round(scale, 6).alias("scale"),
+        q.alias("q_embedding"),
+    )

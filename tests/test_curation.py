@@ -1,0 +1,97 @@
+"""Unit tests for operators/curation.py — PII redaction, Gopher
+quality rules, sequence packing, embedding quantization."""
+
+import pytest
+
+from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+    gopher_quality,
+    pack_sequences,
+    quantize_embeddings,
+    redact_pii,
+)
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+class TestRedactPii:
+    def test_redacts_all_three_categories(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-y.co now, call 555-123-4567 or ping 10.0.0.1 ok")],
+            "doc_id long, text string",
+        )
+        r = _rows(redact_pii(df), "doc_id")[1]
+        assert r["clean_text"] == "mail [EMAIL] now, call [PHONE] or ping [IP] ok"
+        assert (r["n_email"], r["n_phone"], r["n_ip"]) == (1, 1, 1)
+
+    def test_phone_with_dots_not_eaten_by_ip(self, spark):
+        df = spark.createDataFrame(
+            [(1, "call 555.123.4567 please")], "doc_id long, text string"
+        )
+        r = _rows(redact_pii(df), "doc_id")[1]
+        assert r["clean_text"] == "call [PHONE] please"
+        assert r["n_ip"] == 0
+
+    def test_clean_text_unchanged(self, spark):
+        df = spark.createDataFrame([(1, "no pii here at all")], "doc_id long, text string")
+        r = _rows(redact_pii(df), "doc_id")[1]
+        assert r["clean_text"] == "no pii here at all"
+        assert (r["n_email"], r["n_phone"], r["n_ip"]) == (0, 0, 0)
+
+
+class TestGopherQuality:
+    def test_empty_text_is_dropped_with_null_features(self, spark):
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        r = _rows(gopher_quality(df), "doc_id")[1]
+        assert r["keep"] is False
+        assert r["mean_word_len"] is None and r["symbol_ratio"] is None
+
+    def test_good_document_kept(self, spark):
+        text = "the quick brown fox jumps over the lazy dog and runs to a барн " * 3
+        df = spark.createDataFrame([(1, text.strip())], "doc_id long, text string")
+        r = _rows(gopher_quality(df), "doc_id")[1]
+        assert r["keep"] is True
+        assert r["n_words"] >= 20 and r["stopword_hits"] >= 2
+
+    def test_symbol_soup_rejected(self, spark):
+        text = "the and of to " + "@#$%^&* " * 20
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = _rows(gopher_quality(df), "doc_id")[1]
+        assert r["keep"] is False
+        assert r["symbol_ratio"] > 0.1
+
+
+class TestPackSequences:
+    def test_offsets_and_straddle(self, spark):
+        # 3 docs of 300 tokens each in one stream, budget 512:
+        # doc0 @ (0,0), doc1 straddles @ (0,300), doc2 @ (1,88)
+        docs = [(i, " ".join(["w"] * 300), "s") for i in range(3)]
+        df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+        out = _rows(pack_sequences(df, budget=512), "doc_id")
+        assert (out[0]["seq_id"], out[0]["seq_offset"]) == (0, 0)
+        assert (out[1]["seq_id"], out[1]["seq_offset"]) == (0, 300)
+        assert (out[2]["seq_id"], out[2]["seq_offset"]) == (1, 88)
+
+    def test_streams_pack_independently(self, spark):
+        docs = [(0, "a b c", "s1"), (1, "d e", "s2")]
+        df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+        out = _rows(pack_sequences(df, budget=4), "doc_id")
+        assert out[0]["seq_offset"] == 0 and out[1]["seq_offset"] == 0
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_and_scale(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25])], "vec_id long, embedding array<float>"
+        )
+        r = _rows(quantize_embeddings(df), "vec_id")[1]
+        assert r["scale"] == pytest.approx(1.0)
+        assert r["q_embedding"] == [64, -127, 32]  # round(127*0.5)=64 (HALF_UP)
+
+    def test_zero_vector_yields_null_array(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        r = _rows(quantize_embeddings(df), "vec_id")[1]
+        assert r["scale"] == 0.0 and r["q_embedding"] is None
