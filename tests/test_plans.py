@@ -128,3 +128,41 @@ def test_aqe_active_coalesces_shuffle_reads(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan
+
+
+def test_tpch_completion_no_sortmerge_no_python(spark):
+    # the 12 round-2 TPC-H shapes: dims broadcast at fixture scale,
+    # everything JVM-side
+    for name in (
+        "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13",
+        "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q20", "tpch_q21", "tpch_q22",
+    ):
+        plan = _physical(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_tpch_q8_single_agg_shuffle(spark):
+    # star-join chain: every dimension broadcast; the only hash
+    # shuffles are the final 2-group aggregate (+AQE coalesce reads)
+    plan = _physical(spark, "tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_map_only_no_python(spark):
+    # redaction/quality/quantization are map-only Column pipelines:
+    # no Python nodes, no joins, no aggregation shuffle (the one
+    # Exchange is the deliberate spread() of the single-split fixture)
+    for name in ("pii_redact", "gopher_quality", "embedding_quantize"):
+        plan = _physical(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    # the packing window must partition by stream — a global window
+    # (empty partition spec) serializes the corpus onto one task
+    plan = _physical(spark, "pack_sequences")
+    assert "windowspecdefinition(source" in plan
