@@ -3586,6 +3586,90 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate",
+    """
+WITH toks AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+    FROM toks WHERE len(ws) >= 5
+)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.g) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+FROM sh t JOIN sh b ON t.g = b.g AND t.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+GROUP BY t.doc_id
+""",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 5 != 0)
+    sharing any 5-gram with the pseudo-benchmark split (doc_id % 5 ==
+    0), with contaminated-n-gram and benchmark-doc counts. Shingle
+    equi-join, never doc-pairwise (operators/curation.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    return decontaminate(train, bench, n=5)
+
+
+@register(
+    "doc_repetition",
+    """
+WITH toks AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END AS grams
+    FROM toks
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) > 0 THEN round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6) END AS dup_ratio
+FROM g
+""",
+)
+def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-3-gram fraction (Gopher repetition
+    rule family) — map-only array arithmetic (operators/curation.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        repetition_ratio,
+    )
+
+    return repetition_ratio(_docs(spark, sf_dir), n=3)
+
+
+@register(
+    "stratified_sample",
+    """
+SELECT doc_id, lang, bucket FROM (
+    SELECT doc_id, lang,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+    FROM documents
+) WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+""",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing via deterministic per-language sampling: keep 50%
+    of English, 20% of everything else, by md5 bucket — stable under
+    reshuffling and incremental loads, no shuffle
+    (operators/curation.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    return stratified_sample(_docs(spark, sf_dir), rates={"en": 50}, default_rate=20)
+
+
+@register(
     "embedding_quantize",
     """
 WITH s AS (
@@ -3624,6 +3708,9 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST = [
+    "decontaminate",
+    "doc_repetition",
+    "stratified_sample",
     "pii_redact",
     "gopher_quality",
     "pack_sequences",

@@ -141,6 +141,100 @@ def pack_sequences(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination scan: for every training document that
+    shares at least one word ``n``-gram with any benchmark document,
+    report how many distinct n-grams are contaminated and how many
+    benchmark documents they touch.
+
+    The standard pre-training hygiene step (benchmark text leaking into
+    the training corpus inflates eval scores). Candidate generation is
+    a shingle equi-join — identical shape to the n-gram dedup path:
+    linear in co-occurring n-grams, never pairwise over documents. The
+    benchmark side is tiny in practice, so at scale Spark broadcasts
+    it and the train side never shuffles."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import shingles
+
+    t = train.select(
+        F.col(key).alias("t_id"), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    b = benchmark.select(
+        F.col(key).alias("b_id"), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    return (
+        t.join(b, "g")
+        .groupBy(F.col("t_id").alias(key))
+        .agg(
+            F.countDistinct("g").cast("bigint").alias("n_hits"),
+            F.countDistinct("b_id").cast("bigint").alias("n_bench_docs"),
+        )
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, n: int = 3, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition: fraction of word n-grams that are
+    duplicates of an earlier n-gram in the same document (Gopher's
+    duplicate-n-gram rule family). High ratios flag boilerplate/spam.
+    Pure array arithmetic per row — map-only, no shuffle. (The n-gram
+    list here is NOT distinct-ed, unlike dedup.shingles — the
+    duplicate fraction is the point.)"""
+    toks = _toks(F.col(text_col))
+    empty = F.array().cast("array<string>")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(empty)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(key),
+        n_grams.cast("bigint").alias("n_grams"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        F.when(
+            n_grams > 0,
+            F.round(F.lit(1.0) - n_distinct.cast("double") / n_grams, 6),
+        ).alias("dup_ratio"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_rate: int = 20,
+    stratum_col: str = "lang",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (corpus mixing): keep a
+    document iff its md5-derived bucket (0-99) falls below its
+    stratum's percentage. Hash-based, so the sample is stable under
+    reshuffling/incremental loads and needs no sort, no count, no
+    shuffle — the same property train_test_split relies on. ``rates``
+    maps stratum value -> keep percentage."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+    rate = F.lit(default_rate)
+    for value, pct in rates.items():
+        rate = F.when(F.col(stratum_col) == value, F.lit(pct)).otherwise(rate)
+    return df.select(F.col(key), F.col(stratum_col), bucket.alias("bucket")).where(
+        F.col("bucket") < rate
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", key: str = "vec_id"
 ) -> DataFrame:

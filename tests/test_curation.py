@@ -95,3 +95,61 @@ class TestQuantizeEmbeddings:
         )
         r = _rows(quantize_embeddings(df), "vec_id")[1]
         assert r["scale"] == 0.0 and r["q_embedding"] is None
+
+
+class TestDecontaminate:
+    def test_shared_fivegram_detected(self, spark):
+        from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+            decontaminate,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"), (2, "totally unrelated words here now yes")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "x alpha beta gamma delta epsilon y")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r.asDict() for r in decontaminate(train, bench, n=5).collect()}
+        assert 1 in out and 2 not in out
+        # "alpha beta gamma delta epsilon" + "beta gamma delta epsilon zeta"?
+        # only the first appears in bench; one shared 5-gram, one bench doc
+        assert out[1]["n_hits"] == 1 and out[1]["n_bench_docs"] == 1
+
+
+class TestRepetitionRatio:
+    def test_alternating_pattern(self, spark):
+        from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+            repetition_ratio,
+        )
+
+        df = spark.createDataFrame([(1, "a b a b a b a b")], "doc_id long, text string")
+        r = {x["doc_id"]: x.asDict() for x in repetition_ratio(df, n=3).collect()}[1]
+        assert r["n_grams"] == 6 and r["n_distinct"] == 2
+        assert r["dup_ratio"] == pytest.approx(0.666667)
+
+    def test_short_text_null_ratio(self, spark):
+        from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+            repetition_ratio,
+        )
+
+        df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+        r = {x["doc_id"]: x.asDict() for x in repetition_ratio(df, n=3).collect()}[1]
+        assert r["n_grams"] == 0 and r["dup_ratio"] is None
+
+
+class TestStratifiedSample:
+    def test_rates_respected_and_deterministic(self, spark):
+        from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+            stratified_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+            "doc_id long, lang string",
+        )
+        out1 = stratified_sample(df, rates={"en": 50}, default_rate=20).collect()
+        out2 = stratified_sample(df, rates={"en": 50}, default_rate=20).collect()
+        assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
+        for r in out1:
+            assert r["bucket"] < (50 if r["lang"] == "en" else 20)
