@@ -1282,16 +1282,23 @@ assign AS (
     f"""
 WITH {_SQL_IVF}
 SELECT CAST(cell AS INT) AS cell,
-       list_transform(cv, x -> round(x, 6)) AS centroid_r
+       CAST(to_json(list_transform(cv, x -> CAST(round(x * 1000000.0) AS BIGINT))) AS VARCHAR)
+           AS centroid_r
 FROM cent
 """,
 )
 def sim_ivf_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid vectors are fixed-point-scaled to int64 and JSON-
+    serialized on both sides (the embedding_quantize pattern) so the
+    driver's pandas canonicalization sees a scalar string, not an
+    unhashable list, and the value compare is exact."""
     from calculate_file_content_size_for_vector_db_spark.operators.similarity import ivf_centroids
 
     return ivf_centroids(_emb(spark, sf_dir)).select(
         F.col("cell").cast("int").alias("cell"),
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid_r"),
+        F.to_json(
+            F.transform("centroid", lambda x: F.round(x * F.lit(1000000.0)).cast("long"))
+        ).alias("centroid_r"),
     )
 
 
@@ -2745,7 +2752,8 @@ SELECT doc_id, chunk_index,
            CASE WHEN list_dot_product(v, list_transform(range(0, 64), j ->
                ((j + p * 64) * 2654435761 % 1000003) / 1000003.0 - 0.5)) > 0
            THEN (1::BIGINT << CAST(p AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS bucket,
-       list_transform(v, x -> round(x, 6)) AS embedding_r
+       CAST(to_json(list_transform(v, x ->
+           CAST(round(round(x, 6) * 1000000.0) AS BIGINT))) AS VARCHAR) AS embedding_r
 FROM emb
 """,
 )
@@ -2763,8 +2771,16 @@ def rag_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = _pipe(spark).chunks(_docs(spark, sf_dir)).select(
         "doc_id", "chunk_index", "content"
     )
+    # Fixed-point-scale + JSON-serialize the embedding so the driver's
+    # pandas canonicalization compares a scalar string (embedding_quantize
+    # pattern); the streaming path keeps the raw array from the frame.
     return rag_ingest_frame(chunks).select(
-        "doc_id", "chunk_index", "bucket", "embedding_r"
+        "doc_id",
+        "chunk_index",
+        "bucket",
+        F.to_json(
+            F.transform("embedding_r", lambda x: F.round(x * F.lit(1000000.0)).cast("long"))
+        ).alias("embedding_r"),
     )
 
 
@@ -3707,57 +3723,15 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds even if the driver caps or timeboxes its sweep.
 # ---------------------------------------------------------------------------
 
+# Round-3 priority: the driver caps its per-round sweep at ~50 queries,
+# so this list is EXACTLY the rows missing from CORRECTNESS_r01 ∪ r02 —
+# the 23 registered queries that have never received a driver row, plus
+# the two array-output queries fixed this round (rag_ingest,
+# sim_ivf_centroids — previously failed pandas canonicalization), plus
+# dedup_ngram_jaccard whose DuckDB oracle was rewritten in round 2 after
+# its last hash verification (ADVICE.md). 26 names, comfortably inside
+# the cap; everything after them keeps its proven registration order.
 _VERIFY_FIRST = [
-    "decontaminate",
-    "doc_repetition",
-    "stratified_sample",
-    "pii_redact",
-    "gopher_quality",
-    "pack_sequences",
-    "embedding_quantize",
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "events_multi_rollup",
-    "tpch_q7",
-    "tpch_q18",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q19",
-    "duplicated_spans",
-    "schema_evolution_read",
-    "winsorize_chars",
-    "chunk_split_overlap",
-    "quality_quarantine",
-    "orders_price_band_join",
-    "event_type_islands",
-    "funnel_conversion",
-    "column_profile_orders",
-    "bucketed_join_revenue",
-    "multimodal_audio_windows",
-    "rag_ingest",
-    "events_interval_join",
-    "sim_topk_lsh_multiprobe",
-    "json_source",
-    "partitioned_source_prune",
-    "multimodal_frames",
-    "sim_ivf_centroids",
-    "sim_ivf_assign",
-    "sim_topk_ivf",
-    "orders_monthly_revenue",
-    "customer_balance_ntile",
-    "lineitem_percentiles",
-    "distinct_customers_ordering",
-    "approx_distinct_customers",
     "part_unpivot",
     "salted_event_counts",
     "cdc_upsert",
@@ -3781,6 +3755,9 @@ _VERIFY_FIRST = [
     "langs_per_source",
     "zscore_by_lang",
     "dedup_clusters",
+    "rag_ingest",
+    "sim_ivf_centroids",
+    "dedup_ngram_jaccard",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {

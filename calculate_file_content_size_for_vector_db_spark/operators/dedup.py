@@ -70,6 +70,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     key: str = "doc_id",
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (a < b, jaccard >=
     threshold).
@@ -79,14 +80,37 @@ def ngram_jaccard_pairs(
     |A| + |B| - |A ∩ B|. The threshold > 0 guarantees parity with a
     naive all-pairs oracle: pairs sharing zero shingles can't pass.
 
+    ``max_shingle_freq``: a single boilerplate shingle shared by 1M
+    docs fans the self-join out to ~10^12 candidate rows. Setting a cap
+    drops shingles occurring in more than that many docs from the JOIN
+    side only — candidate fanout per shingle is bounded by cap^2, while
+    per-doc sizes |A|, |B| keep every shingle, so jaccard is never
+    OVERcounted. Recall tradeoff mirrors ``max_bucket_size`` in
+    minhash_lsh_pairs: a pair whose entire overlap is hub shingles can
+    be missed (hub shingles carry near-zero signal anyway, same
+    rationale as df-based stopword pruning). None (default) = exact.
+
     The shingle table feeds three plan branches (both join sides and
     the size agg); persist it so tokenize+shingle runs once, not three
     times (Spark does not dedupe common subplans).
     """
     sh = shingle_table(df, text_col, key).persist()
     sizes = sh.groupBy(key).agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_shingle_freq is not None:
+        # window count over the shingle key — one extra shuffle on the
+        # same key the join shuffles on, so AQE reuses the partitioning;
+        # a groupBy+join form would re-evaluate the shingle pipeline
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        joinable = (
+            sh.withColumn("_sf", F.count("*").over(w))
+            .where(F.col("_sf") <= max_shingle_freq)
+            .drop("_sf")
+        )
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, "shingle")
         .where(F.col(f"a.{key}") < F.col(f"b.{key}"))

@@ -31,6 +31,34 @@ def test_ngram_jaccard_identical_docs(spark):
     assert [(p.a_id, p.b_id, p.jaccard) for p in pairs] == [(0, 1, 1.0)]
 
 
+def test_ngram_jaccard_hub_shingle_cap(spark):
+    # every doc shares the hub shingle "the same boiler"; real dup pair
+    # (0,1) also shares its own distinct shingles. With the cap below
+    # the hub's frequency the hub is pruned from the JOIN side only:
+    # the (0,1) pair survives via its private shingles and unrelated
+    # docs produce no candidates at all.
+    hub = "the same boiler"
+    rows = [
+        (0, f"{hub} alpha beta gamma delta"),
+        (1, f"{hub} alpha beta gamma delta"),
+    ] + [(i, f"{hub} unique{i} only{i} words{i}") for i in range(2, 12)]
+    df = _docs(spark, rows)
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.3, max_shingle_freq=5).collect()
+    assert [(p.a_id, p.b_id) for p in capped] == [(0, 1)]
+    # jaccard is undercounted (hub overlap excluded from inter, kept in
+    # sizes), never overcounted
+    exact = {
+        (p.a_id, p.b_id): p.jaccard
+        for p in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    assert capped[0].jaccard <= exact[(0, 1)]
+    # cap above the max observed frequency == exact semantics
+    loose = dedup.ngram_jaccard_pairs(df, threshold=0.3, max_shingle_freq=1000).collect()
+    assert sorted((p.a_id, p.b_id, p.jaccard) for p in loose) == sorted(
+        (a, b, j) for (a, b), j in exact.items()
+    )
+
+
 def test_minhash_identical_signatures(spark):
     df = _docs(spark, [(0, "p q r s t"), (1, "p q r s t")])
     sigs = {r.doc_id: r.signature for r in dedup.minhash_signature(df).collect()}
