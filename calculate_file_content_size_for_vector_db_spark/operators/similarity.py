@@ -139,11 +139,7 @@ def cosine_neardup_pairs(
 
     qb = _packed_blocks(embeddings, id_col, vec_col, n_blocks, "q")
     cb = _packed_blocks(embeddings, id_col, vec_col, n_blocks, "c")
-    grid = (
-        qb.crossJoin(F.broadcast(cb))
-        .select("qids", "qmat", "cids", "cmat")
-        .repartition(n_blocks * n_blocks)
-    )
+    grid = _block_grid(qb, cb, n_blocks)
 
     def _score(batches):
         for pdf in batches:
@@ -487,10 +483,14 @@ def topk_blocked(
         ),
     )
     block_best = F.slice(F.array_sort(scored), 1, k)
-    # broadcast the n_blocks packed rows so the (large) query side stays
-    # the streamed side — otherwise the tiny block side streams through
-    # ONE task and serializes all scoring
-    per_block = q.crossJoin(F.broadcast(blocks)).select(
+    # equi-join on block id instead of broadcasting the packed corpus:
+    # each query row is exploded to n_blocks (query_id, blk) probes and
+    # hash-joined against its block row, so corpus memory per executor
+    # is bounded by the blocks that land there, not O(corpus). The
+    # SHUFFLE_HASH hint keeps the optimizer from re-broadcasting the
+    # packed side at fixture scale.
+    probes = q.withColumn("blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+    per_block = probes.join(blocks.hint("shuffle_hash"), "blk").select(
         "query_id", F.explode(block_best).alias("s")
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("s.negcos"), F.asc("s.nid"))
@@ -524,6 +524,27 @@ def _packed_blocks(
     )
 
 
+def _block_grid(qb: DataFrame, cb: DataFrame, n_blocks: int) -> DataFrame:
+    """One row per (qblk, cblk) grid cell, built as a SHUFFLE equi-join
+    on the composite cell key: each packed side is exploded across the
+    other side's block indices (n_blocks-fold row replication — the
+    block-nested-loop IO lower bound) and hash-partitioned by cell.
+
+    Versus ``crossJoin(broadcast(cb))``: NO side is ever broadcast
+    whole, so corpus memory per executor is bounded by the cells that
+    land there, not O(corpus). n_blocks is the memory knob — block row
+    bytes ~ (N / n_blocks) * dim * 8 — and the SHUFFLE_HASH hint pins
+    the join shape so the optimizer can't silently re-broadcast a
+    packed side when fixture-scale stats undercut the threshold."""
+    cells = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))  # array<int> -> int
+    qx = qb.withColumn("cblk", cells)
+    cx = cb.withColumn("qblk", cells)
+    return (
+        qx.join(cx.hint("shuffle_hash"), ["qblk", "cblk"])
+        .select("qids", "qmat", "cids", "cmat")
+    )
+
+
 def topk_grid(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -547,14 +568,7 @@ def topk_grid(
 
     qb = _packed_blocks(queries, id_col, vec_col, n_blocks, "q")
     cb = _packed_blocks(embeddings, id_col, vec_col, n_blocks, "c")
-    # the post-agg block frames collapse to one partition on small
-    # inputs; repartition the grid so each cell (one matmul) is its own
-    # task instead of all Qb x Cb cells serializing through one core
-    grid = (
-        qb.crossJoin(F.broadcast(cb))
-        .select("qids", "qmat", "cids", "cmat")
-        .repartition(n_blocks * n_blocks)
-    )
+    grid = _block_grid(qb, cb, n_blocks)
 
     def _score(batches):
         for pdf in batches:

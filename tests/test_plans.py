@@ -84,6 +84,11 @@ def test_nearest_neighbor_distributed_grid(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # round 3: the grid is a shuffle equi-join on the (qblk, cblk) cell
+    # key — the packed corpus side must NOT be broadcast (at 100 TB a
+    # broadcast block table is O(corpus) memory per executor)
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
 
 
 def test_partitioned_source_prune_partition_filter(spark):
@@ -101,6 +106,9 @@ def test_dedup_embedding_distributed_grid(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # same shuffle-grid invariant as sim_nearest_neighbor
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
 
 
 def test_rag_ingest_narrow_no_python(spark):
