@@ -52,6 +52,16 @@ WARMUP_DIR = "/root/testdata/sf0.01"
 
 
 def main() -> None:
+    # Isolation: if a session already exists in this process (e.g. the
+    # correctness sweep ran first), its cached frames and accumulated
+    # executor state skew per-query timings by ±2x round-to-round. Tear
+    # it down and measure in a fresh context; JIT warmth survives in the
+    # JVM, which is exactly the part warmup wants to keep.
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
     spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
 
     # Warm JIT/codegen/classloading per query shape at a small scale
@@ -59,6 +69,7 @@ def main() -> None:
     # (what a long-running cluster job sees), not one-time startup.
     for name in HEADLINE:
         REGISTRY[name].fn(spark, WARMUP_DIR).write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
@@ -69,6 +80,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+            # queries persist() intermediates and never unpersist (each
+            # invocation re-persists a fresh frame); drop them so later
+            # queries aren't measured under earlier queries' memory
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 

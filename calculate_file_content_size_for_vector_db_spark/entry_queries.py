@@ -41,7 +41,20 @@ REGISTRY: dict[str, Q] = {}
 
 def register(name: str, oracle: Optional[str] = None):
     def deco(fn):
-        REGISTRY[name] = Q(fn, oracle)
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Several queries persist() intermediates that feed multiple
+            # plan branches and (correctly) never unpersist inside a lazy
+            # builder — but across a 120-query sweep in one session those
+            # caches accumulate in executor memory. Any prior query's
+            # cache is dead weight once its result was materialized, so
+            # each query entry starts from a clean cache.
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = Q(wrapped, oracle)
         return fn
 
     return deco
@@ -3602,6 +3615,41 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_salted",
+    """
+WITH tok AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+    FROM tok
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(cum / 512.0) AS BIGINT) AS seq_id,
+       cum % 512 AS seq_offset
+FROM packed
+""",
+)
+def pack_sequences_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted packing (operators/curation.py): identical
+    output to pack_sequences — the oracle IS the plain single-window
+    formulation, so the driver hash-verifies the salted decomposition's
+    equivalence — but the running-sum window runs per (stream,
+    key-range substream), so parallelism is n_streams * n_salts tasks
+    instead of being bounded by stream cardinality (a 3-source 100 TB
+    corpus packs on 3 cores without this)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        pack_sequences_salted,
+    )
+
+    return pack_sequences_salted(_docs(spark, sf_dir), budget=512, n_salts=8)
+
+
+@register(
     "decontaminate",
     """
 WITH toks AS (
@@ -3758,6 +3806,8 @@ _VERIFY_FIRST = [
     "rag_ingest",
     "sim_ivf_centroids",
     "dedup_ngram_jaccard",
+    # round-3 additions (first driver rows needed)
+    "pack_sequences_salted",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {

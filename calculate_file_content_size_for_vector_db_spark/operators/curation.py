@@ -141,6 +141,82 @@ def pack_sequences(
     )
 
 
+def pack_sequences_salted(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    key: str = "doc_id",
+    stream_col: str = "source",
+    n_salts: int = 8,
+) -> DataFrame:
+    """``pack_sequences`` with two-level (salted) windowing — IDENTICAL
+    output, but parallelism is n_streams * n_salts tasks instead of
+    n_streams. Use when the corpus has few streams (pack_sequences'
+    per-stream window serializes each stream onto one task; a 3-source
+    100 TB corpus would pack on 3 cores).
+
+    Level 1: each stream's key range is cut into <= n_salts CONTIGUOUS
+    key-range substreams (contiguity is what preserves exact semantics:
+    ordering by (stream, substream, key) equals ordering by
+    (stream, key), whatever the key density). The running sum within a
+    substream is the usual exclusive-frame window, now parallel across
+    substreams.
+    Level 2: substream token totals (n_streams * n_salts rows) get
+    their own exclusive running sum per stream — a trivially small
+    window — and each document's global offset is substream base +
+    local offset.
+    """
+    tok = df.select(
+        F.col(key),
+        F.col(stream_col),
+        F.size(_toks(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    # per-stream key span -> substream width; the range frame is k rows
+    # per stream, broadcast back onto the corpus
+    rng = tok.groupBy(stream_col).agg(
+        F.min(key).alias("_kmin"), F.max(key).alias("_kmax")
+    )
+    salted = (
+        tok.join(F.broadcast(rng), stream_col)
+        .withColumn("_delta", F.col(key) - F.col("_kmin"))
+        .withColumn(
+            "_w",
+            ((F.col("_kmax") - F.col("_kmin")) / F.lit(n_salts)).cast("bigint") + 1,
+        )
+        .withColumn("_sub", F.expr("_delta div _w").cast("int"))
+        .select(key, stream_col, "n_tokens", "_sub")
+        .persist()  # feeds the local window AND the substream totals
+    )
+    w_local = (
+        Window.partitionBy(stream_col, "_sub")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_cum = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)).cast("bigint")
+    w_base = (
+        Window.partitionBy(stream_col)
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        salted.groupBy(stream_col, "_sub")
+        .agg(F.sum("n_tokens").alias("_subtot"))
+        .withColumn("_base", F.coalesce(F.sum("_subtot").over(w_base), F.lit(0)).cast("bigint"))
+        .select(stream_col, "_sub", "_base")
+    )
+    cum = F.col("_base") + local_cum
+    return (
+        salted.join(F.broadcast(bases), [stream_col, "_sub"])
+        .select(
+            F.col(key),
+            F.col(stream_col),
+            F.col("n_tokens"),
+            F.floor(cum / F.lit(budget)).cast("bigint").alias("seq_id"),
+            (cum % F.lit(budget)).cast("bigint").alias("seq_offset"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

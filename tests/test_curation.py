@@ -79,6 +79,26 @@ class TestPackSequences:
         out = _rows(pack_sequences(df, budget=4), "doc_id")
         assert out[0]["seq_offset"] == 0 and out[1]["seq_offset"] == 0
 
+    def test_salted_matches_plain_on_sparse_keys(self, spark):
+        # sparse, uneven doc ids across 2 streams: the key-range
+        # substreams are contiguous, so the salted two-level
+        # decomposition must reproduce the plain window exactly
+        from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+            pack_sequences_salted,
+        )
+
+        docs = [
+            (i, " ".join(["w"] * n), s)
+            for i, n, s in [
+                (1, 3, "a"), (7, 5, "a"), (8, 2, "a"), (100, 7, "a"), (101, 1, "a"),
+                (4, 4, "b"), (900, 6, "b"), (901, 6, "b"),
+            ]
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+        plain = sorted(map(tuple, pack_sequences(df, budget=5).collect()))
+        salted = sorted(map(tuple, pack_sequences_salted(df, budget=5, n_salts=3).collect()))
+        assert salted == plain
+
 
 class TestQuantizeEmbeddings:
     def test_roundtrip_and_scale(self, spark):

@@ -174,3 +174,13 @@ def test_pack_sequences_window_is_partitioned(spark):
     # (empty partition spec) serializes the corpus onto one task
     plan = _physical(spark, "pack_sequences")
     assert "windowspecdefinition(source" in plan
+
+
+def test_pack_sequences_salted_subdivides_streams(spark):
+    # the salted variant's heavy window must partition by
+    # (stream, substream) — that's the whole point: >1 task per stream
+    import re
+
+    plan = _physical(spark, "pack_sequences_salted")
+    assert re.search(r"windowspecdefinition\(source#\d+, _sub", plan), plan
+    assert re.search(r"hashpartitioning\(source#\d+, _sub", plan)

@@ -1,0 +1,34 @@
+"""SURVEY.md §8's query inventory is the contract the driver sweep is
+judged against; this pins its counts to the actual registry so the two
+can't drift (VERDICT round 2, "What's wrong" #6)."""
+
+import re
+from pathlib import Path
+
+from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+
+SURVEY = Path(__file__).resolve().parent.parent / "SURVEY.md"
+
+
+def test_survey_inventory_matches_registry():
+    text = SURVEY.read_text()
+    m = re.search(r"(\d+) registered queries, (\d+) oracle-backed", text)
+    assert m, "SURVEY.md §8 inventory line missing"
+    total = len(REGISTRY)
+    oracle = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    assert (int(m.group(1)), int(m.group(2))) == (total, oracle), (
+        f"SURVEY.md says {m.group(1)}/{m.group(2)} but registry has "
+        f"{total} registered / {oracle} oracle-backed — update SURVEY.md §8"
+    )
+
+
+def test_rows_only_queries_are_the_documented_six():
+    rows_only = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+    assert rows_only == [
+        "approx_distinct_customers",
+        "chunk_split",
+        "chunk_split_overlap",
+        "csv_sink",
+        "file_scan",
+        "pdf_extract",
+    ], f"rows-only set changed: {rows_only} — update SURVEY.md §8 and this list"
