@@ -3763,6 +3763,111 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions: entropy quality scoring, SCD2 dimension history,
+# deterministic sharded corpus shuffle, ORC source round-trip.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "char_entropy",
+    """
+WITH ch AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch
+    FROM documents WHERE length(text) > 0
+),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+ent AS (
+    SELECT doc_id,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6)
+               AS char_entropy
+    FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id, e.char_entropy FROM documents d LEFT JOIN ent e USING (doc_id)
+""",
+)
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram Shannon entropy per document — the cheap
+    gibberish/repetition quality signal (operators/textstats.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+@register(
+    "scd2_user_state",
+    """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM changes
+""",
+)
+def scd2_user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from the event
+    change stream (operators/relational.py scd2_history): per-user
+    state with valid_from/valid_to, NULL valid_to = current."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import scd2_history
+
+    return scd2_history(_events(spark, sf_dir))
+
+
+@register(
+    "training_shard_order",
+    """
+WITH h AS (
+    SELECT doc_id, md5('shuffle-seed-1|' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+)
+SELECT doc_id, substring(h, 1, 2) AS shard,
+       CAST(row_number() OVER (PARTITION BY substring(h, 1, 2) ORDER BY h, doc_id)
+            AS BIGINT) AS shard_pos
+FROM h
+""",
+)
+def training_shard_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded corpus shuffle: (shard, shard_pos) define
+    the training read order, reproducible across engines/runs, with
+    per-shard windows instead of one global serial row_number
+    (operators/curation.py training_shard_order)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        training_shard_order,
+    )
+
+    return training_shard_order(_docs(spark, sf_dir))
+
+
+@register(
+    "orc_source",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip (columnar sibling of json_source): write
+    the documents metadata as ORC with Spark's native vectorized
+    writer, read it back. Value-compared against the original table,
+    so the round-trip must be lossless."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orc_source_") + "/docs"
+    _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).orc(out)
+    return spark.read.schema(
+        "doc_id bigint, lang string, source string, n_chars bigint"
+    ).orc(out)
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -3808,6 +3913,10 @@ _VERIFY_FIRST = [
     "dedup_ngram_jaccard",
     # round-3 additions (first driver rows needed)
     "pack_sequences_salted",
+    "char_entropy",
+    "scd2_user_state",
+    "training_shard_order",
+    "orc_source",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {

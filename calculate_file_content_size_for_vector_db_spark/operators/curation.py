@@ -217,6 +217,32 @@ def pack_sequences_salted(
     )
 
 
+def training_shard_order(
+    df: DataFrame,
+    key: str = "doc_id",
+    seed: str = "shuffle-seed-1",
+    shard_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded: every doc
+    gets (shard, shard_pos) — shard from the first ``shard_chars`` hex
+    chars of a seeded md5 (256 shards at the default), position by
+    md5-then-key rank WITHIN the shard. Reading shards in order and
+    each shard by position yields the same pseudo-random document order
+    on every run/engine — how training corpora are actually shuffled at
+    scale (a single global row_number would serialize 100 TB through
+    one window task; per-shard windows are n_shards-way parallel).
+    Re-seeding reshuffles; keys absent from a shard don't move others.
+    """
+    h = F.md5(F.concat(F.lit(seed + "|"), F.col(key).cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", key)
+    return (
+        df.select(F.col(key), h.alias("h"))
+        .withColumn("shard", F.substring("h", 1, shard_chars))
+        .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+        .select(key, "shard", "shard_pos")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

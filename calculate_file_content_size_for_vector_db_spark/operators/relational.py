@@ -305,6 +305,31 @@ def promo_revenue_ratio(
     )
 
 
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each user's event
+    state: collapse the per-user event stream into (state, valid_from,
+    valid_to) intervals — valid_to is NULL for the current state. The
+    standard way a warehouse materializes dimension history from a
+    change stream.
+
+    Plan shape: one shuffle on user_id drives everything — the lag()
+    change filter and the lead() interval close ride the same
+    (user_id, ts) sort; ties on ts break by event_id so the history is
+    deterministic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+    )
+
+
 def disjunctive_part_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
     conjunctions — the disjunctive-predicate pushdown probe. The OR

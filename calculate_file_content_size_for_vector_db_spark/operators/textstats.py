@@ -114,7 +114,29 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
-def fingerprint(col: Column | str) -> Column:
+def char_entropy(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """(key, char_entropy): Shannon entropy of the character unigram
+    distribution in bits/char — the classic cheap gibberish/repetition
+    detector (near-0 for 'aaaa...', ~4.2 for English prose, higher for
+    random bytes). Empty/NULL text -> NULL entropy, row preserved.
+
+    Plan shape: explode chars once, two keyed hash-aggs ((key, ch)
+    counts, then one per-key agg) — map-side partial, linear at any
+    scale. Uses the algebraic form H = log2(n) - sum(c*log2(c))/n so
+    no window/self-join is needed for the total count."""
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    df = spread(df)
+    chars = df.select(
+        F.col(key), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).where(F.length("ch") > 0)
+    counts = chars.groupBy(key, "ch").agg(F.count("*").alias("c"))
+    ent = counts.groupBy(key).agg(
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+        ).alias("char_entropy")
+    )
+    return df.select(key).join(ent, key, "left").select(key, "char_entropy")
     """Polynomial rolling hash over code points, mod 1e9+7 — a
     deterministic 'document fingerprint' (empty/NULL -> 0)."""
     c = F.col(col) if isinstance(col, str) else col
