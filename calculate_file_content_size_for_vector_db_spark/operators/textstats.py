@@ -137,6 +137,9 @@ def char_entropy(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> 
         ).alias("char_entropy")
     )
     return df.select(key).join(ent, key, "left").select(key, "char_entropy")
+
+
+def fingerprint(col: Column | str) -> Column:
     """Polynomial rolling hash over code points, mod 1e9+7 — a
     deterministic 'document fingerprint' (empty/NULL -> 0)."""
     c = F.col(col) if isinstance(col, str) else col
