@@ -2019,13 +2019,16 @@ def richest_customer_per_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "langs_per_source",
     """
-SELECT source, list_sort(list(DISTINCT lang)) AS langs
+SELECT source, to_json(list_sort(list(DISTINCT lang))) AS langs
 FROM documents GROUP BY source
 """,
 )
 def langs_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # langs is serialized to JSON on both sides: the driver's pandas
+    # canonicalizer can't hash a raw array<string> column (same fix as
+    # rag_ingest / sim_ivf_centroids).
     return _docs(spark, sf_dir).groupBy("source").agg(
-        F.array_sort(F.collect_set("lang")).alias("langs")
+        F.to_json(F.array_sort(F.collect_set("lang"))).alias("langs")
     )
 
 

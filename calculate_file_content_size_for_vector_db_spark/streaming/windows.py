@@ -25,6 +25,19 @@ def _fmt(c: Column) -> Column:
     return F.date_format(c, TS_FMT)
 
 
+def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (LTZ).
+
+    Spark reads the events parquet's naive timestamps as TIMESTAMP_NTZ
+    (inferTimestampNTZ), but `withWatermark` only accepts TIMESTAMP —
+    attaching a watermark to an NTZ column raises
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. Under this package's pinned
+    UTC session timezone (session.py) the cast is value-identical, so
+    batch and stream faces of the same aggregation stay comparable.
+    """
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
 def tumbling_agg(
     events: DataFrame,
     duration: str = "10 minutes",
@@ -187,7 +200,8 @@ def watermarked_tumbling(events: DataFrame, duration: str = "10 minutes", delay:
     """Watermarked tumbling aggregation (late data beyond `delay` is
     dropped; state bounded)."""
     return (
-        events.withWatermark("ts", delay)
+        with_event_time(events, "ts")
+        .withWatermark("ts", delay)
         .groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(_fmt(F.col("w.start")).alias("window_start"), "event_type", "n_events")
@@ -196,7 +210,11 @@ def watermarked_tumbling(events: DataFrame, duration: str = "10 minutes", delay:
 
 def stream_dedup(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
     """Stateful streaming dedup with bounded state."""
-    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+    return (
+        with_event_time(events, "ts")
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
 
 
 def interval_join(

@@ -59,7 +59,7 @@ def test_streaming_dedup_drops_duplicates(spark, batch_events, stream_dir):
 
 def test_streaming_session_window_runs(spark, batch_events, stream_dir):
     stream = spark.readStream.schema(batch_events.schema).parquet(stream_dir)
-    agg = W.session_agg(stream.withWatermark("ts", "1 hour"))
+    agg = W.session_agg(W.with_event_time(stream).withWatermark("ts", "1 hour"))
     q = (
         agg.writeStream.outputMode("append")
         .format("memory")
@@ -129,6 +129,7 @@ def test_stream_stream_interval_join(spark, batch_events, stream_dir):
     from pyspark.sql import functions as F
 
     def sides(df):
+        df = W.with_event_time(df)
         clicks = df.where(F.col("event_type") == "click").withWatermark("ts", "2 hours")
         purchases = df.where(F.col("event_type") == "purchase").withWatermark("ts", "2 hours")
         return clicks, purchases
