@@ -51,6 +51,71 @@ HEADLINE = [
 WARMUP_DIR = "/root/testdata/sf0.01"
 
 
+# ---------------------------------------------------------------------------
+# Contention self-diagnosis. Round 3's official bench recorded a +4071%
+# regression on dedup_minhash_lsh that turned out to be a co-running
+# local[32] JVM from another process, not a code change. Load average
+# alone can't tell that apart from our own work (the bench itself pushes
+# loadavg to ~CPUS), so we measure EXTERNAL busy CPU: /proc/stat busy
+# jiffies minus the jiffies consumed by our own process tree (python +
+# Spark JVM + pyspark workers). If other processes burned a significant
+# fraction of the machine during the measured window, the emitted JSON
+# says so — a contaminated run is diagnosable from the artifact itself.
+# ---------------------------------------------------------------------------
+
+
+def _proc_stat_jiffies() -> tuple[int, int]:
+    """(total, busy) jiffies across all CPUs since boot."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals), sum(vals) - idle
+
+
+def _tree_jiffies(root: int) -> int:
+    """utime+stime jiffies of `root` and every live descendant.
+
+    Heuristic: reaped short-lived children disappear from the sum, but
+    the long-lived Spark JVM and pyspark daemon workers dominate."""
+    info: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rindex(")") + 2 :].split()
+        info[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in info.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [root]
+    while stack:
+        pid = stack.pop()
+        if pid in info:
+            total += info[pid][1]
+            stack.extend(children.get(pid, []))
+    return total
+
+
+class _ContentionMeter:
+    def __init__(self) -> None:
+        self.ncpus = os.cpu_count() or 1
+        self._t = _proc_stat_jiffies()
+        self._o = _tree_jiffies(os.getpid())
+
+    def sample(self) -> float:
+        """External busy CPUs (machine-wide busy minus ours) averaged
+        over the interval since the previous sample."""
+        t, o = _proc_stat_jiffies(), _tree_jiffies(os.getpid())
+        dt_total = max(1, t[0] - self._t[0])
+        ext_busy = max(0, (t[1] - self._t[1]) - (o - self._o))
+        self._t, self._o = t, o
+        return round(ext_busy / dt_total * self.ncpus, 2)
+
+
 def main() -> None:
     # Isolation: if a session already exists in this process (e.g. the
     # correctness sweep ran first), its cached frames and accumulated
@@ -72,9 +137,13 @@ def main() -> None:
     spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    meter = _ContentionMeter()
     timings: dict[str, float] = {}
+    external_cpus: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        meter.sample()  # reset interval to this query's window
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -85,9 +154,23 @@ def main() -> None:
             # queries aren't measured under earlier queries' memory
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        external_cpus[name] = meter.sample()
+        flag = "  ** CONTENDED **" if external_cpus[name] > 0.25 * meter.ncpus else ""
+        print(
+            f"# {name}: {timings[name]:.2f}s (external busy cpus: {external_cpus[name]}){flag}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
+    max_external = max(external_cpus.values()) if external_cpus else 0.0
+    contended = max_external > 0.25 * meter.ncpus
+    if contended:
+        print(
+            f"# WARNING: external processes used up to {max_external} of "
+            f"{meter.ncpus} CPUs during the run — timings are contaminated; "
+            "re-run on an idle machine.",
+            file=sys.stderr,
+        )
 
     # Per-query delta vs the previous round's recorded bench (if any),
     # so regressions are visible per query rather than only in the total.
@@ -110,6 +193,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_before": load_before,
+                "external_busy_cpus": external_cpus,
+                "max_external_busy_cpus": max_external,
+                "ncpus": meter.ncpus,
+                "contended": contended,
             }
         )
     )
