@@ -24,6 +24,10 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+    PROD_MAX_BUCKET_SIZE,
+    PROD_MAX_SHINGLE_FREQ,
+)
 from calculate_file_content_size_for_vector_db_spark.plans.pipeline import DocumentPipeline
 from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
 
@@ -628,14 +632,19 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     "WITH "
     + _SQL_SHINGLES
-    + """,
+    + f""",
 ex AS (
     SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh_t
+),
+exf AS (
+    -- mirror of max_shingle_freq: hub shingles leave the JOIN side
+    -- only; n (per-doc size) keeps every shingle
+    SELECT * FROM ex QUALIFY count(*) OVER (PARTITION BY g) <= {PROD_MAX_SHINGLE_FREQ}
 ),
 cand AS (
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
-    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT a_id, b_id,
@@ -645,9 +654,21 @@ WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
 """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from calculate_file_content_size_for_vector_db_spark.operators.dedup import ngram_jaccard_pairs
+    """Bounded-candidate form is the production default: hub shingles
+    (doc-freq > PROD_MAX_SHINGLE_FREQ) are dropped from candidate
+    generation — without the cap one boilerplate shingle shared by 1M
+    docs fans the self-join out quadratically. The cap is mirrored in
+    the oracle's QUALIFY filter, so the bounded semantics themselves
+    are hash-verified (neutral at fixture scale: max doc-freq there is
+    7)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        PROD_MAX_SHINGLE_FREQ,
+        ngram_jaccard_pairs,
+    )
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, max_shingle_freq=PROD_MAX_SHINGLE_FREQ
+    )
 
 
 _SQL_MINHASH_BANDS = (
@@ -714,6 +735,49 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    _SQL_MINHASH_BANDS
+    + f""",
+bands_f AS (
+    -- mirror of max_bucket_size: oversized band buckets are dropped
+    -- whole before candidate generation
+    SELECT * FROM bands
+    QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= {PROD_MAX_BUCKET_SIZE}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands_f a JOIN bands_f b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.a_id, c.b_id,
+           len(list_intersect(sa.sh, sb.sh)) AS inter,
+           len(sa.sh) AS n_a, len(sb.sh) AS n_b
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id,
+       round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+FROM verified
+WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+""",
+)
+def dedup_minhash_lsh_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production default for MinHash-LSH at scale: band buckets
+    larger than PROD_MAX_BUCKET_SIZE are dropped before the candidate
+    self-join, bounding per-bucket fanout at cap^2 on low-entropy
+    corpora where exact LSH degenerates to quadratic. Cap mirrored in
+    the oracle's QUALIFY filter (neutral at fixture scale: max bucket
+    there is 3), so the bounded semantics are hash-verified."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, max_bucket_size=PROD_MAX_BUCKET_SIZE
+    )
 
 
 _SQL_SIMHASH = f"""
@@ -3879,47 +3943,69 @@ def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds even if the driver caps or timeboxes its sweep.
 # ---------------------------------------------------------------------------
 
-# Round-3 priority: the driver caps its per-round sweep at ~50 queries,
-# so this list is EXACTLY the rows missing from CORRECTNESS_r01 ∪ r02 —
-# the 23 registered queries that have never received a driver row, plus
-# the two array-output queries fixed this round (rag_ingest,
-# sim_ivf_centroids — previously failed pandas canonicalization), plus
-# dedup_ngram_jaccard whose DuckDB oracle was rewritten in round 2 after
-# its last hash verification (ADVICE.md). 26 names, comfortably inside
-# the cap; everything after them keeps its proven registration order.
+# Round-4 priority (the driver caps its per-round sweep at ~50 rows):
+# 1. queries fixed or (re)registered this round — langs_per_source (the
+#    only query never green in any round, to_json fix),
+#    dedup_minhash_lsh_capped (new), dedup_ngram_jaccard (its oracle
+#    gained the mirrored QUALIFY shingle-freq cap after its r03 row);
+# 2. the 31 queries whose last green row is from round 1 — including
+#    the whole bench headline set (VERDICT r03 item 6);
+# 3. heavy round-2-latest queries filling the remaining slots.
+# Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
-    "part_unpivot",
-    "salted_event_counts",
-    "cdc_upsert",
-    "grouping_sets_lang_source",
-    "events_json_struct",
-    "fuzzy_source_match",
-    "orders_moving_avg",
-    "training_pipeline",
-    "tpch_q6",
-    "late_shipment_orders",
-    "above_avg_customers",
-    "vocabulary",
-    "tfidf_top_terms",
-    "train_test_split",
-    "events_props_map",
-    "orders_window_stats",
-    "lineitem_stats",
-    "grouped_percentiles",
-    "value_histogram",
-    "richest_customer_per_nation",
+    # --- fixed / new this round ---
     "langs_per_source",
-    "zscore_by_lang",
-    "dedup_clusters",
-    "rag_ingest",
-    "sim_ivf_centroids",
+    "dedup_minhash_lsh_capped",
     "dedup_ngram_jaccard",
-    # round-3 additions (first driver rows needed)
-    "pack_sequences_salted",
-    "char_entropy",
-    "scd2_user_state",
-    "training_shard_order",
-    "orc_source",
+    # --- r01-only rows (stalest), registration order ---
+    "text_tokens",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "minhash_signature",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "simhash_pairs",
+    "sim_topk_bruteforce",
+    "sim_nearest_neighbor",
+    "dedup_embedding",
+    "sim_lsh_buckets",
+    "sim_topk_lsh",
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "events_sessionize_lag",
+    "events_json",
+    "events_topk_per_user",
+    "events_lag_delta",
+    "events_asof_join",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "anti_join_customers",
+    "semi_join_customers",
+    "nation_set_ops",
+    "doc_cube",
+    "lang_pivot",
+    "multimodal_image_meta",
+    # --- r02-latest heavies, filling the 50-row window ---
+    "sim_topk_ivf",
+    "sim_ivf_assign",
+    "multimodal_frames",
+    "duplicated_spans",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {

@@ -33,6 +33,16 @@ MINHASH_BANDS = 4  # rows per band = MINHASH_FUNCS / MINHASH_BANDS = 2
 SIMHASH_BITS = 16
 NGRAM = 3
 
+# Production defaults for the candidate-generation guards. Uncapped
+# (None) keeps exact LSH / exact-Jaccard semantics, but a low-entropy
+# corpus (boilerplate shingles, collapsed signatures) makes candidate
+# generation quadratic in the hub-bucket size — at 100 TB a single
+# 1M-doc band bucket is ~10^12 candidate rows. The registered *_capped
+# queries use these values and mirror them in their DuckDB oracles, so
+# the bounded form is itself hash-verified, not just the exact form.
+PROD_MAX_BUCKET_SIZE = 16
+PROD_MAX_SHINGLE_FREQ = 128
+
 
 def shingles(col: Column | str, n: int = NGRAM) -> Column:
     """Distinct word n-gram shingles (space-joined)."""

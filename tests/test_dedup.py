@@ -74,6 +74,41 @@ def test_minhash_lsh_finds_exact_dup(spark):
     assert [(p.a_id, p.b_id, p.jaccard) for p in pairs] == [(0, 1, 1.0)]
 
 
+def test_minhash_lsh_bucket_cap_bounds_low_entropy_corpus(spark):
+    # adversarial low-entropy corpus: 40 identical docs collapse every
+    # band into a single bucket, so exact LSH candidate generation is
+    # quadratic — C(40,2) = 780 pairs. The cap drops the mega-bucket
+    # whole, bounding per-bucket fanout at cap^2, while a genuine
+    # near-dup pair living in small buckets is still found.
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, boiler) for i in range(40)] + [
+        (100, "completely different private document body text here"),
+        (101, "completely different private document body text here"),
+    ]
+    df = _docs(spark, rows)
+    uncapped = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert len(uncapped) == 40 * 39 // 2 + 1  # quadratic in the hub cluster
+    capped = dedup.minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=16).collect()
+    assert [(p.a_id, p.b_id, p.jaccard) for p in capped] == [(100, 101, 1.0)]
+    # cap above the largest bucket == exact LSH semantics
+    loose = dedup.minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=64).collect()
+    assert sorted((p.a_id, p.b_id) for p in loose) == sorted(
+        (p.a_id, p.b_id) for p in uncapped
+    )
+
+
+def test_capped_lsh_registration_neutral_at_fixture_scale(spark):
+    # the registered production default (dedup_minhash_lsh_capped) must
+    # produce the exact query's output wherever no bucket exceeds the
+    # cap — which holds for the driver fixtures (max bucket 3 at sf0.01)
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = sorted(map(tuple, REGISTRY["dedup_minhash_lsh"].fn(spark, sf).collect()))
+    capped = sorted(map(tuple, REGISTRY["dedup_minhash_lsh_capped"].fn(spark, sf).collect()))
+    assert exact == capped
+
+
 def test_simhash_equal_for_equal_token_multisets(spark):
     df = _docs(spark, [(0, "m n o"), (1, "o n m"), (2, "aa bb cc dd ee")])
     s = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
