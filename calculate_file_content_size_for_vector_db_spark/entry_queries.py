@@ -286,6 +286,16 @@ FROM per_file
 """,
 )
 def sort_by_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global size rank of the per-file summary.
+
+    The unpartitioned window funnels through ONE task — acceptable only
+    because its input is the per-file summary (one row per document,
+    ~bytes each), not the chunk fact table; a corpus would need
+    billions of FILES before the ranked frame outgrew an executor. The
+    global total order IS the operator's semantic (reference
+    pdf_reader.py sorts the whole summary table). Pinned by
+    tests/test_plans.py::test_global_window_rankers_rank_aggregated_frames.
+    """
     from pyspark.sql import Window
 
     per = _pipe(spark).per_file(_docs(spark, sf_dir))
@@ -1461,6 +1471,15 @@ FROM customer
 """,
 )
 def customer_balance_ntile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quartiles/percent-rank over the customer DIMENSION.
+
+    ntile/percent_rank need the full total order, so the unpartitioned
+    window is inherent to the semantic. Bounded-input assumption:
+    customer is a dimension table (TPC-H: 150k rows/SF — ~15M at
+    SF100), small enough for the single ranking task; for fact-scale
+    percentile needs use lineitem_percentiles (approx_percentile, fully
+    parallel) instead.
+    """
     from pyspark.sql import Window
 
     w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
@@ -1868,7 +1887,15 @@ FROM toks GROUP BY word
 """,
 )
 def vocabulary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary with frequency ranks (explode + count + rank)."""
+    """Corpus vocabulary with frequency ranks (explode + count + rank).
+
+    The rank window is global (unpartitioned) but its input is the
+    POST-AGGREGATION distinct-word frame — natural-language vocabulary
+    grows ~O(corpus^0.5) (Heaps' law), millions of rows at 100 TB, not
+    the token fact table's trillions. Consumers needing only the head
+    should add .limit(k) before collecting. Pinned by
+    tests/test_plans.py::test_global_window_rankers_rank_aggregated_frames.
+    """
     from pyspark.sql import Window
 
     from calculate_file_content_size_for_vector_db_spark.operators.textstats import tokens

@@ -184,3 +184,24 @@ def test_pack_sequences_salted_subdivides_streams(spark):
     plan = _physical(spark, "pack_sequences_salted")
     assert re.search(r"windowspecdefinition\(source#\d+, _sub", plan), plan
     assert re.search(r"hashpartitioning\(source#\d+, _sub", plan)
+
+
+def test_global_window_rankers_rank_aggregated_frames(spark):
+    # sort_by_size and vocabulary rank over a GLOBAL (unpartitioned)
+    # window — acceptable only because the ranked input is a bounded
+    # summary frame, orders of magnitude smaller than the underlying
+    # fact rows. Pin the shape so a refactor can't silently rank fact
+    # rows. (customer_balance_ntile's global window ranks the customer
+    # dimension — bounded by table choice, documented in its docstring.)
+    def _opt(name):
+        return REGISTRY[name].fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+
+    # vocabulary: the Window must sit ABOVE the distinct-word Aggregate
+    # (Heaps'-law-bounded), never directly over exploded token rows
+    plan = _opt("vocabulary")
+    assert "Window" in plan and "Aggregate" in plan
+    assert plan.index("Window") < plan.index("Aggregate")
+    # sort_by_size: the ranked frame is the per-file summary — one row
+    # per document, no explode (Generate) anywhere beneath the window
+    plan = _opt("sort_by_size")
+    assert "Window" in plan and "Generate" not in plan
