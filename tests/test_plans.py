@@ -205,3 +205,53 @@ def test_global_window_rankers_rank_aggregated_frames(spark):
     # per document, no explode (Generate) anywhere beneath the window
     plan = _opt("sort_by_size")
     assert "Window" in plan and "Generate" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # session.py enables spark.sql.adaptive.skewJoin; prove it ACTS on a
+    # deliberately skewed join (one key owning a third of the fact
+    # rows), not merely that the flag is set. Thresholds are shrunk so
+    # fixture-sized data crosses them; the skew split only applies when
+    # no downstream operator requires the join's hash distribution
+    # (adding a groupBy suppresses it — that shape relies on salting,
+    # see salted_event_counts).
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "131072",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 300000).select(
+            F.when(F.col("id") % 3 == 0, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 1).cast("string")),
+                F.md5((F.col("id") + 2).cast("string")),
+                F.md5((F.col("id") + 3).cast("string")),
+            ).alias("payload"),  # md5 hex keeps shuffle blocks incompressible
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("name")
+        )
+        joined = fact.join(dim, "k")
+        assert len(joined.collect()) == 300000
+        # the final adaptive plan of THIS QueryExecution (collect ran it)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
