@@ -631,3 +631,210 @@ def nearest_neighbor_blocked(
     return topk_grid(embeddings, embeddings, 1, id_col, vec_col).select(
         "query_id", "neighbor_id", "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the standard ANN compression path at very
+# large corpus scale (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011). The embedding space is split into
+# PQ_SUBS contiguous subspaces; each subspace gets its own small
+# k-means codebook; a vector is stored as PQ_SUBS one-byte codes
+# (64 floats -> 4 bytes here). Search uses asymmetric distance
+# computation (ADC): per query, a (sub, code) -> squared-distance
+# lookup table, so scoring a corpus vector is m table lookups + adds —
+# never a full-dimension dot product.
+#
+# Spark shape (the 100 TB design):
+# - codebooks are m*k rows total — they train via the same unrolled
+#   Lloyd rounds as ivf_centroids and BROADCAST everywhere;
+# - encoding is a narrow broadcast join + argmin, no shuffle beyond
+#   the subvector explode;
+# - the ADC scan is an equi-join of the (id, sub, code) code table
+#   against the broadcast per-query LUT, then ONE keyed aggregation
+#   (map-side partial sums) — shuffle bounded by N*m code rows, which
+#   are ~16x smaller than the raw vectors.
+#
+# Determinism (oracle parity): init codewords = subvectors of the k
+# smallest-id vectors; squared L2 distances are sequential-fold summed
+# and rounded to 6 decimals BEFORE argmin/ranking; ties break on the
+# smaller code / neighbor id; per-dimension means round to 6 decimals
+# each round — mirroring _sql_pq_chain in entry_queries.py.
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 4
+PQ_CODES = 8
+PQ_ITERS = 2
+
+
+def sqdist(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Squared L2 distance, sequential-fold summation, rounded."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        decimals,
+    )
+
+
+def subvectors(
+    embeddings: DataFrame,
+    m: int = PQ_SUBS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub, sv): the m contiguous dim/m-wide subvectors per
+    vector. Narrow map (inline of a transform over 0..m-1)."""
+    d = dim // m
+    v = as_double(vec_col)
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"), F.slice(v, s * d + F.lit(1), F.lit(d)).alias("sv")
+        ),
+    )
+    return spread(embeddings).select(F.col(id_col), F.inline(subs))
+
+
+def _pq_assign(sv: DataFrame, codebooks: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, sub, code): nearest codeword per subvector (rounded L2²,
+    ties -> smallest code). The m packed codebook rows broadcast; the
+    argmin is a higher-order array_min per row — no per-candidate
+    window, no shuffle."""
+    packed = codebooks.groupBy("sub").agg(
+        F.collect_list(F.struct("code", "cv")).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                sqdist(F.col("sv"), c["cv"]).alias("d"), c["code"].alias("code")
+            ),
+        )
+    )
+    return (
+        sv.join(F.broadcast(packed), "sub")
+        .select(F.col(id_col), "sub", best.getField("code").alias("code"))
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_SUBS,
+    k: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, code, cv): per-subspace k-means codebooks after ``iters``
+    Lloyd rounds, trained in pure DataFrame ops (nothing collected;
+    m*k rows flow between rounds). Empty codewords drop out, exactly
+    as in the SQL mirror."""
+    sv = subvectors(embeddings, m, dim, id_col, vec_col).persist()
+    first_k = (
+        embeddings.select(id_col)
+        .orderBy(id_col)
+        .limit(k)
+        .withColumn("code", (F.row_number().over(Window.orderBy(id_col)) - 1).cast("int"))
+    )
+    cb = sv.join(first_k, id_col).select("sub", "code", F.col("sv").alias("cv"))
+    for _ in range(iters):
+        asg = _pq_assign(sv, cb, id_col)
+        per_dim = (
+            sv.join(asg, [id_col, "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+        )
+        cb = per_dim.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            ).alias("cv")
+        )
+    return cb
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = PQ_SUBS,
+    k: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector as its array of m codebook codes —
+    the 16x-compressed ANN representation."""
+    sv = subvectors(embeddings, m, dim, id_col, vec_col)
+    cb = pq_codebooks(embeddings, m, k, iters, dim, id_col, vec_col)
+    asg = _pq_assign(sv, cb.persist(), id_col)
+    return asg.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    m: int = PQ_SUBS,
+    k: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: rank corpus vectors by the SUM of per-subspace
+    codeword distances to the query (ascending; approximate L2²).
+
+    The per-query LUT (n_queries * m * k rows) broadcasts; the corpus
+    side is only its code table. One keyed aggregation produces the
+    scores; a per-query window ranks them. ``queries`` is a frame of
+    ids (subset of the corpus, as in the other sim_ queries)."""
+    sv = subvectors(embeddings, m, dim, id_col, vec_col).persist()
+    first_k = (
+        embeddings.select(id_col)
+        .orderBy(id_col)
+        .limit(k)
+        .withColumn("code", (F.row_number().over(Window.orderBy(id_col)) - 1).cast("int"))
+    )
+    cb = sv.join(first_k, id_col).select("sub", "code", F.col("sv").alias("cv"))
+    for _ in range(iters):
+        asg = _pq_assign(sv, cb, id_col)
+        per_dim = (
+            sv.join(asg, [id_col, "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+        )
+        cb = per_dim.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            ).alias("cv")
+        )
+    cb = cb.persist()
+    codes = _pq_assign(sv, cb, id_col)  # corpus code table, N*m rows
+    qsv = sv.join(queries.select(id_col), id_col).select(
+        F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qsv")
+    )
+    lut = qsv.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code", sqdist(F.col("qsv"), F.col("cv")).alias("d2")
+    )
+    adc = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
