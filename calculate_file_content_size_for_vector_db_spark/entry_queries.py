@@ -642,6 +642,37 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     "WITH "
     + _SQL_SHINGLES
+    + """,
+ex AS (
+    SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh_t
+),
+cand AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+FROM cand
+WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+""",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (no candidate bound) — full recall;
+    the production-scale bounded form is dedup_ngram_jaccard_capped,
+    mirroring the dedup_minhash_lsh / _capped naming pair."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    "WITH "
+    + _SQL_SHINGLES
     + f""",
 ex AS (
     SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh_t
@@ -663,10 +694,10 @@ FROM cand
 WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
 """,
 )
-def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-candidate form is the production default: hub shingles
-    (doc-freq > PROD_MAX_SHINGLE_FREQ) are dropped from candidate
-    generation — without the cap one boilerplate shingle shared by 1M
+def dedup_ngram_jaccard_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-candidate form — the production default at scale: hub
+    shingles (doc-freq > PROD_MAX_SHINGLE_FREQ) are dropped from
+    candidate generation, since one boilerplate shingle shared by 1M
     docs fans the self-join out quadratically. The cap is mirrored in
     the oracle's QUALIFY filter, so the bounded semantics themselves
     are hash-verified (neutral at fixture scale: max doc-freq there is
@@ -790,7 +821,8 @@ def dedup_minhash_lsh_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SIMHASH = f"""
+def _sql_simhash(bits: int = 16) -> str:
+    return f"""
 ws_t AS (
     SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents
 ),
@@ -804,12 +836,15 @@ h_t AS (
 sim_t AS (
     SELECT doc_id,
            CASE WHEN len(hs) = 0 THEN 0
-                ELSE CAST(list_sum(list_transform(range(0, 16),
+                ELSE CAST(list_sum(list_transform(range(0, {bits}),
                     b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
                               THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) END AS simhash
     FROM h_t
 )
 """
+
+
+_SQL_SIMHASH = _sql_simhash(16)
 
 
 @register(
@@ -838,6 +873,49 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# Scale form: 28-bit sketch (2^7 buckets per pigeonhole segment) plus
+# the bucket-size cap — the deployment defaults from dedup.py, both
+# mirrored in the oracle (segment explode + QUALIFY bucket filter),
+# so the bounded candidate generation is itself hash-verified.
+_SIMHASH_WIDE_SEG_BITS = 7  # 28 bits / (max_hamming 3 + 1) segments
+
+
+@register(
+    "simhash_pairs_wide",
+    "WITH "
+    + _sql_simhash(28)
+    + f""",
+segs AS (
+    SELECT doc_id, simhash, CAST(t.i AS INT) AS seg,
+           CAST((simhash >> (t.i * {_SIMHASH_WIDE_SEG_BITS})) & {(1 << _SIMHASH_WIDE_SEG_BITS) - 1} AS INT) AS seg_val
+    FROM sim_t, (SELECT unnest(range(0, 4)) AS i) t
+),
+segf AS (
+    SELECT * FROM segs
+    QUALIFY count(*) OVER (PARTITION BY seg, seg_val) <= {PROD_MAX_BUCKET_SIZE}
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM segf a JOIN segf b ON a.seg = b.seg AND a.seg_val = b.seg_val
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def simhash_pairs_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        PROD_MAX_BUCKET_SIZE,
+        SIMHASH_BITS_SCALE,
+        simhash_pairs,
+    )
+
+    return simhash_pairs(
+        _docs(spark, sf_dir),
+        max_hamming=3,
+        bits=SIMHASH_BITS_SCALE,
+        max_bucket_size=PROD_MAX_BUCKET_SIZE,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1429,6 +1507,154 @@ def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return topk_ivf(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/similarity.py pq_*): per-subspace
+# k-means codebooks, the compressed code table, and ADC top-k. The
+# oracle unrolls the identical Lloyd rounds per subspace: init =
+# subvectors of the k smallest-id vectors; assignment by squared-L2
+# rounded to 6 decimals BEFORE argmin (ties -> smallest code);
+# per-dimension means rounded to 6 decimals each round. The `lut`
+# CTE bakes in the query set (vec_id < 10) used by both topk queries.
+# ---------------------------------------------------------------------------
+
+
+def _sql_pq_chain(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    d = dim // m
+
+    def sq(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {d + 1}), "
+            f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))), 6)"
+        )
+
+    parts = [
+        f"""sv AS (
+    SELECT vec_id, CAST(t.s AS INT) AS sub,
+           list_slice(v, t.s * {d} + 1, t.s * {d} + {d}) AS sv
+    FROM e, (SELECT unnest(range(0, {m})) AS s) t
+)""",
+        f"""firstk AS (
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+    FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k})
+)""",
+        "cb0 AS (SELECT s.sub, f.code, s.sv AS cv FROM sv s JOIN firstk f USING (vec_id))",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""asg{i} AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY {sq("s.sv", "c.cv")}, c.code) AS rn
+        FROM sv s JOIN cb{i - 1} c ON s.sub = c.sub
+    ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""cb{i} AS (
+    SELECT sub, code, list(cx ORDER BY pos) AS cv FROM (
+        SELECT a.sub, a.code, t.pos AS pos, round(avg(s.sv[t.pos]), 6) AS cx
+        FROM sv s JOIN asg{i} a ON s.vec_id = a.vec_id AND s.sub = a.sub,
+             (SELECT unnest(range(1, {d + 1})) AS pos) t
+        GROUP BY a.sub, a.code, t.pos
+    ) GROUP BY sub, code
+)"""
+        )
+    parts.append(
+        f"""codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY {sq("s.sv", "c.cv")}, c.code) AS rn
+        FROM sv s JOIN cb{iters} c ON s.sub = c.sub
+    ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""lut AS (
+    SELECT s.vec_id AS query_id, c.sub, c.code, {sq("s.sv", "c.cv")} AS d2
+    FROM sv s JOIN cb{iters} c ON s.sub = c.sub
+    WHERE s.vec_id < 10
+)"""
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "pq_codes",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()}
+SELECT vec_id, CAST(to_json(list(code ORDER BY sub)) AS VARCHAR) AS codes
+FROM codes GROUP BY vec_id
+""",
+)
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each vector as its m one-byte codes — the 16x-compressed corpus
+    representation. Codes JSON-serialize on both sides (the
+    sim_ivf_centroids pattern) so the driver compares scalar strings."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import pq_encode
+
+    return pq_encode(_emb(spark, sf_dir)).select(
+        "vec_id", F.to_json("codes").alias("codes")
+    )
+
+
+@register(
+    "pq_topk",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+    FROM adc
+) WHERE rank <= 5
+""",
+)
+def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_topk(emb, emb.where(F.col("vec_id") < 10), topk=5)
+
+
+@register(
+    "sim_topk_ivfpq",
+    f"""
+WITH {_SQL_IVF},
+{_sql_pq_chain()},
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co
+    JOIN assign ca ON co.vec_id = ca.vec_id
+    JOIN lut l ON co.sub = l.sub AND co.code = l.code
+    JOIN assign qa ON l.query_id = qa.vec_id AND ca.cell = qa.cell
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+    FROM adc
+) WHERE rank <= 5
+""",
+)
+def sim_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell pruning composed with PQ ADC scoring — the canonical
+    billion-scale layout (coarse quantizer prunes, codes score)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_ivfpq
+
+    emb = _emb(spark, sf_dir)
+    return topk_ivfpq(emb, emb.where(F.col("vec_id") < 10), topk=5)
 
 
 # ---------------------------------------------------------------------------
@@ -3970,69 +4196,71 @@ def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds even if the driver caps or timeboxes its sweep.
 # ---------------------------------------------------------------------------
 
-# Round-4 priority (the driver caps its per-round sweep at ~50 rows):
-# 1. queries fixed or (re)registered this round — langs_per_source (the
-#    only query never green in any round, to_json fix),
-#    dedup_minhash_lsh_capped (new), dedup_ngram_jaccard (its oracle
-#    gained the mirrored QUALIFY shingle-freq cap after its r03 row);
-# 2. the 31 queries whose last green row is from round 1 — including
-#    the whole bench headline set (VERDICT r03 item 6);
-# 3. heavy round-2-latest queries filling the remaining slots.
+# Round-5 priority (the driver caps its per-round sweep at ~50 rows):
+# 1. queries new or semantics-changed this round — the PQ surface
+#    (pq_codes / pq_topk / sim_topk_ivfpq, VERDICT r04 item 1),
+#    dedup_ngram_jaccard (reverted to exact; capped form split out per
+#    ADVICE), dedup_ngram_jaccard_capped, simhash_pairs_wide (the
+#    wired SimHash scale default, VERDICT r04 item 5);
+# 2. the 31 queries whose last green row is from round 2 (VERDICT r04
+#    item 4 — the full stale list);
+# 3. round-3-latest heavies filling the remaining slots.
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
-    # --- fixed / new this round ---
-    "langs_per_source",
-    "dedup_minhash_lsh_capped",
-    "dedup_ngram_jaccard",
-    # --- r01-only rows (stalest), registration order ---
-    "text_tokens",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "minhash_signature",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "simhash_pairs",
-    "sim_topk_bruteforce",
-    "sim_nearest_neighbor",
-    "dedup_embedding",
-    "sim_lsh_buckets",
-    "sim_topk_lsh",
-    "events_tumbling",
-    "events_sliding",
-    "events_session",
-    "events_sessionize_lag",
-    "events_json",
-    "events_topk_per_user",
-    "events_lag_delta",
-    "events_asof_join",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "anti_join_customers",
-    "semi_join_customers",
-    "nation_set_ops",
-    "doc_cube",
-    "lang_pivot",
-    "multimodal_image_meta",
-    # --- r02-latest heavies, filling the 50-row window ---
-    "sim_topk_ivf",
-    "sim_ivf_assign",
-    "multimodal_frames",
-    "duplicated_spans",
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
+    # --- new / semantics-changed this round (r05) ---
+    "pq_codes",
+    "pq_topk",
+    "sim_topk_ivfpq",
+    "dedup_ngram_jaccard",  # reverted to exact semantics (oracle changed)
+    "dedup_ngram_jaccard_capped",
+    "simhash_pairs_wide",
+    # --- the 31 queries whose latest green row is r02 (two rounds
+    # stale), registration order ---
+    "approx_distinct_customers",
+    "bucketed_join_revenue",
+    "column_profile_orders",
+    "customer_balance_ntile",
+    "decontaminate",
+    "distinct_customers_ordering",
+    "doc_repetition",
+    "embedding_quantize",
+    "event_type_islands",
+    "events_interval_join",
+    "events_multi_rollup",
+    "funnel_conversion",
+    "gopher_quality",
+    "json_source",
+    "lineitem_percentiles",
+    "multimodal_audio_windows",
+    "orders_monthly_revenue",
+    "orders_price_band_join",
+    "pack_sequences",
+    "partitioned_source_prune",
+    "pii_redact",
+    "quality_quarantine",
+    "schema_evolution_read",
+    "sim_topk_lsh_multiprobe",
+    "stratified_sample",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "winsorize_chars",
+    # --- r03-latest heavies filling the 50-row window ---
+    "training_pipeline",
+    "rag_ingest",
+    "sim_ivf_centroids",
+    "dedup_clusters",
+    "pack_sequences_salted",
+    "scd2_user_state",
+    "char_entropy",
+    "training_shard_order",
+    "orc_source",
+    "fuzzy_source_match",
+    "vocabulary",
+    "tfidf_top_terms",
+    "zscore_by_lang",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {

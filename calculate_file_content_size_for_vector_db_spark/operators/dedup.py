@@ -42,6 +42,12 @@ NGRAM = 3
 # the bounded form is itself hash-verified, not just the exact form.
 PROD_MAX_BUCKET_SIZE = 16
 PROD_MAX_SHINGLE_FREQ = 128
+# Scale-deployment SimHash width: the token hash carries ~30 usable
+# bits; 28 gives 2^7 = 128 buckets per pigeonhole segment (k=3), vs 16
+# buckets at the 16-bit fixture default — the registered
+# simhash_pairs_wide query runs this width (+ the bucket cap) and
+# mirrors both in its oracle.
+SIMHASH_BITS_SCALE = 28
 
 
 def shingles(col: Column | str, n: int = NGRAM) -> Column:

@@ -658,7 +658,8 @@ def nearest_neighbor_blocked(
 # smallest-id vectors; squared L2 distances are sequential-fold summed
 # and rounded to 6 decimals BEFORE argmin/ranking; ties break on the
 # smaller code / neighbor id; per-dimension means round to 6 decimals
-# each round — mirroring _sql_pq_chain in entry_queries.py.
+# each round — mirrored bit-for-bit by _sql_pq_chain in
+# entry_queries.py (queries pq_codes / pq_topk / sim_topk_ivfpq).
 # ---------------------------------------------------------------------------
 
 PQ_SUBS = 4
@@ -720,7 +721,7 @@ def _pq_assign(sv: DataFrame, codebooks: DataFrame, id_col: str = "vec_id") -> D
     )
 
 
-def pq_codebooks(
+def _pq_train(
     embeddings: DataFrame,
     m: int = PQ_SUBS,
     k: int = PQ_CODES,
@@ -728,11 +729,16 @@ def pq_codebooks(
     dim: int = DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """(sub, code, cv): per-subspace k-means codebooks after ``iters``
-    Lloyd rounds, trained in pure DataFrame ops (nothing collected;
-    m*k rows flow between rounds). Empty codewords drop out, exactly
-    as in the SQL mirror."""
+) -> tuple[DataFrame, DataFrame]:
+    """(sv, cb): the persisted subvector table plus the per-subspace
+    k-means codebooks after ``iters`` Lloyd rounds, trained in pure
+    DataFrame ops (nothing collected; m*k rows flow between rounds).
+    Empty codewords drop out, exactly as in the SQL mirror.
+
+    ``sv`` persists because training re-reads it every round and every
+    caller reuses it once more for the final encode; callers are lazy
+    builders so nothing unpersists mid-plan — the query registry's
+    per-entry clearCache() reclaims the memory after materialization."""
     sv = subvectors(embeddings, m, dim, id_col, vec_col).persist()
     first_k = (
         embeddings.select(id_col)
@@ -754,7 +760,21 @@ def pq_codebooks(
                 F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
             ).alias("cv")
         )
-    return cb
+    return sv, cb
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_SUBS,
+    k: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, code, cv): the trained per-subspace codebooks (one
+    shared training path — _pq_train — for all PQ entry points)."""
+    return _pq_train(embeddings, m, k, iters, dim, id_col, vec_col)[1]
 
 
 def pq_encode(
@@ -768,8 +788,7 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes): each vector as its array of m codebook codes —
     the 16x-compressed ANN representation."""
-    sv = subvectors(embeddings, m, dim, id_col, vec_col)
-    cb = pq_codebooks(embeddings, m, k, iters, dim, id_col, vec_col)
+    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col)
     asg = _pq_assign(sv, cb.persist(), id_col)
     return asg.groupBy(id_col).agg(
         F.transform(
@@ -796,27 +815,7 @@ def pq_topk(
     side is only its code table. One keyed aggregation produces the
     scores; a per-query window ranks them. ``queries`` is a frame of
     ids (subset of the corpus, as in the other sim_ queries)."""
-    sv = subvectors(embeddings, m, dim, id_col, vec_col).persist()
-    first_k = (
-        embeddings.select(id_col)
-        .orderBy(id_col)
-        .limit(k)
-        .withColumn("code", (F.row_number().over(Window.orderBy(id_col)) - 1).cast("int"))
-    )
-    cb = sv.join(first_k, id_col).select("sub", "code", F.col("sv").alias("cv"))
-    for _ in range(iters):
-        asg = _pq_assign(sv, cb, id_col)
-        per_dim = (
-            sv.join(asg, [id_col, "sub"])
-            .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("cx"))
-        )
-        cb = per_dim.groupBy("sub", "code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
-            ).alias("cv")
-        )
+    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col)
     cb = cb.persist()
     codes = _pq_assign(sv, cb, id_col)  # corpus code table, N*m rows
     qsv = sv.join(queries.select(id_col), id_col).select(
@@ -828,6 +827,55 @@ def pq_topk(
     adc = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
+
+
+def topk_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    m: int = PQ_SUBS,
+    k: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF×PQ (single-probe): PQ's ADC scan restricted to the query's
+    IVF cell — the canonical billion-scale ANN layout (coarse quantizer
+    prunes the corpus, product codes replace full vectors).
+
+    Plan shape: the corpus code table carries its cell id, so the
+    ADC equi-join keys on (cell, sub, code) — candidates outside the
+    query's cell never leave the scan. Shuffle is bounded by the code
+    rows of ONE cell per query (~N·m/n_cells), not the corpus."""
+    assign = ivf_assign(embeddings, id_col, vec_col).select(id_col, "cell").persist()
+    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col)
+    cb = cb.persist()
+    codes = _pq_assign(sv, cb, id_col).join(assign, id_col)
+    qsv = sv.join(queries.select(id_col), id_col).select(
+        F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qsv")
+    )
+    qcell = assign.join(queries.select(id_col), id_col).select(
+        F.col(id_col).alias("query_id"), "cell"
+    )
+    lut = (
+        qsv.join(F.broadcast(cb), "sub")
+        .select("query_id", "sub", "code", sqdist(F.col("qsv"), F.col("cv")).alias("d2"))
+        .join(F.broadcast(qcell), "query_id")
+    )
+    adc = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["cell", "sub", "code"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("d2"), 6).alias("adist"))

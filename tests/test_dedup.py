@@ -153,3 +153,67 @@ def test_simhash_pairs_wide_sketch_matches_narrow_semantics(spark):
         .collect()
     ]
     assert any(h >= (1 << 16) for h in hashes)
+
+
+def test_simhash_wide_bucket_cap_bounds_low_entropy_corpus(spark):
+    # adversarial low-entropy corpus for SimHash: identical docs
+    # collapse every segment into one bucket -> quadratic candidates.
+    # The registered scale defaults (28 bits + bucket cap) drop the
+    # mega-bucket whole while distinct near-dup pairs in small buckets
+    # survive.
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, boiler) for i in range(40)] + [
+        (100, "completely different private document body text here"),
+        (101, "completely different private document body text here"),
+    ]
+    df = _docs(spark, rows)
+    uncapped = dedup.simhash_pairs(df, max_hamming=3, bits=dedup.SIMHASH_BITS_SCALE)
+    assert uncapped.count() == 40 * 39 // 2 + 1
+    capped = dedup.simhash_pairs(
+        df,
+        max_hamming=3,
+        bits=dedup.SIMHASH_BITS_SCALE,
+        max_bucket_size=dedup.PROD_MAX_BUCKET_SIZE,
+    ).collect()
+    assert [(p.a_id, p.b_id, p.hamming) for p in capped] == [(100, 101, 0)]
+
+
+def test_wide_simhash_registration_is_bounded_subset(spark):
+    # the synthetic fixture corpus is low-entropy enough that 28-bit
+    # sketches collapse and segment buckets exceed the cap — exactly
+    # the degeneration the cap exists for. The registered query must
+    # return a SUBSET of the uncapped pairs (cap only removes
+    # candidates, never invents them), all within the hamming bound.
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    registered = {
+        (p.a_id, p.b_id): p.hamming
+        for p in REGISTRY["simhash_pairs_wide"].fn(spark, sf).collect()
+    }
+    docs = read_table(spark, sf, "documents")
+    uncapped = {
+        (p.a_id, p.b_id): p.hamming
+        for p in dedup.simhash_pairs(
+            docs, max_hamming=3, bits=dedup.SIMHASH_BITS_SCALE
+        ).collect()
+    }
+    assert registered, "capped wide simhash returned nothing at fixture scale"
+    assert len(registered) < len(uncapped)  # the cap actually bit
+    for pair, ham in registered.items():
+        assert uncapped[pair] == ham
+        assert 0 <= ham <= 3
+
+
+def test_ngram_jaccard_capped_registration_neutral_at_fixture_scale(spark):
+    # same contract as the minhash pair: exact and capped registrations
+    # agree wherever no shingle exceeds the frequency cap
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = sorted(map(tuple, REGISTRY["dedup_ngram_jaccard"].fn(spark, sf).collect()))
+    capped = sorted(
+        map(tuple, REGISTRY["dedup_ngram_jaccard_capped"].fn(spark, sf).collect())
+    )
+    assert exact == capped

@@ -120,3 +120,68 @@ def test_multiprobe_recall_superset_of_single_probe(spark):
     ps, pm = per_q(single), per_q(multi)
     for qid, hits in ps.items():
         assert len(pm.get(qid, set())) >= len(hits)
+
+
+def test_pq_codes_shape_and_range(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(24)]
+    df = _emb(spark, rows)
+    got = sim.pq_encode(df).collect()
+    assert len(got) == 24
+    for r in got:
+        assert len(r.codes) == sim.PQ_SUBS
+        assert all(0 <= c < sim.PQ_CODES for c in r.codes)
+
+
+def test_pq_identical_vectors_collide_and_rank_first(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(2, 22)]
+    twin = [rng.uniform(-1, 1) for _ in range(64)]
+    rows += [(0, list(twin)), (1, list(twin))]
+    df = _emb(spark, rows)
+    codes = {r.vec_id: tuple(r.codes) for r in sim.pq_encode(df).collect()}
+    # identical inputs quantize to identical codes
+    assert codes[0] == codes[1]
+    # ADC distance to the twin = the query's own quantization error
+    # (per-sub distance to its NEAREST codeword) — the minimum any
+    # neighbor can achieve, so the twin ranks first
+    top = sim.pq_topk(df, df.where("vec_id = 0"), topk=1).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in top] == [(0, 1, 1)]
+    assert top[0].adist >= 0.0
+
+
+def test_pq_topk_and_codebooks_share_one_training_path(spark):
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    df = _emb(spark, rows)
+    # pq_codebooks and the codebooks implied by pq_encode's assignment
+    # come from the same _pq_train: every emitted code must exist in
+    # the returned codebook table (same (sub, code) domain)
+    cb = {(r.sub, r.code) for r in sim.pq_codebooks(df).collect()}
+    for r in sim.pq_encode(df).collect():
+        for sub, code in enumerate(r.codes):
+            assert (sub, code) in cb
+
+
+def test_ivfpq_candidates_are_cell_restricted(spark):
+    import random
+
+    rng = random.Random(19)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    df = _emb(spark, rows)
+    q = df.where("vec_id < 4")
+    cells = {r.vec_id: r.cell for r in sim.ivf_assign(df).collect()}
+    got = sim.topk_ivfpq(df, q, topk=5).collect()
+    assert got, "ivfpq returned nothing"
+    for r in got:
+        # every returned neighbor shares the query's IVF cell and is
+        # not the query itself
+        assert r.neighbor_id != r.query_id
+        assert cells[r.neighbor_id] == cells[r.query_id]
+        assert 1 <= r.rank <= 5
