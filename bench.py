@@ -33,6 +33,7 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",  # the declared production default path
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_topk_bruteforce",
@@ -73,10 +74,15 @@ def _proc_stat_jiffies() -> tuple[int, int]:
 
 
 def _tree_jiffies(root: int) -> int:
-    """utime+stime jiffies of `root` and every live descendant.
+    """utime+stime (+ reaped children's cutime+cstime) jiffies of
+    `root` and every live descendant.
 
-    Heuristic: reaped short-lived children disappear from the sum, but
-    the long-lived Spark JVM and pyspark daemon workers dominate."""
+    cutime/cstime fold in children that were already waited on —
+    without them, short-lived pyspark worker forks vanish from the sum
+    between samples and their cycles get misattributed to EXTERNAL
+    busy CPU, raising false CONTENDED flags on clean runs. Live
+    children are counted via their own utime/stime only, so nothing is
+    double-counted."""
     info: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
     for d in os.listdir("/proc"):
         if not d.isdigit():
@@ -87,7 +93,9 @@ def _tree_jiffies(root: int) -> int:
         except OSError:
             continue
         rest = s[s.rindex(")") + 2 :].split()
-        info[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        own = int(rest[11]) + int(rest[12])  # utime + stime
+        reaped = int(rest[13]) + int(rest[14])  # cutime + cstime
+        info[int(d)] = (int(rest[1]), own + reaped)
     children: dict[int, list[int]] = {}
     for pid, (ppid, _) in info.items():
         children.setdefault(ppid, []).append(pid)
@@ -139,10 +147,8 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_before = [round(x, 2) for x in os.getloadavg()]
     meter = _ContentionMeter()
-    timings: dict[str, float] = {}
-    external_cpus: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
+    def _measure(fn) -> tuple[float, float]:
+        """(best-of-2 seconds, external busy CPUs over the window)."""
         meter.sample()  # reset interval to this query's window
         best = float("inf")
         for _ in range(2):
@@ -153,11 +159,32 @@ def main() -> None:
             # invocation re-persists a fresh frame); drop them so later
             # queries aren't measured under earlier queries' memory
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        external_cpus[name] = meter.sample()
-        flag = "  ** CONTENDED **" if external_cpus[name] > 0.25 * meter.ncpus else ""
+        return round(best, 3), meter.sample()
+
+    timings: dict[str, float] = {}
+    external_cpus: dict[str, float] = {}
+    retried: dict[str, bool] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t, ext = _measure(fn)
+        # A contaminated window means the timing measures the intruder,
+        # not the query — re-measure once and keep the cleaner sample
+        # (round 4 flagged contention but still published the dirty
+        # number; VERDICT r04 item 6).
+        retried[name] = ext > 0.25 * meter.ncpus
+        if retried[name]:
+            print(
+                f"# {name}: contended window (external busy cpus: {ext}) — retrying",
+                file=sys.stderr,
+            )
+            t2, ext2 = _measure(fn)
+            if ext2 < ext:
+                t, ext = t2, ext2
+        timings[name] = t
+        external_cpus[name] = ext
+        flag = "  ** CONTENDED **" if ext > 0.25 * meter.ncpus else ""
         print(
-            f"# {name}: {timings[name]:.2f}s (external busy cpus: {external_cpus[name]}){flag}",
+            f"# {name}: {t:.2f}s (external busy cpus: {ext}){flag}",
             file=sys.stderr,
         )
 
@@ -198,6 +225,7 @@ def main() -> None:
                 "max_external_busy_cpus": max_external,
                 "ncpus": meter.ncpus,
                 "contended": contended,
+                "contention_retries": {n: True for n, r in retried.items() if r},
             }
         )
     )
