@@ -255,3 +255,31 @@ def test_aqe_splits_skewed_join_partition(spark):
     # the final adaptive plan of THIS QueryExecution (collect ran it)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin(skew=true)" in plan, plan
+
+
+def test_pq_adc_join_keyed_no_python_no_product(spark):
+    # PQ ADC: the LUT joins the code table on (sub, code) — an explicit
+    # broadcast equi-join; the whole chain is JVM-side higher-order
+    # expressions (no Python stage) and nothing degenerates to a
+    # cross product.
+    import re
+
+    plan = _physical(spark, "pq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert re.search(r"BroadcastHashJoin \[sub#\d+, code#\d+\]", plan), plan
+
+
+def test_ivfpq_adc_join_is_cell_pruned(spark):
+    # IVF×PQ: the ADC join must key on (cell, sub, code) so candidates
+    # outside the query's IVF cell are pruned IN the join, never
+    # scored. (The BroadcastNestedLoopJoin Cross entries in this plan
+    # are the documented 1-row packed-centroid crossJoins from
+    # _assign_to — constant-size, not data-dependent.)
+    import re
+
+    plan = _physical(spark, "sim_topk_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert re.search(r"BroadcastHashJoin \[cell#\d+, sub#\d+, code#\d+\]", plan), plan
