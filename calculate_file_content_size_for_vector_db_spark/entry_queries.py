@@ -1583,6 +1583,33 @@ def _sql_pq_chain(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
 
 
 @register(
+    "pq_codebooks",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()}
+SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+       CAST(to_json(list_transform(cv, x -> CAST(round(x * 1000000.0) AS BIGINT))) AS VARCHAR)
+           AS codeword_r
+FROM cb2
+""",
+)
+def pq_codebooks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained per-subspace codebooks themselves (the IVF trio has
+    sim_ivf_centroids; this is PQ's counterpart). Codeword vectors are
+    fixed-point-scaled and JSON-serialized on both sides so the driver
+    compares scalar strings."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import pq_codebooks
+
+    return pq_codebooks(_emb(spark, sf_dir)).select(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("code").cast("int").alias("code"),
+        F.to_json(
+            F.transform("cv", lambda x: F.round(x * F.lit(1000000.0)).cast("long"))
+        ).alias("codeword_r"),
+    )
+
+
+@register(
     "pq_codes",
     f"""
 WITH {_SQL_EMB},
@@ -4208,6 +4235,7 @@ def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
     # --- new / semantics-changed this round (r05) ---
+    "pq_codebooks",
     "pq_codes",
     "pq_topk",
     "sim_topk_ivfpq",
