@@ -2370,9 +2370,15 @@ FROM documents GROUP BY source
 def langs_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # langs is serialized to JSON on both sides: the driver's pandas
     # canonicalizer can't hash a raw array<string> column (same fix as
-    # rag_ingest / sim_ivf_centroids).
-    return _docs(spark, sf_dir).groupBy("source").agg(
-        F.to_json(F.array_sort(F.collect_set("lang"))).alias("langs")
+    # rag_ingest / sim_ivf_centroids). The array-valued form stays
+    # available to library consumers via textstats.langs_per_source —
+    # serialization here is a driver-facing canonicalization only.
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        langs_per_source,
+    )
+
+    return langs_per_source(_docs(spark, sf_dir)).select(
+        "source", F.to_json("langs").alias("langs")
     )
 
 

@@ -197,3 +197,14 @@ def zscore_by_group(
         )
 
     return df.select(key, group_col, value_col).groupBy(group_col).applyInPandas(_norm, schema)
+
+
+def langs_per_source(df: DataFrame, group_col: str = "source", lang_col: str = "lang") -> DataFrame:
+    """(source, langs): sorted distinct languages per source, as a real
+    array<string> column — the library-facing form. The registered
+    langs_per_source query serializes `langs` to JSON purely for the
+    driver's pandas canonicalizer (which can't hash list cells); array
+    consumers should call this instead of the registry entry."""
+    return df.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(lang_col)).alias("langs")
+    )
