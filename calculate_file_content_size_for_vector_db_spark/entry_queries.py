@@ -1655,6 +1655,31 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_pq",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+codes_per AS (
+    SELECT vec_id, CAST(to_json(list(code ORDER BY sub)) AS VARCHAR) AS codes
+    FROM codes GROUP BY vec_id
+)
+SELECT codes, CAST(min(vec_id) AS BIGINT) AS keeper_id, count(*) AS dup_count
+FROM codes_per GROUP BY codes HAVING count(*) > 1
+""",
+)
+def dedup_semantic_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse semantic dedup by full PQ-code agreement (SemDeDup-style
+    bucketing): linear encode + one hash-agg, no pairwise stage."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        semantic_dedup_pq,
+    )
+
+    return semantic_dedup_pq(_emb(spark, sf_dir)).select(
+        F.to_json("codes").alias("codes"), "keeper_id", "dup_count"
+    )
+
+
+@register(
     "sim_topk_ivfpq",
     f"""
 WITH {_SQL_IVF},
@@ -4244,6 +4269,7 @@ _VERIFY_FIRST = [
     "pq_codebooks",
     "pq_codes",
     "pq_topk",
+    "dedup_semantic_pq",
     "sim_topk_ivfpq",
     "dedup_ngram_jaccard",  # reverted to exact semantics (oracle changed)
     "dedup_ngram_jaccard_capped",

@@ -839,6 +839,29 @@ def pq_topk(
     )
 
 
+def semantic_dedup_pq(
+    embeddings: DataFrame,
+    m: int = PQ_SUBS,
+    k: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(codes, keeper_id, dup_count): SemDeDup-style coarse semantic
+    dedup — vectors whose ALL m PQ codes agree are near-duplicates at
+    codebook resolution. One linear encode plus one hash-agg on the
+    m-byte code key (map-side partial), no pairwise stage at all: the
+    100-TB first pass, with dedup_embedding as the exact within-bucket
+    verifier when the cluster wants it."""
+    codes = pq_encode(embeddings, m, k, iters, dim, id_col, vec_col)
+    return (
+        codes.groupBy("codes")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
 def topk_ivfpq(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -185,3 +185,19 @@ def test_ivfpq_candidates_are_cell_restricted(spark):
         assert r.neighbor_id != r.query_id
         assert cells[r.neighbor_id] == cells[r.query_id]
         assert 1 <= r.rank <= 5
+
+
+def test_semantic_dedup_pq_groups_twins(spark):
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(2, 20)]
+    twin = [rng.uniform(-1, 1) for _ in range(64)]
+    rows += [(0, list(twin)), (1, list(twin))]
+    df = _emb(spark, rows)
+    groups = sim.semantic_dedup_pq(df).collect()
+    # the identical pair must land in one bucket with the smaller id
+    # as keeper; every reported group is a genuine multi-member bucket
+    twin_groups = [g for g in groups if g.keeper_id == 0]
+    assert len(twin_groups) == 1 and twin_groups[0].dup_count >= 2
+    assert all(g.dup_count > 1 for g in groups)
