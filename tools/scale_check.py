@@ -112,6 +112,14 @@ def main() -> None:
     # n_blocks sized so each block matrix stays ~ (N/32) * 64 * 8 B
     t("nn_grid_full", similarity.topk_grid(emb, emb, 1, n_blocks=32))
     t("neardup_grid", similarity.cosine_neardup_pairs(emb, threshold=0.9, n_blocks=32))
+    # PQ compression path (round 5): codebook training + encode is the
+    # linear pass; ADC search touches only the m-byte code table; the
+    # IVF×PQ composition prunes candidates to the query's cell inside
+    # the join key; semantic dedup is one hash-agg over the code key
+    t("pq_encode", similarity.pq_encode(emb))
+    t("pq_topk", similarity.pq_topk(emb, emb.where("vec_id < 10")))
+    t("ivfpq_topk", similarity.topk_ivfpq(emb, emb.where("vec_id < 10")))
+    t("semantic_dedup_pq", similarity.semantic_dedup_pq(emb))
 
     print(
         json.dumps(
