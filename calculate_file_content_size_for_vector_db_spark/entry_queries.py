@@ -604,6 +604,33 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
 
 
+@register(
+    "text_lm_score",
+    f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM freq)
+SELECT d.doc_id, s.lm_score
+FROM documents d LEFT JOIN (
+    SELECT t.doc_id, round(avg(ln(f.tf / tot.n)), 6) AS lm_score
+    FROM tok t JOIN freq f USING (tok), tot
+    GROUP BY t.doc_id
+) s USING (doc_id)
+""",
+)
+def text_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM filter score (textstats.unigram_logprob):
+    corpus frequencies are the LM, docs score by mean token
+    ln-probability."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication extension (operators/dedup.py)
 # ---------------------------------------------------------------------------
@@ -4274,6 +4301,7 @@ _VERIFY_FIRST = [
     "dedup_ngram_jaccard",  # reverted to exact semantics (oracle changed)
     "dedup_ngram_jaccard_capped",
     "simhash_pairs_wide",
+    "text_lm_score",
     # --- the 31 queries whose latest green row is r02 (two rounds
     # stale), registration order ---
     "approx_distinct_customers",

@@ -199,6 +199,38 @@ def zscore_by_group(
     return df.select(key, group_col, value_col).groupBy(group_col).applyInPandas(_norm, schema)
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """(key, lm_score): CCNet-style unigram language-model score — the
+    mean ln(corpus unigram probability) over a document's tokens.
+    Higher = more typical text; strongly negative = rare-token soup.
+    The standard cheap LM filter for training-data curation when a
+    real KenLM isn't available on the cluster.
+
+    Plan: one token explode; corpus frequencies via one hash-agg (the
+    "LM training" pass); scoring is an equi-join on token plus one
+    keyed avg — two shuffles total. The frequency table is vocab-sized
+    (Heaps-bounded), the 1-row grand total broadcasts. Zero-token docs
+    keep a NULL score via the final left join.
+
+    Determinism: ln-probabilities averaged then rounded to 6 decimals
+    (partition-order summation noise sits ~1e-13, far below the
+    rounding grain) — mirrored by the text_lm_score DuckDB oracle.
+    """
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    df = spread(df)
+    tok = df.select(F.col(key), F.explode(tokens(text_col)).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").cast("double").alias("n"))
+    scored = (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(key)
+        .agg(F.round(F.avg(F.log(F.col("tf") / F.col("n"))), 6).alias("lm_score"))
+    )
+    return df.select(key).join(scored, key, "left")
+
+
 def langs_per_source(df: DataFrame, group_col: str = "source", lang_col: str = "lang") -> DataFrame:
     """(source, langs): sorted distinct languages per source, as a real
     array<string> column — the library-facing form. The registered

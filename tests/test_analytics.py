@@ -54,3 +54,22 @@ def test_islands_split_on_interleave(spark, tmp_path):
         ("view", "2024-01-01 00:00:00", 2),
         ("view", "2024-01-01 00:03:00", 1),
     ]
+
+
+def test_unigram_logprob_ranks_common_text_higher(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the rug"),
+        (2, "zyx qwv jkp xxq zzt opq"),  # rare-token soup
+        (3, ""),  # zero tokens -> NULL score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r.doc_id: r.lm_score for r in unigram_logprob(df).collect()}
+    assert s[3] is None
+    # docs built from corpus-frequent tokens must outscore the
+    # rare-token soup (every soup token has tf=1)
+    assert s[0] > s[2] and s[1] > s[2]
