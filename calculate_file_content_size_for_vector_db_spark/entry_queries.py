@@ -2495,6 +2495,53 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    "dedup_survivors",
+    _SQL_MINHASH_BANDS
+    + """,
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) >= 0.5
+),
+sym AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach AS (
+    WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+    )
+    SELECT * FROM r
+),
+clusters AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id)
+""",
+)
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept-document view after near-dup collapse: corpus minus
+    non-keeper cluster members, via a broadcast left-anti join (the
+    loser set is tiny relative to the corpus)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import dedup_survivors
+
+    return dedup_survivors(_docs(spark, sf_dir), threshold=0.5)
+
+
 _SQL_REV = (
     "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
     "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)"
@@ -4302,6 +4349,7 @@ _VERIFY_FIRST = [
     "dedup_ngram_jaccard_capped",
     "simhash_pairs_wide",
     "text_lm_score",
+    "dedup_survivors",
     # --- the 31 queries whose latest green row is r02 (two rounds
     # stale), registration order ---
     "approx_distinct_customers",

@@ -424,3 +424,24 @@ def neardup_clusters(
     out = labels.select(F.col("node").alias(key), F.col("label").alias("cluster_id"))
     edges.unpersist()
     return out
+
+
+def dedup_survivors(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key): the KEPT document ids after near-dup collapse — every doc
+    except cluster members that aren't their cluster's minimum id.
+    This is the materialized view a training pipeline actually writes
+    downstream of LSH + connected components.
+
+    Plan: the loser set is tiny (only docs in some near-dup cluster,
+    minus one keeper per cluster), so it BROADCASTS into a left-anti
+    join against the corpus — one scan of the full table, no extra
+    shuffle of the big side.
+    """
+    clusters = neardup_clusters(df, threshold, text_col, key)
+    losers = clusters.where(F.col("cluster_id") != F.col(key)).select(key)
+    return df.select(key).join(F.broadcast(losers), key, "left_anti")

@@ -217,3 +217,17 @@ def test_ngram_jaccard_capped_registration_neutral_at_fixture_scale(spark):
         map(tuple, REGISTRY["dedup_ngram_jaccard_capped"].fn(spark, sf).collect())
     )
     assert exact == capped
+
+
+def test_dedup_survivors_keeps_one_per_cluster(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),  # dup of 0
+        (2, "alpha beta gamma delta epsilon zeta"),  # dup of 0
+        (3, "one two three four five six seven"),
+        (4, "totally different body of text here entirely"),
+    ]
+    df = _docs(spark, rows)
+    kept = sorted(r.doc_id for r in dedup.dedup_survivors(df, threshold=0.5).collect())
+    # cluster {0,1,2} collapses to keeper 0; singletons survive
+    assert kept == [0, 3, 4]
