@@ -516,10 +516,8 @@ def text_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality",
-    f"""
-WITH t AS (
+_SQL_QUALITY_CHAIN = f"""
+t AS (
     SELECT doc_id, text, {_SQL_TOKENS} AS ws,
            CAST(length(text) AS DOUBLE) AS n
     FROM documents
@@ -538,11 +536,21 @@ WITH t AS (
            round(CASE WHEN n_toks = 0 THEN NULL ELSE stop / n_toks END, 6) AS stopword_ratio,
            round(CASE WHEN n_toks = 0 THEN NULL ELSE tok_chars / n_toks END, 6) AS mean_word_len
     FROM m
+), q AS (
+    SELECT doc_id, punct_ratio, alpha_ratio, stopword_ratio, mean_word_len,
+           round(1.0 - coalesce(punct_ratio, 1.0) + coalesce(stopword_ratio, 0.0), 6)
+               AS quality_score
+    FROM r
 )
-SELECT doc_id, punct_ratio, alpha_ratio, stopword_ratio, mean_word_len,
-       round(1.0 - coalesce(punct_ratio, 1.0) + coalesce(stopword_ratio, 0.0), 6)
-           AS quality_score
-FROM r
+"""
+
+
+@register(
+    "text_quality",
+    f"""
+WITH {_SQL_QUALITY_CHAIN}
+SELECT doc_id, punct_ratio, alpha_ratio, stopword_ratio, mean_word_len, quality_score
+FROM q
 """,
 )
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,6 +637,30 @@ def text_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return unigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "source_reputation",
+    f"""
+WITH {_SQL_QUALITY_CHAIN}
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(q.quality_score), 6) AS source_quality
+FROM documents d JOIN q USING (doc_id)
+GROUP BY d.source
+""",
+)
+def source_reputation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean composite quality (textstats.source_reputation)
+    — the domain-reputation table a curation pipeline broadcasts into
+    its ingestion gate."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        source_reputation,
+    )
+
+    return source_reputation(_docs(spark, sf_dir)).select(
+        "source", F.col("n_docs").cast("long").alias("n_docs"), "source_quality"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4350,6 +4382,7 @@ _VERIFY_FIRST = [
     "simhash_pairs_wide",
     "text_lm_score",
     "dedup_survivors",
+    "source_reputation",
     # --- the 31 queries whose latest green row is r02 (two rounds
     # stale), registration order ---
     "approx_distinct_customers",

@@ -114,6 +114,22 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+def source_reputation(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """(source, n_docs, source_quality): per-source mean composite
+    quality — the "domain reputation" table a curation pipeline gates
+    ingestion with (drop whole low-quality sources before any per-doc
+    work). One map pass for the per-doc score plus one keyed hash-agg;
+    the result is sources-sized, so it BROADCASTS into any gate join
+    against the corpus."""
+    q = quality_score(df, text_col)
+    return q.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("source_quality"),
+    )
+
+
 def char_entropy(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """(key, char_entropy): Shannon entropy of the character unigram
     distribution in bits/char — the classic cheap gibberish/repetition

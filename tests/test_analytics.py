@@ -73,3 +73,21 @@ def test_unigram_logprob_ranks_common_text_higher(spark):
     # docs built from corpus-frequent tokens must outscore the
     # rare-token soup (every soup token has tf=1)
     assert s[0] > s[2] and s[1] > s[2]
+
+
+def test_source_reputation_separates_sources(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        source_reputation,
+    )
+
+    rows = [
+        (0, "the cat is in the house and a dog", "clean"),
+        (1, "the sun is up and the day is new", "clean"),
+        (2, "$$$ !!! ### %%% @@@ ^^^ &&& ***", "spam"),
+        (3, "!!! ??? $$$ ### @@@ %%% ^^^ (((", "spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rep = {r.source: (r.n_docs, r.source_quality) for r in source_reputation(df).collect()}
+    assert rep["clean"][0] == 2 and rep["spam"][0] == 2
+    # stopword-rich prose outscores pure punctuation soup
+    assert rep["clean"][1] > rep["spam"][1]
