@@ -46,6 +46,7 @@ HEADLINE = [
     "training_pipeline",
     "sim_topk_ivf",
     "sim_nearest_neighbor",
+    "pq_topk",  # round 5: the PQ-ADC compressed search path
 ]
 
 
