@@ -109,3 +109,53 @@ def test_interval_join_no_matches(spark):
     ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id")
     out = interval_join(ev, ev, max_gap_seconds=60)
     assert out.count() == 0  # 10h apart > 60s gap; self-pairs excluded by b_ts > a_ts
+
+
+def test_pq_small_corpus_fewer_vectors_than_codes(spark):
+    # 3 vectors with k=8 codewords: init takes all 3, empty codewords
+    # drop out; encode/search must still work
+    from calculate_file_content_size_for_vector_db_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0] * 64),
+        (1, [0.5] * 32 + [-0.5] * 32),
+        (2, [-1.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = sim.pq_encode(df).collect()
+    assert len(codes) == 3
+    assert all(len(r.codes) == sim.PQ_SUBS for r in codes)
+    top = sim.pq_topk(df, df.where("vec_id = 0"), topk=2).collect()
+    assert len(top) == 2 and {r.neighbor_id for r in top} == {1, 2}
+
+
+def test_pq_semantic_dedup_all_unique_is_empty(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators import similarity as sim
+
+    # orthogonal-ish vectors: every PQ bucket is a singleton
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(64)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert sim.semantic_dedup_pq(df).count() == 0
+
+
+def test_dedup_survivors_no_duplicates_keeps_all(spark):
+    rows = [(i, f"totally unique document number {i} with words {i * 7}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup.dedup_survivors(df).collect())
+    assert kept == list(range(6))
+
+
+def test_unigram_logprob_weird_docs(spark, weird_docs):
+    got = {r.doc_id: r.lm_score for r in textstats.unigram_logprob(weird_docs).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    assert got[0] is None and got[1] is None  # NULL/empty text -> no tokens
+    assert got[5] is not None  # "x " * 500: all tokens frequent -> finite score
+
+
+def test_source_reputation_weird_docs(spark, weird_docs):
+    docs = weird_docs.withColumn(
+        "source",
+        (weird_docs.doc_id % 2).cast("string"),
+    )
+    rep = textstats.source_reputation(docs).collect()
+    assert sum(r.n_docs for r in rep) == 6  # every doc counted, NULLs included
