@@ -283,3 +283,30 @@ def test_ivfpq_adc_join_is_cell_pruned(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert re.search(r"BroadcastHashJoin \[cell#\d+, sub#\d+, code#\d+\]", plan), plan
+
+
+def test_source_reputation_single_shuffle(spark):
+    # per-doc scoring is a narrow map; the reputation table needs
+    # exactly ONE exchange (the per-source hash-agg)
+    plan = _physical(spark, "source_reputation")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_dedup_survivors_broadcast_anti_join(spark):
+    # the loser set must reach the corpus as a BROADCAST left-anti
+    # join — a shuffled anti join would re-exchange the whole corpus
+    # just to drop a tiny id set
+    plan = _physical(spark, "dedup_survivors")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_text_lm_score_stays_jvm_side(spark):
+    # unigram LM: explode + vocab agg + token equi-join, all codegen —
+    # no Python, no product, bounded exchanges
+    plan = _physical(spark, "text_lm_score")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
