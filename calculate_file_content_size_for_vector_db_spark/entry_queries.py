@@ -1768,6 +1768,47 @@ def sim_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivfpq(emb, emb.where(F.col("vec_id") < 10), topk=5)
 
 
+@register(
+    "sim_topk_ivfpq_probe2",
+    f"""
+WITH {_SQL_IVF},
+{_sql_pq_chain()},
+qassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+        WHERE a.vec_id < 10
+    ) WHERE rn <= 2
+),
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co
+    JOIN assign ca ON co.vec_id = ca.vec_id
+    JOIN qassign qa ON ca.cell = qa.cell
+    JOIN lut l ON co.sub = l.sub AND co.code = l.code AND l.query_id = qa.vec_id
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+    FROM adc
+) WHERE rank <= 5
+""",
+)
+def sim_topk_ivfpq_probe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF×PQ: the query searches its top-2 cells — 2x the
+    scanned codes, materially better recall near cell boundaries (the
+    sim_topk_lsh_multiprobe pattern applied to the IVF coarse
+    quantizer)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_ivfpq
+
+    emb = _emb(spark, sf_dir)
+    return topk_ivfpq(emb, emb.where(F.col("vec_id") < 10), topk=5, probes=2)
+
+
 # ---------------------------------------------------------------------------
 # Additional analytic surface: time-series trend, rank distribution,
 # exact percentiles, distinct + approx-distinct, unpivot
@@ -4377,6 +4418,7 @@ _VERIFY_FIRST = [
     "pq_topk",
     "dedup_semantic_pq",
     "sim_topk_ivfpq",
+    "sim_topk_ivfpq_probe2",
     "dedup_ngram_jaccard",  # reverted to exact semantics (oracle changed)
     "dedup_ngram_jaccard_capped",
     "simhash_pairs_wide",

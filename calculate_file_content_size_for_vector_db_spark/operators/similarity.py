@@ -862,10 +862,37 @@ def semantic_dedup_pq(
     )
 
 
+def _assign_topc(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, c: int
+) -> DataFrame:
+    """(id, cell): each vector's top-``c`` nearest centroids by rounded
+    cosine (ties -> smaller cell), for multi-probe search. Same packed
+    1-row broadcast as _assign_to; the per-vector sort runs over k
+    structs inside codegen, then explodes to c rows."""
+    packed = centroids.groupBy().agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cents")
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda x: F.struct(
+            F.coalesce(cosine(F.col("v"), x["centroid"]), F.lit(-2.0)).alias("cc"),
+            (-x["cell"]).alias("negcell"),
+        ),
+    )
+    # ascending sort by (cc, negcell), reversed = cc desc, cell asc on ties
+    topc = F.slice(F.reverse(F.array_sort(scored)), 1, c)
+    return (
+        vectors.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), F.explode(topc).alias("b"))
+        .select(id_col, (-F.col("b.negcell")).cast("int").alias("cell"))
+    )
+
+
 def topk_ivfpq(
     embeddings: DataFrame,
     queries: DataFrame,
     topk: int = 5,
+    probes: int = 1,
     m: int = PQ_SUBS,
     k: int = PQ_CODES,
     iters: int = PQ_ITERS,
@@ -873,24 +900,34 @@ def topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF×PQ (single-probe): PQ's ADC scan restricted to the query's
-    IVF cell — the canonical billion-scale ANN layout (coarse quantizer
-    prunes the corpus, product codes replace full vectors).
+    """IVF×PQ: PQ's ADC scan restricted to the query's top-``probes``
+    IVF cells — the canonical billion-scale ANN layout (coarse
+    quantizer prunes the corpus, product codes replace full vectors);
+    ``probes`` > 1 trades proportional scan work for recall.
 
     Plan shape: the corpus code table carries its cell id, so the
     ADC equi-join keys on (cell, sub, code) — candidates outside the
-    query's cell never leave the scan. Shuffle is bounded by the code
-    rows of ONE cell per query (~N·m/n_cells), not the corpus."""
-    assign = ivf_assign(embeddings, id_col, vec_col).select(id_col, "cell").persist()
+    probed cells never leave the scan. Shuffle is bounded by the code
+    rows of ``probes`` cells per query (~probes·N·m/n_cells), not the
+    corpus."""
+    cents = ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col)
+    v = embeddings.select(F.col(id_col), as_double(vec_col).alias("v"))
+    assign = _assign_to(v, cents, id_col).select(id_col, "cell").persist()
     sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col)
     cb = cb.persist()
     codes = _pq_assign(sv, cb, id_col).join(assign, id_col)
     qsv = sv.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qsv")
     )
-    qcell = assign.join(queries.select(id_col), id_col).select(
-        F.col(id_col).alias("query_id"), "cell"
-    )
+    if probes == 1:
+        qcell = assign.join(queries.select(id_col), id_col).select(
+            F.col(id_col).alias("query_id"), "cell"
+        )
+    else:
+        qv = v.join(queries.select(id_col), id_col)
+        qcell = _assign_topc(qv, cents, id_col, probes).select(
+            F.col(id_col).alias("query_id"), "cell"
+        )
     lut = (
         qsv.join(F.broadcast(cb), "sub")
         .select("query_id", "sub", "code", sqdist(F.col("qsv"), F.col("cv")).alias("d2"))

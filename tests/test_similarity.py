@@ -201,3 +201,26 @@ def test_semantic_dedup_pq_groups_twins(spark):
     twin_groups = [g for g in groups if g.keeper_id == 0]
     assert len(twin_groups) == 1 and twin_groups[0].dup_count >= 2
     assert all(g.dup_count > 1 for g in groups)
+
+
+def test_ivfpq_multiprobe_recall_monotone(spark):
+    import random
+
+    rng = random.Random(29)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    df = _emb(spark, rows)
+    q = df.where("vec_id < 4")
+
+    def per_q(res):
+        d = {}
+        for r in res:
+            d.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return d
+
+    p1 = per_q(sim.topk_ivfpq(df, q, topk=5, probes=1).collect())
+    p2 = per_q(sim.topk_ivfpq(df, q, topk=5, probes=2).collect())
+    # probing a second cell only ADDS candidates, so per-query hit
+    # counts can't shrink; every probe-1 candidate set lives inside
+    # the query's top-1 cell which probe-2 also searches
+    for qid, hits in p1.items():
+        assert len(p2.get(qid, set())) >= len(hits)
