@@ -729,28 +729,40 @@ def _pq_train(
     dim: int = DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(sv, cb): the persisted subvector table plus the per-subspace
     k-means codebooks after ``iters`` Lloyd rounds, trained in pure
     DataFrame ops (nothing collected; m*k rows flow between rounds).
     Empty codewords drop out, exactly as in the SQL mirror.
 
+    ``train_df``: optional subset to train the codebooks on. At 100 TB
+    nobody runs Lloyd over the full corpus — pass a deterministic
+    sample (e.g. ``emb.where(col(id) % s == 0)``) and only the sample
+    pays the iterative cost; encode/search still cover every vector.
+    Default None trains on the full input (the oracle-mirrored form).
+
     ``sv`` persists because training re-reads it every round and every
     caller reuses it once more for the final encode; callers are lazy
     builders so nothing unpersists mid-plan — the query registry's
     per-entry clearCache() reclaims the memory after materialization."""
     sv = subvectors(embeddings, m, dim, id_col, vec_col).persist()
+    if train_df is None:
+        tsv, tids = sv, embeddings
+    else:
+        tids = train_df
+        tsv = sv.join(train_df.select(id_col), id_col).persist()
     first_k = (
-        embeddings.select(id_col)
+        tids.select(id_col)
         .orderBy(id_col)
         .limit(k)
         .withColumn("code", (F.row_number().over(Window.orderBy(id_col)) - 1).cast("int"))
     )
-    cb = sv.join(first_k, id_col).select("sub", "code", F.col("sv").alias("cv"))
+    cb = tsv.join(first_k, id_col).select("sub", "code", F.col("sv").alias("cv"))
     for _ in range(iters):
-        asg = _pq_assign(sv, cb, id_col)
+        asg = _pq_assign(tsv, cb, id_col)
         per_dim = (
-            sv.join(asg, [id_col, "sub"])
+            tsv.join(asg, [id_col, "sub"])
             .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("sub", "code", "pos")
             .agg(F.round(F.avg("x"), 6).alias("cx"))
@@ -771,10 +783,11 @@ def pq_codebooks(
     dim: int = DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """(sub, code, cv): the trained per-subspace codebooks (one
     shared training path — _pq_train — for all PQ entry points)."""
-    return _pq_train(embeddings, m, k, iters, dim, id_col, vec_col)[1]
+    return _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df)[1]
 
 
 def pq_encode(
@@ -785,10 +798,11 @@ def pq_encode(
     dim: int = DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, codes): each vector as its array of m codebook codes —
     the 16x-compressed ANN representation."""
-    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col)
+    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df)
     asg = _pq_assign(sv, cb.persist(), id_col)
     return asg.groupBy(id_col).agg(
         F.transform(
@@ -807,6 +821,7 @@ def pq_topk(
     dim: int = DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: rank corpus vectors by the SUM of per-subspace
     codeword distances to the query (ascending; approximate L2²).
@@ -815,7 +830,7 @@ def pq_topk(
     side is only its code table. One keyed aggregation produces the
     scores; a per-query window ranks them. ``queries`` is a frame of
     ids (subset of the corpus, as in the other sim_ queries)."""
-    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col)
+    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df)
     cb = cb.persist()
     codes = _pq_assign(sv, cb, id_col)  # corpus code table, N*m rows
     qsv = sv.join(queries.select(id_col), id_col).select(
@@ -847,6 +862,7 @@ def semantic_dedup_pq(
     dim: int = DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """(codes, keeper_id, dup_count): SemDeDup-style coarse semantic
     dedup — vectors whose ALL m PQ codes agree are near-duplicates at
@@ -854,7 +870,7 @@ def semantic_dedup_pq(
     m-byte code key (map-side partial), no pairwise stage at all: the
     100-TB first pass, with dedup_embedding as the exact within-bucket
     verifier when the cluster wants it."""
-    codes = pq_encode(embeddings, m, k, iters, dim, id_col, vec_col)
+    codes = pq_encode(embeddings, m, k, iters, dim, id_col, vec_col, train_df)
     return (
         codes.groupBy("codes")
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
@@ -899,6 +915,7 @@ def topk_ivfpq(
     dim: int = DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF×PQ: PQ's ADC scan restricted to the query's top-``probes``
     IVF cells — the canonical billion-scale ANN layout (coarse
@@ -909,11 +926,12 @@ def topk_ivfpq(
     ADC equi-join keys on (cell, sub, code) — candidates outside the
     probed cells never leave the scan. Shuffle is bounded by the code
     rows of ``probes`` cells per query (~probes·N·m/n_cells), not the
-    corpus."""
+    corpus. ``train_df``: optional deterministic sample for codebook
+    training (see _pq_train)."""
     cents = ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col)
     v = embeddings.select(F.col(id_col), as_double(vec_col).alias("v"))
     assign = _assign_to(v, cents, id_col).select(id_col, "cell").persist()
-    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col)
+    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df)
     cb = cb.persist()
     codes = _pq_assign(sv, cb, id_col).join(assign, id_col)
     qsv = sv.join(queries.select(id_col), id_col).select(

@@ -224,3 +224,20 @@ def test_ivfpq_multiprobe_recall_monotone(spark):
     # the query's top-1 cell which probe-2 also searches
     for qid, hits in p1.items():
         assert len(p2.get(qid, set())) >= len(hits)
+
+
+def test_pq_sampled_training_still_encodes_everything(spark):
+    import random
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    df = _emb(spark, rows)
+    # train the codebooks on a quarter of the corpus (the 100-TB mode)
+    sample = df.where("vec_id % 4 = 0")
+    got = sim.pq_encode(df, train_df=sample).collect()
+    # every vector still gets codes, all within the codebook domain
+    assert len(got) == 40
+    cb = {(r.sub, r.code) for r in sim.pq_codebooks(df, train_df=sample).collect()}
+    for r in got:
+        for sub, code in enumerate(r.codes):
+            assert (sub, code) in cb
