@@ -1809,6 +1809,56 @@ def sim_topk_ivfpq_probe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivfpq(emb, emb.where(F.col("vec_id") < 10), topk=5, probes=2)
 
 
+@register(
+    "sim_topk_binary",
+    f"""
+WITH {_SQL_EMB},
+sk AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(0, 32),
+               j -> CASE WHEN v[CAST(j AS INT) + 1] > 0
+                         THEN (1::BIGINT << CAST(j AS INT)) ELSE 0::BIGINT END)) AS BIGINT)
+               AS sk_lo,
+           CAST(list_sum(list_transform(range(32, 64),
+               j -> CASE WHEN v[CAST(j AS INT) + 1] > 0
+                         THEN (1::BIGINT << CAST(j - 32 AS INT)) ELSE 0::BIGINT END)) AS BIGINT)
+               AS sk_hi
+    FROM e
+),
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q.sk_lo, c.sk_lo)) + bit_count(xor(q.sk_hi, c.sk_hi)) AS INT) AS ham
+    FROM sk q JOIN sk c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+),
+top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY ham, neighbor_id) AS rn
+        FROM cand
+    ) WHERE rn <= 20
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT t.query_id, t.neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY t.query_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, t.neighbor_id)
+               AS INT) AS rank
+    FROM top t
+    JOIN e a ON a.vec_id = t.query_id
+    JOIN e b ON b.vec_id = t.neighbor_id
+) WHERE rank <= 5
+""",
+)
+def sim_topk_binary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized compressed scan (1 bit/dim, 64x smaller) with
+    exact-cosine rerank of the top 4k Hamming candidates."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_binary
+
+    emb = _emb(spark, sf_dir)
+    return topk_binary(emb, emb.where(F.col("vec_id") < 10), k=5, rerank=4)
+
+
 # ---------------------------------------------------------------------------
 # Additional analytic surface: time-series trend, rank distribution,
 # exact percentiles, distinct + approx-distinct, unpivot
@@ -4419,6 +4469,7 @@ _VERIFY_FIRST = [
     "dedup_semantic_pq",
     "sim_topk_ivfpq",
     "sim_topk_ivfpq_probe2",
+    "sim_topk_binary",
     "dedup_ngram_jaccard",  # reverted to exact semantics (oracle changed)
     "dedup_ngram_jaccard_capped",
     "simhash_pairs_wide",

@@ -964,3 +964,113 @@ def topk_ivfpq(
         .where(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization: the other standard embedding
+# compression next to PQ — 1 bit per dimension, 64 floats -> one
+# BIGINT (64x). Scanning a candidate costs one xor + popcount on an
+# 8-byte word instead of a 64-float dot product, so the compressed
+# linear scan moves ~64x less data than brute force; exact cosine
+# reranks only the top Hamming candidates.
+# ---------------------------------------------------------------------------
+
+
+def binary_sketch_expr(v: Column, lo_bit: int, n_bits: int) -> Column:
+    """Sign-bit sketch word over dims [lo_bit, lo_bit + n_bits): bit
+    (j - lo_bit) set when v[j] > 0. Deterministic fold from the high
+    bit down (acc*2 + bit == sum of 2^j bits). Words stay <= 32 bits
+    so the fold never touches the BIGINT sign bit — a full 64-bit pack
+    would overflow ANSI long arithmetic at bit 63 on the Spark side
+    and the left-shift range check on the DuckDB side."""
+    return F.aggregate(
+        F.sequence(F.lit(lo_bit + n_bits - 1), F.lit(lo_bit), F.lit(-1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc * F.lit(2).cast("bigint")
+        + F.when(
+            F.element_at(v, j.cast("int") + 1) > 0, F.lit(1).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def binary_sketches(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """(id, sk_lo, sk_hi): the 64-dim sign sketch as two 32-bit words
+    — a narrow map; Hamming distance = popcount(xor) summed over the
+    two words."""
+    v = as_double(vec_col)
+    return spread(embeddings).select(
+        F.col(id_col),
+        binary_sketch_expr(v, 0, dim // 2).alias("sk_lo"),
+        binary_sketch_expr(v, dim // 2, dim - dim // 2).alias("sk_hi"),
+    )
+
+
+def topk_binary(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Compressed-scan top-k: rank the corpus per query by Hamming
+    distance over sign sketches (ties -> smaller id), keep the top
+    ``rerank * k`` candidates, then rerank those exactly by cosine.
+
+    Plan shape: the Hamming scan is the same broadcast-queries x
+    corpus pass as topk_bruteforce but carries 8-byte sketches instead
+    of 512-byte vectors; the exact stage joins only Q·rerank·k
+    candidate rows back to the full vectors (query side broadcast,
+    candidate side a bounded equi-join)."""
+    sk = binary_sketches(embeddings, id_col, vec_col, dim)
+    q = sk.join(queries.select(id_col), id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("sk_lo").alias("q_lo"),
+        F.col("sk_hi").alias("q_hi"),
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(
+            sk.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("sk_lo").alias("c_lo"),
+                F.col("sk_hi").alias("c_hi"),
+            )
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+                + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
+            )
+            .cast("int")
+            .alias("ham"),
+        )
+    )
+    wham = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("neighbor_id"))
+    top = (
+        cand.withColumn("rn", F.row_number().over(wham))
+        .where(F.col("rn") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    qv = embeddings.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        top.join(F.broadcast(qv.join(queries.select(F.col(id_col).alias("query_id")), "query_id")), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -241,3 +241,22 @@ def test_pq_sampled_training_still_encodes_everything(spark):
     for r in got:
         for sub, code in enumerate(r.codes):
             assert (sub, code) in cb
+
+
+def test_binary_sketch_words_and_twin_rank(spark):
+    import random
+
+    rng = random.Random(37)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(2, 30)]
+    twin = [rng.uniform(-1, 1) for _ in range(64)]
+    rows += [(0, list(twin)), (1, list(twin))]
+    df = _emb(spark, rows)
+    sk = {r.vec_id: (r.sk_lo, r.sk_hi) for r in sim.binary_sketches(df).collect()}
+    # 32-bit words, never touching the sign bit
+    assert all(0 <= lo < 2**32 and 0 <= hi < 2**32 for lo, hi in sk.values())
+    assert sk[0] == sk[1]  # identical vectors -> identical sketch
+    # the twin is Hamming-0, survives the rerank cut, and wins on
+    # exact cosine
+    top = sim.topk_binary(df, df.where("vec_id = 0"), k=1).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in top] == [(0, 1, 1)]
+    assert top[0].cosine == 1.0
