@@ -1860,6 +1860,209 @@ def sim_topk_binary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN recall@k: each approximate tier measured against the exact
+# brute-force top-k (VERDICT r05 "What's missing" #1). The recall value
+# is what picks probe counts / rerank multipliers at 100 TB; both sides
+# rank deterministically (id tie-breaks) so recall itself hash-verifies.
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+
+# Exact top-k CTE + the recall aggregate; `approx` must be a prior CTE
+# with (query_id, neighbor_id).
+_SQL_RECALL_TAIL = f"""
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a, e b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact ex
+LEFT JOIN approx ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+"""
+
+_SQL_PQ_ADC = """
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)"""
+
+_SQL_IVFPQ_ADC = """
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co
+    JOIN assign ca ON co.vec_id = ca.vec_id
+    JOIN lut l ON co.sub = l.sub AND co.code = l.code
+    JOIN assign qa ON l.query_id = qa.vec_id AND ca.cell = qa.cell
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)"""
+
+_SQL_ADC_TOPK = f"""
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {_RECALL_K}
+)"""
+
+
+def _recall_queries(spark: SparkSession, sf_dir: str):
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_bruteforce
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10)
+    return emb, q, topk_bruteforce(emb, q, k=_RECALL_K)
+
+
+@register(
+    "pq_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+{_SQL_PQ_ADC},
+{_SQL_ADC_TOPK},
+{_SQL_RECALL_TAIL}
+""",
+)
+def pq_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the full-corpus PQ-ADC scan vs exact cosine."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_topk,
+        recall_vs_exact,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, pq_topk(emb, q, topk=_RECALL_K))
+
+
+@register(
+    "ivfpq_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+{_sql_pq_chain()},
+{_SQL_IVFPQ_ADC},
+{_SQL_ADC_TOPK},
+{_SQL_RECALL_TAIL}
+""",
+)
+def ivfpq_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-probe IVF×PQ — what one probed cell costs in
+    accuracy relative to PQ's full-corpus scan."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_ivfpq,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_ivfpq(emb, q, topk=_RECALL_K))
+
+
+@register(
+    "ivfpq_probe2_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+{_sql_pq_chain()},
+qassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+        WHERE a.vec_id < 10
+    ) WHERE rn <= 2
+),
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co
+    JOIN assign ca ON co.vec_id = ca.vec_id
+    JOIN qassign qa ON ca.cell = qa.cell
+    JOIN lut l ON co.sub = l.sub AND co.code = l.code AND l.query_id = qa.vec_id
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+),
+{_SQL_ADC_TOPK},
+{_SQL_RECALL_TAIL}
+""",
+)
+def ivfpq_probe2_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of 2-probe IVF×PQ — the measured payoff of doubling the
+    probed cells (must sit at or above the single-probe number)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_ivfpq,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_ivfpq(emb, q, topk=_RECALL_K, probes=2))
+
+
+@register(
+    "binary_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+sk AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(0, 32),
+               j -> CASE WHEN v[CAST(j AS INT) + 1] > 0
+                         THEN (1::BIGINT << CAST(j AS INT)) ELSE 0::BIGINT END)) AS BIGINT)
+               AS sk_lo,
+           CAST(list_sum(list_transform(range(32, 64),
+               j -> CASE WHEN v[CAST(j AS INT) + 1] > 0
+                         THEN (1::BIGINT << CAST(j - 32 AS INT)) ELSE 0::BIGINT END)) AS BIGINT)
+               AS sk_hi
+    FROM e
+),
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q.sk_lo, c.sk_lo)) + bit_count(xor(q.sk_hi, c.sk_hi)) AS INT) AS ham
+    FROM sk q JOIN sk c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+),
+top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY ham, neighbor_id) AS rn
+        FROM cand
+    ) WHERE rn <= {4 * _RECALL_K}
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT t.query_id, t.neighbor_id,
+               CAST(row_number() OVER (PARTITION BY t.query_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, t.neighbor_id)
+                   AS INT) AS rank
+        FROM top t
+        JOIN e a ON a.vec_id = t.query_id
+        JOIN e b ON b.vec_id = t.neighbor_id
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def binary_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-bit Hamming scan + exact rerank (rerank=4,
+    i.e. 40 candidates per query) vs exact cosine."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_binary,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_binary(emb, q, k=_RECALL_K, rerank=4))
+
+
+# ---------------------------------------------------------------------------
 # Additional analytic surface: time-series trend, rank distribution,
 # exact percentiles, distinct + approx-distinct, unpivot
 # ---------------------------------------------------------------------------

@@ -878,6 +878,31 @@ def semantic_dedup_pq(
     )
 
 
+def recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(n_exact, n_hits, recall): the fraction of the exact top-k pairs
+    an approximate method recovered — the accuracy number that picks
+    probe counts / rerank multipliers at scale (pairs with recall@k
+    curves in FAISS/ScaNN papers; the exact side is topk_bruteforce).
+
+    Both inputs are top-k outputs keyed (query_id, neighbor_id):
+    Q·k rows each, so the join is trivially small whatever physical
+    strategy the planner picks; one global agg emits a single row.
+    Ranking on both sides is deterministic (id tie-breaks), so the
+    recall value is hash-stable and oracle-checkable."""
+    hits = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hits") / F.col("n_exact").cast("double"), 6)
+        )
+    )
+
+
 def _assign_topc(
     vectors: DataFrame, centroids: DataFrame, id_col: str, c: int
 ) -> DataFrame:

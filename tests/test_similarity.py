@@ -260,3 +260,48 @@ def test_binary_sketch_words_and_twin_rank(spark):
     top = sim.topk_binary(df, df.where("vec_id = 0"), k=1).collect()
     assert [(r.query_id, r.neighbor_id, r.rank) for r in top] == [(0, 1, 1)]
     assert top[0].cosine == 1.0
+
+
+def test_recall_vs_exact_arithmetic(spark):
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 4), (1, 5), (1, 6)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(0, 1), (0, 9), (1, 4), (1, 5), (1, 8)],
+        "query_id long, neighbor_id long",
+    )
+    row = sim.recall_vs_exact(exact, approx).collect()[0]
+    # hits: (0,1), (1,4), (1,5) -> 3 of 6; approx-only pairs don't count
+    assert (row.n_exact, row.n_hits, row.recall) == (6, 3, 0.5)
+
+
+def test_recall_fixture_goldens(spark):
+    """Recall@10 of every registered approximate tier, pinned against
+    the deterministic sf0.001 fixture (the values the driver's oracle
+    also hash-verifies). Notable: 2-probe recall sits BELOW single-probe
+    here — a superset candidate set can displace true hits from the
+    ADC top-10 (ADC scores are approximations), so recall is NOT
+    monotone in probes even though the candidate set is (that superset
+    property is pinned in test_ivfpq_multiprobe_recall_monotone).
+    """
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    golden = {
+        "pq_recall_at_10": 0.20,
+        "ivfpq_recall_at_10": 0.30,
+        "ivfpq_probe2_recall_at_10": 0.25,
+        "binary_recall_at_10": 0.52,
+    }
+    got = {}
+    for name, want in golden.items():
+        row = REGISTRY[name].fn(spark, SF_DIR).collect()[0]
+        assert row.n_exact == 100  # 10 queries x k=10, brute force always full
+        assert 0.0 <= row.recall <= 1.0
+        assert row.recall == round(row.n_hits / row.n_exact, 6)
+        got[name] = row.recall
+        assert row.recall == want, f"{name}: recall {row.recall} != golden {want}"
+    # the exact-cosine rerank stage makes the binary tier the accuracy
+    # ceiling of the compressed paths on this corpus
+    assert got["binary_recall_at_10"] >= got["pq_recall_at_10"]
