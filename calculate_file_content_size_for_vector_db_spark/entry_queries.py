@@ -2159,6 +2159,36 @@ def approx_distinct_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_error",
+    """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       true AS within_bound
+FROM orders
+""",
+)
+def approx_distinct_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-error contract for the HLL sketch (VERDICT r05 item 6):
+    emits the exact distinct count plus a flag that the approx estimate
+    sits within 5x the configured rsd (0.02 -> 10% relative error, a
+    ~5-sigma bound HLL clears by construction). The sketch value itself
+    is engine-specific, but the BOUND is portable — the oracle asserts
+    within_bound = true, so any Spark-side sketch drift out of bound
+    becomes a driver hash mismatch instead of an unverifiable row."""
+    agg = read_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= 0.10
+        ).alias("within_bound"),
+    )
+
+
+@register(
     "part_unpivot",
     """
 SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part

@@ -91,3 +91,19 @@ def test_source_reputation_separates_sources(spark):
     assert rep["clean"][0] == 2 and rep["spam"][0] == 2
     # stopword-rich prose outscores pure punctuation soup
     assert rep["clean"][1] > rep["spam"][1]
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """The HLL estimate must sit within 5x the configured rsd of the
+    exact count on both fixture scales (VERDICT r05 item 6)."""
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        row = REGISTRY["approx_distinct_error"].fn(spark, sf_dir).collect()[0]
+        assert row.within_bound, f"{sf_dir}: HLL estimate off by >10%"
+        exact = row.n_exact
+        approx = (
+            REGISTRY["approx_distinct_customers"].fn(spark, sf_dir).collect()[0].n_approx
+        )
+        assert abs(approx - exact) / exact <= 0.10
