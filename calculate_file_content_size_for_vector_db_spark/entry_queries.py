@@ -880,6 +880,58 @@ def dedup_minhash_lsh_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The "daily batch" split used by dedup_incremental: every 7th doc
+# plays the new batch, the rest the existing corpus (mirrored in the
+# oracle's candidate predicates).
+_INCR_BATCH_MOD = 7
+
+
+@register(
+    "dedup_incremental",
+    _SQL_MINHASH_BANDS
+    + f""",
+cand AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id % {_INCR_BATCH_MOD} = 0 AND b.doc_id % {_INCR_BATCH_MOD} <> 0
+),
+verified AS (
+    SELECT c.new_id, c.corpus_id,
+           len(list_intersect(sa.sh, sb.sh)) AS inter,
+           len(sa.sh) AS n_a, len(sb.sh) AS n_b
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.new_id
+    JOIN sh_t sb ON sb.doc_id = c.corpus_id
+)
+SELECT new_id, corpus_id,
+       round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+FROM verified
+WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+""",
+)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus dedup (VERDICT r05 stretch): every 7th doc
+    plays the daily batch, the rest the existing corpus whose band and
+    shingle tables are the pre-built inputs — only the batch is
+    signature-hashed, matching the operation a 100-TB pipeline runs per
+    ingest. The oracle computes bands over the union (signatures are
+    per-doc, so subset bands == filtered union bands) and splits in the
+    candidate predicate."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_bands,
+        minhash_signature,
+        shingle_sets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+    corpus_bands = minhash_bands(minhash_signature(corpus))
+    return incremental_neardup_pairs(batch, corpus_bands, shingle_sets(corpus))
+
+
 def _sql_simhash(bits: int = 16) -> str:
     return f"""
 ws_t AS (

@@ -369,6 +369,93 @@ def simhash_pairs(
     )
 
 
+def shingle_sets(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """(key, sh): per-doc distinct shingle ARRAY — the verify-side table
+    (shingle_table is the exploded join-side form). At scale this is
+    stored next to the corpus band table so incremental batches never
+    re-shingle old documents."""
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    return spread(df).select(F.col(key), shingles(text_col).alias("sh"))
+
+
+def incremental_neardup_pairs(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard): which documents of a NEW batch
+    near-duplicate an EXISTING corpus document — the operation a
+    100-TB training pipeline actually runs daily, where re-running
+    all-pairs LSH over corpus+batch would recompute signatures for the
+    ~10^9 old documents every day.
+
+    Inputs are the corpus's PRE-BUILT artifacts: ``corpus_bands``
+    (key, band, band_hash — the stored LSH bucket table) and
+    ``corpus_shingles`` (key, sh — the stored verify-side sets, see
+    shingle_sets). Only the batch pays the shingle->minhash->band cost;
+    the corpus side is two scans of stored tables. Candidate
+    generation is an equi-join of the batch's band hashes against the
+    bucket table (AQE broadcasts the batch side when it is small — no
+    forced hint, a backfill "batch" can be huge); the exact-Jaccard
+    verify touches only candidate rows of ``corpus_shingles``.
+
+    ``max_bucket_size`` guards the corpus side exactly as in
+    minhash_lsh_pairs: hub buckets (boilerplate) are dropped whole
+    before the join, bounding per-bucket fanout.
+    """
+    bb = minhash_bands(
+        minhash_signature(batch, text_col=text_col, key=key), key=key
+    ).withColumnRenamed(key, "new_id")
+    cb = corpus_bands.withColumnRenamed(key, "corpus_id")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_hash")
+        cb = (
+            cb.withColumn("_bn", F.count("*").over(w))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    candidates = (
+        bb.join(cb, ["band", "band_hash"]).select("new_id", "corpus_id").distinct()
+    )
+    sh_new = shingle_sets(batch, text_col, key).withColumnsRenamed(
+        {key: "new_id", "sh": "sh_new"}
+    )
+    sh_old = corpus_shingles.withColumnsRenamed({key: "corpus_id", "sh": "sh_old"})
+    return (
+        candidates.join(sh_new, "new_id")
+        .join(sh_old, "corpus_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_new", "sh_old")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_new") + F.size("sh_old") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def incremental_survivors(
+    batch: DataFrame, pairs: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """(key): the batch documents admitted into the corpus — everything
+    that did not near-dup an existing document (left-anti on the
+    incremental pair table)."""
+    return batch.select(key).join(
+        pairs.select(F.col("new_id").alias(key)), key, "left_anti"
+    )
+
+
 def neardup_clusters(
     df: DataFrame,
     threshold: float = 0.5,

@@ -231,3 +231,52 @@ def test_dedup_survivors_keeps_one_per_cluster(spark):
     kept = sorted(r.doc_id for r in dedup.dedup_survivors(df, threshold=0.5).collect())
     # cluster {0,1,2} collapses to keeper 0; singletons survive
     assert kept == [0, 3, 4]
+
+
+def test_incremental_matches_full_lsh_cross_pairs(spark):
+    """Incremental batch-vs-corpus pairs == the cross-boundary subset
+    of full-corpus LSH pairs (same signatures, same verify)."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),   # batch
+        (1, "alpha beta gamma delta epsilon zeta"),   # corpus dup of 0
+        (2, "one two three four five six seven"),     # batch, unique
+        (3, "red green blue cyan magenta yellow"),    # corpus
+        (4, "red green blue cyan magenta yellow"),    # corpus dup of 3 (not cross)
+        (5, "alpha beta gamma delta epsilon eta"),    # corpus near-dup of 0
+    ]
+    docs = _docs(spark, rows)
+    batch = docs.where("doc_id IN (0, 2)")
+    corpus = docs.where("doc_id NOT IN (0, 2)")
+
+    full = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    batch_ids = {0, 2}
+    expect = {
+        (r.a_id, r.b_id, r.jaccard) if r.a_id in batch_ids else (r.b_id, r.a_id, r.jaccard)
+        for r in full
+        if (r.a_id in batch_ids) != (r.b_id in batch_ids)
+    }
+    assert expect  # the fixture must actually cross the boundary
+
+    bands = dedup.minhash_bands(dedup.minhash_signature(corpus))
+    got = dedup.incremental_neardup_pairs(batch, bands, dedup.shingle_sets(corpus))
+    assert {(r.new_id, r.corpus_id, r.jaccard) for r in got.collect()} == expect
+
+    surv = dedup.incremental_survivors(batch, got)
+    assert {r.doc_id for r in surv.collect()} == {2}  # 0 dups against corpus
+
+
+def test_incremental_bucket_cap_drops_hub_buckets(spark):
+    # every corpus doc is the same text -> one giant band bucket; the
+    # cap drops it whole, so the batch twin finds no candidates
+    rows = [(0, "the very same boilerplate text here")] + [
+        (i, "the very same boilerplate text here") for i in range(1, 12)
+    ]
+    docs = _docs(spark, rows)
+    batch = docs.where("doc_id = 0")
+    corpus = docs.where("doc_id > 0")
+    bands = dedup.minhash_bands(dedup.minhash_signature(corpus))
+    sh = dedup.shingle_sets(corpus)
+    uncapped = dedup.incremental_neardup_pairs(batch, bands, sh)
+    assert uncapped.count() == 11
+    capped = dedup.incremental_neardup_pairs(batch, bands, sh, max_bucket_size=5)
+    assert capped.count() == 0

@@ -310,3 +310,33 @@ def test_text_lm_score_stays_jvm_side(spark):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_dedup_incremental_reads_stored_corpus_no_product(spark, tmp_path):
+    # the daily-ingest contract: the corpus side comes from its STORED
+    # band/shingle tables (two parquet scans, no signature recompute);
+    # candidate generation is a (band, band_hash) equi-join, never a
+    # product; everything stays JVM-side
+    from calculate_file_content_size_for_vector_db_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i} word{i + 1}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    corpus = docs.where("doc_id >= 4")
+    dd.minhash_bands(dd.minhash_signature(corpus)).write.parquet(str(tmp_path / "bands"))
+    dd.shingle_sets(corpus).write.parquet(str(tmp_path / "sh"))
+    pairs = dd.incremental_neardup_pairs(
+        docs.where("doc_id < 4"),
+        spark.read.parquet(str(tmp_path / "bands")),
+        spark.read.parquet(str(tmp_path / "sh")),
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert "band_hash" in plan
+
+    reg = _physical(spark, "dedup_incremental")
+    assert "CartesianProduct" not in reg
+    assert "EvalPython" not in reg and "MapInPandas" not in reg
