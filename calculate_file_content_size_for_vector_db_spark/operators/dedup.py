@@ -524,11 +524,14 @@ def dedup_survivors(
     This is the materialized view a training pipeline actually writes
     downstream of LSH + connected components.
 
-    Plan: the loser set is tiny (only docs in some near-dup cluster,
-    minus one keeper per cluster), so it BROADCASTS into a left-anti
-    join against the corpus — one scan of the full table, no extra
-    shuffle of the big side.
+    Plan: on a typical corpus the loser set is small (only docs in
+    some near-dup cluster, minus one keeper each) and AQE broadcasts
+    it into the left-anti join at runtime — one scan of the full
+    table, no extra shuffle of the big side. The hint is deliberately
+    NOT forced (ADVICE r05): a near-dup-heavy corpus can make losers a
+    large fraction of the input, and a forced broadcast would OOM
+    where AQE's size check falls back to a shuffled anti join.
     """
     clusters = neardup_clusters(df, threshold, text_col, key)
     losers = clusters.where(F.col("cluster_id") != F.col(key)).select(key)
-    return df.select(key).join(F.broadcast(losers), key, "left_anti")
+    return df.select(key).join(losers, key, "left_anti")

@@ -721,6 +721,10 @@ def _pq_assign(sv: DataFrame, codebooks: DataFrame, id_col: str = "vec_id") -> D
     )
 
 
+def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
+    return df.persist() if persist else df
+
+
 def _pq_train(
     embeddings: DataFrame,
     m: int = PQ_SUBS,
@@ -730,6 +734,7 @@ def _pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_df: DataFrame | None = None,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(sv, cb): the persisted subvector table plus the per-subspace
     k-means codebooks after ``iters`` Lloyd rounds, trained in pure
@@ -744,14 +749,18 @@ def _pq_train(
 
     ``sv`` persists because training re-reads it every round and every
     caller reuses it once more for the final encode; callers are lazy
-    builders so nothing unpersists mid-plan — the query registry's
-    per-entry clearCache() reclaims the memory after materialization."""
-    sv = subvectors(embeddings, m, dim, id_col, vec_col).persist()
+    builders so nothing unpersists mid-plan. Cache lifecycle is the
+    CALLER's: the query registry runs clearCache() per entry; library
+    consumers issuing many PQ queries in one long-lived session should
+    either spark.catalog.clearCache() between them or pass
+    ``persist=False`` (every entry point threads it here) to trade
+    re-computation for zero cache residency."""
+    sv = _maybe_persist(subvectors(embeddings, m, dim, id_col, vec_col), persist)
     if train_df is None:
         tsv, tids = sv, embeddings
     else:
         tids = train_df
-        tsv = sv.join(train_df.select(id_col), id_col).persist()
+        tsv = _maybe_persist(sv.join(train_df.select(id_col), id_col), persist)
     first_k = (
         tids.select(id_col)
         .orderBy(id_col)
@@ -784,10 +793,11 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_df: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """(sub, code, cv): the trained per-subspace codebooks (one
     shared training path — _pq_train — for all PQ entry points)."""
-    return _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df)[1]
+    return _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist)[1]
 
 
 def pq_encode(
@@ -799,11 +809,12 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_df: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """(id, codes): each vector as its array of m codebook codes —
     the 16x-compressed ANN representation."""
-    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df)
-    asg = _pq_assign(sv, cb.persist(), id_col)
+    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist)
+    asg = _pq_assign(sv, _maybe_persist(cb, persist), id_col)
     return asg.groupBy(id_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
@@ -822,6 +833,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_df: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """ADC top-k: rank corpus vectors by the SUM of per-subspace
     codeword distances to the query (ascending; approximate L2²).
@@ -830,8 +842,8 @@ def pq_topk(
     side is only its code table. One keyed aggregation produces the
     scores; a per-query window ranks them. ``queries`` is a frame of
     ids (subset of the corpus, as in the other sim_ queries)."""
-    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df)
-    cb = cb.persist()
+    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist)
+    cb = _maybe_persist(cb, persist)
     codes = _pq_assign(sv, cb, id_col)  # corpus code table, N*m rows
     qsv = sv.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qsv")
@@ -863,6 +875,7 @@ def semantic_dedup_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_df: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """(codes, keeper_id, dup_count): SemDeDup-style coarse semantic
     dedup — vectors whose ALL m PQ codes agree are near-duplicates at
@@ -870,7 +883,7 @@ def semantic_dedup_pq(
     m-byte code key (map-side partial), no pairwise stage at all: the
     100-TB first pass, with dedup_embedding as the exact within-bucket
     verifier when the cluster wants it."""
-    codes = pq_encode(embeddings, m, k, iters, dim, id_col, vec_col, train_df)
+    codes = pq_encode(embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist)
     return (
         codes.groupBy("codes")
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
@@ -941,6 +954,7 @@ def topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_df: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """IVF×PQ: PQ's ADC scan restricted to the query's top-``probes``
     IVF cells — the canonical billion-scale ANN layout (coarse
@@ -955,9 +969,9 @@ def topk_ivfpq(
     training (see _pq_train)."""
     cents = ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col)
     v = embeddings.select(F.col(id_col), as_double(vec_col).alias("v"))
-    assign = _assign_to(v, cents, id_col).select(id_col, "cell").persist()
-    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df)
-    cb = cb.persist()
+    assign = _maybe_persist(_assign_to(v, cents, id_col).select(id_col, "cell"), persist)
+    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist)
+    cb = _maybe_persist(cb, persist)
     codes = _pq_assign(sv, cb, id_col).join(assign, id_col)
     qsv = sv.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qsv")

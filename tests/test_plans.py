@@ -294,12 +294,16 @@ def test_source_reputation_single_shuffle(spark):
 
 
 def test_dedup_survivors_broadcast_anti_join(spark):
-    # the loser set must reach the corpus as a BROADCAST left-anti
-    # join — a shuffled anti join would re-exchange the whole corpus
-    # just to drop a tiny id set
-    plan = _physical(spark, "dedup_survivors")
+    # with a SMALL loser set (the typical corpus) the left-anti join
+    # must end up broadcast — but via AQE's runtime size check, not a
+    # forced hint (ADVICE r05: a near-dup-heavy corpus could OOM a
+    # forced broadcast), so execute first and inspect the final
+    # adaptive plan
+    df = REGISTRY["dedup_survivors"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 

@@ -305,3 +305,20 @@ def test_recall_fixture_goldens(spark):
     # the exact-cosine rerank stage makes the binary tier the accuracy
     # ceiling of the compressed paths on this corpus
     assert got["binary_recall_at_10"] >= got["pq_recall_at_10"]
+
+
+def test_pq_persist_false_caches_nothing(spark):
+    import random
+
+    rng = random.Random(41)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    df = _emb(spark, rows)
+    spark.catalog.clearCache()
+    baseline = sim.pq_encode(df).collect()
+    spark.catalog.clearCache()
+    # persist=False: identical result, zero cache residency afterwards
+    # (the opt-out for long-lived library sessions, ADVICE r05)
+    got = sim.pq_encode(df, persist=False).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, baseline))
+    jsm = spark._jsparkSession.sharedState().cacheManager()
+    assert jsm.isEmpty(), "persist=False must leave no cached plans behind"
