@@ -47,6 +47,7 @@ HEADLINE = [
     "sim_topk_ivf",
     "sim_nearest_neighbor",
     "pq_topk",  # round 5: the PQ-ADC compressed search path
+    "sim_topk_ivfpq",  # round 6: the composed billion-scale layout
 ]
 
 
@@ -151,11 +152,21 @@ def main() -> None:
     def _measure(fn) -> tuple[float, float]:
         """(best seconds, external busy CPUs over the window).
 
-        Best-of-2, plus one extra sample when the two disagree by >2x:
-        a single GC pause or memory-pressure stall inside the shared
-        JVM can poison both thin samples of a multi-second shuffle
-        query (observed: 9.4s vs a stable 2-3s in isolation)."""
+        One UNTIMED run at the bench scale first: the sf0.01 warmup
+        covers classloading/codegen but not executor memory/GC steady
+        state, and the first sf0.1 executions of heavy composed queries
+        run 2-3x slow (r05 published training_pipeline at +26% from
+        exactly this — both timed samples landed in the warm-up tail,
+        close enough together that the dispersion guard never fired;
+        steady state re-measured at r04 level).
+
+        Then best-of-2, plus one extra sample when the two disagree by
+        >2x: a single GC pause or memory-pressure stall inside the
+        shared JVM can poison both thin samples of a multi-second
+        shuffle query (observed: 9.4s vs a stable 2-3s in isolation)."""
         meter.sample()  # reset interval to this query's window
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
         samples = []
         for _ in range(2):
             t0 = time.perf_counter()

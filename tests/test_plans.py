@@ -344,3 +344,20 @@ def test_dedup_incremental_reads_stored_corpus_no_product(spark, tmp_path):
     reg = _physical(spark, "dedup_incremental")
     assert "CartesianProduct" not in reg
     assert "EvalPython" not in reg and "MapInPandas" not in reg
+
+
+def test_training_pipeline_composed_plan_shape(spark):
+    # the composed quality -> LSH dedup -> chunk -> stats flow
+    # (VERDICT r05 item 2): candidate generation stays equi-join
+    # (band/band_hash), the dup-id drop is the single sort-merge
+    # left-anti, the verify/chunk stages are broadcast joins and
+    # generates — never a product, never Python (chunking here is the
+    # native fixed-width splitter), and a bounded exchange budget so a
+    # silently added shuffle is attributable
+    plan = _physical(spark, "training_pipeline")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("LeftAnti") == 1
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Exchange hashpartitioning") <= 6
