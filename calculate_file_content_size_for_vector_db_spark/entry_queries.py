@@ -4736,78 +4736,69 @@ def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds even if the driver caps or timeboxes its sweep.
 # ---------------------------------------------------------------------------
 
-# Round-5 priority (the driver caps its per-round sweep at ~50 rows):
-# 1. queries new or semantics-changed this round — the PQ surface
-#    (pq_codes / pq_topk / sim_topk_ivfpq, VERDICT r04 item 1),
-#    dedup_ngram_jaccard (reverted to exact; capped form split out per
-#    ADVICE), dedup_ngram_jaccard_capped, simhash_pairs_wide (the
-#    wired SimHash scale default, VERDICT r04 item 5);
-# 2. the 31 queries whose last green row is from round 2 (VERDICT r04
-#    item 4 — the full stale list);
-# 3. round-3-latest heavies filling the remaining slots.
+# Round-6 priority (the driver caps its per-round sweep at ~50 rows):
+# 1. queries NEW this round — the ANN recall@10 quartet, the HLL
+#    bounded-error twin, the incremental dedup surface;
+# 2. the 42 queries whose latest green row is r03 (three rounds stale
+#    — VERDICT r05 item 1: the whole SURVEY §2 reference core is in
+#    this set), registration order;
+# 3. two r04-latest headline heavies filling the 50-row window.
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
-    # --- new / semantics-changed this round (r05) ---
-    "pq_codebooks",
-    "pq_codes",
-    "pq_topk",
-    "dedup_semantic_pq",
-    "sim_topk_ivfpq",
-    "sim_topk_ivfpq_probe2",
-    "sim_topk_binary",
-    "dedup_ngram_jaccard",  # reverted to exact semantics (oracle changed)
-    "dedup_ngram_jaccard_capped",
-    "simhash_pairs_wide",
-    "text_lm_score",
-    "dedup_survivors",
-    "source_reputation",
-    # --- the 31 queries whose latest green row is r02 (two rounds
-    # stale), registration order ---
-    "approx_distinct_customers",
-    "bucketed_join_revenue",
-    "column_profile_orders",
-    "customer_balance_ntile",
-    "decontaminate",
-    "distinct_customers_ordering",
-    "doc_repetition",
-    "embedding_quantize",
-    "event_type_islands",
-    "events_interval_join",
-    "events_multi_rollup",
-    "funnel_conversion",
-    "gopher_quality",
-    "json_source",
-    "lineitem_percentiles",
-    "multimodal_audio_windows",
-    "orders_monthly_revenue",
-    "orders_price_band_join",
-    "pack_sequences",
-    "partitioned_source_prune",
-    "pii_redact",
-    "quality_quarantine",
-    "schema_evolution_read",
-    "sim_topk_lsh_multiprobe",
-    "stratified_sample",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q19",
-    "winsorize_chars",
-    # --- r03-latest heavies filling the 50-row window ---
-    "training_pipeline",
-    "rag_ingest",
-    "sim_ivf_centroids",
-    "dedup_clusters",
-    "pack_sequences_salted",
-    "scd2_user_state",
+    # --- new this round (r06) ---
+    "pq_recall_at_10",
+    "ivfpq_recall_at_10",
+    "ivfpq_probe2_recall_at_10",
+    "binary_recall_at_10",
+    "approx_distinct_error",
+    "dedup_incremental",
+    # --- the 42 queries whose latest green row is r03, registration
+    # order (the SURVEY §2 core among them) ---
+    "above_avg_customers",
+    "cdc_upsert",
     "char_entropy",
-    "training_shard_order",
-    "orc_source",
+    "chunk_enumerate",
+    "chunk_split",
+    "chunk_split_overlap",
+    "chunk_stats",
+    "corpus_totals",
+    "csv_sink",
+    "events_json_struct",
+    "events_props_map",
+    "extrapolate_estimate",
+    "file_chunk_join",
+    "file_scan",
+    "filter_extension",
+    "format_summary",
     "fuzzy_source_match",
-    "vocabulary",
+    "grouped_percentiles",
+    "grouping_sets_lang_source",
+    "late_shipment_orders",
+    "lineitem_stats",
+    "orc_source",
+    "orders_moving_avg",
+    "orders_window_stats",
+    "part_unpivot",
+    "pdf_extract",
+    "per_file_metrics",
+    "preprocess_text",
+    "project_basename",
+    "record_to_json",
+    "richest_customer_per_nation",
+    "rollup_summary",
+    "running_offset",
+    "salted_event_counts",
+    "sort_by_size",
     "tfidf_top_terms",
+    "tpch_q6",
+    "train_test_split",
+    "training_shard_order",
+    "value_histogram",
+    "vocabulary",
     "zscore_by_lang",
+    # --- r04-latest headline heavies filling the 50-row window ---
+    "dedup_minhash_lsh",
+    "sim_topk_ivf",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {
