@@ -3,10 +3,18 @@ N x larger than the largest fixture, generated deterministically
 in-flight (no driver-side data, no fixture modification).
 
     python tools/scale_check.py [n_docs] [n_vectors]
+    python tools/scale_check.py --ladder
 
 Prints one JSON line with per-operator wall times. This is evidence
 that the operator plans hold as data grows: generation is a narrow
 projection over spark.range, so the measured cost is the operators'.
+
+--ladder runs TWO tiers in one session (200k/50k docs/vectors, then
+1M/100k) and prints per-operator time ratios next to the data-growth
+factors, so "would survive 100x" claims ride a measured scaling slope
+(VERDICT r05 item 5; results recorded in SCALE.md). Linear-plan ops
+should track the data factor; the documented exact-quadratic baselines
+(nn_grid_full, neardup_grid) should track its square.
 """
 
 from __future__ import annotations
@@ -73,10 +81,9 @@ def synth_embeddings(spark, n_vectors: int, dim: int = 64):
     )
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    n_vec = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
-    spark = get_spark(app_name="scale-check")
+def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
+    import tempfile
+
     docs = synth_documents(spark, n_docs)
     emb = synth_embeddings(spark, n_vec)
     docs.write.mode("overwrite").format("noop").save()  # warm generation path
@@ -92,6 +99,7 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 2)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        spark.catalog.clearCache()
 
     t("chunk_rollup", DocumentPipeline(spark, chunk_size=100).summary(docs))
     t("exact_dedup", dedup.exact_dedup(docs))
@@ -117,10 +125,61 @@ def main() -> None:
     # IVF×PQ composition prunes candidates to the query's cell inside
     # the join key; semantic dedup is one hash-agg over the code key
     t("pq_encode", similarity.pq_encode(emb))
+    # the 100-TB training mode: codebooks trained on a 1% deterministic
+    # sample, every vector still encoded — Lloyd's iterative cost drops
+    # out of the linear pass (compare against pq_encode's ratio)
+    t("pq_encode_sampled", similarity.pq_encode(emb, train_df=emb.where("vec_id % 100 = 0")))
     t("pq_topk", similarity.pq_topk(emb, emb.where("vec_id < 10")))
     t("ivfpq_topk", similarity.topk_ivfpq(emb, emb.where("vec_id < 10")))
     t("semantic_dedup_pq", similarity.semantic_dedup_pq(emb))
+    # the daily-ingest op: 1% of docs arrive as a new batch; the corpus
+    # side reads its STORED band/shingle tables (parquet), so only the
+    # batch is signature-hashed — timing excludes the corpus build
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus = docs.where(F.col("doc_id") % 100 != 0)
+        dedup.minhash_bands(dedup.minhash_signature(corpus)).write.parquet(f"{tmp}/bands")
+        dedup.shingle_sets(corpus).write.parquet(f"{tmp}/sh")
+        t(
+            "dedup_incremental_1pct",
+            dedup.incremental_neardup_pairs(
+                docs.where(F.col("doc_id") % 100 == 0),
+                spark.read.parquet(f"{tmp}/bands"),
+                spark.read.parquet(f"{tmp}/sh"),
+                max_bucket_size=64,
+            ),
+        )
+    return timings
 
+
+LADDER_TIERS = [(200_000, 50_000), (1_000_000, 100_000)]
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-check")
+    if len(sys.argv) > 1 and sys.argv[1] == "--ladder":
+        tiers = []
+        for n_docs, n_vec in LADDER_TIERS:
+            print(f"# --- tier {n_docs} docs / {n_vec} vectors ---", file=sys.stderr)
+            timings = run_tier(spark, n_docs, n_vec)
+            tiers.append(
+                {"n_docs": n_docs, "n_vectors": n_vec, "timings": timings,
+                 "total_sec": round(sum(timings.values()), 2)}
+            )
+        (d0, v0), (d1, v1) = LADDER_TIERS
+        ratios = {
+            name: round(tiers[1]["timings"][name] / max(tiers[0]["timings"][name], 0.01), 2)
+            for name in tiers[0]["timings"]
+        }
+        print(
+            json.dumps(
+                {"tiers": tiers, "time_ratios": ratios,
+                 "data_factors": {"docs": round(d1 / d0, 2), "vectors": round(v1 / v0, 2)}}
+            )
+        )
+        return
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_vec = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    timings = run_tier(spark, n_docs, n_vec)
     print(
         json.dumps(
             {"n_docs": n_docs, "n_vectors": n_vec, "timings": timings,
