@@ -663,6 +663,79 @@ def source_reputation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (keep_rate, exact percentile literal 1 - keep_rate) — shared between
+# the Spark percentile() calls and the DuckDB quantile_cont mirror so
+# both interpolate the same binary fraction.
+_CALIBRATE_RATES = ((0.5, "0.5"), (0.8, "0.2"), (0.95, "0.05"))
+
+_SQL_CALIBRATE_THRESHOLDS = "\nUNION ALL\n".join(
+    f"SELECT CAST({rate} AS DOUBLE) AS keep_rate,"
+    f" round(quantile_cont(quality_score, {frac}), 6) AS threshold FROM q"
+    for rate, frac in _CALIBRATE_RATES
+)
+
+
+@register(
+    "quality_calibrate",
+    f"""
+WITH {_SQL_QUALITY_CHAIN},
+th AS (
+{_SQL_CALIBRATE_THRESHOLDS}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM q)
+SELECT th.keep_rate, th.threshold,
+       CAST(count(*) FILTER (WHERE s.quality_score >= th.threshold) AS BIGINT) AS n_pass,
+       round(count(*) FILTER (WHERE s.quality_score >= th.threshold)
+             / CAST(any_value(tot.total) AS DOUBLE), 6) AS pass_rate
+FROM q s, th, tot
+GROUP BY th.keep_rate, th.threshold
+""",
+)
+def quality_calibrate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate calibration: the quality-score thresholds that keep 50 /
+    80 / 95 percent of the corpus, with the realized pass counts —
+    pick a data budget, read off the cutoff (instead of hand-tuning a
+    magic score). One percentile aggregate + a 1-row broadcast back
+    over the scores."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        calibrate_quality_threshold,
+    )
+
+    return calibrate_quality_threshold(_docs(spark, sf_dir), _CALIBRATE_RATES)
+
+
+@register(
+    "mix_balanced_recipe",
+    """
+WITH per AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+corpus AS (
+    SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(n_docs) AS BIGINT) AS min_n
+    FROM per
+)
+SELECT lang, n_docs,
+       round(n_docs / total, 6) AS actual_share,
+       round(1.0 / n_groups, 6) AS target_share,
+       round(min_n / CAST(n_docs AS DOUBLE), 6) AS sample_rate,
+       min_n AS expected_docs
+FROM per, corpus
+""",
+)
+def mix_balanced_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uniform data-mixing recipe over languages: downsample every
+    lang to the smallest lang's count (per-group sample_rate feeds
+    sampleBy / a deterministic mod-id filter when composing the
+    training mix). Two bounded shuffles."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        balanced_mix_recipe,
+    )
+
+    return balanced_mix_recipe(_docs(spark, sf_dir), "lang")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication extension (operators/dedup.py)
 # ---------------------------------------------------------------------------
@@ -2112,6 +2185,37 @@ def binary_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, q, exact = _recall_queries(spark, sf_dir)
     return recall_vs_exact(exact, topk_binary(emb, q, k=_RECALL_K, rerank=4))
+
+
+@register(
+    "knn_graph",
+    f"""
+WITH {_SQL_EMB},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a, e b
+    WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 3
+""",
+)
+def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact k-NN graph (k=3) over EVERY vector — the edge list
+    that clustering, graph-based dedup, and label propagation build
+    on. Runs the distributed block GRID (packed blocks, one vectorized
+    matmul per cell, per-cell top-k, global rank): O(N^2) work spread
+    over n_blocks^2 tasks with block-sized memory, never a driver-side
+    corpus or a row-per-pair product. The oracle is the brute-force
+    window over all pairs."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
+
+    emb = _emb(spark, sf_dir)
+    return topk_grid(emb, emb, k=3)
 
 
 # ---------------------------------------------------------------------------
@@ -4737,12 +4841,14 @@ def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Round-6 priority (the driver caps its per-round sweep at ~50 rows):
-# 1. queries NEW this round — the ANN recall@10 quartet, the HLL
-#    bounded-error twin, the incremental dedup surface;
+# 1. the 9 queries NEW this round — the ANN recall@10 quartet, the
+#    HLL bounded-error twin, the incremental dedup surface, gate
+#    calibration, the mixing recipe, the kNN graph;
 # 2. the 42 queries whose latest green row is r03 (three rounds stale
 #    — VERDICT r05 item 1: the whole SURVEY §2 reference core is in
-#    this set), registration order;
-# 3. two r04-latest headline heavies filling the 50-row window.
+#    this set), registration order. 9 + 42 = 51: if the driver stops
+#    at exactly 50, the tail entry waits one more round (it is also
+#    re-verified by every pytest run's sf0.001 sweep meanwhile).
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
     # --- new this round (r06) ---
@@ -4752,6 +4858,9 @@ _VERIFY_FIRST = [
     "binary_recall_at_10",
     "approx_distinct_error",
     "dedup_incremental",
+    "quality_calibrate",
+    "mix_balanced_recipe",
+    "knn_graph",
     # --- the 42 queries whose latest green row is r03, registration
     # order (the SURVEY §2 core among them) ---
     "above_avg_customers",
@@ -4796,9 +4905,6 @@ _VERIFY_FIRST = [
     "value_histogram",
     "vocabulary",
     "zscore_by_lang",
-    # --- r04-latest headline heavies filling the 50-row window ---
-    "dedup_minhash_lsh",
-    "sim_topk_ivf",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {

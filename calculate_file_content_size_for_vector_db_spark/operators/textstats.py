@@ -256,3 +256,87 @@ def langs_per_source(df: DataFrame, group_col: str = "source", lang_col: str = "
     return df.groupBy(group_col).agg(
         F.array_sort(F.collect_set(lang_col)).alias("langs")
     )
+
+
+def calibrate_quality_threshold(
+    df: DataFrame,
+    keep_rates: tuple[tuple[float, str], ...] = ((0.5, "0.5"), (0.8, "0.2"), (0.95, "0.05")),
+    text_col: str = "text",
+) -> DataFrame:
+    """(keep_rate, threshold, n_pass, pass_rate): the quality-score
+    cutoffs that keep a target fraction of the corpus — how a pipeline
+    actually sets its gate (pick a budget, read off the threshold),
+    instead of guessing a magic score.
+
+    Each entry of ``keep_rates`` is (keep_rate, fraction_literal) where
+    the literal is the EXACT percentile string 1 - keep_rate — passed
+    textually so the Spark side and a SQL mirror interpolate the same
+    binary fraction (1 - 0.8 in float arithmetic is 0.19999...96, and
+    exact percentile interpolation is sensitive to it).
+
+    Plan shape: one pass computes all percentiles in a single global
+    aggregate (percentile() ignores NULL scores, matching
+    quantile_cont); the 1-row result unpivots to one row per rate and
+    broadcasts back over the scored corpus for the pass counts — two
+    scans of the score column, no quadratic stage, rates bounded.
+    NULL-score docs count in the denominator and never pass (a doc the
+    scorer can't score doesn't enter the training set).
+    """
+    q = quality_score(df, text_col).select("quality_score")
+    aggs = [
+        F.round(F.expr(f"percentile(quality_score, {frac})"), 6).alias(f"_t{i}")
+        for i, (_, frac) in enumerate(keep_rates)
+    ]
+    aggs.append(F.count("*").cast("long").alias("_total"))
+    one = q.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({rate} AS DOUBLE), _t{i}" for i, (rate, _) in enumerate(keep_rates)
+    )
+    th = one.selectExpr(
+        f"stack({len(keep_rates)}, {stack}) AS (keep_rate, threshold)", "_total"
+    )
+    return (
+        q.crossJoin(F.broadcast(th))
+        .groupBy("keep_rate", "threshold", "_total")
+        .agg(
+            F.sum(
+                F.when(F.col("quality_score") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pass")
+        )
+        .select(
+            "keep_rate",
+            "threshold",
+            "n_pass",
+            F.round(F.col("n_pass") / F.col("_total").cast("double"), 6).alias("pass_rate"),
+        )
+    )
+
+
+def balanced_mix_recipe(df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, actual_share, target_share, sample_rate,
+    expected_docs): the uniform data-mixing recipe — downsample every
+    group to the smallest group's count so the output distribution is
+    balanced. The per-group sample_rate is what a pipeline feeds to
+    df.sampleBy (or a deterministic mod-id filter) when composing a
+    training mix.
+
+    Plan shape: one keyed count per group, then the 1-row corpus
+    aggregate (total, group count, min group size) broadcasts back —
+    two shuffles total, both on bounded (group-cardinality) data.
+    """
+    per = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n_docs"))
+    corpus = per.agg(
+        F.sum("n_docs").cast("double").alias("_total"),
+        F.count("*").cast("long").alias("_n_groups"),
+        F.min("n_docs").cast("long").alias("_min_n"),
+    )
+    return per.crossJoin(F.broadcast(corpus)).select(
+        group_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("actual_share"),
+        F.round(F.lit(1.0) / F.col("_n_groups"), 6).alias("target_share"),
+        F.round(F.col("_min_n") / F.col("n_docs").cast("double"), 6).alias("sample_rate"),
+        F.col("_min_n").alias("expected_docs"),
+    )

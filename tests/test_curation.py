@@ -173,3 +173,64 @@ class TestStratifiedSample:
         assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
         for r in out1:
             assert r["bucket"] < (50 if r["lang"] == "en" else 20)
+
+
+class TestQualityCalibrate:
+    def test_thresholds_and_counts(self, spark):
+        from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+            calibrate_quality_threshold,
+        )
+
+        # 10 docs whose quality_score is driven by punctuation density:
+        # more '!' -> higher punct_ratio -> lower score (monotone)
+        docs = spark.createDataFrame(
+            [(i, "plain words here " + "!" * i) for i in range(10)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.keep_rate: r
+            for r in calibrate_quality_threshold(docs).collect()
+        }
+        assert set(got) == {0.5, 0.8, 0.95}
+        # a higher keep-rate must come with a lower (or equal) cutoff
+        assert got[0.95].threshold <= got[0.8].threshold <= got[0.5].threshold
+        # realized pass rates are monotone and consistent with counts
+        for r in got.values():
+            assert r.pass_rate == round(r.n_pass / 10, 6)
+        assert got[0.5].n_pass <= got[0.8].n_pass <= got[0.95].n_pass
+        # interpolated median cutoff keeps at least half the docs
+        assert got[0.5].n_pass >= 5
+
+    def test_null_scores_fail_but_count(self, spark):
+        from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+            calibrate_quality_threshold,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "good words"), (1, "more good words"), (2, "")],
+            "doc_id long, text string",
+        )
+        got = {r.keep_rate: r for r in calibrate_quality_threshold(docs).collect()}
+        # empty doc scores NULL: in the denominator, never passing
+        for r in got.values():
+            assert r.n_pass <= 2
+            assert r.pass_rate == round(r.n_pass / 3, 6)
+
+
+class TestBalancedMixRecipe:
+    def test_downsamples_to_smallest_group(self, spark):
+        from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+            balanced_mix_recipe,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "en" if i < 60 else ("de" if i < 90 else "fr")) for i in range(100)],
+            "doc_id long, lang string",
+        )
+        got = {r.lang: r for r in balanced_mix_recipe(docs).collect()}
+        assert got["en"].n_docs == 60 and got["fr"].n_docs == 10
+        for r in got.values():
+            assert r.expected_docs == 10          # min group
+            assert r.target_share == round(1 / 3, 6)
+            assert r.sample_rate == round(10 / r.n_docs, 6)
+        assert got["fr"].sample_rate == 1.0       # smallest group keeps all

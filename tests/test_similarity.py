@@ -322,3 +322,21 @@ def test_pq_persist_false_caches_nothing(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, baseline))
     jsm = spark._jsparkSession.sharedState().cacheManager()
     assert jsm.isEmpty(), "persist=False must leave no cached plans behind"
+
+
+def test_knn_graph_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(43)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    df = _emb(spark, rows)
+    grid = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim.topk_grid(df, df, k=3).collect()
+    }
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim.topk_bruteforce(df, df, k=3).collect()
+    }
+    assert grid == brute
+    assert len({q for q, _ in grid}) == 60  # an edge list for EVERY vector
