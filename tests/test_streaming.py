@@ -217,3 +217,67 @@ def test_streaming_rag_ingest(spark, tmp_path):
     ).collect()
     key = lambda r: (r.doc_id, r.chunk_index, r.bucket, tuple(r.embedding_r))
     assert sorted(map(key, got)) == sorted(map(key, batch)) and len(batch) > 0
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """The daily-ingest dedup deployed as a stream: new docs arrive in
+    micro-batches, each batch runs incremental_neardup_pairs against
+    the STORED corpus band/shingle tables (stream side pays the
+    signature cost, corpus side is two parquet reads), and admitted
+    survivors append to the corpus store via foreachBatch. Output must
+    equal the one-shot batch result over the same new docs."""
+    from calculate_file_content_size_for_vector_db_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(100 + i, f"corpus doc alpha beta gamma delta {i} epsilon zeta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bands_dir = str(tmp_path / "bands")
+    sh_dir = str(tmp_path / "sh")
+    dedup.minhash_bands(dedup.minhash_signature(corpus)).write.parquet(bands_dir)
+    dedup.shingle_sets(corpus).write.parquet(sh_dir)
+
+    # batch 0/2 are fresh; batch 1 duplicates corpus doc 105's text
+    new_docs = spark.createDataFrame(
+        [
+            (0, "totally new content one two three four five"),
+            (1, "corpus doc alpha beta gamma delta 5 epsilon zeta"),
+            (2, "another fresh document with its own words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "new_stream")
+    new_docs.write.mode("overwrite").parquet(d)
+
+    admitted_dir = str(tmp_path / "admitted")
+
+    def _ingest(batch_df, _batch_id):
+        s = batch_df.sparkSession
+        pairs = dedup.incremental_neardup_pairs(
+            batch_df,
+            s.read.parquet(bands_dir),
+            s.read.parquet(sh_dir),
+        )
+        dedup.incremental_survivors(batch_df, pairs).write.mode("append").parquet(
+            admitted_dir
+        )
+
+    stream = spark.readStream.schema(new_docs.schema).parquet(d)
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(admitted_dir).collect()}
+    batch_pairs = dedup.incremental_neardup_pairs(
+        new_docs,
+        spark.read.parquet(bands_dir),
+        spark.read.parquet(sh_dir),
+    )
+    want = {
+        r.doc_id for r in dedup.incremental_survivors(new_docs, batch_pairs).collect()
+    }
+    assert got == want == {0, 2}  # the near-dup of corpus doc 105 is rejected
