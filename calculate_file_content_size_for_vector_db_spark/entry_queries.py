@@ -2345,6 +2345,83 @@ def approx_distinct_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "monthly_activity_full_outer",
+    """
+WITH om AS (
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+),
+sm AS (
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+           count(*) AS n_shipments
+    FROM lineitem GROUP BY 1
+)
+SELECT coalesce(om.month, sm.month) AS month,
+       om.n_orders AS n_orders,
+       sm.n_shipments AS n_shipments
+FROM om FULL OUTER JOIN sm ON om.month = sm.month
+""",
+)
+def monthly_activity_full_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order months FULL OUTER shipment months — the one join type the
+    registry lacked. Genuinely unmatched rows exist on the shipment
+    side (l_shipdate runs up to ~4 months past the last o_orderdate),
+    so the NULL-preserving semantics are actually exercised. Both
+    inputs are month-cardinality aggregates, so the outer join runs on
+    bounded data after two keyed shuffles."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    om = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.count("*").alias("n_orders"))
+    sm = li.groupBy(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month")
+    ).agg(F.count("*").alias("n_shipments"))
+    return om.join(sm, "month", "full_outer").select("month", "n_orders", "n_shipments")
+
+
+@register(
+    "approx_percentile_error",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS within_rank_bound
+FROM lineitem
+""",
+)
+def approx_percentile_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error contract for the approx-percentile sketch (the
+    approx_distinct_error pattern applied to the second sketch family):
+    approx_percentile(x, 0.5, accuracy=100) guarantees the returned
+    value's RANK is within N/accuracy of the true median rank. The
+    query re-counts the returned value's actual rank relationally and
+    emits the bound check; the oracle asserts it holds, so sketch
+    drift out of contract becomes a hash mismatch. (The sketch VALUE
+    itself is engine-specific — that part stays unasserted, exactly as
+    with HLL.)"""
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    v = li.agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias("v"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    return (
+        li.crossJoin(F.broadcast(v))
+        .agg(
+            F.any_value("n_rows").alias("n_rows"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("v"), 1).otherwise(0)).alias(
+                "rank_of_v"
+            ),
+        )
+        .select(
+            "n_rows",
+            (
+                F.abs(F.col("rank_of_v") - F.col("n_rows") / F.lit(2.0))
+                <= F.col("n_rows") / F.lit(100.0) + F.lit(1.0)
+            ).alias("within_rank_bound"),
+        )
+    )
+
+
+@register(
     "part_unpivot",
     """
 SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
@@ -4861,6 +4938,8 @@ _VERIFY_FIRST = [
     "quality_calibrate",
     "mix_balanced_recipe",
     "knn_graph",
+    "monthly_activity_full_outer",
+    "approx_percentile_error",
     # --- the 42 queries whose latest green row is r03, registration
     # order (the SURVEY §2 core among them) ---
     "above_avg_customers",
