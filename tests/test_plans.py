@@ -361,3 +361,28 @@ def test_training_pipeline_composed_plan_shape(spark):
     assert plan.count("SortMergeJoin") <= 1
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("Exchange hashpartitioning") <= 6
+
+
+def test_knn_graph_distributed_grid(spark):
+    # all-vectors kNN edge list rides the same shuffle-grid contract as
+    # sim_nearest_neighbor: Arrow matmul cells, equi-join on block ids,
+    # no broadcast corpus, no product
+    plan = _physical(spark, "knn_graph")
+    assert "MapInPandas" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_calibrate_and_mix_bounded_one_row_broadcast(spark):
+    # the calibration/mix queries reduce to one keyed or global agg
+    # plus a 1-ROW broadcast back over the input — the only nested-loop
+    # node allowed is that documented 1-row broadcast, and everything
+    # stays JVM-side
+    for name in ("quality_calibrate", "mix_balanced_recipe", "approx_percentile_error"):
+        plan = _physical(spark, name)
+        assert plan.count("BroadcastNestedLoopJoin") == 1, name
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 2, name
