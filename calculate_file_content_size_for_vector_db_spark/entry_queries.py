@@ -3406,6 +3406,64 @@ def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_rewrite",
+    f"""
+WITH ws_t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents
+),
+tok_t AS (
+    SELECT doc_id, CAST(t.i AS INT) - 1 AS pos, ws[CAST(t.i AS INT)] AS tok
+    FROM ws_t, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t
+),
+span_t AS (
+    SELECT doc_id, CAST(t.i AS INT) - 1 AS i,
+           md5(concat_ws(' ', ws[CAST(t.i AS INT)], ws[CAST(t.i AS INT)+1],
+               ws[CAST(t.i AS INT)+2], ws[CAST(t.i AS INT)+3], ws[CAST(t.i AS INT)+4]))
+               AS span_hash
+    FROM ws_t, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) t
+    WHERE len(ws) >= 5
+),
+dup AS (
+    SELECT span_hash, CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM span_t GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+    SELECT DISTINCT s.doc_id, CAST(s.i + o.k AS INT) AS pos
+    FROM span_t s
+    JOIN dup d USING (span_hash), LATERAL (SELECT unnest(range(0, 5)) AS k) o
+    WHERE s.doc_id <> d.keeper
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM tok_t t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    WHERE c.pos IS NULL
+),
+reb AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_tokens_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(w.ws) - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM ws_t w LEFT JOIN reb r USING (doc_id)
+""",
+)
+def dedup_span_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup WITH document rewrite (Lee et al. 2022):
+    each cross-doc duplicated 5-token span survives only in its
+    smallest-id document; every other occurrence is deleted and the
+    texts re-assembled. duplicated_spans detects; this one actually
+    produces the cleaned corpus."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        span_dedup_rewrite,
+    )
+
+    return span_dedup_rewrite(_docs(spark, sf_dir))
+
+
+@register(
     "schema_evolution_read",
     """
 SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source FROM documents
@@ -4940,6 +4998,7 @@ _VERIFY_FIRST = [
     "knn_graph",
     "monthly_activity_full_outer",
     "approx_percentile_error",
+    "dedup_span_rewrite",
     # --- the 42 queries whose latest green row is r03, registration
     # order (the SURVEY §2 core among them) ---
     "above_avg_customers",

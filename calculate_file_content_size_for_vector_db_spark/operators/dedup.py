@@ -456,6 +456,86 @@ def incremental_survivors(
     )
 
 
+def span_dedup_rewrite(
+    df: DataFrame, n: int = 5, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(key, clean_text, n_tokens_kept, n_tokens_removed): exact
+    substring deduplication with document REWRITE — the curation step
+    from "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., 2022), here at n-token granularity: every n-token
+    span occurring in more than one distinct document keeps its FIRST
+    occurrence (smallest ``key``) and is deleted from every other
+    document; the surviving tokens are re-joined in order. Contrast
+    the sibling duplicated_spans query, which only DETECTS the spans.
+
+    Plan shape (all linear, no pairwise stage): one explode to
+    (doc, pos, token), one explode to (doc, i, span_hash), a hash-agg
+    finding duplicated spans + their keeper, covered positions via an
+    n-wide sequence explode on the non-keeper span hits, a left-anti
+    join dropping covered tokens, and one ordered re-assembly per doc.
+    Shuffles are keyed on span_hash or ``key`` — never a product.
+    """
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import tokens
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    docs = spread(df)
+    toks = tokens(text_col)
+    tok_t = docs.select(F.col(key), F.posexplode(toks).alias("pos", "tok"))
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+        ),
+    )
+    span_t = docs.where(F.size(toks) >= n).select(
+        F.col(key), F.posexplode(spans_arr).alias("i", "span_hash")
+    )
+    dup = (
+        span_t.groupBy("span_hash")
+        .agg(
+            F.countDistinct(key).alias("_nd"),
+            F.min(key).alias("keeper"),
+        )
+        .where(F.col("_nd") >= 2)
+        .select("span_hash", "keeper")
+    )
+    covered = (
+        span_t.join(dup, "span_hash")
+        .where(F.col(key) != F.col("keeper"))
+        .select(
+            F.col(key),
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    rebuilt = (
+        tok_t.join(covered, [key, "pos"], "left_anti")
+        .groupBy(key)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_tokens_kept"),
+        )
+    )
+    return (
+        docs.select(F.col(key), F.size(toks).cast("long").alias("_n_tokens"))
+        .join(rebuilt, key, "left")
+        .select(
+            key,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+            (F.col("_n_tokens") - F.coalesce("n_tokens_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def neardup_clusters(
     df: DataFrame,
     threshold: float = 0.5,

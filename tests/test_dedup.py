@@ -280,3 +280,40 @@ def test_incremental_bucket_cap_drops_hub_buckets(spark):
     assert uncapped.count() == 11
     capped = dedup.incremental_neardup_pairs(batch, bands, sh, max_bucket_size=5)
     assert capped.count() == 0
+
+
+def test_span_rewrite_keeps_first_occurrence_only(spark):
+    # docs 0 and 1 share the 5-token span "a b c d e"; doc 0 (smaller
+    # id) keeps it, doc 1 loses exactly those 5 tokens; doc 2 untouched
+    rows = [
+        (0, "a b c d e tail zero"),
+        (1, "head one a b c d e"),
+        (2, "entirely different words here now"),
+    ]
+    got = {r.doc_id: r for r in dedup.span_dedup_rewrite(_docs(spark, rows)).collect()}
+    assert got[0].clean_text == "a b c d e tail zero"
+    assert got[0].n_tokens_removed == 0
+    assert got[1].clean_text == "head one"
+    assert (got[1].n_tokens_kept, got[1].n_tokens_removed) == (2, 5)
+    assert got[2].clean_text == "entirely different words here now"
+
+
+def test_span_rewrite_overlapping_spans_union_coverage(spark):
+    # doc 1 repeats a 6-token run from doc 0 -> two overlapping dup
+    # 5-token spans; covered positions are the UNION (6 tokens), not
+    # double-counted
+    rows = [
+        (0, "x1 x2 x3 x4 x5 x6 unique0"),
+        (1, "pre x1 x2 x3 x4 x5 x6 post"),
+    ]
+    got = {r.doc_id: r for r in dedup.span_dedup_rewrite(_docs(spark, rows)).collect()}
+    assert got[0].n_tokens_removed == 0
+    assert got[1].clean_text == "pre post"
+    assert got[1].n_tokens_removed == 6
+
+
+def test_span_rewrite_short_and_empty_docs_pass_through(spark):
+    rows = [(0, "one two three"), (1, "")]
+    got = {r.doc_id: r for r in dedup.span_dedup_rewrite(_docs(spark, rows)).collect()}
+    assert got[0].clean_text == "one two three"
+    assert got[1].clean_text == "" and got[1].n_tokens_kept == 0
