@@ -4976,14 +4976,15 @@ def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Round-6 priority (the driver caps its per-round sweep at ~50 rows):
-# 1. the 9 queries NEW this round — the ANN recall@10 quartet, the
-#    HLL bounded-error twin, the incremental dedup surface, gate
-#    calibration, the mixing recipe, the kNN graph;
+# 1. the 12 queries NEW this round — the ANN recall@10 quartet, the
+#    two sketch-error contracts, the incremental dedup surface, gate
+#    calibration, the mixing recipe, the kNN graph, the FULL OUTER
+#    shape, the span-rewrite dedup;
 # 2. the 42 queries whose latest green row is r03 (three rounds stale
 #    — VERDICT r05 item 1: the whole SURVEY §2 reference core is in
-#    this set), registration order. 9 + 42 = 51: if the driver stops
-#    at exactly 50, the tail entry waits one more round (it is also
-#    re-verified by every pytest run's sf0.001 sweep meanwhile).
+#    this set), registration order. 12 + 42 = 54: if the driver stops
+#    at exactly 50, the ~4 tail entries wait one more round (they are
+#    also re-verified by every pytest run's sf0.001 sweep meanwhile).
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
     # --- new this round (r06) ---
