@@ -2188,6 +2188,107 @@ def binary_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_LSH_BUCKETS},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN buck ba ON a.vec_id = ba.vec_id
+        JOIN buck bb ON ba.bucket = bb.bucket
+        JOIN e b ON b.vec_id = bb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def lsh_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-bucket LSH (candidate-pruned exact cosine):
+    measures bucket coverage, the number a user tunes n_planes by."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_lsh,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_lsh(emb, q, k=_RECALL_K))
+
+
+@register(
+    "lsh_multiprobe_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_LSH_BUCKETS},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN buck ba ON a.vec_id = ba.vec_id
+        JOIN buck bb ON (ba.bucket = bb.bucket OR bit_count(xor(ba.bucket, bb.bucket)) = 1)
+        JOIN e b ON b.vec_id = bb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def lsh_multiprobe_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of multi-probe LSH (own + 1-bit-flip buckets). For
+    candidate-pruned EXACT search, more candidates can only help, so
+    this must sit at or above lsh_recall_at_10 — the guaranteed
+    monotonicity the ADC tiers lack (pinned in tests)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_lsh_multiprobe,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_lsh_multiprobe(emb, q, k=_RECALL_K))
+
+
+@register(
+    "ivf_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN assign sa ON a.vec_id = sa.vec_id
+        JOIN assign sb ON sa.cell = sb.cell
+        JOIN e b ON b.vec_id = sb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-probe IVF with exact in-cell scoring —
+    isolates the coarse quantizer's coverage from PQ's scoring error
+    (compare ivfpq_recall_at_10, which adds ADC approximation)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_ivf,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_ivf(emb, q, k=_RECALL_K))
+
+
+@register(
     "knn_graph",
     f"""
 WITH {_SQL_EMB},
@@ -5000,6 +5101,9 @@ _VERIFY_FIRST = [
     "monthly_activity_full_outer",
     "approx_percentile_error",
     "dedup_span_rewrite",
+    "lsh_recall_at_10",
+    "lsh_multiprobe_recall_at_10",
+    "ivf_recall_at_10",
     # --- the 42 queries whose latest green row is r03, registration
     # order (the SURVEY §2 core among them) ---
     "above_avg_customers",

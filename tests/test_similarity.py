@@ -340,3 +340,27 @@ def test_knn_graph_matches_bruteforce(spark):
     }
     assert grid == brute
     assert len({q for q, _ in grid}) == 60  # an edge list for EVERY vector
+
+
+def test_candidate_pruned_recall_monotone_and_goldens(spark):
+    """For candidate-pruned EXACT search (LSH/IVF tiers), more probes
+    can only add candidates that score by true cosine, so recall IS
+    monotone (unlike the ADC tiers). Goldens pinned at sf0.001; LSH
+    sits near zero there because 16 planes over ~50 vectors leave
+    buckets mostly singleton — exactly the signal a user tunes
+    n_planes with."""
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    golden = {
+        "lsh_recall_at_10": 0.02,
+        "lsh_multiprobe_recall_at_10": 0.06,
+        "ivf_recall_at_10": 0.73,
+    }
+    got = {}
+    for name, want in golden.items():
+        row = REGISTRY[name].fn(spark, SF_DIR).collect()[0]
+        assert row.n_exact == 100
+        got[name] = row.recall
+        assert row.recall == want, f"{name}: recall {row.recall} != golden {want}"
+    assert got["lsh_multiprobe_recall_at_10"] >= got["lsh_recall_at_10"]
