@@ -48,6 +48,9 @@ HEADLINE = [
     "sim_nearest_neighbor",
     "pq_topk",  # round 5: the PQ-ADC compressed search path
     "sim_topk_ivfpq",  # round 6: the composed billion-scale layout
+    "dedup_incremental",  # round 6: the daily batch-vs-corpus ingest op
+    "dedup_span_rewrite",  # round 6: exact substring dedup with rewrite
+    "knn_graph",  # round 6: all-vectors exact kNN edge list (block grid)
 ]
 
 
