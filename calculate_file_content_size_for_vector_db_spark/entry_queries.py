@@ -3943,6 +3943,42 @@ def multimodal_audio_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_dedup",
+    """
+WITH codes_t AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT)) AS codes,
+           CAST(length(text) AS BIGINT) AS ln
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           CASE WHEN ln = 0 THEN 0
+                ELSE CAST(list_sum(list_transform(range(0, 12), b ->
+                    CASE WHEN ((b + 1) * ln) // 12 - (b * ln) // 12 > 0
+                          AND list_sum(list_slice(codes, (b * ln) // 12 + 1, ((b + 1) * ln) // 12))
+                              / CAST(((b + 1) * ln) // 12 - (b * ln) // 12 AS DOUBLE)
+                              > list_sum(codes) / CAST(ln AS DOUBLE)
+                         THEN (1::BIGINT << CAST(b AS INT)) ELSE 0::BIGINT END)) AS BIGINT)
+           END AS ahash
+    FROM codes_t
+)
+SELECT ahash, CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS dup_count
+FROM h GROUP BY ahash HAVING count(*) > 1
+""",
+)
+def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (LAION-style): average-hash over the
+    decoded sample stream (fake decode: code points stand in for
+    pixels, per the module contract), then one hash-agg bucketing on
+    the full 12-bit hash — the dedup_semantic_pq shape applied to the
+    multimodal column, no pairwise stage."""
+    from calculate_file_content_size_for_vector_db_spark.operators.multimodal import phash_dedup
+
+    return phash_dedup(_docs(spark, sf_dir))
+
+
+@register(
     "rag_ingest",
     f"""
 WITH {_SQL_CHUNKS},
@@ -5104,6 +5140,7 @@ _VERIFY_FIRST = [
     "lsh_recall_at_10",
     "lsh_multiprobe_recall_at_10",
     "ivf_recall_at_10",
+    "multimodal_phash_dedup",
     # --- the 42 queries whose latest green row is r03, registration
     # order (the SURVEY §2 core among them) ---
     "above_avg_customers",

@@ -167,3 +167,65 @@ def audio_windows(
             6,
         ).alias("mean_amplitude"),
     )
+
+
+def image_ahash(
+    documents: DataFrame,
+    n_bits: int = 12,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, ahash): average-hash perceptual fingerprint — bit b is set
+    when the mean sample value of the b-th contiguous stream segment
+    exceeds the global mean (the classic aHash, with the stream's
+    natural order standing in for the pixel raster). Near-identical
+    payloads produce identical hashes, which is what image-level dedup
+    buckets on (LAION-style pipelines run exactly this shape).
+
+    Decode stub per the module contract: code points of the text
+    column stand in for decoded pixels (the audio_windows trick); a
+    real decoder swaps the sample source, not the hash. Pure Column
+    expressions — integer bucket boundaries (b*len/n_bits floor
+    arithmetic) and double mean comparisons are bit-reproducible in
+    DuckDB for the oracle. Empty payloads hash to 0.
+    """
+    c = F.col(text_col)
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    ln = F.length(c).cast("bigint")
+    gmean = F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, x: a + x) / ln
+    value = F.lit(0).cast("bigint")
+    for b in range(n_bits):
+        start = (F.lit(b) * ln / F.lit(n_bits)).cast("bigint")  # 0-based floor
+        blen = ((F.lit(b + 1) * ln / F.lit(n_bits)).cast("bigint") - start)
+        seg = F.slice(codes, (start + 1).cast("int"), blen.cast("int"))
+        bmean = F.aggregate(seg, F.lit(0).cast("bigint"), lambda a, x: a + x) / blen
+        value = value + F.when(
+            (blen > 0) & (bmean > gmean), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return documents.select(
+        F.col(key_col),
+        F.when(ln > 0, value).otherwise(F.lit(0).cast("bigint")).alias("ahash"),
+    )
+
+
+def phash_dedup(
+    documents: DataFrame,
+    n_bits: int = 12,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(ahash, keeper_id, dup_count): perceptual-duplicate buckets —
+    payloads sharing the full average-hash collapse to one keeper.
+    Same 100-TB shape as dedup_semantic_pq: one linear hash pass plus
+    one keyed hash-agg on the n_bits-wide key, no pairwise stage."""
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    hashed = image_ahash(spread(documents), n_bits, key_col, text_col)
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.min(key_col).alias("keeper_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+        .where(F.col("dup_count") > 1)
+    )

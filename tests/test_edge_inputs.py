@@ -159,3 +159,29 @@ def test_source_reputation_weird_docs(spark, weird_docs):
     )
     rep = textstats.source_reputation(docs).collect()
     assert sum(r.n_docs for r in rep) == 6  # every doc counted, NULLs included
+
+
+def test_image_ahash_twins_collide_and_edges(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.multimodal import (
+        image_ahash,
+        phash_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the exact same payload bytes here"),
+            (1, "the exact same payload bytes here"),   # twin of 0
+            (2, "ZZZZ aaaa ZZZZ aaaa ZZZZ aaaa okay"),  # different profile
+            (3, ""),                                     # empty -> hash 0
+            (4, "ab"),                                   # shorter than n_bits
+        ],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.ahash for r in image_ahash(docs).collect()}
+    assert h[0] == h[1]
+    assert h[0] != h[2]
+    assert h[3] == 0
+    assert 0 <= h[4] < 2**12  # degenerate buckets still in range
+    buckets = {r.ahash: r for r in phash_dedup(docs).collect()}
+    assert h[0] in buckets
+    assert buckets[h[0]].keeper_id == 0 and buckets[h[0]].dup_count == 2
