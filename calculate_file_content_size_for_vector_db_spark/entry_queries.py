@@ -2319,6 +2319,74 @@ def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_grid(emb, emb, k=3)
 
 
+def _sql_pagerank_chain(iters: int = 3, damping_pct: int = 85) -> str:
+    """Unrolled PageRank CTEs over the `knn` edge CTE (src, dst) and
+    the `e` vector table — mirrors operators/graph.pagerank step for
+    step in FIXED-POINT integer arithmetic (micro-unit ranks, integer
+    division), so parity is bit-exact with no round-half boundaries."""
+    from calculate_file_content_size_for_vector_db_spark.operators.graph import PAGERANK_SCALE
+
+    teleport_num = (100 - damping_pct) * PAGERANK_SCALE // 100
+    parts = [
+        "nodes AS (SELECT vec_id AS node FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM knn GROUP BY src)",
+        f"pr0 AS (SELECT node, {PAGERANK_SCALE} // nn.n AS pr FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr{i} AS (
+    SELECT no.node,
+           {teleport_num} // (SELECT n FROM nn)
+               + ({damping_pct} * coalesce(s.c, 0)) // 100 AS pr
+    FROM nodes no LEFT JOIN (
+        SELECT k.dst AS node, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS c
+        FROM knn k JOIN deg d ON k.src = d.src JOIN pr{i - 1} p ON k.src = p.node
+        GROUP BY k.dst
+    ) s ON no.node = s.node
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "knn_pagerank",
+    f"""
+WITH {_SQL_EMB},
+knn AS (
+    SELECT query_id AS src, neighbor_id AS dst FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a, e b WHERE a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+),
+{_sql_pagerank_chain()}
+SELECT node AS vec_id, CAST(pr AS BIGINT) AS pagerank_micro FROM pr3
+""",
+)
+def knn_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the semantic k-NN graph (3 unrolled
+    power iterations, damping 0.85, fixed-point micro-unit ranks) —
+    the signal diversity-aware data selection ranks by: high-rank
+    vectors sit in dense semantic neighborhoods, low-rank ones are
+    outliers. Edges come from the distributed block grid; each
+    iteration is one edge-rank equi-join plus one keyed aggregation
+    (edges never move — the standard distributed PageRank layout),
+    all one lazy plan."""
+    from calculate_file_content_size_for_vector_db_spark.operators.graph import pagerank
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
+
+    emb = _emb(spark, sf_dir)
+    edges = topk_grid(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges, emb.select(F.col("vec_id").alias("node"))).select(
+        F.col("node").alias("vec_id"), "pagerank_micro"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Additional analytic surface: time-series trend, rank distribution,
 # exact percentiles, distinct + approx-distinct, unpivot
@@ -5141,6 +5209,7 @@ _VERIFY_FIRST = [
     "lsh_multiprobe_recall_at_10",
     "ivf_recall_at_10",
     "multimodal_phash_dedup",
+    "knn_pagerank",
     # --- the 42 queries whose latest green row is r03, registration
     # order (the SURVEY §2 core among them) ---
     "above_avg_customers",
