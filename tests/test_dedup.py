@@ -317,3 +317,44 @@ def test_span_rewrite_short_and_empty_docs_pass_through(spark):
     got = {r.doc_id: r for r in dedup.span_dedup_rewrite(_docs(spark, rows)).collect()}
     assert got[0].clean_text == "one two three"
     assert got[1].clean_text == "" and got[1].n_tokens_kept == 0
+
+
+def test_span_rewrite_properties_random_corpora(spark):
+    """Property sweep on seeded random corpora: (1) every clean_text is
+    a subsequence of the original token stream; (2) kept + removed =
+    original token count; (3) a keeper that lost nothing overall
+    retains each span it keeps verbatim. (Unconditional keeper
+    retention is NOT a theorem: a doc can be keeper of span A yet lose
+    A-overlapping tokens through a different span B it doesn't keep —
+    so the check is gated on n_tokens_removed == 0.)"""
+    import random
+
+    rng = random.Random(53)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(5):
+        docs = []
+        for d in range(8):
+            n = rng.randrange(0, 14)
+            docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+        df = _docs(spark, docs)
+        got = {r.doc_id: r for r in dedup.span_dedup_rewrite(df).collect()}
+        originals = dict(docs)
+        for d, text in docs:
+            orig = text.split() if text else []
+            clean = got[d].clean_text.split() if got[d].clean_text else []
+            # subsequence check
+            it = iter(orig)
+            assert all(tok in it for tok in clean), (trial, d, text, got[d].clean_text)
+            assert got[d].n_tokens_kept == len(clean)
+            assert got[d].n_tokens_kept + got[d].n_tokens_removed == len(orig)
+        # keeper retention: recompute duplicated spans in python
+        spans = {}
+        for d, text in docs:
+            toks = text.split()
+            for i in range(len(toks) - 4):
+                spans.setdefault(" ".join(toks[i : i + 5]), set()).add(d)
+        for span, ds in spans.items():
+            if len(ds) >= 2:
+                keeper = min(ds)
+                if got[keeper].n_tokens_removed == 0:
+                    assert span in got[keeper].clean_text, (trial, span, keeper)
