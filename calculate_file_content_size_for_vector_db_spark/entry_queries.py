@@ -2319,6 +2319,45 @@ def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_grid(emb, emb, k=3)
 
 
+@register(
+    "triplet_mining",
+    f"""
+WITH {_SQL_EMB},
+lab AS (SELECT vec_id, label FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+           la.label = lb.label AS same,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN lab la ON a.vec_id = la.vec_id,
+         e b JOIN lab lb ON b.vec_id = lb.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+            ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT p.anchor_id,
+       p.cand_id AS positive_id, p.cosine AS pos_cosine,
+       n.cand_id AS negative_id, n.cosine AS neg_cosine
+FROM best p JOIN best n ON p.anchor_id = n.anchor_id
+WHERE p.same AND NOT n.same
+""",
+)
+def triplet_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplets for the first 10 anchors: nearest
+    same-label vector (positive) + nearest other-label vector (hard
+    negative) — the data-prep op behind contrastive embedding
+    training. Exact scan at fixture scale; at 100 TB the candidate set
+    comes from an ANN tier instead (same ranking, pruned input)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import mine_triplets
+
+    emb = _emb(spark, sf_dir)
+    return mine_triplets(emb, emb.where(F.col("vec_id") < 10))
+
+
 def _sql_pagerank_chain(iters: int = 3, damping_pct: int = 85) -> str:
     """Unrolled PageRank CTEs over the `knn` edge CTE (src, dst) and
     the `e` vector table — mirrors operators/graph.pagerank step for
@@ -5210,6 +5249,7 @@ _VERIFY_FIRST = [
     "ivf_recall_at_10",
     "multimodal_phash_dedup",
     "knn_pagerank",
+    "triplet_mining",
     # --- the 42 queries whose latest green row is r03. The SURVEY §2
     # reference core goes FIRST (the actual brief's parity surface must
     # not go a 4th round stale), then the extension stale rows ordered

@@ -891,6 +891,62 @@ def semantic_dedup_pq(
     )
 
 
+def mine_triplets(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor_id, positive_id, pos_cosine, negative_id, neg_cosine):
+    contrastive-training triplets — per anchor, the most similar
+    SAME-label vector (positive) and the most similar OTHER-label
+    vector (the hard negative, the one that actually teaches the
+    margin). Anchors whose label has no second member drop out.
+
+    Plan shape: broadcast-anchors x corpus scan (the exact
+    fixture-scale baseline, like topk_bruteforce); at 100 TB the
+    candidate set comes from an ANN tier (topk_lsh / pq_topk /
+    topk_ivfpq) instead of the full scan and this ranking applies to
+    the candidates — same downstream shape, pruned input."""
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        as_double(vec_col).alias("qv"),
+        F.col(label_col).alias("a_label"),
+    )
+    c = spread(embeddings).select(
+        F.col(id_col).alias("cand_id"),
+        as_double(vec_col).alias("cv"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        F.broadcast(a)
+        .crossJoin(c)
+        .where(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            (F.col("a_label") == F.col("c_label")).alias("same"),
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    pos = best.where(F.col("same")).select(
+        "anchor_id",
+        F.col("cand_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    neg = best.where(~F.col("same")).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("cosine").alias("neg_cosine"),
+    )
+    return pos.join(neg, "anchor_id")
+
+
 def recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """(n_exact, n_hits, recall): the fraction of the exact top-k pairs
     an approximate method recovered — the accuracy number that picks

@@ -364,3 +364,22 @@ def test_candidate_pruned_recall_monotone_and_goldens(spark):
         got[name] = row.recall
         assert row.recall == want, f"{name}: recall {row.recall} != golden {want}"
     assert got["lsh_multiprobe_recall_at_10"] >= got["lsh_recall_at_10"]
+
+
+def test_triplet_mining_picks_same_and_cross_label_nearest(spark):
+    rows = [
+        (0, _pad([1.0, 0.0]), 1),    # anchor, label 1
+        (1, _pad([0.9, 0.1]), 1),    # same label, very close -> positive
+        (2, _pad([0.0, 1.0]), 1),    # same label, far
+        (3, _pad([0.95, 0.05]), 2),  # other label, closest -> hard negative
+        (4, _pad([-1.0, 0.0]), 2),   # other label, far
+        (5, _pad([0.5, 0.5]), 3),    # lone label: never a positive source
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.anchor_id: r for r in sim.mine_triplets(df, df.where("vec_id = 0")).collect()}
+    t = got[0]
+    assert t.positive_id == 1 and t.negative_id == 3
+    assert t.pos_cosine > 0.99 and t.neg_cosine > 0.99
+    # an anchor whose label has no second member yields no triplet
+    lone = sim.mine_triplets(df, df.where("vec_id = 5")).collect()
+    assert lone == []
