@@ -386,3 +386,45 @@ def test_calibrate_and_mix_bounded_one_row_broadcast(spark):
         assert "CartesianProduct" not in plan, name
         assert "EvalPython" not in plan and "MapInPandas" not in plan, name
         assert plan.count("Exchange hashpartitioning") <= 2, name
+
+
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin —
+# each is a documented bounded broadcast, not an accidental product:
+# 1-row corpus aggregates broadcast back over the input (scalar
+# thresholds/counts/LM totals/scalar subqueries), 1-row packed
+# centroid/codebook grids in the unrolled IVF/PQ training chains, the
+# broadcast-queries x corpus EXACT baselines, and the broadcast band
+# dimension of the range join.
+_BNLJ_ALLOWED = {
+    "approx_percentile_error", "binary_recall_at_10", "ivf_recall_at_10",
+    "ivfpq_probe2_recall_at_10", "ivfpq_recall_at_10", "knn_pagerank",
+    "lsh_multiprobe_recall_at_10", "lsh_recall_at_10", "mix_balanced_recipe",
+    "orders_price_band_join", "pq_recall_at_10", "quality_calibrate",
+    "sim_ivf_assign", "sim_ivf_centroids", "sim_topk_binary",
+    "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivfpq",
+    "sim_topk_ivfpq_probe2", "text_lm_score", "tpch_q11", "tpch_q20",
+    "tpch_q22", "triplet_mining",
+}
+
+
+def test_registry_wide_plan_anti_pattern_sweep(spark):
+    """EVERY registered query's physical plan, swept for the three
+    anti-patterns that kill 100-TB runs: CartesianProduct (quadratic
+    row explosion), BatchEvalPython (row-at-a-time Python), and
+    un-whitelisted BroadcastNestedLoopJoin (an accidental product
+    hiding behind a broadcast). The whitelist pins today's documented
+    bounded-broadcast set — a NEW query acquiring a nested loop fails
+    here until it is reviewed and listed."""
+    offenders = {}
+    for name, q in REGISTRY.items():
+        plan = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            bad.append("unlisted BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
