@@ -153,9 +153,91 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
 
 LADDER_TIERS = [(200_000, 50_000), (1_000_000, 100_000)]
 
+# TPC-H family tiers: replication factor over the sf0.1 fixtures
+# (facts replicated with shifted order keys so join semantics hold;
+# dimensions stay fixed, exactly like growing the scale factor).
+TPCH_TIERS = [1, 8]
+_KEY_OFFSET = 100_000_000  # far above any fixture orderkey
+
+
+def _replicate_facts(spark, sf_dir: str, factor: int):
+    """(lineitem, orders) scaled ``factor``x by key-shifted copies — a
+    narrow 1-row-per-replica broadcast + arithmetic, so the measured
+    cost stays the queries', not the generator's."""
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    if factor == 1:
+        return li, orders
+    rep = spark.range(factor).select(F.col("id").alias("_r"))
+    li_k = (
+        li.crossJoin(F.broadcast(rep))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * _KEY_OFFSET)
+        .drop("_r")
+    )
+    orders_k = (
+        orders.crossJoin(F.broadcast(rep))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * _KEY_OFFSET)
+        .drop("_r")
+    )
+    return li_k, orders_k
+
+
+def run_tpch_tier(spark, sf_dir: str, factor: int) -> dict[str, float]:
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        local_supplier_volume,
+        pricing_summary,
+        shipping_priority,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+
+    li, orders = _replicate_facts(spark, sf_dir, factor)
+    dims = {t: read_table(spark, sf_dir, t) for t in ("region", "nation", "customer", "supplier")}
+    timings: dict[str, float] = {}
+
+    def t(name, df):
+        df.write.mode("overwrite").format("noop").save()  # steady-state warm
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 2)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    t("tpch_q1", pricing_summary(li))
+    t("tpch_q3", shipping_priority(dims["customer"], orders, li))
+    t(
+        "tpch_q5",
+        local_supplier_volume(
+            dims["region"], dims["nation"], dims["customer"], dims["supplier"], orders, li
+        ),
+    )
+    return timings
+
 
 def main() -> None:
     spark = get_spark(app_name="scale-check")
+    if len(sys.argv) > 1 and sys.argv[1] == "--tpch-ladder":
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        tiers = []
+        for factor in TPCH_TIERS:
+            print(f"# --- tpch tier x{factor} over {sf_dir} ---", file=sys.stderr)
+            timings = run_tpch_tier(spark, sf_dir, factor)
+            tiers.append({"factor": factor, "timings": timings})
+        ratios = {
+            name: round(tiers[1]["timings"][name] / max(tiers[0]["timings"][name], 0.01), 2)
+            for name in tiers[0]["timings"]
+        }
+        print(
+            json.dumps(
+                {"sf_dir": sf_dir, "tiers": tiers, "time_ratios": ratios,
+                 "data_factor": TPCH_TIERS[1] / TPCH_TIERS[0]}
+            )
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--ladder":
         tiers = []
         for n_docs, n_vec in LADDER_TIERS:
