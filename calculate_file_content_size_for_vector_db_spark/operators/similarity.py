@@ -1023,7 +1023,13 @@ def topk_ivfpq(
     rows of ``probes`` cells per query (~probes·N·m/n_cells), not the
     corpus. ``train_df``: optional deterministic sample for codebook
     training (see _pq_train)."""
-    cents = ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col)
+    # persist the k centroid rows: with probes >= 2 they feed BOTH the
+    # corpus assignment and the query-side _assign_topc, and an
+    # unpersisted cents would re-run the whole unrolled Lloyd lineage
+    # for the second consumer (Spark does not dedupe common subplans)
+    cents = _maybe_persist(
+        ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col), persist
+    )
     v = embeddings.select(F.col(id_col), as_double(vec_col).alias("v"))
     assign = _maybe_persist(_assign_to(v, cents, id_col).select(id_col, "cell"), persist)
     sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist)
