@@ -358,3 +358,19 @@ def test_span_rewrite_properties_random_corpora(spark):
                 keeper = min(ds)
                 if got[keeper].n_tokens_removed == 0:
                     assert span in got[keeper].clean_text, (trial, span, keeper)
+
+
+def test_incremental_empty_batch_and_empty_corpus(spark):
+    docs = _docs(spark, [(0, "alpha beta gamma delta epsilon"), (1, "one two three four five")])
+    empty = docs.where("doc_id < 0")
+    bands = dedup.minhash_bands(dedup.minhash_signature(docs))
+    sh = dedup.shingle_sets(docs)
+    # empty batch: no pairs, no survivors
+    pairs = dedup.incremental_neardup_pairs(empty, bands, sh)
+    assert pairs.count() == 0
+    assert dedup.incremental_survivors(empty, pairs).count() == 0
+    # empty corpus: every batch doc survives
+    ebands = dedup.minhash_bands(dedup.minhash_signature(empty))
+    epairs = dedup.incremental_neardup_pairs(docs, ebands, dedup.shingle_sets(empty))
+    assert epairs.count() == 0
+    assert dedup.incremental_survivors(docs, epairs).count() == 2
