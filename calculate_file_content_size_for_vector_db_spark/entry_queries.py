@@ -2875,6 +2875,120 @@ def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_pipeline",
+    _SQL_MINHASH_BANDS
+    + """,
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+dup_pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) >= 0.5
+),
+lang AS (
+    SELECT doc_id,
+           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS INT) AS s_en,
+           CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','ein'))) AS INT) AS s_de,
+           CAST(len(list_filter(ws, w -> w IN ('el','la','de','que','y','un'))) AS INT) AS s_es,
+           CAST(len(list_filter(ws, w -> w IN ('le','la','et','les','des','un'))) AS INT) AS s_fr,
+           CAST(len(list_filter(ws, w -> w IN ('的','是','了','在'))) AS INT) AS s_zh
+    FROM ws_t
+),
+lang_en AS (
+    SELECT doc_id FROM lang
+    WHERE greatest(s_en, s_de, s_es, s_fr, s_zh) > 0
+      AND s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
+),
+qual AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               round(CASE WHEN length(text) = 0 THEN NULL
+                     ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                          / CAST(length(text) AS DOUBLE) END, 6) AS punct_ratio
+        FROM documents
+    ) WHERE COALESCE(punct_ratio, 1.0) <= 0.1
+),
+sh5 AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+    FROM ws_t WHERE len(ws) >= 5
+),
+contaminated AS (
+    SELECT DISTINCT t.doc_id
+    FROM sh5 t JOIN sh5 b ON t.g = b.g AND t.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+),
+kept AS (
+    SELECT d.doc_id, d.text
+    FROM documents d
+    JOIN lang_en USING (doc_id)
+    JOIN qual USING (doc_id)
+    WHERE d.doc_id % 5 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND d.doc_id NOT IN (SELECT b_id FROM dup_pairs)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(len(w.ws)), 0) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(length(k.text)), 0) AS BIGINT) AS total_chars
+FROM kept k JOIN ws_t w USING (doc_id)
+""",
+)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation stack composed as one lazy plan — the query
+    a training-data team actually ships: benchmark split held out
+    (doc_id % 5 == 0) -> language gate (detected 'en') -> quality gate
+    (punct_ratio <= 0.1) -> benchmark decontamination (shared 5-gram)
+    -> MinHash-LSH near-dup drop (larger id of each verified pair) ->
+    one-row corpus budget (docs / tokens / chars). Every stage is an
+    already-proven operator; composition stays gates + anti-joins on
+    doc_id plus the LSH chain's own bounded shuffles."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import decontaminate
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    lang_en = (
+        lang_id(docs)
+        .where(
+            (F.col("predicted_lang") == "en")
+        )
+        .select("doc_id")
+    )
+    qual = (
+        quality_score(docs)
+        .where(F.coalesce(F.col("punct_ratio"), F.lit(1.0)) <= 0.1)
+        .select("doc_id")
+    )
+    contaminated = decontaminate(train, bench, n=5).select("doc_id")
+    dup_b = minhash_lsh_pairs(docs, threshold=0.5).select(
+        F.col("b_id").alias("doc_id")
+    ).distinct()
+    kept = (
+        train.join(lang_en, "doc_id")
+        .join(qual, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(dup_b, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    return kept.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokens("text"))), F.lit(0)).cast("long").alias("total_tokens"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).cast("long").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # More relational shapes: Q6-style filter-agg, Q4-style EXISTS,
 # correlated-average comparison
@@ -5250,6 +5364,7 @@ _VERIFY_FIRST = [
     "multimodal_phash_dedup",
     "knn_pagerank",
     "triplet_mining",
+    "curation_pipeline",
     # --- the 42 queries whose latest green row is r03. The SURVEY §2
     # reference core goes FIRST (the actual brief's parity surface must
     # not go a 4th round stale), then the extension stale rows ordered

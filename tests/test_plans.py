@@ -428,3 +428,16 @@ def test_registry_wide_plan_anti_pattern_sweep(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_curation_pipeline_composed_plan_shape(spark):
+    # the full curation stack composes as gates (broadcast joins on
+    # doc_id) + two anti-joins (contamination, dup drop) + the LSH
+    # chain's own bounded shuffles — never Python, never a product,
+    # and a bounded exchange budget so silent additions are attributable
+    plan = _physical(spark, "curation_pipeline")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("LeftAnti") == 2
+    assert plan.count("SortMergeJoin") <= 2
+    assert plan.count("Exchange hashpartitioning") <= 6
