@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_incremental",  # round 6: the daily batch-vs-corpus ingest op
     "dedup_span_rewrite",  # round 6: exact substring dedup with rewrite
     "knn_graph",  # round 6: all-vectors exact kNN edge list (block grid)
+    "curation_pipeline",  # round 6: the composed full curation stack
 ]
 
 
