@@ -5334,15 +5334,16 @@ def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Round-6 priority (the driver caps its per-round sweep at ~50 rows):
-# 1. the 12 queries NEW this round — the ANN recall@10 quartet, the
-#    two sketch-error contracts, the incremental dedup surface, gate
-#    calibration, the mixing recipe, the kNN graph, the FULL OUTER
-#    shape, the span-rewrite dedup;
+# 1. the 19 queries NEW this round — the full recall@10 matrix, the
+#    two sketch-error contracts, the incremental/span-rewrite/phash
+#    dedup surface, gate calibration, the mixing recipe, kNN graph +
+#    PageRank, triplet mining, the FULL OUTER shape, and the composed
+#    curation_pipeline flagship;
 # 2. the 42 queries whose latest green row is r03 (three rounds stale
-#    — VERDICT r05 item 1: the whole SURVEY §2 reference core is in
-#    this set), registration order. 12 + 42 = 54: if the driver stops
-#    at exactly 50, the ~4 tail entries wait one more round (they are
-#    also re-verified by every pytest run's sf0.001 sweep meanwhile).
+#    — VERDICT r05 item 1), §2 core FIRST. 19 + 42 = 61: if the
+#    driver stops at exactly 50, the ~11 simplest stale extension
+#    rows wait one more round (each still re-verified at sf0.001 by
+#    every pytest run meanwhile).
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
     # --- new this round (r06) ---
