@@ -4200,6 +4200,33 @@ def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+SELECT doc_id,
+       CAST(64 AS INT) AS width,
+       CAST(64 AS INT) AS height,
+       CAST(length(text) % 3 + 1 AS INT) AS channels,
+       CAST(length(text) AS BIGINT) AS n_bytes_in,
+       CAST(64 * 64 * (length(text) % 3 + 1) AS BIGINT) AS n_bytes_out
+FROM documents
+""",
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (the last verb of the multimodal
+    north-star list: decode / feature-extract / RESIZE / frame-sample):
+    Arrow-batched mapInPandas over the binary column, deterministic
+    fake decode so the metadata is oracle-checkable — the fixture
+    payload is UTF-8 of ASCII text, so byte length == length(text) on
+    the SQL side."""
+    from calculate_file_content_size_for_vector_db_spark.operators.multimodal import (
+        resize_images,
+        text_as_binary,
+    )
+
+    return resize_images(text_as_binary(_docs(spark, sf_dir)))
+
+
+@register(
     "rag_ingest",
     f"""
 WITH {_SQL_CHUNKS},
@@ -5366,6 +5393,7 @@ _VERIFY_FIRST = [
     "knn_pagerank",
     "triplet_mining",
     "curation_pipeline",
+    "multimodal_resize",
     # --- the 42 queries whose latest green row is r03. The SURVEY §2
     # reference core goes FIRST (the actual brief's parity surface must
     # not go a 4th round stale), then the extension stale rows ordered

@@ -229,3 +229,47 @@ def phash_dedup(
         )
         .where(F.col("dup_count") > 1)
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_bytes_in", LongType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+
+def resize_images(
+    files: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    key_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """binary column -> resized-image metadata rows (mapInPandas) —
+    the resize face of the multimodal surface (decode_image_meta /
+    sample_frames / audio_windows are the others). Decode stub per the
+    module contract: channel count derives arithmetically from the
+    payload size (fake_image_meta) and the resized byte count is
+    target_w * target_h * channels; a real decoder (PIL thumbnail /
+    libvips) swaps the per-row body, not the Arrow-batched plumbing,
+    schema, or fan-in shape."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for key, content in zip(batch[key_col], batch[content_col]):
+                n = len(bytes(content))
+                _, _, channels, _ = fake_image_meta(n)
+                rows.append(
+                    (key, target_w, target_h, channels, n, target_w * target_h * channels)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    return spread(files.select(key_col, content_col)).mapInPandas(_resize, RESIZE_SCHEMA)

@@ -185,3 +185,20 @@ def test_image_ahash_twins_collide_and_edges(spark):
     buckets = {r.ahash: r for r in phash_dedup(docs).collect()}
     assert h[0] in buckets
     assert buckets[h[0]].keeper_id == 0 and buckets[h[0]].dup_count == 2
+
+
+def test_resize_images_plumbing(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.multimodal import (
+        resize_images,
+        text_as_binary,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcd"), (1, ""), (2, "x" * 10)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in resize_images(text_as_binary(docs), 32, 16).collect()}
+    assert (got[0].width, got[0].height) == (32, 16)
+    assert got[0].channels == 4 % 3 + 1 and got[0].n_bytes_in == 4
+    assert got[0].n_bytes_out == 32 * 16 * got[0].channels
+    assert got[1].n_bytes_in == 0 and got[1].channels == 1  # empty payload
+    assert got[2].n_bytes_in == 10
