@@ -5361,14 +5361,14 @@ def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Round-6 priority (the driver caps its per-round sweep at ~50 rows):
-# 1. the 19 queries NEW this round — the full recall@10 matrix, the
+# 1. the 20 queries NEW this round — the full recall@10 matrix, the
 #    two sketch-error contracts, the incremental/span-rewrite/phash
 #    dedup surface, gate calibration, the mixing recipe, kNN graph +
-#    PageRank, triplet mining, the FULL OUTER shape, and the composed
-#    curation_pipeline flagship;
+#    PageRank, triplet mining, the FULL OUTER shape, the composed
+#    curation_pipeline flagship, and multimodal_resize;
 # 2. the 42 queries whose latest green row is r03 (three rounds stale
-#    — VERDICT r05 item 1), §2 core FIRST. 19 + 42 = 61: if the
-#    driver stops at exactly 50, the ~11 simplest stale extension
+#    — VERDICT r05 item 1), §2 core FIRST. 20 + 42 = 62: if the
+#    driver stops at exactly 50, the ~12 simplest stale extension
 #    rows wait one more round (each still re-verified at sf0.001 by
 #    every pytest run meanwhile).
 # Everything after keeps its proven registration order.
