@@ -5352,6 +5352,389 @@ def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 extension surface (second wave): matryoshka prefix search,
+# label propagation over the kNN graph, Count-Min heavy hitters,
+# temperature mixing, readability, BPE pair mining, Z-order layout,
+# embedding dimension profiling
+# ---------------------------------------------------------------------------
+
+_MAT_PREFIX = 16
+_MAT_RERANK = 4
+
+
+def _sql_matryoshka(k: int) -> str:
+    """Prefix-dim shortlist + exact-rerank CTEs over `e`: `approx` is
+    the top-``k`` (query_id, neighbor_id, cosine, rank) per query —
+    mirrors operators/similarity.topk_matryoshka stage for stage."""
+    return f"""
+pshort AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v[1:{_MAT_PREFIX}], b.v[1:{_MAT_PREFIX}]), 6) DESC,
+                            b.vec_id) AS rn
+        FROM e a, e b
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rn <= {_MAT_RERANK * k}
+),
+approx AS (
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT t.query_id, t.neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+               CAST(row_number() OVER (PARTITION BY t.query_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, t.neighbor_id)
+                   AS INT) AS rank
+        FROM pshort t
+        JOIN e a ON a.vec_id = t.query_id
+        JOIN e b ON b.vec_id = t.neighbor_id
+    ) WHERE rank <= {k}
+)
+"""
+
+
+@register(
+    "sim_topk_matryoshka",
+    f"""
+WITH {_SQL_EMB},
+{_sql_matryoshka(5)}
+SELECT query_id, neighbor_id, cosine, rank FROM approx
+""",
+)
+def sim_topk_matryoshka_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) top-k: shortlist on the first 16
+    of 64 dims (4x less data scanned — MRL-style embeddings make every
+    prefix a usable embedding), exact rerank of the top-20 survivors.
+    The training-free compressed-scan tier next to PQ (codebooks) and
+    binary (sign bits)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_matryoshka
+
+    emb = _emb(spark, sf_dir)
+    return topk_matryoshka(
+        emb, emb.where(F.col("vec_id") < 10), k=5, prefix=_MAT_PREFIX, rerank=_MAT_RERANK
+    )
+
+
+@register(
+    "matryoshka_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_sql_matryoshka(_RECALL_K)},
+{_SQL_RECALL_TAIL}
+""",
+)
+def matryoshka_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the matryoshka prefix shortlist + exact rerank —
+    joins the recall matrix as the eighth approximate tier; like the
+    other candidate-pruned exact tiers it is monotone in the rerank
+    multiplier."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_matryoshka,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(
+        exact,
+        topk_matryoshka(emb, q, k=_RECALL_K, prefix=_MAT_PREFIX, rerank=_MAT_RERANK),
+    )
+
+
+_SQL_KNN_EDGES = """
+knn AS (
+    SELECT query_id AS src, neighbor_id AS dst FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a, e b WHERE a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+)
+"""
+
+
+def _sql_label_prop_chain(iters: int = 2) -> str:
+    """Unrolled label-propagation CTEs over `knn` + `seeds` + `nodes`
+    — mirrors operators/graph.label_propagation round for round
+    (majority vote over out-neighbors, ties -> smallest label, seeds
+    clamped, no-vote nodes keep their previous label)."""
+    parts = [
+        "seeds AS (SELECT vec_id AS node, label FROM embeddings WHERE vec_id % 5 = 0)",
+        "nodes AS (SELECT vec_id AS node FROM e)",
+        "lab0 AS (SELECT n.node, s.label AS lab FROM nodes n LEFT JOIN seeds s ON n.node = s.node)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""votes{i} AS (
+    SELECT k.src AS node, l.lab AS nl, CAST(count(*) AS BIGINT) AS v
+    FROM knn k JOIN lab{i - 1} l ON k.dst = l.node
+    WHERE l.lab IS NOT NULL GROUP BY 1, 2
+),
+win{i} AS (
+    SELECT node, nl FROM (
+        SELECT node, nl, row_number() OVER (PARTITION BY node ORDER BY v DESC, nl) AS rn
+        FROM votes{i}
+    ) WHERE rn = 1
+),
+lab{i} AS (
+    SELECT n.node, coalesce(s.label, w.nl, l.lab) AS lab
+    FROM nodes n
+    LEFT JOIN win{i} w ON n.node = w.node
+    LEFT JOIN seeds s ON n.node = s.node
+    LEFT JOIN lab{i - 1} l ON n.node = l.node
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "knn_label_propagation",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_KNN_EDGES},
+{_sql_label_prop_chain(2)}
+SELECT n.node AS vec_id, l.lab AS label, s.node IS NOT NULL AS is_seed
+FROM nodes n
+JOIN lab2 l ON n.node = l.node
+LEFT JOIN seeds s ON n.node = s.node
+""",
+)
+def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the semantic k-NN graph
+    (operators/graph.py label_propagation): every fifth vector keeps
+    its true label as a seed, the other 80% take the majority label of
+    their 3 nearest neighbors across 2 unrolled rounds — the standard
+    cheap way to extend a small labeled set over a 100-TB corpus
+    (Zhu & Ghahramani 2002). Each round is one edge-label equi-join +
+    one keyed vote count + a per-node argmax; edges never move."""
+    from calculate_file_content_size_for_vector_db_spark.operators.graph import label_propagation
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
+
+    emb = _emb(spark, sf_dir)
+    edges = topk_grid(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return label_propagation(edges, seeds, nodes, iters=2).select(
+        F.col("node").alias("vec_id"), "label", "is_seed"
+    )
+
+
+_CMS_SQL_CELL = (
+    "CAST(('0x' || substring(md5('cms' || {r} || '|' || {w}), 1, 8)) AS BIGINT) % 128"
+)
+
+
+@register(
+    "heavy_hitters_cms",
+    f"""
+WITH toks AS (SELECT unnest({_SQL_TOKENS}) AS word FROM documents),
+occ AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY 1),
+cells AS (
+    SELECT t.r AS row, {_CMS_SQL_CELL.format(r="t.r", w="word")} AS col
+    FROM toks CROSS JOIN range(0, 4) t(r)
+),
+sketch AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cell_count FROM cells GROUP BY 1, 2),
+probes AS (
+    SELECT o.word, o.exact_count, t.r AS row,
+           {_CMS_SQL_CELL.format(r="t.r", w="o.word")} AS col
+    FROM occ o CROSS JOIN range(0, 4) t(r)
+),
+est AS (
+    SELECT p.word, p.exact_count, CAST(min(s.cell_count) AS BIGINT) AS est_count
+    FROM probes p JOIN sketch s ON p.row = s.row AND p.col = s.col
+    GROUP BY 1, 2
+)
+SELECT word, est_count, exact_count,
+       CAST(est_count - exact_count AS BIGINT) AS overcount,
+       CAST(row_number() OVER (ORDER BY est_count DESC, word) AS INT) AS rank
+FROM est QUALIFY rank <= 10
+""",
+)
+def heavy_hitters_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters (third sketch family after HLL
+    and approx-percentile, same bounded-error-oracle pattern): top-10
+    tokens by CMS estimate with the exact count alongside — the CMS
+    one-sided guarantee (overcount >= 0) holds row for row, and the
+    sketch itself is a fixed 4x128 grid however large the vocabulary.
+    The sketch-build agg collapses map-side (fixed key space); the
+    filled sketch broadcasts."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        cms_heavy_hitters,
+    )
+
+    return cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+@register(
+    "mix_temperature_recipe",
+    """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             sum(pow(CAST(n_docs AS DOUBLE), 0.5)) AS wsum_raw FROM c),
+q AS (
+    SELECT lang, n_docs, total,
+           n_docs / CAST(total AS DOUBLE) AS share,
+           pow(n_docs / CAST(total AS DOUBLE), 0.5)
+               / (wsum_raw / pow(CAST(total AS DOUBLE), 0.5)) AS mw
+    FROM c, t
+)
+SELECT lang, n_docs,
+       round(share, 6) AS share,
+       round(mw, 6) AS mix_weight,
+       round(least(1.0, mw * 0.5 * total / CAST(n_docs AS DOUBLE)), 6) AS sample_rate,
+       round(mw * 0.5 * total, 6) AS expected_docs
+FROM q
+""",
+)
+def mix_temperature_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixing recipe (alpha=0.5, budget=half
+    the corpus): sampled mass per language proportional to share^alpha
+    renormalized — the multilingual-LM standard (XLM/mT5) that
+    up-weights low-resource languages smoothly, next to the hard
+    uniform floor of mix_balanced_recipe. One keyed count + a 1-row
+    broadcast normalizer; nothing scales with corpus rows."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        temperature_mix_recipe,
+    )
+
+    return temperature_mix_recipe(_docs(spark, sf_dir), alpha=0.5, budget_frac=0.5)
+
+
+@register(
+    "text_readability",
+    """
+WITH m AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE round(206.835
+                       - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 6)
+       END AS flesch
+FROM m
+""",
+)
+def text_readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (vowel-group syllable proxy,
+    [.!?]-run sentence proxy) — the prose-complexity quality signal
+    next to gopher_quality's boilerplate rules. Pure per-row
+    regexp_count derivation: no shuffle, whole-stage codegen."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+@register(
+    "bpe_top_pairs",
+    f"""
+WITH w AS (
+    SELECT t AS word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents)
+    GROUP BY 1
+),
+p AS (
+    SELECT substring(word, CAST(j AS INT), 2) AS pair, n
+    FROM (SELECT word, n, unnest(range(1, greatest(length(word), 1))) AS j FROM w)
+),
+f AS (
+    SELECT pair, CAST(sum(n) AS BIGINT) AS freq
+    FROM p WHERE length(pair) = 2 GROUP BY 1
+)
+SELECT pair, freq, CAST(row_number() OVER (ORDER BY freq DESC, pair) AS INT) AS rank
+FROM f QUALIFY rank <= 20
+""",
+)
+def bpe_top_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoring pass of one BPE merge step (Sennrich et al. 2016)
+    run distributed: top-20 adjacent character pairs by corpus
+    frequency. Occurrences compress to the (word, count) dictionary
+    first — the orders-of-magnitude-smaller frame classic BPE trains
+    on — then explode to length-1 pairs and one keyed sum."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "zorder_layout",
+    """
+WITH span AS (
+    SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+           min(o_orderdate) AS dt_lo, max(o_orderdate) AS dt_hi
+    FROM orders
+),
+wz AS (
+    SELECT o_custkey, o_orderdate,
+           CAST((o_custkey - ck_lo) * 16 // (ck_hi - ck_lo + 1) AS BIGINT) AS x,
+           CAST(date_diff('day', dt_lo, o_orderdate) * 16
+                // (date_diff('day', dt_lo, dt_hi) + 1) AS BIGINT) AS y
+    FROM orders, span
+),
+z AS (
+    SELECT o_custkey, o_orderdate,
+           (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+         + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+         + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+         + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) AS zv
+    FROM wz
+)
+SELECT CAST(zv // 16 AS INT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+       CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS min_orderdate,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS max_orderdate
+FROM z GROUP BY 1
+""",
+)
+def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout statistics over orders on
+    (o_custkey, o_orderdate) — the clustering step behind parquet
+    row-group skipping / OPTIMIZE ZORDER BY: per-file min/max boxes
+    stay narrow in BOTH dimensions, so predicates on either column
+    prune most files. Integer bit arithmetic end-to-end (bit-exact);
+    one 1-row broadcast quantization frame + one 16-group hash-agg."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import zorder_layout
+
+    return zorder_layout(read_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "embedding_dim_stats",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+    SELECT CAST(t.j AS INT) AS dim, v[CAST(t.j AS INT) + 1] AS x
+    FROM e CROSS JOIN range(0, 64) t(j)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       round(avg(x), 6) AS mean,
+       round(sqrt(avg(x * x) - avg(x) * avg(x)), 6) AS std,
+       round(min(x), 6) AS vmin,
+       round(max(x), 6) AS vmax
+FROM x GROUP BY dim
+""",
+)
+def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (mean/std/min/max over each of
+    the 64 dims) — the QA pass that catches dead dimensions,
+    un-normalized batches and fp spikes before vectors reach an index.
+    posexplode + ONE keyed hash-agg with 64 groups: partial aggregation
+    collapses everything map-side regardless of corpus size."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import dim_stats
+
+    return dim_stats(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -5373,7 +5756,17 @@ def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    every pytest run meanwhile).
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
-    # --- new this round (r06) ---
+    # --- new this round (r06), second wave ---
+    "sim_topk_matryoshka",
+    "matryoshka_recall_at_10",
+    "knn_label_propagation",
+    "heavy_hitters_cms",
+    "mix_temperature_recipe",
+    "text_readability",
+    "bpe_top_pairs",
+    "zorder_layout",
+    "embedding_dim_stats",
+    # --- new this round (r06), first wave ---
     "pq_recall_at_10",
     "ivfpq_recall_at_10",
     "ivfpq_probe2_recall_at_10",

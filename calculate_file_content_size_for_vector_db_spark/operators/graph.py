@@ -20,7 +20,7 @@ boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PAGERANK_SCALE = 1_000_000  # rank unit = 1e-6 of total probability mass
@@ -75,3 +75,61 @@ def pagerank(
             )
         )
     return pr.select(node, F.col("pr").alias("pagerank_micro"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """(node, label, is_seed): semi-supervised label propagation over a
+    directed edge list — after ``iters`` unrolled rounds, each
+    non-seed node carries the majority label among its out-neighbors'
+    labels from the previous round (ties -> smallest label; no labeled
+    neighbor -> keep the previous label, NULL until one appears).
+    Seeds are clamped to their given label every round, the standard
+    semi-supervised variant (Zhu & Ghahramani 2002).
+
+    Design for 100 TB: like pagerank, one equi-join of the edge list
+    with the label vector plus one keyed (node, label) count and a
+    per-node argmax window per round, all one lazy Catalyst plan;
+    edges never move between rounds — only the narrow label vector
+    re-shuffles on the join key. Determinism needs no fixed point:
+    votes are integer counts and ties break on label value, so the
+    result is bit-exact across engines and partitionings."""
+    n1 = nodes.select(F.col(node))
+    s = seeds.select(F.col(node), F.col(label).alias("_seed"))
+    lab = n1.join(s, node, "left").select(node, F.col("_seed").alias("lab"))
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                lab.select(F.col(node).alias(dst), F.col("lab").alias("_nl")), dst
+            )
+            .where(F.col("_nl").isNotNull())
+            .groupBy(F.col(src).alias(node), F.col("_nl"))
+            .agg(F.count("*").cast("long").alias("_votes"))
+        )
+        w = Window.partitionBy(node).orderBy(F.desc("_votes"), F.asc("_nl"))
+        winner = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(node, F.col("_nl").alias("_win"))
+        )
+        lab = (
+            lab.join(winner, node, "left")
+            .join(s, node, "left")
+            .select(
+                node,
+                F.coalesce(F.col("_seed"), F.col("_win"), F.col("lab")).alias("lab"),
+            )
+        )
+    return lab.join(s, node, "left").select(
+        node,
+        F.col("lab").alias(label),
+        F.col("_seed").isNotNull().alias("is_seed"),
+    )

@@ -22,7 +22,7 @@ analytic operators:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SALT_BUCKETS = 16
@@ -47,3 +47,77 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     ``updates`` are replaced; new update keys are appended."""
     kept = target.join(updates.select(key), key, "left_anti")
     return kept.unionByName(updates)
+
+
+ZORDER_BITS = 4
+
+
+def _zvalue(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton (Z-order) interleave of two ``bits``-bit integers: bit j
+    of x lands at 2j, bit j of y at 2j+1. Pure integer bit arithmetic
+    — bit-exact across engines."""
+    terms = []
+    for j in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j))
+        terms.append(F.shiftleft(F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def zorder_layout(
+    orders: DataFrame, n_files: int = 16, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """(file_id, n_rows, min/max custkey, min/max orderdate): the
+    per-file min/max footprint after laying ``orders`` out in Z-order
+    over (o_custkey, o_orderdate) — the data-clustering step behind
+    parquet row-group skipping / Delta OPTIMIZE ZORDER BY: because the
+    Morton curve preserves locality in BOTH dimensions, every file's
+    (min, max) box is narrow on custkey AND on date, so a predicate on
+    EITHER column prunes most files. A single-column sort would give
+    this for one dimension and destroy it for the other.
+
+    Plan shape: one 1-row min/max aggregate broadcast back (the
+    quantization frame), a narrow per-row z-value computation, then
+    one keyed hash-agg over ``n_files`` groups. The actual write would
+    be repartitionByRange(file_id) -> parquet; the query emits the
+    skipping statistics that layout would give the reader."""
+    span = orders.agg(
+        F.min("o_custkey").alias("_ck_lo"),
+        F.max("o_custkey").alias("_ck_hi"),
+        F.min("o_orderdate").alias("_dt_lo"),
+        F.max("o_orderdate").alias("_dt_hi"),
+    )
+    with_z = (
+        orders.crossJoin(F.broadcast(span))
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.expr(
+                f"CAST((o_custkey - _ck_lo) * {1 << bits} "
+                "div (_ck_hi - _ck_lo + 1) AS BIGINT)"
+            ).alias("_x"),
+            F.expr(
+                f"CAST(datediff(o_orderdate, _dt_lo) * {1 << bits} "
+                "div (datediff(_dt_hi, _dt_lo) + 1) AS BIGINT)"
+            ).alias("_y"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            _zvalue(F.col("_x"), F.col("_y"), bits).alias("_z"),
+        )
+    )
+    files_div = (1 << (2 * bits)) // n_files
+    return (
+        with_z.withColumn("file_id", F.expr(f"CAST(_z div {files_div} AS INT)"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_custkey").cast("long").alias("min_custkey"),
+            F.max("o_custkey").cast("long").alias("max_custkey"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_orderdate"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_orderdate"),
+        )
+    )

@@ -1175,3 +1175,98 @@ def topk_binary(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-dimension) search: MRL-style embeddings
+# (Kusupati et al. 2022) are trained so every prefix of the vector is
+# itself a usable embedding — so a cheap shortlist can score only the
+# first `prefix` dims (prefix/dim of the data) and an exact pass
+# reranks the survivors on full vectors. The third compressed-scan
+# family next to PQ (codebook) and sign-bit (1 bit/dim): this one
+# needs NO training and keeps exact float arithmetic on the prefix.
+# ---------------------------------------------------------------------------
+
+
+def topk_matryoshka(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prefix-dim shortlist + exact rerank top-k per query.
+
+    Plan shape: the shortlist is the same broadcast-queries x corpus
+    pass as topk_bruteforce but carries ``prefix``-dim slices
+    (prefix/dim of the vector bytes — 4x less data moved at
+    prefix=16/64); the exact stage joins only Q-rerank-k candidate
+    rows back to the full vectors (bounded equi-join, query side
+    broadcast). Ties break on (rounded cosine desc, id asc) at both
+    stages, so output is deterministic and oracle-checkable."""
+    qs = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qfull"))
+    cs = spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cfull")
+    )
+    shortlist = (
+        F.broadcast(qs.select("query_id", F.slice("qfull", 1, prefix).alias("qp")))
+        .crossJoin(cs.select("neighbor_id", F.slice("cfull", 1, prefix).alias("cp")))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qp"), F.col("cp")).alias("pcos"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("neighbor_id"))
+    top = (
+        shortlist.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        top.join(F.broadcast(qs), "query_id")
+        .join(cs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qfull"), F.col("cfull")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def dim_stats(
+    embeddings: DataFrame, vec_col: str = "embedding", dim_decimals: int = 6
+) -> DataFrame:
+    """(dim, n, mean, std, vmin, vmax): per-dimension profile of an
+    embedding column — the QA pass that catches dead dimensions
+    (std ~ 0), un-normalized batches (mean drift) and fp-overflow
+    spikes before vectors reach an index.
+
+    Plan shape: posexplode to (dim, value) then ONE keyed hash-agg on
+    the dim key — 64 groups however large the corpus, so the partial
+    aggregation collapses everything map-side and the shuffle carries
+    n_partitions x dim tiny rows. std is population std from the
+    (sum, sum-of-squares) algebraic form both engines share."""
+    exploded = spread(embeddings).select(
+        F.posexplode(as_double(vec_col)).alias("dim", "x")
+    )
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("x"), dim_decimals).alias("mean"),
+            F.round(F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")), dim_decimals).alias("std"),
+            F.round(F.min("x"), dim_decimals).alias("vmin"),
+            F.round(F.max("x"), dim_decimals).alias("vmax"),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "n", "mean", "std", "vmin", "vmax")
+    )

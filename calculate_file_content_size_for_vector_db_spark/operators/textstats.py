@@ -13,7 +13,7 @@ ruling out UDFs here guarantees.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker ("stop") words per language for the n-gram/marker heuristic
@@ -339,4 +339,196 @@ def balanced_mix_recipe(df: DataFrame, group_col: str = "lang") -> DataFrame:
         F.round(F.lit(1.0) / F.col("_n_groups"), 6).alias("target_share"),
         F.round(F.col("_min_n") / F.col("n_docs").cast("double"), 6).alias("sample_rate"),
         F.col("_min_n").alias("expected_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters: the streaming-sketch answer to "top
+# tokens over 100 TB" — a depth x width integer grid replaces the
+# full token dictionary, so memory is O(depth * width) however large
+# the vocabulary grows, and the estimate only ever OVER-counts
+# (Cormode & Muthukrishnan 2005). Hashing is md5-hex -> int, the
+# engine-portable scheme train_test_split already uses.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 128
+
+
+def cms_cell(tok: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Column index of ``tok`` in sketch row ``row`` (32 md5 bits mod
+    width — engine-portable and deterministic)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{row}|"), tok)), 1, 8), 16, 10)
+        .cast("bigint")
+        % width
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    topn: int = 10,
+) -> DataFrame:
+    """(word, est_count, exact_count, overcount): top-``topn`` tokens
+    by Count-Min estimate, with the exact count alongside — the CMS
+    guarantee est >= exact holds row-for-row (overcount >= 0, bounded
+    by colliding mass ~ N/width per row, min over ``depth`` rows).
+
+    Plan shape: the sketch build is one hash-agg whose key space is
+    the FIXED depth x width grid — partial aggregation collapses it
+    map-side, so the shuffle carries at most depth*width rows per
+    task regardless of corpus size; the filled sketch (<= depth*width
+    rows) broadcasts back onto the candidate words. The exact-count
+    side exists only to exhibit the error bound; a production run at
+    100 TB drops it and keeps the sketch-only half."""
+    toks = df.select(F.explode(tokens(text_col)).alias("word"))
+    occ = toks.groupBy("word").agg(F.count("*").cast("long").alias("exact_count"))
+    cells = toks.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(r).alias("row"), cms_cell(F.col("word"), r, width).alias("col")) for r in range(depth)])
+        ).alias("c")
+    ).select("c.row", "c.col")
+    sketch = cells.groupBy("row", "col").agg(F.count("*").cast("long").alias("cell_count"))
+    probes = occ.select(
+        "word",
+        "exact_count",
+        F.explode(
+            F.array(*[F.struct(F.lit(r).alias("row"), cms_cell(F.col("word"), r, width).alias("col")) for r in range(depth)])
+        ).alias("c"),
+    ).select("word", "exact_count", "c.row", "c.col")
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("cell_count").cast("long").alias("est_count"))
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("word"))
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topn)
+        .select(
+            "word",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).cast("long").alias("overcount"),
+            "rank",
+        )
+    )
+
+
+def temperature_mix_recipe(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """(group, n_docs, share, mix_weight, sample_rate, expected_docs):
+    temperature-based mixture sampling (the multilingual-LM standard,
+    XLM/mT5): sampled mass per group ~ share^alpha renormalized, so
+    low-resource groups are up-weighted without the hard uniform floor
+    of balanced_mix_recipe. ``budget_frac`` sets the output corpus
+    size as a fraction of the input.
+
+    Plan shape: one keyed hash-agg to group counts, a 1-row broadcast
+    of the weight normalizer back over the (tiny) group table —
+    nothing here scales with corpus rows except the first count."""
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("_wsum_raw"),
+    )
+    # _wsum over share^alpha = sum((n/total)^alpha) = _wsum_raw / total^alpha
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_total").cast("double"), 6).alias("share"),
+            F.round(
+                F.pow(F.col("n_docs") / F.col("_total").cast("double"), F.lit(alpha))
+                / (F.col("_wsum_raw") / F.pow(F.col("_total").cast("double"), F.lit(alpha))),
+                6,
+            ).alias("mix_weight"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.pow(F.col("n_docs") / F.col("_total").cast("double"), F.lit(alpha))
+                    / (F.col("_wsum_raw") / F.pow(F.col("_total").cast("double"), F.lit(alpha)))
+                    * F.lit(budget_frac)
+                    * F.col("_total")
+                    / F.col("n_docs").cast("double"),
+                ),
+                6,
+            ).alias("sample_rate"),
+            F.round(
+                F.pow(F.col("n_docs") / F.col("_total").cast("double"), F.lit(alpha))
+                / (F.col("_wsum_raw") / F.pow(F.col("_total").cast("double"), F.lit(alpha)))
+                * F.lit(budget_frac)
+                * F.col("_total"),
+                6,
+            ).alias("expected_docs"),
+        )
+    )
+
+
+def readability(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """(key, n_words, n_sentences, n_syllables, flesch): Flesch
+    reading-ease per document with the standard cheap proxies —
+    sentences = runs of [.!?] (floor 1), syllables = vowel-group runs
+    — a quality signal next to gopher_quality that targets prose
+    complexity rather than boilerplate. Latin-alphabet heuristic; CJK
+    docs score from whatever Latin tokens they contain.
+
+    All counting is JVM-side regexp_count over one scan; no shuffle
+    at all (per-row derivation)."""
+    n_words = F.size(tokens(text_col)).cast("long")
+    n_sent = F.greatest(F.regexp_count(F.col(text_col), F.lit("[.!?]+")), F.lit(1)).cast("long")
+    n_syl = F.regexp_count(F.col(text_col), F.lit("[aeiouyAEIOUY]+")).cast("long")
+    return df.select(
+        key,
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * F.try_divide(n_words.cast("double"), n_sent.cast("double"))
+            - F.lit(84.6) * F.try_divide(n_syl.cast("double"), n_words.cast("double")),
+            6,
+        ).alias("flesch"),
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", topn: int = 20) -> DataFrame:
+    """(pair, freq, rank): the top-``topn`` adjacent character pairs
+    by corpus frequency — the scoring pass of one BPE merge step
+    (Sennrich et al. 2016), run distributed: tokenizer training's
+    inner loop expressed as two hash-aggs.
+
+    Plan shape: occurrences compress to the (word, count) dictionary
+    first (classic BPE works on word frequencies, and the dictionary
+    is orders of magnitude smaller than the corpus), then each word
+    explodes to its length-1 adjacent pairs weighted by count, and one
+    keyed agg sums pair mass. Both aggs partial map-side."""
+    words = df.select(F.explode(tokens(text_col)).alias("word")).groupBy("word").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda j: F.col("word").substr(j, F.lit(2)),
+            )
+        ).alias("pair"),
+        F.col("n"),
+    ).where(F.length("pair") == 2)
+    freq = pairs.groupBy("pair").agg(F.sum("n").cast("long").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("pair"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topn)
+        .select("pair", "freq", "rank")
     )

@@ -107,3 +107,118 @@ def test_approx_distinct_within_error_bound(spark):
             REGISTRY["approx_distinct_customers"].fn(spark, sf_dir).collect()[0].n_approx
         )
         assert abs(approx - exact) / exact <= 0.10
+
+
+# ---------------------------------------------------------------------------
+# Round-6 second wave: CMS heavy hitters, temperature mixing,
+# readability, BPE pair mining, Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_cms_estimate_never_undercounts(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        cms_heavy_hitters,
+    )
+
+    texts = ["the cat sat on the mat", "the dog", "cat cat cat", "mat the"]
+    rows = cms_heavy_hitters(_docs_df(spark, texts), topn=1000).collect()
+    assert rows, "no tokens counted"
+    for r in rows:
+        assert r.est_count >= r.exact_count, f"{r.word}: CMS undercounted"
+        assert r.overcount == r.est_count - r.exact_count
+    by_word = {r.word: r for r in rows}
+    assert by_word["the"].exact_count == 4 and by_word["cat"].exact_count == 4
+    # rank 1 is the largest estimate (ties -> lexicographic word)
+    assert min(r.rank for r in rows) == 1
+    assert max(r.est_count for r in rows) == by_word[[r.word for r in rows if r.rank == 1][0]].est_count
+
+
+def test_cms_narrow_sketch_overcounts_but_keeps_bound(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        cms_heavy_hitters,
+    )
+
+    # width 2: heavy collisions guaranteed; one-sided error must hold
+    texts = ["a b c d e f g h " * 3]
+    rows = cms_heavy_hitters(_docs_df(spark, texts), width=2, topn=100).collect()
+    n_total = 8 * 3
+    for r in rows:
+        assert r.exact_count <= r.est_count <= n_total
+
+
+def test_temperature_recipe_weights_normalize_and_flatten(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        temperature_mix_recipe,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x", "en" if i < 80 else ("de" if i < 95 else "fr"), "s", 1) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.lang: r for r in temperature_mix_recipe(df, alpha=0.5, budget_frac=0.5).collect()}
+    assert abs(sum(r.mix_weight for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r.expected_docs for r in out.values()) - 50.0) < 1e-4
+    # alpha < 1 flattens: low-resource lang gets MORE than its share,
+    # high-resource less
+    assert out["fr"].mix_weight > 0.05 and out["en"].mix_weight < 0.8
+    assert all(0 < r.sample_rate <= 1.0 for r in out.values())
+    # alpha=1 degenerates to proportional sampling: uniform sample_rate
+    prop = {r.lang: r for r in temperature_mix_recipe(df, alpha=1.0, budget_frac=0.5).collect()}
+    rates = {round(r.sample_rate, 6) for r in prop.values()}
+    assert rates == {0.5}
+
+
+def test_readability_counts_and_null_guard(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import readability
+
+    df = _docs_df(spark, ["The cat sat. The dog ran!", "", "word"])
+    out = {r.doc_id: r for r in readability(df).collect()}
+    assert (out[0].n_words, out[0].n_sentences) == (6, 2)
+    assert out[0].flesch is not None
+    # empty doc: zero words -> NULL flesch, not a crash
+    assert out[1].n_words == 0 and out[1].flesch is None
+    # no sentence punctuation -> floor of 1 sentence
+    assert out[2].n_sentences == 1
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    # 'ab' occurs 3x as a word (pair ab x3); 'abc' once (ab, bc)
+    df = _docs_df(spark, ["ab ab abc", "ab x"])
+    out = {r.pair: (r.freq, r.rank) for r in bpe_pair_counts(df, topn=10).collect()}
+    assert out["ab"] == (4, 1)
+    assert out["bc"] == (1, 2)
+    assert "x" not in out  # single-char words contribute no pairs
+
+
+def test_zorder_files_are_local_in_both_dimensions(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        zorder_layout,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    orders = read_table(spark, SF_DIR, "orders")
+    total = orders.count()
+    ck_lo, ck_hi = orders.selectExpr("min(o_custkey)", "max(o_custkey)").first()
+    files = zorder_layout(orders).collect()
+    assert sum(f.n_rows for f in files) == total
+    assert all(0 <= f.file_id < 16 for f in files)
+    # Z-order locality: every file's custkey box spans at most ~half
+    # the global range (4 quantization cells of 16), so a custkey
+    # point-predicate can prune most files. A date sort would leave
+    # custkey boxes spanning the full range.
+    span = ck_hi - ck_lo + 1
+    for f in files:
+        assert f.max_custkey - f.min_custkey <= span // 2 + span // 16
+        assert f.min_orderdate <= f.max_orderdate

@@ -40,3 +40,56 @@ def test_pagerank_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, pagerank(e, n).collect()))
     b = sorted(map(tuple, pagerank(e.repartition(7), n.repartition(3)).collect()))
     assert a == b  # fixed-point integers: bit-exact under any partitioning
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+from calculate_file_content_size_for_vector_db_spark.operators.graph import (  # noqa: E402
+    label_propagation,
+)
+
+
+def _lp_frames(spark, edges, seeds, nodes):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame(seeds, "node long, label int")
+    n = spark.createDataFrame([(x,) for x in nodes], "node long")
+    return e, s, n
+
+
+def test_label_propagation_majority_and_tiebreak(spark):
+    # node 3's neighbors: two label-1 seeds and one label-2 seed -> 1;
+    # node 4's neighbors: one of each -> tie -> smallest label wins
+    e, s, n = _lp_frames(
+        spark,
+        [(3, 0), (3, 1), (3, 2), (4, 1), (4, 2)],
+        [(0, 1), (1, 1), (2, 2)],
+        [0, 1, 2, 3, 4],
+    )
+    out = {r.node: (r.label, r.is_seed) for r in label_propagation(e, s, n, iters=1).collect()}
+    assert out[3] == (1, False)
+    assert out[4] == (1, False)  # tie between 1 and 2 -> smallest
+    assert out[0] == (1, True) and out[2] == (2, True)
+
+
+def test_label_propagation_seeds_clamped_and_spread(spark):
+    # chain 0 -> 1 -> 2 with seed only at the far end; edges point
+    # TOWARD the seed (a node reads labels from its out-neighbors)
+    e, s, n = _lp_frames(spark, [(1, 2), (0, 1)], [(2, 7)], [0, 1, 2])
+    one = {r.node: r.label for r in label_propagation(e, s, n, iters=1).collect()}
+    assert one[1] == 7 and one[0] is None  # 0's neighbor was unlabeled in round 1
+    two = {r.node: r.label for r in label_propagation(e, s, n, iters=2).collect()}
+    assert two == {0: 7, 1: 7, 2: 7}
+
+
+def test_label_propagation_seed_never_flips(spark):
+    # seed 0 (label 5) is pointed at three label-9 seeds: stays 5
+    e, s, n = _lp_frames(
+        spark,
+        [(0, 1), (0, 2), (0, 3)],
+        [(0, 5), (1, 9), (2, 9), (3, 9)],
+        [0, 1, 2, 3],
+    )
+    out = {r.node: r.label for r in label_propagation(e, s, n, iters=3).collect()}
+    assert out[0] == 5

@@ -398,12 +398,18 @@ def test_calibrate_and_mix_bounded_one_row_broadcast(spark):
 _BNLJ_ALLOWED = {
     "approx_percentile_error", "binary_recall_at_10", "ivf_recall_at_10",
     "ivfpq_probe2_recall_at_10", "ivfpq_recall_at_10", "knn_pagerank",
-    "lsh_multiprobe_recall_at_10", "lsh_recall_at_10", "mix_balanced_recipe",
+    "lsh_multiprobe_recall_at_10", "lsh_recall_at_10",
+    "matryoshka_recall_at_10",  # broadcast-queries x corpus prefix scan
+    "mix_balanced_recipe",
+    "mix_temperature_recipe",  # 1-row weight-normalizer broadcast
     "orders_price_band_join", "pq_recall_at_10", "quality_calibrate",
     "sim_ivf_assign", "sim_ivf_centroids", "sim_topk_binary",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivfpq",
-    "sim_topk_ivfpq_probe2", "text_lm_score", "tpch_q11", "tpch_q20",
+    "sim_topk_ivfpq_probe2",
+    "sim_topk_matryoshka",  # broadcast-queries x corpus prefix scan
+    "text_lm_score", "tpch_q11", "tpch_q20",
     "tpch_q22", "triplet_mining",
+    "zorder_layout",  # 1-row min/max quantization-span broadcast
 }
 
 

@@ -383,3 +383,56 @@ def test_triplet_mining_picks_same_and_cross_label_nearest(spark):
     # an anchor whose label has no second member yields no triplet
     lone = sim.mine_triplets(df, df.where("vec_id = 5")).collect()
     assert lone == []
+
+
+def test_matryoshka_rerank_monotone_and_golden(spark):
+    """The matryoshka tier is candidate-pruned EXACT search (prefix
+    cosine only shortlists; final scores are full-dim cosine), so a
+    larger rerank multiplier gives a candidate superset and recall is
+    monotone — same guarantee as the LSH/IVF tiers. Golden pinned at
+    sf0.001 (rerank=4: the registered query's value)."""
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    row = REGISTRY["matryoshka_recall_at_10"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_exact == 100
+    assert row.recall == 0.46
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    q = emb.where("vec_id < 10")
+    exact = sim.topk_bruteforce(emb, q, k=10)
+    recalls = {
+        rr: sim.recall_vs_exact(exact, sim.topk_matryoshka(emb, q, k=10, rerank=rr))
+        .collect()[0]
+        .recall
+        for rr in (1, 2, 8)
+    }
+    assert recalls[1] <= recalls[2] <= 0.46 <= recalls[8]
+    # rerank=1 degenerates to pure prefix ranking; full-dim rerank must help
+    assert recalls[8] > recalls[1]
+
+
+def test_matryoshka_topk_exact_when_shortlist_covers_corpus(spark):
+    """With rerank * k >= corpus size the shortlist is everything and
+    the result must equal brute force exactly."""
+    rows = [(i, _pad([float((i * 7 + j * 3) % 5 - 2) / 4.0 for j in range(2)])) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id < 3")
+    got = sorted(map(tuple, sim.topk_matryoshka(df, q, k=3, rerank=8).collect()))
+    want = sorted(map(tuple, sim.topk_bruteforce(df, q, k=3).collect()))
+    assert got == want
+
+
+def test_dim_stats_profile(spark):
+    rows = [
+        (0, [1.0, 0.0, 2.0] + [0.0] * 61),
+        (1, [3.0, 0.0, -2.0] + [0.0] * 61),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in sim.dim_stats(df).collect()}
+    assert len(out) == 64 and all(out[d].n == 2 for d in out)
+    assert (out[0].mean, out[0].vmin, out[0].vmax) == (2.0, 1.0, 3.0)
+    assert out[0].std == 1.0          # population std of {1, 3}
+    assert out[1].std == 0.0          # dead dimension detected
+    assert (out[2].mean, out[2].std) == (0.0, 2.0)
