@@ -5735,6 +5735,175 @@ def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 extension surface (third wave): containment dedup, bigram LM,
+# label-centroid QA, rolling anomaly detection, key-skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment",
+    "WITH "
+    + _SQL_SHINGLES
+    + """,
+ex AS (
+    SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh_t
+),
+cand AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       round(inter / CAST(n_a AS DOUBLE), 6) AS containment_a,
+       round(inter / CAST(n_b AS DOUBLE), 6) AS containment_b
+FROM cand
+WHERE greatest(round(inter / CAST(n_a AS DOUBLE), 6),
+               round(inter / CAST(n_b AS DOUBLE), 6)) >= 0.8
+""",
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs (|A n B| / |A| per direction, either
+    side >= 0.8) — the asymmetric quote/subset detector Jaccard
+    misses: a short doc quoted whole inside a long one has low Jaccard
+    but containment ~1 on the short side (Broder's containment).
+    Same shingle-equi-join candidate plan as dedup_ngram_jaccard."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@register(
+    "text_bigram_lm",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+bg AS (
+    SELECT doc_id, toks[CAST(j AS INT)] AS w1, toks[CAST(j AS INT) + 1] AS w2
+    FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1))) AS j FROM t)
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)),
+sc AS (
+    SELECT b.doc_id,
+           round(avg(ln((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 6) AS lm2_score
+    FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY 1
+)
+SELECT d.doc_id, sc.lm2_score FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+""",
+)
+def text_bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM score with add-1 smoothing (mean ln P(w2|w1)) — the
+    word-ORDER-aware sequel to text_lm_score: scrambled text keeps its
+    unigram score but collapses here. Bigrams derive per-row from the
+    token array (slice+zip, no positional self-join); the LM is two
+    vocab-bounded hash-aggs."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "label_centroid_quality",
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (
+    SELECT label, CAST(j AS INT) AS dim, round(avg(v[CAST(j AS INT) + 1]), 6) AS m
+    FROM (SELECT label, v, unnest(range(0, 64)) AS j FROM e)
+    GROUP BY 1, 2
+),
+cent AS (SELECT label, list(m ORDER BY dim) AS cv FROM cd GROUP BY 1),
+sc AS (
+    SELECT e.label, round(list_cosine_similarity(e.v, c.cv), 6) AS c
+    FROM e JOIN cent c USING (label)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(c), 6) AS avg_cosine, round(min(c), 6) AS min_cosine
+FROM sc GROUP BY label
+""",
+)
+def label_centroid_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion (members' cosine to their label
+    mean vector) — the label-quality QA pass next to embedding_dim
+    _stats: low avg flags a heterogeneous label, a very low min flags
+    probable mislabels. One (label, dim) hash-agg builds centroids;
+    the labels-sized centroid table broadcasts back for one cosine
+    map + one keyed agg."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        label_centroid_quality,
+    )
+
+    return label_centroid_quality(_emb(spark, sf_dir))
+
+
+@register(
+    "events_anomaly",
+    """
+WITH w AS (
+    SELECT event_id, user_id, value,
+           count(value) OVER win AS n,
+           sum(value) OVER win AS s,
+           sum(value * value) OVER win AS s2
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+),
+sc AS (
+    SELECT event_id, user_id, value, n, s / n AS mean,
+           CASE WHEN (s2 - s * s / n) / (n - 1) > 1e-9
+                THEN (value - s / n) / sqrt((s2 - s * s / n) / (n - 1))
+                ELSE NULL END AS z
+    FROM w
+)
+SELECT event_id, user_id, round(value, 6) AS value,
+       round(mean, 6) AS mean_prev, round(z, 6) AS z
+FROM sc WHERE n >= 5 AND abs(z) > 3.0
+""",
+)
+def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomalies: events more than 3 sample
+    standard deviations from the mean of the same user's previous 20
+    events (exclusive bounded frame — an event never scores against
+    itself; < 5 history rows or ~zero variance are not scored). One
+    user_id exchange, O(20) state per row."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        rolling_anomalies,
+    )
+
+    return rolling_anomalies(_events(spark, sf_dir))
+
+
+@register(
+    "key_skew_profile",
+    """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       round(quantile_cont(c, 0.5), 6) AS p50,
+       round(quantile_cont(c, 0.9), 6) AS p90,
+       round(quantile_cont(c, 0.99), 6) AS p99,
+       CAST(max(c) AS BIGINT) AS max_count,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
+       round(CAST(max(c) AS DOUBLE) / round(quantile_cont(c, 0.5), 6), 6) AS skew_ratio
+FROM c
+""",
+)
+def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row skew diagnosis of events.user_id as a shuffle key:
+    per-key count percentiles, hottest-key share, skew_ratio =
+    max/median — the pre-flight number that decides between a plain
+    shuffle, salting, or AQE skew-split at 100 TB (pairs with
+    salted_event_counts, which demonstrates the remediation)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(_events(spark, sf_dir), "user_id")
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -5756,6 +5925,12 @@ def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    every pytest run meanwhile).
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
+    # --- new this round (r06), third wave ---
+    "dedup_containment",
+    "text_bigram_lm",
+    "label_centroid_quality",
+    "events_anomaly",
+    "key_skew_profile",
     # --- new this round (r06), second wave ---
     "sim_topk_matryoshka",
     "matryoshka_recall_at_10",

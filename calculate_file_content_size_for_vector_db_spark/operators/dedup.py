@@ -615,3 +615,42 @@ def dedup_survivors(
     clusters = neardup_clusters(df, threshold, text_col, key)
     losers = clusters.where(F.col("cluster_id") != F.col(key)).select(key)
     return df.select(key).join(losers, key, "left_anti")
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(a_id, b_id, containment_a, containment_b): shingle containment
+    |A∩B|/|A| (and /|B|) for pairs where EITHER direction clears
+    ``threshold`` — the asymmetric near-dup signal Jaccard misses: a
+    short document quoted whole inside a long one has low Jaccard
+    (small intersection over a big union) but containment ~1 on the
+    short side. The standard quote/subset detector in corpus curation
+    (Broder's containment, the other half of the resemblance paper).
+
+    Plan shape: identical to ngram_jaccard_pairs — shingle equi-join
+    candidates (never a cross join), one keyed intersection count,
+    per-doc sizes joined back; only the final arithmetic differs, so
+    every scale property (and the hub-shingle cap pattern, if needed)
+    carries over."""
+    sh = shingle_table(df, text_col, key).persist()
+    sizes = sh.groupBy(key).agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .groupBy(F.col(f"a.{key}").alias("a_id"), F.col(f"b.{key}").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({key: "a_id", "n_shingles": "n_a"}), "a_id")
+        .join(sizes.withColumnsRenamed({key: "b_id", "n_shingles": "n_b"}), "b_id")
+        .withColumn("containment_a", F.round(F.col("inter") / F.col("n_a").cast("double"), 6))
+        .withColumn("containment_b", F.round(F.col("inter") / F.col("n_b").cast("double"), 6))
+        .where(F.greatest("containment_a", "containment_b") >= threshold)
+        .select("a_id", "b_id", "containment_a", "containment_b")
+    )

@@ -121,3 +121,31 @@ def zorder_layout(
             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_orderdate"),
         )
     )
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """1-row skew diagnosis of a join/grouping key: distinct keys,
+    per-key count percentiles (p50/p90/p99), the hottest key's count
+    and its share of all rows, and skew_ratio = max/median — the
+    number that decides whether a shuffle on this key needs salting
+    or AQE skew-split BEFORE the 100-TB job runs. One keyed hash-agg
+    to per-key counts (map-side partial), then one global agg over
+    the keys-sized frame."""
+    counts = df.groupBy(key).agg(F.count("*").cast("long").alias("c"))
+    return counts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.round(F.expr("percentile(c, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(c, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99"),
+        F.max("c").cast("long").alias("max_count"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "p50",
+        "p90",
+        "p99",
+        "max_count",
+        F.round(F.col("max_count") / F.col("n_rows").cast("double"), 6).alias("top1_share"),
+        F.round(F.col("max_count") / F.col("p50"), 6).alias("skew_ratio"),
+    )

@@ -346,3 +346,54 @@ def disjunctive_part_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         & (F.col("l_quantity") >= 20)
     )
     return joined.where(cond).agg(_revenue_expr())
+
+
+def rolling_anomalies(
+    events: DataFrame,
+    n_prev: int = 20,
+    min_prev: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """(event_id, user_id, value, mean_prev, z): events whose value
+    sits more than ``z_threshold`` sample standard deviations from the
+    mean of the SAME USER's previous ``n_prev`` events — streaming-
+    style anomaly detection expressed as a bounded preceding window
+    (the exclusive frame means an event never scores against itself).
+    Rows with fewer than ``min_prev`` history events or zero variance
+    are not scored (no cold-start false positives).
+
+    Plan shape: one hash-partition exchange on user_id + an in-
+    partition sort — the same single-shuffle shape as the other event
+    window queries; the frame is bounded so state per row is O(n_prev)
+    regardless of history length. Sample std derives from the frame's
+    (sum, sum-of-squares, count) — the algebraic form both engines
+    share."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-n_prev, -1)
+    )
+    n = F.count("value").over(w)
+    s = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    mean = s / n
+    var = (s2 - s * s / n) / (n - 1)
+    z = F.try_divide(F.col("value") - mean, F.sqrt(var))
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "value",
+            n.alias("_n"),
+            F.round(mean, 6).alias("mean_prev"),
+            z.alias("_z"),
+        )
+        .where((F.col("_n") >= min_prev) & (F.abs("_z") > z_threshold))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            "mean_prev",
+            F.round("_z", 6).alias("z"),
+        )
+    )

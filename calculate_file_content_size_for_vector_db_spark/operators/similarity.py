@@ -1270,3 +1270,45 @@ def dim_stats(
         )
         .select(F.col("dim").cast("int").alias("dim"), "n", "mean", "std", "vmin", "vmax")
     )
+
+
+def label_centroid_quality(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n_members, avg_cosine, min_cosine): per-label centroid
+    cohesion — each label's mean vector and its members' cosine to it.
+    The label-quality QA pass next to dim_stats: a low avg flags a
+    noisy/heterogeneous label, a very low min flags probable
+    mislabels (the signal confident-learning methods rank by).
+
+    Plan shape: centroids come from ONE (label, dim) keyed hash-agg
+    (labels x dim groups — tiny, collapses map-side) re-assembled into
+    arrays by a deterministic sort; the labels-sized centroid table
+    broadcasts back onto the corpus for one narrow cosine map + one
+    keyed agg. Centroid components round to 6 decimals BEFORE the
+    cosine so parity never rides unrounded float sums."""
+    v = spread(embeddings).select(
+        F.col(id_col), F.col(label_col).alias("label"), as_double(vec_col).alias("v")
+    )
+    cent = (
+        v.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    )
+    scored = v.join(F.broadcast(cent), "label").select(
+        "label", cosine(F.col("v"), F.col("cv")).alias("c")
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.avg("c"), 6).alias("avg_cosine"),
+        F.round(F.min("c"), 6).alias("min_cosine"),
+    )

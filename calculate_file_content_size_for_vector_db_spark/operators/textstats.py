@@ -532,3 +532,50 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", topn: int = 20) -> Da
         .where(F.col("rank") <= topn)
         .select("pair", "freq", "rank")
     )
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """(key, lm2_score): bigram language-model score with add-1
+    smoothing — mean ln P(w2 | w1) over a document's adjacent token
+    pairs, P = (c(w1,w2) + 1) / (c(w1·) + V). The sequel to
+    unigram_logprob that actually sees word ORDER: scrambled text
+    keeps its unigram score but collapses here. c(w1·) counts bigram
+    contexts (so totals are consistent); V is the distinct-unigram
+    vocabulary. Docs with < 2 tokens keep a NULL score.
+
+    Plan: bigrams derive from the token array per row (slice + zip —
+    no self-join on position); two hash-aggs train the LM (bigram
+    freq, context freq), scoring is two equi-joins + a 1-row V
+    broadcast + one keyed avg. Frequency tables are vocab-bounded."""
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    df = spread(df)
+    toks = tokens(text_col)
+    bg = df.select(
+        F.col(key),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select(key, "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = df.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy(key)
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double"))),
+                6,
+            ).alias("lm2_score")
+        )
+    )
+    return df.select(key).join(scored, key, "left")

@@ -222,3 +222,75 @@ def test_zorder_files_are_local_in_both_dimensions(spark):
     for f in files:
         assert f.max_custkey - f.min_custkey <= span // 2 + span // 16
         assert f.min_orderdate <= f.max_orderdate
+
+
+def test_events_anomaly_flags_spike_not_history(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: alternating 1/2 history, then a huge spike
+    for i in range(10):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "view", 1.0 + (i % 2), "{}"))
+    rows.append((10, base + dt.timedelta(minutes=10), 1, "view", 100.0, "{}"))
+    # user 2: too little history for any scoring
+    rows.append((11, base, 2, "view", 0.0, "{}"))
+    rows.append((12, base + dt.timedelta(minutes=1), 2, "view", 500.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        rolling_anomalies,
+    )
+
+    out = rolling_anomalies(df).collect()
+    assert [r.event_id for r in out] == [10]
+    assert out[0].z > 3 and abs(out[0].mean_prev - 1.5) < 0.01
+
+
+def test_events_anomaly_zero_variance_not_scored(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), 1, "view", 5.0, "{}") for i in range(10)]
+    rows.append((10, base + dt.timedelta(minutes=10), 1, "view", 9.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        rolling_anomalies,
+    )
+
+    # constant history -> zero variance -> no z-score, no div-by-zero row
+    assert rolling_anomalies(df).collect() == []
+
+
+def test_key_skew_profile_arithmetic(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 8 + ["b"] + ["c"]], "k string"
+    )
+    r = key_skew_profile(df, "k").collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_count) == (3, 10, 8)
+    assert r.p50 == 1.0 and r.top1_share == 0.8 and r.skew_ratio == 8.0
+
+
+def test_bigram_lm_sees_word_order(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    # corpus dominated by the ordered phrase; one doc scrambles it
+    docs = [(i, "the cat sat on the mat") for i in range(10)]
+    docs.append((10, "mat the on sat cat the"))
+    docs.append((11, "single"))  # < 2 tokens -> NULL score
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r.lm2_score for r in bigram_logprob(df).collect()}
+    assert out[0] > out[10], "ordered text must outscore scrambled text"
+    assert out[11] is None

@@ -374,3 +374,35 @@ def test_incremental_empty_batch_and_empty_corpus(spark):
     epairs = dedup.incremental_neardup_pairs(docs, ebands, dedup.shingle_sets(empty))
     assert epairs.count() == 0
     assert dedup.incremental_survivors(docs, epairs).count() == 2
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, short), (1, long), (2, "totally different words here entirely now")],
+        "doc_id long, text string",
+    )
+    # every shingle of the short doc appears in the long doc
+    pairs = {(r.a_id, r.b_id): r for r in dedup.containment_pairs(df, threshold=0.8).collect()}
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    assert r.containment_a == 1.0          # short fully contained
+    assert r.containment_b < 0.5           # long is mostly other text
+    # Jaccard at the same threshold misses the pair entirely
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert all((p.a_id, p.b_id) != (0, 1) for p in jac)
+    # the unrelated doc pairs with nothing
+    assert all(2 not in (a, b) for a, b in pairs)
+
+
+def test_containment_direction_arithmetic(spark):
+    # A has 4 shingles, B shares exactly 2 of them and has 2 others
+    a = "t1 t2 t3 t4 t5 t6"          # shingles: t1t2t3..t4t5t6 (4)
+    b = "t1 t2 t3 t4 x1 x2 x3"       # shares t1t2t3, t2t3t4; adds 3 others
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    rows = dedup.containment_pairs(df, threshold=0.4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.containment_a == 0.5          # 2 of A's 4 shingles
+    assert r.containment_b == 0.4          # 2 of B's 5 shingles

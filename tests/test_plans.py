@@ -407,6 +407,7 @@ _BNLJ_ALLOWED = {
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_topk_ivfpq_probe2",
     "sim_topk_matryoshka",  # broadcast-queries x corpus prefix scan
+    "text_bigram_lm",  # 1-row vocabulary-size broadcast
     "text_lm_score", "tpch_q11", "tpch_q20",
     "tpch_q22", "triplet_mining",
     "zorder_layout",  # 1-row min/max quantization-span broadcast

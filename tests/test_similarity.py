@@ -436,3 +436,23 @@ def test_dim_stats_profile(spark):
     assert out[0].std == 1.0          # population std of {1, 3}
     assert out[1].std == 0.0          # dead dimension detected
     assert (out[2].mean, out[2].std) == (0.0, 2.0)
+
+
+def test_label_centroid_quality_flags_mislabeled_member(spark):
+    # label 1: a tight cluster around e1; label 2: tight around e2 but
+    # with one member that is actually an e1 vector (mislabeled)
+    rows = [
+        (0, _pad([1.0, 0.0]), 1),
+        (1, _pad([0.99, 0.01]), 1),
+        (2, _pad([0.98, 0.02]), 1),
+        (3, _pad([0.0, 1.0]), 2),
+        (4, _pad([0.01, 0.99]), 2),
+        (5, _pad([1.0, 0.0]), 2),   # mislabel: sits in cluster 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in sim.label_centroid_quality(df).collect()}
+    assert out[1].n_members == 3 and out[2].n_members == 3
+    assert out[1].avg_cosine > 0.99        # clean label: high cohesion
+    assert out[1].min_cosine > 0.99
+    assert out[2].min_cosine < 0.7         # the mislabel drags the min down
+    assert out[2].avg_cosine < out[1].avg_cosine
