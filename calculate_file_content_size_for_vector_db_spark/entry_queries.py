@@ -5904,6 +5904,140 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 extension surface (fourth wave): MinHash error contract,
+# cohort retention, RFM segmentation, cosine range search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_jaccard_estimate",
+    _SQL_MINHASH_BANDS
+    + """,
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.a_id, c.b_id,
+           round(len(list_filter(range(1, 9),
+               i -> sa.signature[CAST(i AS INT)] = sb.signature[CAST(i AS INT)])) / 8.0, 6)
+               AS jaccard_est,
+           round(len(list_intersect(ha.sh, hb.sh))
+                 / CAST(len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)) AS DOUBLE), 6)
+               AS jaccard_exact
+    FROM cand c
+    JOIN sig_t sa ON sa.doc_id = c.a_id
+    JOIN sig_t sb ON sb.doc_id = c.b_id
+    JOIN sh_t ha ON ha.doc_id = c.a_id
+    JOIN sh_t hb ON hb.doc_id = c.b_id
+)
+SELECT a_id, b_id, jaccard_est, jaccard_exact,
+       round(abs(jaccard_est - jaccard_exact), 6) AS abs_error
+FROM est
+""",
+)
+def minhash_jaccard_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-vs-exact error contract — the FOURTH sketch family
+    under the bounded-error-oracle pattern (after HLL, approx-
+    percentile, CMS): for every LSH candidate pair, the signature-
+    agreement estimate a production pipeline acts on, the exact
+    shingle Jaccard, and the absolute error. Fixture finding: the
+    textbook 3-sigma bound sqrt(J(1-J)/k) does NOT hold conditionally
+    — candidates exist BECAUSE a band agreed, so low-Jaccard
+    candidates err high by construction; the deterministic guarantees
+    (1/k quantization grid, >= 2-of-8 shared-band floor, exact 1 for
+    identical docs) are pinned in tests/test_dedup.py instead."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    return minhash_jaccard_estimate(_docs(spark, sf_dir))
+
+
+@register(
+    "cohort_retention",
+    """
+WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cw FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cw, a.wk) // 7 AS INT) AS week_n,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted in each later active week — the standard engagement report
+    over an event stream. Two linear hash-aggs + one user_id equi-join;
+    no windows, no self-joins (operators/relational.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+@register(
+    "orders_rfm_segments",
+    """
+WITH ref AS (SELECT max(o_orderdate) AS refd FROM orders),
+per AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', max(o_orderdate), (SELECT refd FROM ref)) AS INT) AS recency_days,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+    FROM per
+)
+SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+""",
+)
+def orders_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary quartile
+    scores + the classic 3-digit segment code) — the marketing-
+    analytics workhorse. One custkey hash-agg, a 1-row max-date
+    broadcast, three ntile windows over the customers-sized aggregated
+    frame (bounded global-window pattern), custkey tie-breaks for
+    deterministic quartiles."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import rfm_segments
+
+    return rfm_segments(read_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "sim_range_search",
+    f"""
+WITH {_SQL_EMB}
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a, e b
+WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+""",
+)
+def sim_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range (radius) search: every corpus vector within 0.25
+    of each query — the other half of the vector-db query API next to
+    top-k (no ranking window at all; nothing re-partitions by query).
+    At 100 TB the same threshold filter applies after an LSH/IVF
+    candidate tier instead of the full scan."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import range_search
+
+    emb = _emb(spark, sf_dir)
+    return range_search(emb, emb.where(F.col("vec_id") < 10), threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -5925,6 +6059,11 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    every pytest run meanwhile).
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
+    # --- new this round (r06), fourth wave ---
+    "minhash_jaccard_estimate",
+    "cohort_retention",
+    "orders_rfm_segments",
+    "sim_range_search",
     # --- new this round (r06), third wave ---
     "dedup_containment",
     "text_bigram_lm",

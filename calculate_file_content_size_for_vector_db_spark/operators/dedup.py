@@ -654,3 +654,71 @@ def containment_pairs(
         .where(F.greatest("containment_a", "containment_b") >= threshold)
         .select("a_id", "b_id", "containment_a", "containment_b")
     )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    n_hashes: int = MINHASH_FUNCS,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(a_id, b_id, jaccard_est, jaccard_exact, abs_error): for every
+    LSH candidate pair, the MinHash ESTIMATE (fraction of agreeing
+    signature components — the number a production pipeline acts on
+    when it skips exact verification) next to the exact shingle
+    Jaccard, plus the absolute error. The sketch-error contract of the
+    HLL / approx-percentile / CMS family applied to MinHash: E[est] =
+    J with std sqrt(J(1-J)/k), and identical docs estimate exactly 1.
+
+    Plan shape: the signature table feeds the band join (candidates)
+    and both estimate sides; the shingle table feeds both exact sides
+    — all equi-joins on doc ids, candidate-bounded."""
+    sig = minhash_signature(df, n_hashes, text_col, key).persist()
+    bands = minhash_bands(sig, n_hashes=n_hashes, key=key)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .select(F.col(f"a.{key}").alias("a_id"), F.col(f"b.{key}").alias("b_id"))
+        .distinct()
+    )
+    est = (
+        cand.join(sig.withColumnsRenamed({key: "a_id", "signature": "sig_a"}), "a_id")
+        .join(sig.withColumnsRenamed({key: "b_id", "signature": "sig_b"}), "b_id")
+        .withColumn(
+            "jaccard_est",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+                    )
+                )
+                / F.lit(float(n_hashes)),
+                6,
+            ),
+        )
+        .select("a_id", "b_id", "jaccard_est")
+    )
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    sh = spread(df).select(F.col(key), shingles(text_col).alias("sh")).persist()
+    return (
+        est.join(sh.withColumnsRenamed({key: "a_id", "sh": "sh_a"}), "a_id")
+        .join(sh.withColumnsRenamed({key: "b_id", "sh": "sh_b"}), "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_exact",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard_est",
+            "jaccard_exact",
+            F.round(F.abs(F.col("jaccard_est") - F.col("jaccard_exact")), 6).alias("abs_error"),
+        )
+    )

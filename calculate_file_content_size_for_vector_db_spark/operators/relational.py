@@ -397,3 +397,74 @@ def rolling_anomalies(
             F.round("_z", 6).alias("z"),
         )
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_n, n_users): classic cohort-retention matrix
+    — users grouped by their first-activity week, counted in each
+    subsequent week they were active. The engagement-analytics shape
+    every event warehouse reports.
+
+    Plan shape: one user_id hash-agg for first-seen weeks, one
+    (user, week) distinct, an equi-join on user_id, one keyed count —
+    all linear; no per-user windows, no self-joins."""
+    wk = F.date_trunc("week", F.col("ts"))
+    first = events.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    active = events.select("user_id", wk.alias("wk")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("int").alias("week_n"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """(o_custkey, recency_days, frequency, monetary, r_score,
+    f_score, m_score, segment): RFM customer segmentation — quartile
+    scores for recency (1 = most recent), frequency and monetary
+    (1 = highest), concatenated into the classic 3-digit segment code.
+
+    Plan shape: one 1-row max-date broadcast (the recency reference),
+    one custkey hash-agg, then three ntile windows over the
+    CUSTOMERS-sized aggregated frame (the bounded global-window
+    pattern of customer_balance_ntile); ties break on custkey so the
+    quartile assignment is deterministic and oracle-checkable.
+    Monetary sums ride DECIMAL(18,4), exact in both engines."""
+    from pyspark.sql import Window
+
+    ref = orders.agg(F.max("o_orderdate").alias("_ref"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("_mon"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_ref"), F.col("_last")).cast("int").alias("recency_days"),
+            "frequency",
+            # round on the DECIMAL (exact), then cast — double-first
+            # rounding would reintroduce float boundary noise
+            F.round(F.col("_mon"), 2).cast("double").alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("int").alias("r_score"),
+        F.ntile(4).over(f_w).cast("int").alias("f_score"),
+        F.ntile(4).over(m_w).cast("int").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )

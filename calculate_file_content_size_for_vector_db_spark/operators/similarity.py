@@ -1312,3 +1312,38 @@ def label_centroid_quality(
         F.round(F.avg("c"), 6).alias("avg_cosine"),
         F.round(F.min("c"), 6).alias("min_cosine"),
     )
+
+
+def range_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine): ALL corpus vectors within the
+    cosine threshold of each query — range search, the other half of
+    the vector-db query API next to top-k (radius queries back
+    near-duplicate sweeps and recall-oriented retrieval where a fixed
+    k under- or over-fetches).
+
+    Plan shape: broadcast-queries x corpus scan with the threshold
+    applied inside the scan projection — no window at all (range
+    semantics need no ranking), so unlike top-k nothing ever
+    re-partitions by query. At 100 TB the same filter applies after
+    any candidate tier (LSH/IVF buckets) instead of the full scan."""
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    c = spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

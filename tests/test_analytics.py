@@ -294,3 +294,50 @@ def test_bigram_lm_sees_word_order(spark):
     out = {r.doc_id: r.lm2_score for r in bigram_logprob(df).collect()}
     assert out[0] > out[10], "ordered text must outscore scrambled text"
     assert out[11] is None
+
+
+def test_cohort_retention_counts(spark):
+    import datetime as dt
+
+    # user 1 first seen week of Jan 1 (Mon), active again 2 weeks later;
+    # user 2 same cohort, only week 0; user 3 next week's cohort
+    rows = [
+        (0, dt.datetime(2024, 1, 2), 1), (1, dt.datetime(2024, 1, 16), 1),
+        (2, dt.datetime(2024, 1, 3), 2),
+        (3, dt.datetime(2024, 1, 9), 3), (4, dt.datetime(2024, 1, 10), 3),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    out = {(r.cohort_week, r.week_n): r.n_users for r in cohort_retention(df).collect()}
+    assert out[("2024-01-01", 0)] == 2       # users 1 and 2
+    assert out[("2024-01-01", 2)] == 1       # user 1 returns in week 2
+    assert out[("2024-01-08", 0)] == 1       # user 3's cohort; same-week repeat not double-counted
+    assert ("2024-01-08", 1) not in out
+
+
+def test_rfm_segments_quartiles(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import rfm_segments
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    out = rfm_segments(read_table(spark, SF_DIR, "orders")).collect()
+    n = len(out)
+    assert n > 0
+    for s in ("r_score", "f_score", "m_score"):
+        vals = [getattr(r, s) for r in out]
+        assert set(vals) <= {1, 2, 3, 4}
+        # ntile balance: quartile sizes differ by at most 1
+        from collections import Counter
+
+        c = Counter(vals)
+        assert max(c.values()) - min(c.values()) <= 1
+    best = [r for r in out if r.segment == "111"]
+    worst = [r for r in out if r.segment == "444"]
+    if best and worst:
+        assert min(r.monetary for r in best) >= max(r.monetary for r in worst)

@@ -406,3 +406,41 @@ def test_containment_direction_arithmetic(spark):
     r = rows[0]
     assert r.containment_a == 0.5          # 2 of A's 4 shingles
     assert r.containment_b == 0.4          # 2 of B's 5 shingles
+
+
+def test_minhash_estimate_exact_one_for_identical_docs(spark):
+    text = "one two three four five six seven eight nine ten"
+    df = _docs(spark, [(0, text), (1, text), (2, "other words entirely distinct here now")])
+    rows = {(r.a_id, r.b_id): r for r in dedup.minhash_jaccard_estimate(df).collect()}
+    r = rows[(0, 1)]
+    # identical shingle sets -> identical signatures -> estimate exactly 1
+    assert r.jaccard_est == 1.0 and r.jaccard_exact == 1.0 and r.abs_error == 0.0
+
+
+def test_minhash_estimate_structural_properties_on_fixture(spark):
+    """Structural guarantees of the estimate on the sf0.001 fixture
+    (k=8, 4 bands x 2 rows). The naive 3-sigma bound sqrt(J(1-J)/k)
+    does NOT hold conditionally: LSH candidates are selected BECAUSE a
+    band agreed, so low-Jaccard candidates are exactly the pairs whose
+    estimate errs high — what holds deterministically is the
+    quantization grid and the shared-band floor (>= 2 of 8 components
+    agree for every candidate)."""
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, SF_DIR, "documents")
+    rows = dedup.minhash_jaccard_estimate(docs).collect()
+    assert rows, "fixture produced no LSH candidate pairs"
+    k = 8
+    grid = {round(i / k, 6) for i in range(k + 1)}
+    for r in rows:
+        assert r.jaccard_est in grid, r
+        # candidate => at least one full band (2 components) agrees
+        assert r.jaccard_est >= round(2 / k, 6), r
+        assert r.abs_error == round(abs(r.jaccard_est - r.jaccard_exact), 6)
+    # the estimate still discriminates: true near-dups (exact >= 0.5)
+    # must estimate at least as high as the candidate floor average
+    hi = [r.jaccard_est for r in rows if r.jaccard_exact >= 0.5]
+    lo = [r.jaccard_est for r in rows if r.jaccard_exact < 0.1]
+    if hi and lo:
+        assert sum(hi) / len(hi) > sum(lo) / len(lo)

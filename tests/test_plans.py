@@ -402,7 +402,10 @@ _BNLJ_ALLOWED = {
     "matryoshka_recall_at_10",  # broadcast-queries x corpus prefix scan
     "mix_balanced_recipe",
     "mix_temperature_recipe",  # 1-row weight-normalizer broadcast
-    "orders_price_band_join", "pq_recall_at_10", "quality_calibrate",
+    "orders_price_band_join",
+    "orders_rfm_segments",  # 1-row max-date (recency reference) broadcast
+    "pq_recall_at_10", "quality_calibrate",
+    "sim_range_search",  # broadcast-queries x corpus radius scan
     "sim_ivf_assign", "sim_ivf_centroids", "sim_topk_binary",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_topk_ivfpq_probe2",
