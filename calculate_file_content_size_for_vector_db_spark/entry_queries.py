@@ -6038,6 +6038,176 @@ def sim_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 extension surface (fifth wave): SQ8 int8 search tier + recall,
+# kNN clustering coefficients, salted skew join
+# ---------------------------------------------------------------------------
+
+_SQL_INT8 = """
+q8 AS (
+    SELECT vec_id, list_transform(v, x -> CAST(round(127.0 * x / s) AS BIGINT)) AS qv
+    FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM e)
+    WHERE s > 0
+)
+"""
+
+
+def _sql_int8_approx(k: int) -> str:
+    return f"""
+qshort AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])), 6) DESC,
+                            b.vec_id) AS rn
+        FROM q8 a, q8 b
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rn <= {4 * k}
+),
+approx AS (
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT t.query_id, t.neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+               CAST(row_number() OVER (PARTITION BY t.query_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, t.neighbor_id)
+                   AS INT) AS rank
+        FROM qshort t
+        JOIN e a ON a.vec_id = t.query_id
+        JOIN e b ON b.vec_id = t.neighbor_id
+    ) WHERE rank <= {k}
+)
+"""
+
+
+@register(
+    "sim_topk_int8",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_INT8},
+{_sql_int8_approx(5)}
+SELECT query_id, neighbor_id, cosine, rank FROM approx
+""",
+)
+def sim_topk_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 top-k: int8-quantized compressed scan (4x less vector data
+    than float32; the per-vector scale cancels out of cosine, so the
+    scan is exact integer arithmetic) + exact rerank of the top-20 —
+    the scalar-quantization tier every vector store ships next to PQ,
+    binary and matryoshka."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_int8
+
+    emb = _emb(spark, sf_dir)
+    return topk_int8(emb, emb.where(F.col("vec_id") < 10), k=5, rerank=4)
+
+
+@register(
+    "int8_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_INT8},
+{_sql_int8_approx(_RECALL_K)},
+{_SQL_RECALL_TAIL}
+""",
+)
+def int8_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SQ8 tier — the NINTH row of the recall matrix;
+    candidate-pruned exact rerank, so rerank-monotone like the other
+    non-ADC tiers. int8 preserves direction almost exactly at 64 dims,
+    so this tier's recall should sit at the top of the compressed
+    family (pinned relative to binary in tests)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_int8,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_int8(emb, q, k=_RECALL_K, rerank=4))
+
+
+@register(
+    "knn_clustering_coeff",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_KNN_EDGES},
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM knn WHERE src <> dst
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+),
+tri AS (
+    SELECT e1.a, e1.b, e2.c
+    FROM und e1
+    JOIN (SELECT a AS b, b AS c FROM und) e2 USING (b)
+    JOIN (SELECT a AS ta, b AS tc FROM und) e3 ON e1.a = e3.ta AND e2.c = e3.tc
+),
+corners AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+    GROUP BY 1
+)
+SELECT n.node AS vec_id,
+       coalesce(d.degree, 0) AS degree,
+       coalesce(t.triangles, 0) AS triangles,
+       CASE WHEN coalesce(d.degree, 0) >= 2
+            THEN round(2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1)), 6)
+       END AS clustering_coeff
+FROM (SELECT vec_id AS node FROM e) n
+LEFT JOIN deg d USING (node)
+LEFT JOIN corners t USING (node)
+""",
+)
+def knn_clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients over the semantic k-NN graph
+    (operators/graph.py clustering_coefficients): per-vector triangle
+    density — 2T/(deg(deg-1)) — separating hub-of-a-clique vectors
+    from bridge vectors, the third graph signal next to PageRank and
+    label propagation. Canonical a<b<c two-join triangle enumeration;
+    bounded-degree kNN keeps it linear."""
+    from calculate_file_content_size_for_vector_db_spark.operators.graph import (
+        clustering_coefficients,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
+
+    emb = _emb(spark, sf_dir)
+    edges = topk_grid(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return clustering_coefficients(edges, emb.select(F.col("vec_id").alias("node"))).select(
+        F.col("node").alias("vec_id"), "degree", "triangles", "clustering_coeff"
+    )
+
+
+@register(
+    "salted_join_events",
+    """
+WITH d AS (SELECT user_id, min(ts) AS f FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id, round(e.value, 6) AS value,
+       strftime(d.f, '%Y-%m-%d %H:%M:%S') AS first_seen
+FROM events e JOIN d USING (user_id)
+""",
+)
+def salted_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-dim join: events (skewed user_id fact)
+    joined to the per-user first-seen dimension on (user_id, salt)
+    with an 8x-replicated dim — one hot user's rows spread over 8
+    partitions instead of one straggler. Output is row-for-row
+    IDENTICAL to the plain join, which is exactly what the oracle
+    checks (the join-side counterpart of salted_event_counts)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import salted_join
+
+    ev = _events(spark, sf_dir)
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("_f"))
+    return salted_join(ev, dim, "user_id", n_salts=8, salt_src="event_id").select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.date_format("_f", "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -6059,6 +6229,11 @@ def sim_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    every pytest run meanwhile).
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
+    # --- new this round (r06), fifth wave ---
+    "sim_topk_int8",
+    "int8_recall_at_10",
+    "knn_clustering_coeff",
+    "salted_join_events",
     # --- new this round (r06), fourth wave ---
     "minhash_jaccard_estimate",
     "cohort_retention",

@@ -133,3 +133,72 @@ def label_propagation(
         F.col("lab").alias(label),
         F.col("_seed").isNotNull().alias("is_seed"),
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """(node, degree, triangles, clustering_coeff): local clustering
+    coefficient over the UNDIRECTED projection of an edge list —
+    2T / (deg * (deg - 1)), the per-node density signal that separates
+    hub-of-a-clique vectors from bridge vectors in a semantic graph.
+
+    Plan shape: the canonical two-join triangle enumeration — orient
+    every undirected edge a < b, join edge (a,b) with (b,c) then
+    verify (a,c) exists, so each triangle is found exactly once
+    (a < b < c); explode its 3 corners and count per node. All
+    equi-joins on node keys; work is sum over nodes of deg^2, the
+    standard distributed triangle-count bound (kNN graphs have
+    bounded degree, so this is linear there)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias(node))
+        .unionAll(und.select(F.col("b").alias(node)))
+        .groupBy(node)
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias(node))
+        .unionAll(tri.select(F.col("b").alias(node)))
+        .unionAll(tri.select(F.col("c").alias(node)))
+        .groupBy(node)
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        nodes.select(F.col(node))
+        .join(deg, node, "left")
+        .join(corners, node, "left")
+        .select(
+            node,
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.coalesce("degree", F.lit(0)) >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                    6,
+                ),
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -149,3 +149,32 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
         F.round(F.col("max_count") / F.col("n_rows").cast("double"), 6).alias("top1_share"),
         F.round(F.col("max_count") / F.col("p50"), 6).alias("skew_ratio"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = SALT_BUCKETS,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-resistant fact-dim equi-join: the fact side salts its key
+    (deterministically from ``salt_src``, default a crc32 of the whole
+    row key), the dim side replicates each row ``n_salts`` times, and
+    the join runs on (key, salt) — a single hot key's rows spread over
+    ``n_salts`` partitions instead of one straggler task. Result is
+    row-for-row IDENTICAL to the plain join (which is exactly what the
+    oracle checks); the cost is a dim side ``n_salts``x larger, which
+    is the right trade precisely when the dim is small and the fact is
+    skewed. The join-side counterpart of salted_count; AQE's runtime
+    skew-split does this adaptively, this form pins it in the plan."""
+    salt_col = (
+        F.pmod(F.col(salt_src), F.lit(n_salts)).cast("int")
+        if salt_src
+        else F.pmod(F.crc32(F.col(key).cast("string")), F.lit(n_salts)).cast("int")
+    )
+    f = fact.withColumn("_salt", salt_col)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")

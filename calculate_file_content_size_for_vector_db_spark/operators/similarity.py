@@ -1347,3 +1347,80 @@ def range_search(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def int8_vectors(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qv): symmetric int8 quantization (round(127*x/maxabs)) as
+    a BIGINT array. Cosine over the int vectors needs NO scale at all
+    — the per-vector scale cancels in cos = dot/(|a||b|) — so the
+    compressed scan is pure integer arithmetic (exact in both
+    engines) with one final sqrt/divide. All-zero vectors drop (no
+    direction to quantize)."""
+    v = as_double(vec_col)
+    s = F.array_max(F.transform(v, F.abs))
+    return (
+        spread(embeddings)
+        .select(F.col(id_col), v.alias("_v"), s.alias("_s"))
+        .where(F.col("_s") > 0)
+        .select(
+            id_col,
+            F.transform(
+                "_v", lambda x: F.round(F.lit(127.0) * x / F.col("_s")).cast("bigint")
+            ).alias("qv"),
+        )
+    )
+
+
+def topk_int8(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 (scalar-quantized) top-k: shortlist the corpus per query by
+    int8 cosine (4x less vector data through the scan than float32,
+    exact integer dot products), exact-rerank the top ``rerank * k``
+    on full vectors — the scalar-quantization tier every vector store
+    ships next to PQ (codebooks), binary (sign bits) and matryoshka
+    (prefix dims).
+
+    Plan shape: identical to topk_binary/topk_matryoshka — broadcast
+    queries x corpus compressed scan, bounded exact-rerank equi-join;
+    ties (rounded cosine, id) deterministic at both stages."""
+    q8 = int8_vectors(embeddings, id_col, vec_col)
+    q = q8.join(queries.select(id_col), id_col).select(
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
+    )
+    shortlist = (
+        F.broadcast(q)
+        .crossJoin(q8.select(F.col(id_col).alias("neighbor_id"), F.col("qv").alias("qc")))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(as_double("qq"), as_double("qc")).alias("qcos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    top = (
+        shortlist.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    qv = embeddings.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("fq"))
+    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("fc"))
+    scored = (
+        top.join(F.broadcast(qv.join(queries.select(F.col(id_col).alias("query_id")), "query_id")), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("fq"), F.col("fc")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

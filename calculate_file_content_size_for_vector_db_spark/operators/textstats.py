@@ -365,6 +365,26 @@ def cms_cell(tok: Column, row: int, width: int = CMS_WIDTH) -> Column:
     )
 
 
+def cms_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, col, cell_count): the filled Count-Min grid for a corpus.
+    CMS is LINEAR — the sketch of a union is the cell-wise sum of the
+    parts' sketches — so partial sketches from streams/shards merge
+    with one (row, col) sum; tests/test_streaming.py pins the
+    foreachBatch-merged sketch equal to this batch build."""
+    toks = df.select(F.explode(tokens(text_col)).alias("word"))
+    cells = toks.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(r).alias("row"), cms_cell(F.col("word"), r, width).alias("col")) for r in range(depth)])
+        ).alias("c")
+    ).select("c.row", "c.col")
+    return cells.groupBy("row", "col").agg(F.count("*").cast("long").alias("cell_count"))
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     text_col: str = "text",
@@ -386,12 +406,7 @@ def cms_heavy_hitters(
     100 TB drops it and keeps the sketch-only half."""
     toks = df.select(F.explode(tokens(text_col)).alias("word"))
     occ = toks.groupBy("word").agg(F.count("*").cast("long").alias("exact_count"))
-    cells = toks.select(
-        F.explode(
-            F.array(*[F.struct(F.lit(r).alias("row"), cms_cell(F.col("word"), r, width).alias("col")) for r in range(depth)])
-        ).alias("c")
-    ).select("c.row", "c.col")
-    sketch = cells.groupBy("row", "col").agg(F.count("*").cast("long").alias("cell_count"))
+    sketch = cms_sketch(df, text_col, depth, width)
     probes = occ.select(
         "word",
         "exact_count",

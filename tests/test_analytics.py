@@ -341,3 +341,18 @@ def test_rfm_segments_quartiles(spark):
     worst = [r for r in out if r.segment == "444"]
     if best and worst:
         assert min(r.monetary for r in best) >= max(r.monetary for r in worst)
+
+
+def test_salted_join_identical_to_plain_join(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(50)], "event_id long, user_id long, value double"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "user_id long, tag string")
+    got = sorted(
+        map(tuple, salted_join(fact, dim, "user_id", n_salts=4, salt_src="event_id")
+            .select("event_id", "user_id", "value", "tag").collect())
+    )
+    want = sorted(map(tuple, fact.join(dim, "user_id").select("event_id", "user_id", "value", "tag").collect()))
+    assert got == want and len(got) == 50

@@ -93,3 +93,40 @@ def test_label_propagation_seed_never_flips(spark):
     )
     out = {r.node: r.label for r in label_propagation(e, s, n, iters=3).collect()}
     assert out[0] == 5
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficients
+# ---------------------------------------------------------------------------
+
+from calculate_file_content_size_for_vector_db_spark.operators.graph import (  # noqa: E402
+    clustering_coefficients,
+)
+
+
+def test_clustering_coeff_triangle_plus_tail(spark):
+    # triangle 0-1-2 plus a tail 2-3: nodes 0,1 have cc=1, node 2 sits
+    # in 1 triangle of deg 3 -> cc = 2*1/(3*2) = 1/3, tail node cc NULL
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    n = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    out = {r.node: r for r in clustering_coefficients(e, n).collect()}
+    assert out[0].clustering_coeff == 1.0 and out[1].clustering_coeff == 1.0
+    assert out[2].degree == 3 and out[2].triangles == 1
+    assert out[2].clustering_coeff == round(1 / 3, 6)
+    assert out[3].degree == 1 and out[3].clustering_coeff is None
+    assert out[4].degree == 0 and out[4].triangles == 0  # isolated node kept
+
+
+def test_clustering_coeff_direction_and_duplicate_invariant(spark):
+    # same undirected structure written with reversed + duplicated
+    # directed edges must give identical results
+    e1 = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    e2 = spark.createDataFrame(
+        [(1, 0), (0, 1), (2, 1), (0, 2), (2, 0)], "src long, dst long"
+    )
+    n = spark.createDataFrame([(i,) for i in range(3)], "node long")
+    a = sorted(map(tuple, clustering_coefficients(e1, n).collect()))
+    b = sorted(map(tuple, clustering_coefficients(e2, n).collect()))
+    assert a == b

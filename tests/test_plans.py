@@ -397,7 +397,9 @@ def test_calibrate_and_mix_bounded_one_row_broadcast(spark):
 # dimension of the range join.
 _BNLJ_ALLOWED = {
     "approx_percentile_error", "binary_recall_at_10", "ivf_recall_at_10",
+    "int8_recall_at_10",  # broadcast-queries x corpus int8 scan
     "ivfpq_probe2_recall_at_10", "ivfpq_recall_at_10", "knn_pagerank",
+    "sim_topk_int8",  # broadcast-queries x corpus int8 scan
     "lsh_multiprobe_recall_at_10", "lsh_recall_at_10",
     "matryoshka_recall_at_10",  # broadcast-queries x corpus prefix scan
     "mix_balanced_recipe",

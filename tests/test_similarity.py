@@ -456,3 +456,33 @@ def test_label_centroid_quality_flags_mislabeled_member(spark):
     assert out[1].min_cosine > 0.99
     assert out[2].min_cosine < 0.7         # the mislabel drags the min down
     assert out[2].avg_cosine < out[1].avg_cosine
+
+
+def test_int8_recall_tops_compressed_family_and_monotone(spark):
+    """SQ8 at 64 dims preserves direction almost exactly, so its
+    recall must sit at or above the binary (1-bit) tier at the same
+    rerank budget; like all candidate-pruned exact tiers it is
+    rerank-monotone."""
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    int8 = REGISTRY["int8_recall_at_10"].fn(spark, SF_DIR).collect()[0]
+    binary = REGISTRY["binary_recall_at_10"].fn(spark, SF_DIR).collect()[0]
+    assert int8.n_exact == 100
+    assert int8.recall >= binary.recall
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    q = emb.where("vec_id < 10")
+    exact = sim.topk_bruteforce(emb, q, k=10)
+    r1 = sim.recall_vs_exact(exact, sim.topk_int8(emb, q, k=10, rerank=1)).collect()[0].recall
+    r8 = sim.recall_vs_exact(exact, sim.topk_int8(emb, q, k=10, rerank=8)).collect()[0].recall
+    assert r1 <= int8.recall <= r8
+
+
+def test_int8_quantization_drops_zero_vectors(spark):
+    rows = [(0, [1.0, -2.0] + [0.0] * 62), (1, [0.0] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.qv for r in sim.int8_vectors(df).collect()}
+    assert 1 not in out                      # all-zero vector has no direction
+    assert out[0][0] == 64 and out[0][1] == -127   # round(127 * 1/2), round(127 * -2/2)

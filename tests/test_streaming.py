@@ -281,3 +281,47 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
         r.doc_id for r in dedup.incremental_survivors(new_docs, batch_pairs).collect()
     }
     assert got == want == {0, 2}  # the near-dup of corpus doc 105 is rejected
+
+
+def test_streaming_cms_sketch_merges_to_batch_sketch(spark, tmp_path):
+    """CMS is linear: the union's sketch is the cell-wise SUM of
+    per-batch sketches. Deployed as a stream, each micro-batch writes
+    its partial grid via foreachBatch and one (row, col) sum merges
+    them — the merged grid must equal the one-shot batch build over
+    the same docs, cell for cell."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import cms_sketch
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} alpha beta common word soup {i % 5}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    # three files -> up to three micro-batches
+    docs.where("doc_id < 20").write.parquet(src + "/p0")
+    docs.where("doc_id >= 20 AND doc_id < 40").write.parquet(src + "/p1")
+    docs.where("doc_id >= 40").write.parquet(src + "/p2")
+    parts_dir = str(tmp_path / "parts")
+
+    def _sketch_batch(batch_df, _batch_id):
+        cms_sketch(batch_df).write.mode("append").parquet(parts_dir)
+
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src + "/p*")
+    q = (
+        stream.writeStream.foreachBatch(_sketch_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    merged = (
+        spark.read.parquet(parts_dir)
+        .groupBy("row", "col")
+        .agg(F.sum("cell_count").cast("long").alias("cell_count"))
+    )
+    batch = cms_sketch(docs)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
