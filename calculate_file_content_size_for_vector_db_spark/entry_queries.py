@@ -6208,6 +6208,127 @@ def salted_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 extension surface (sixth wave): BM25 lexical retrieval,
+# Markov event transitions, referential-integrity audit
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [(0, "spark hash join"), (1, "table scan fast"), (2, "sort merge batch")]
+
+
+@register(
+    "bm25_search",
+    f"""
+WITH q AS (SELECT * FROM (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}) AS t(query_id, q)),
+qt AS (
+    SELECT DISTINCT query_id,
+           unnest(list_filter(regexp_split_to_array(q, '\\s+'), w -> w <> '')) AS term
+    FROM q
+),
+toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+              (SELECT avg(dl) FROM dl) AS avgdl),
+sc AS (
+    SELECT qt.query_id, tf.doc_id,
+           round(sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+    FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM sc QUALIFY rank <= 10
+""",
+)
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per keyword query (Lucene +1 idf form) — lexical
+    retrieval next to the nine embedding tiers, and the standard
+    hybrid-search complement. The scoring join is posting-list-sized
+    (only rows whose term appears in a query), never corpus-sized;
+    query terms and the 1-row (N, avgdl) frame broadcast."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir), _BM25_QUERIES)
+
+
+@register(
+    "event_transitions",
+    """
+WITH steps AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+c AS (
+    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM steps WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS prob
+FROM c
+""",
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    stream (counts + row-normalized probabilities) — the session-path
+    summary behind funnels and next-action baselines. One user_id
+    exchange for the lag, one |types|^2-group count, a windowed
+    normalizer over that tiny frame (operators/relational.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        event_transitions,
+    )
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+@register(
+    "fk_integrity_check",
+    """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS orphan_orders,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS orphan_lineitems,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_totalprice <= 0)
+           AS nonpositive_totals
+""",
+)
+def fk_integrity_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row referential-integrity audit of the star schema: orphan
+    orders (no customer), orphan lineitems (no order), non-positive
+    order totals — the data-contract gate a lake runs before
+    publishing a snapshot. Each check is one LEFT ANTI join reduced to
+    a count (broadcastable key sides) or a pushed-down filter count;
+    a healthy snapshot reads all zeros."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    n_orders = orders.agg(F.count("*").cast("long").alias("n_orders"))
+    orphan_o = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("orphan_orders"))
+    )
+    orphan_l = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("orphan_lineitems"))
+    )
+    nonpos = orders.where(F.col("o_totalprice") <= 0).agg(
+        F.count("*").cast("long").alias("nonpositive_totals")
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(orphan_o))
+        .crossJoin(F.broadcast(orphan_l))
+        .crossJoin(F.broadcast(nonpos))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -6229,6 +6350,10 @@ def salted_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    every pytest run meanwhile).
 # Everything after keeps its proven registration order.
 _VERIFY_FIRST = [
+    # --- new this round (r06), sixth wave ---
+    "bm25_search",
+    "event_transitions",
+    "fk_integrity_check",
     # --- new this round (r06), fifth wave ---
     "sim_topk_int8",
     "int8_recall_at_10",

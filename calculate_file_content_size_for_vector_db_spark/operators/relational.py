@@ -468,3 +468,33 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         "segment",
         F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """(prev_type, event_type, n, prob): the first-order Markov
+    transition matrix of the per-user event stream — counts of each
+    (previous type -> type) step and row-normalized probabilities, the
+    session-path-analysis summary behind funnels and next-action
+    prediction baselines.
+
+    Plan shape: one user_id exchange for the lag window, then one tiny
+    keyed count (|types|^2 groups, map-side partial) and a windowed
+    row-normalizer over that tiny frame."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm).cast("double"), 6).alias("prob"),
+    )

@@ -594,3 +594,73 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", key: str = "doc_id") -
         )
     )
     return df.select(key).join(scored, key, "left")
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    topn: int = 10,
+    text_col: str = "text",
+    key: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, key, score, rank): BM25 ranking of the corpus for a
+    small set of keyword queries (Robertson/Sparck Jones; the Lucene
+    +1 idf form, so scores stay positive) — lexical retrieval next to
+    the embedding tiers, and the standard hybrid-search complement.
+
+    score(q, d) = sum over query terms of
+        ln((N - df + 0.5)/(df + 0.5) + 1)
+        * tf * (k1 + 1) / (tf + k1 * (1 - b + b * |d|/avgdl))
+
+    Plan shape: one token explode feeds the tf table (doc, term) and
+    the df table (term); both are hash-aggs with map-side partials.
+    The query-term list and the 1-row (N, avgdl) frame broadcast; the
+    scoring join touches only rows whose term appears in a query —
+    posting-list-sized, not corpus-sized. Top-n per query is a window
+    over queries x topn candidates."""
+    from pyspark.sql import Window
+
+    q = df.sparkSession.createDataFrame(queries, f"query_id int, q string")
+    qterms = q.select("query_id", F.explode(tokens("q")).alias("term")).distinct()
+    toks = df.select(F.col(key), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(key, "term").agg(F.count("*").cast("long").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    dl = toks.groupBy(key).agg(F.count("*").cast("long").alias("dl"))
+    stats = df.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
+        F.broadcast(dl.agg(F.avg("dl").alias("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, key)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            key,
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("query_id", key)
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(key))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topn)
+        .select("query_id", key, "score", "rank")
+    )

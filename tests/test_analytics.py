@@ -356,3 +356,54 @@ def test_salted_join_identical_to_plain_join(spark):
     )
     want = sorted(map(tuple, fact.join(dim, "user_id").select("event_id", "user_id", "value", "tag").collect()))
     assert got == want and len(got) == 50
+
+
+def test_bm25_ranks_exact_phrase_doc_first(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import bm25_search
+
+    df = _docs_df(
+        spark,
+        [
+            "spark hash join performance",          # all 3 query terms
+            "hash join",                            # 2 terms, shorter doc
+            "spark spark spark filler words here",  # 1 term repeated
+            "completely unrelated content words",   # 0 terms
+        ],
+    )
+    out = bm25_search(df, [(0, "spark hash join")], topn=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == 0                      # covers all terms -> top
+    assert 3 not in ranked                     # no matching term, no row
+    assert all(r.score > 0 for r in out)       # Lucene +1 idf keeps scores positive
+
+
+def test_event_transitions_probabilities(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    seq = ["view", "click", "view", "click", "view", "purchase"]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, t, 0.0, "{}") for i, t in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        event_transitions,
+    )
+
+    out = {(r.prev_type, r.event_type): (r.n, r.prob) for r in event_transitions(df).collect()}
+    # view -> click twice, view -> purchase once; click -> view twice
+    assert out[("view", "click")] == (2, round(2 / 3, 6))
+    assert out[("view", "purchase")] == (1, round(1 / 3, 6))
+    assert out[("click", "view")] == (2, 1.0)
+    # transitions never cross users: single user here, 5 steps total
+    assert sum(n for n, _ in out.values()) == 5
+
+
+def test_fk_integrity_clean_fixture_reads_zero(spark):
+    from tests.conftest import SF_DIR
+
+    r = REGISTRY["fk_integrity_check"].fn(spark, SF_DIR).collect()[0]
+    assert r.n_orders > 0
+    assert (r.orphan_orders, r.orphan_lineitems, r.nonpositive_totals) == (0, 0, 0)

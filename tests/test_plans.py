@@ -396,7 +396,10 @@ def test_calibrate_and_mix_bounded_one_row_broadcast(spark):
 # broadcast-queries x corpus EXACT baselines, and the broadcast band
 # dimension of the range join.
 _BNLJ_ALLOWED = {
-    "approx_percentile_error", "binary_recall_at_10", "ivf_recall_at_10",
+    "approx_percentile_error", "binary_recall_at_10",
+    "bm25_search",  # 1-row (N, avgdl) corpus-stats broadcast
+    "fk_integrity_check",  # three 1-row audit-count broadcasts composed
+    "ivf_recall_at_10",
     "int8_recall_at_10",  # broadcast-queries x corpus int8 scan
     "ivfpq_probe2_recall_at_10", "ivfpq_recall_at_10", "knn_pagerank",
     "sim_topk_int8",  # broadcast-queries x corpus int8 scan
