@@ -6337,50 +6337,44 @@ def fk_integrity_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds even if the driver caps or timeboxes its sweep.
 # ---------------------------------------------------------------------------
 
-# Round-6 priority (the driver caps its per-round sweep at ~50 rows):
-# 1. the 20 queries NEW this round — the full recall@10 matrix, the
-#    two sketch-error contracts, the incremental/span-rewrite/phash
-#    dedup surface, gate calibration, the mixing recipe, kNN graph +
-#    PageRank, triplet mining, the FULL OUTER shape, the composed
-#    curation_pipeline flagship, and multimodal_resize;
-# 2. the 42 queries whose latest green row is r03 (three rounds stale
-#    — VERDICT r05 item 1), §2 core FIRST. 20 + 42 = 62: if the
-#    driver stops at exactly 50, the ~12 simplest stale extension
-#    rows wait one more round (each still re-verified at sf0.001 by
-#    every pytest run meanwhile).
-# Everything after keeps its proven registration order.
+# Round-6 priority (the driver caps its per-round sweep at ~50 rows).
+# This session added 25 more queries (waves 2-6) on top of the 20
+# first-wave r06 queries, so 45 new + 42 r03-stale rows compete for
+# ~50 slots. Allocation, in order of what the judged contract needs:
+# 1. the 19-query SURVEY-2 reference-parity core, r03-stale — the
+#    actual brief's surface must not go a 4th round stale
+#    (VERDICT r05 item 1);
+# 2. the 20 first-wave r06 queries (the recall matrix, both sketch
+#    error contracts, incremental/span/phash dedup, the composed
+#    curation_pipeline flagship, kNN graph + PageRank, ...);
+# 3. 11 slots for the highest-value wave-2..6 additions (new ANN
+#    tiers + their recall rows, the containment/estimate dedup pair,
+#    CMS, label propagation, bigram LM, Z-order).
+# The ~14 remaining wave-2..6 queries and the 23 stale extension rows
+# queue behind (r07); every one of them is re-verified at sf0.001 by
+# each pytest run and was check_oracles-green at sf0.01 this session.
 _VERIFY_FIRST = [
-    # --- new this round (r06), sixth wave ---
-    "bm25_search",
-    "event_transitions",
-    "fk_integrity_check",
-    # --- new this round (r06), fifth wave ---
-    "sim_topk_int8",
-    "int8_recall_at_10",
-    "knn_clustering_coeff",
-    "salted_join_events",
-    # --- new this round (r06), fourth wave ---
-    "minhash_jaccard_estimate",
-    "cohort_retention",
-    "orders_rfm_segments",
-    "sim_range_search",
-    # --- new this round (r06), third wave ---
-    "dedup_containment",
-    "text_bigram_lm",
-    "label_centroid_quality",
-    "events_anomaly",
-    "key_skew_profile",
-    # --- new this round (r06), second wave ---
-    "sim_topk_matryoshka",
-    "matryoshka_recall_at_10",
-    "knn_label_propagation",
-    "heavy_hitters_cms",
-    "mix_temperature_recipe",
-    "text_readability",
-    "bpe_top_pairs",
-    "zorder_layout",
-    "embedding_dim_stats",
-    # --- new this round (r06), first wave ---
+    # --- 1. SURVEY-2 reference-parity core (r03-stale) ---
+    "per_file_metrics",
+    "corpus_totals",
+    "rollup_summary",
+    "preprocess_text",
+    "running_offset",
+    "chunk_enumerate",
+    "chunk_stats",
+    "chunk_split",
+    "chunk_split_overlap",
+    "file_chunk_join",
+    "file_scan",
+    "filter_extension",
+    "project_basename",
+    "extrapolate_estimate",
+    "format_summary",
+    "record_to_json",
+    "sort_by_size",
+    "csv_sink",
+    "pdf_extract",
+    # --- 2. first-wave r06 queries ---
     "pq_recall_at_10",
     "ivfpq_recall_at_10",
     "ivfpq_probe2_recall_at_10",
@@ -6401,32 +6395,34 @@ _VERIFY_FIRST = [
     "triplet_mining",
     "curation_pipeline",
     "multimodal_resize",
-    # --- the 42 queries whose latest green row is r03. The SURVEY §2
-    # reference core goes FIRST (the actual brief's parity surface must
-    # not go a 4th round stale), then the extension stale rows ordered
-    # complex-first; with 17 new entries ahead, the ~9 simplest stale
-    # extension rows may wait for r07 (every one of them is still
-    # re-verified at sf0.001 by each pytest run meanwhile) ---
-    "per_file_metrics",
-    "corpus_totals",
-    "rollup_summary",
-    "preprocess_text",
-    "running_offset",
-    "chunk_enumerate",
-    "chunk_stats",
-    "chunk_split",
-    "chunk_split_overlap",
-    "file_chunk_join",
-    "file_scan",
-    "filter_extension",
-    "project_basename",
-    "extrapolate_estimate",
-    "format_summary",
-    "record_to_json",
-    "sort_by_size",
-    "csv_sink",
-    "pdf_extract",
-    # extension stale rows, complex-first
+    # --- 3. highest-value wave-2..6 additions (slots ~40-50) ---
+    "sim_topk_matryoshka",
+    "matryoshka_recall_at_10",
+    "sim_topk_int8",
+    "int8_recall_at_10",
+    "dedup_containment",
+    "minhash_jaccard_estimate",
+    "heavy_hitters_cms",
+    "knn_label_propagation",
+    "text_bigram_lm",
+    "bm25_search",
+    "zorder_layout",
+    # --- remaining wave-2..6 queries (r07 window) ---
+    "knn_clustering_coeff",
+    "salted_join_events",
+    "cohort_retention",
+    "orders_rfm_segments",
+    "sim_range_search",
+    "label_centroid_quality",
+    "events_anomaly",
+    "key_skew_profile",
+    "event_transitions",
+    "fk_integrity_check",
+    "mix_temperature_recipe",
+    "text_readability",
+    "bpe_top_pairs",
+    "embedding_dim_stats",
+    # --- the 23 r03-stale extension rows (r07 window), complex-first ---
     "orc_source",
     "tfidf_top_terms",
     "zscore_by_lang",
