@@ -6329,6 +6329,128 @@ def fk_integrity_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 extension surface (seventh wave): lang-ID confusion matrix,
+# KS distribution-drift monitor, weekday seasonality profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_confusion",
+    f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents
+), s AS (
+    SELECT doc_id,
+           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS INT) AS score_en,
+           CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','ein'))) AS INT) AS score_de,
+           CAST(len(list_filter(ws, w -> w IN ('el','la','de','que','y','un'))) AS INT) AS score_es,
+           CAST(len(list_filter(ws, w -> w IN ('le','la','et','les','des','un'))) AS INT) AS score_fr,
+           CAST(len(list_filter(ws, w -> w IN ('的','是','了','在'))) AS INT) AS score_zh
+    FROM t
+), p AS (
+    SELECT doc_id,
+           CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+                WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+                WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM s
+), c AS (
+    SELECT d.lang, p.predicted_lang, CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN p USING (doc_id)
+    GROUP BY 1, 2
+)
+SELECT lang, predicted_lang, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+FROM c
+""",
+)
+def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language identifier vs the
+    labeled language — the QA for the lang-ID gate itself (which
+    corpus slices the heuristic would mis-route, and where 'und'
+    fallback mass concentrates). Narrow scoring map + one tiny
+    langs^2-group agg + a windowed row-normalizer."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import lang_confusion
+
+    return lang_confusion(_docs(spark, sf_dir))
+
+
+@register(
+    "split_drift_ks",
+    """
+WITH s AS (
+    SELECT n_chars,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+),
+c AS (
+    SELECT n_chars AS v,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM s GROUP BY 1
+),
+t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+cdf AS (
+    SELECT v, t.n_a, t.n_b,
+           round(abs(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         / CAST(t.n_a AS DOUBLE)
+                   - sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         / CAST(t.n_b AS DOUBLE)), 6) AS gap
+    FROM c, t
+)
+SELECT n_a, n_b, gap AS ks_stat, CAST(v AS BIGINT) AS ks_at_value
+FROM cdf QUALIFY row_number() OVER (ORDER BY gap DESC, v) = 1
+""",
+)
+def split_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    hash-assigned train and test splits' n_chars distributions
+    (operators/curation.py ks_drift) — the standard distribution-
+    drift monitor; a hash split SHOULD read near zero, which is
+    exactly what makes it the null-hypothesis fixture for the
+    operator. Both samples compress to value histograms before the
+    single bounded CDF window."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import ks_drift
+
+    docs = _docs(spark, sf_dir)
+    split = F.when(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 10 < 8,
+        "train",
+    ).otherwise("test")
+    return ks_drift(docs.withColumn("split", split), value_col="n_chars")
+
+
+@register(
+    "orders_weekday_seasonality",
+    """
+WITH per AS (
+    SELECT CAST(isodow(o_orderdate) AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT dow, n_orders, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS revenue_share,
+       round((revenue / sum(revenue) OVER ()) * 7, 6) AS seasonal_index
+FROM per
+""",
+)
+def orders_weekday_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue profile by ISO day-of-week with each day's share
+    indexed against uniform 1/7 — the seasonality diagnostic behind
+    forecasting baselines and over/under-trading alerts. One 7-group
+    hash-agg + a windowed normalizer over the 7-row frame."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        weekday_seasonality,
+    )
+
+    return weekday_seasonality(read_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -6407,7 +6529,10 @@ _VERIFY_FIRST = [
     "text_bigram_lm",
     "bm25_search",
     "zorder_layout",
-    # --- remaining wave-2..6 queries (r07 window) ---
+    # --- remaining wave-2..7 queries (r07 window) ---
+    "lang_confusion",
+    "split_drift_ks",
+    "orders_weekday_seasonality",
     "knn_clustering_coeff",
     "salted_join_events",
     "cohort_retention",

@@ -354,3 +354,68 @@ def quantize_embeddings(
         F.round(scale, 6).alias("scale"),
         q.alias("q_embedding"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    split_col: str = "split",
+    split_a: str = "train",
+    split_b: str = "test",
+) -> DataFrame:
+    """1-row two-sample Kolmogorov-Smirnov statistic between the
+    ``value_col`` distributions of two splits — the standard
+    distribution-drift monitor (train-vs-test skew, yesterday-vs-
+    today ingest drift). Emits the KS statistic, the value where the
+    CDF gap peaks (ties -> smallest value), and both sample sizes;
+    drift alarms threshold on ks_stat.
+
+    Plan shape: one (value, split) hash-agg compresses both samples
+    to their value histograms (distinct-values-sized), a single
+    ordered window computes both empirical CDFs cumulatively over
+    that compressed frame, one global agg takes the max gap. The
+    sort-window runs on the post-aggregation distinct-value frame —
+    the same bounded global-window pattern the rankers use — never on
+    raw rows."""
+    counts = (
+        df.where(F.col(split_col).isin(split_a, split_b))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(F.when(F.col(split_col) == split_a, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col(split_col) == split_b, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
+    )
+    cdf = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "n_a",
+            "n_b",
+            F.round(
+                F.abs(
+                    F.sum("ca").over(w) / F.col("n_a").cast("double")
+                    - F.sum("cb").over(w) / F.col("n_b").cast("double")
+                ),
+                6,
+            ).alias("gap"),
+        )
+    )
+    wbest = Window.orderBy(F.desc("gap"), F.asc("v"))
+    return (
+        cdf.withColumn("_rn", F.row_number().over(wbest))
+        .where(F.col("_rn") == 1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("gap").alias("ks_stat"),
+            F.col("v").cast("long").alias("ks_at_value"),
+        )
+    )

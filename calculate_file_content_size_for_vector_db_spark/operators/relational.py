@@ -498,3 +498,29 @@ def event_transitions(events: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(norm).cast("double"), 6).alias("prob"),
     )
+
+
+def weekday_seasonality(orders: DataFrame) -> DataFrame:
+    """(dow, n_orders, revenue, revenue_share, seasonal_index):
+    revenue profile by ISO day-of-week with each day's share indexed
+    against the uniform 1/7 — the seasonality diagnostic behind
+    forecasting baselines and anomaly thresholds (index > 1 = an
+    over-trading day). One 7-group hash-agg + a windowed normalizer
+    over the 7-row frame; revenue sums ride DECIMAL."""
+    per = orders.groupBy(
+        F.expr("extract(DAYOFWEEK_ISO FROM o_orderdate)").cast("int").alias("dow")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = Window.partitionBy()
+    share = F.col("revenue") / F.sum("revenue").over(w)
+    return per.select(
+        "dow",
+        "n_orders",
+        "revenue",
+        F.round(share, 6).alias("revenue_share"),
+        F.round(share * 7, 6).alias("seasonal_index"),
+    )

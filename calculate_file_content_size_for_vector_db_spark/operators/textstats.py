@@ -664,3 +664,26 @@ def bm25_search(
         .where(F.col("rank") <= topn)
         .select("query_id", key, "score", "rank")
     )
+
+
+def lang_confusion(df: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """(lang, predicted_lang, n, share): confusion matrix of the
+    marker-word language identifier against the labeled language —
+    the accuracy QA for the lang-ID gate itself (which rows of the
+    corpus the heuristic would mis-route). share is row-normalized
+    within the true language.
+
+    Plan shape: the per-doc scoring is a narrow map (lang_id), then
+    one tiny (langs x langs+und)-group hash-agg and a windowed
+    normalizer over that frame."""
+    pred = lang_id(df, text_col)
+    counts = pred.groupBy(F.col(lang_col).alias("lang"), "predicted_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("share"),
+    )

@@ -407,3 +407,60 @@ def test_fk_integrity_clean_fixture_reads_zero(spark):
     r = REGISTRY["fk_integrity_check"].fn(spark, SF_DIR).collect()[0]
     assert r.n_orders > 0
     assert (r.orphan_orders, r.orphan_lineitems, r.nonpositive_totals) == (0, 0, 0)
+
+
+def test_lang_confusion_diagonal_dominates_for_marker_text(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import lang_confusion
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is in the house", "en"),
+            (1, "der hund ist ein tier und", "de"),
+            (2, "qqq zzz xxx", "en"),           # no markers -> und
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r.lang, r.predicted_lang): (r.n, r.share) for r in lang_confusion(df).collect()}
+    assert out[("en", "en")] == (1, 0.5)
+    assert out[("en", "und")] == (1, 0.5)
+    assert out[("de", "de")] == (1, 1.0)
+
+
+def test_ks_drift_zero_for_identical_and_one_for_disjoint(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import ks_drift
+
+    same = spark.createDataFrame(
+        [(i, i % 5, "train") for i in range(50)] + [(100 + i, i % 5, "test") for i in range(50)],
+        "doc_id long, n_chars long, split string",
+    )
+    r = ks_drift(same).collect()[0]
+    assert (r.n_a, r.n_b, r.ks_stat) == (50, 50, 0.0)
+
+    disjoint = spark.createDataFrame(
+        [(i, 1, "train") for i in range(10)] + [(100 + i, 99, "test") for i in range(10)],
+        "doc_id long, n_chars long, split string",
+    )
+    r = ks_drift(disjoint).collect()[0]
+    assert r.ks_stat == 1.0 and r.ks_at_value == 1  # full gap opens after value 1
+
+    shifted = spark.createDataFrame(
+        [(i, v, "train") for i, v in enumerate([1, 2, 3, 4])]
+        + [(100 + i, v, "test") for i, v in enumerate([3, 4, 5, 6])],
+        "doc_id long, n_chars long, split string",
+    )
+    r = ks_drift(shifted).collect()[0]
+    assert r.ks_stat == 0.5 and r.ks_at_value == 2  # CDFs differ by 2/4 at v=2
+
+
+def test_weekday_seasonality_shares_sum_to_one(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        weekday_seasonality,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    rows = weekday_seasonality(read_table(spark, SF_DIR, "orders")).collect()
+    assert {r.dow for r in rows} <= set(range(1, 8))
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.seasonal_index - r.revenue_share * 7) < 1e-5

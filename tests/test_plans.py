@@ -415,6 +415,7 @@ _BNLJ_ALLOWED = {
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_topk_ivfpq_probe2",
     "sim_topk_matryoshka",  # broadcast-queries x corpus prefix scan
+    "split_drift_ks",  # 1-row (n_a, n_b) sample-size broadcast
     "text_bigram_lm",  # 1-row vocabulary-size broadcast
     "text_lm_score", "tpch_q11", "tpch_q20",
     "tpch_q22", "triplet_mining",
