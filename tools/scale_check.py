@@ -113,6 +113,17 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
     # sketches, so the TRUE near-dup pair set is itself quadratic)
     t("simhash_pairs_28bit_capped", dedup.simhash_pairs(docs, max_hamming=2, bits=28, max_bucket_size=64))
     t("quality", quality_score(docs).select("doc_id", "quality_score"))
+    # round-6 doc-side additions: the CMS grid collapses map-side to a
+    # fixed 4x128 key space (expect near-flat); BM25's scoring join is
+    # posting-list-sized over the broadcast query terms (expect linear
+    # in the token explode, sub-linear after)
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bm25_search,
+        cms_heavy_hitters,
+    )
+
+    t("cms_heavy_hitters", cms_heavy_hitters(docs))
+    t("bm25_search", bm25_search(docs, [(0, "spark hash join"), (1, "table scan fast")]))
     t("lsh_buckets", similarity.lsh_buckets(emb))
     t("topk_lsh", similarity.topk_lsh(emb, emb.where("vec_id < 10")))
     # block-grid exact NN over the FULL vector set (the round-1 matrix
@@ -132,6 +143,12 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
     t("pq_topk", similarity.pq_topk(emb, emb.where("vec_id < 10")))
     t("ivfpq_topk", similarity.topk_ivfpq(emb, emb.where("vec_id < 10")))
     t("semantic_dedup_pq", similarity.semantic_dedup_pq(emb))
+    # the other three compressed-scan tiers (round 6): all linear
+    # broadcast-queries x corpus passes + bounded exact rerank — their
+    # slopes should track the vector factor like the PQ scan does
+    t("topk_binary", similarity.topk_binary(emb, emb.where("vec_id < 10")))
+    t("topk_int8", similarity.topk_int8(emb, emb.where("vec_id < 10")))
+    t("topk_matryoshka", similarity.topk_matryoshka(emb, emb.where("vec_id < 10")))
     # the daily-ingest op: 1% of docs arrive as a new batch; the corpus
     # side reads its STORED band/shingle tables (parquet), so only the
     # batch is signature-hashed — timing excludes the corpus build
