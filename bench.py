@@ -52,6 +52,10 @@ HEADLINE = [
     "dedup_span_rewrite",  # round 6: exact substring dedup with rewrite
     "knn_graph",  # round 6: all-vectors exact kNN edge list (block grid)
     "curation_pipeline",  # round 6: the composed full curation stack
+    "sim_topk_int8",  # round 6: SQ8 compressed scan
+    "sim_topk_matryoshka",  # round 6: prefix-dim compressed scan
+    "bm25_search",  # round 6: lexical retrieval
+    "heavy_hitters_cms",  # round 6: Count-Min sketch build + probe
 ]
 
 

@@ -399,10 +399,13 @@ def ks_drift(
             "v",
             "n_a",
             "n_b",
+            # try_divide: a single-sided input (one split empty) yields
+            # NULL gaps and a NULL ks_stat instead of an ANSI
+            # divide-by-zero error (tests/test_edge_inputs.py)
             F.round(
                 F.abs(
-                    F.sum("ca").over(w) / F.col("n_a").cast("double")
-                    - F.sum("cb").over(w) / F.col("n_b").cast("double")
+                    F.try_divide(F.sum("ca").over(w), F.col("n_a").cast("double"))
+                    - F.try_divide(F.sum("cb").over(w), F.col("n_b").cast("double"))
                 ),
                 6,
             ).alias("gap"),

@@ -202,3 +202,58 @@ def test_resize_images_plumbing(spark):
     assert got[0].n_bytes_out == 32 * 16 * got[0].channels
     assert got[1].n_bytes_in == 0 and got[1].channels == 1  # empty payload
     assert got[2].n_bytes_in == 10
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        lambda s, d: textstats.cms_heavy_hitters(d, topn=50),
+        lambda s, d: textstats.bpe_pair_counts(d),
+        lambda s, d: textstats.readability(d),
+        lambda s, d: textstats.bigram_logprob(d),
+        lambda s, d: textstats.bm25_search(d, [(0, "x test")]),
+        lambda s, d: dedup.containment_pairs(d),
+        lambda s, d: dedup.minhash_jaccard_estimate(d),
+    ],
+    ids=[
+        "cms", "bpe_pairs", "readability", "bigram_lm", "bm25",
+        "containment", "minhash_estimate",
+    ],
+)
+def test_round6_text_ops_survive_weird_docs(spark, weird_docs, op):
+    op(spark, weird_docs).collect()  # must not throw
+
+
+def test_round6_text_ops_survive_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string, n_chars long")
+    assert textstats.cms_heavy_hitters(empty).collect() == []
+    assert textstats.bm25_search(empty, [(0, "anything")]).collect() == []
+    assert textstats.bpe_pair_counts(empty).collect() == []
+    assert dedup.containment_pairs(empty).collect() == []
+    # per-doc derivations keep zero rows, not crash
+    assert textstats.bigram_logprob(empty).collect() == []
+
+
+def test_ks_drift_single_sided_split_does_not_throw(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import ks_drift
+
+    one_sided = spark.createDataFrame(
+        [(i, i, "train") for i in range(5)], "doc_id long, n_chars long, split string"
+    )
+    rows = ks_drift(one_sided).collect()  # empty test sample: no crash
+    assert len(rows) <= 1
+
+
+def test_graph_ops_survive_empty_edges(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.graph import (
+        clustering_coefficients,
+        label_propagation,
+    )
+
+    e = spark.createDataFrame([], "src long, dst long")
+    n = spark.createDataFrame([(0,), (1,)], "node long")
+    cc = {r.node: r for r in clustering_coefficients(e, n).collect()}
+    assert cc[0].degree == 0 and cc[0].triangles == 0 and cc[0].clustering_coeff is None
+    s = spark.createDataFrame([], "node long, label int")
+    lp = {r.node: r.label for r in label_propagation(e, s, n).collect()}
+    assert lp == {0: None, 1: None}  # no seeds, no edges -> all unlabeled
