@@ -6214,11 +6214,9 @@ def salted_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_QUERIES = [(0, "spark hash join"), (1, "table scan fast"), (2, "sort merge batch")]
 
-
-@register(
-    "bm25_search",
-    f"""
-WITH q AS (SELECT * FROM (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}) AS t(query_id, q)),
+# Shared by bm25_search and hybrid_search_rrf so the lexical side of
+# the fusion provably matches the standalone ranking.
+_SQL_BM25_CTES = f"""q AS (SELECT * FROM (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}) AS t(query_id, q)),
 qt AS (
     SELECT DISTINCT query_id,
            unnest(list_filter(regexp_split_to_array(q, '\\s+'), w -> w <> '')) AS term
@@ -6237,7 +6235,13 @@ sc AS (
                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
     FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
     GROUP BY 1, 2
-)
+)"""
+
+
+@register(
+    "bm25_search",
+    f"""
+WITH {_SQL_BM25_CTES}
 SELECT query_id, doc_id, score,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
 FROM sc QUALIFY rank <= 10
@@ -6451,6 +6455,67 @@ def orders_weekday_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 extension surface (seventh wave): hybrid retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+WITH {_SQL_BM25_CTES},
+ltop AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM sc
+    ) WHERE rank <= 10
+),
+{_SQL_EMB},
+vtop AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT CAST(a.vec_id AS INT) AS query_id, b.vec_id AS doc_id,
+               CAST(row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id) AS INT) AS rank
+        FROM e a, e b WHERE a.vec_id < 3 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 10
+),
+fused AS (
+    SELECT query_id, doc_id,
+           round(coalesce(1.0::DOUBLE / (60 + l.rank), 0) + coalesce(1.0::DOUBLE / (60 + v.rank), 0), 6) AS rrf_score,
+           l.rank AS lex_rank, v.rank AS vec_rank
+    FROM ltop l FULL OUTER JOIN vtop v USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, rrf_score, lex_rank, vec_rank,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+FROM fused QUALIFY rank <= 10
+""",
+)
+def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 fused with cosine vector
+    top-10 by reciprocal-rank fusion (k=60) — the query shape every
+    vector DB ships as "hybrid search", and the capstone of this
+    repo's retrieval surface (bm25_search x the nine embedding tiers).
+    The three keyword queries pair with query vectors 0..2 (the
+    fixture's doc/vec ids align), modeling a query with both a text
+    and an embedding form. rrf_fuse is rank-based, so at 100 TB the
+    vector side swaps to any ANN tier (IVF x PQ, binary, SQ8) without
+    touching the fusion; both fused inputs stay candidate-list-sized,
+    so fusion cost never scales with the corpus."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        rrf_fuse,
+        topk_bruteforce,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import bm25_search
+
+    lex = bm25_search(_docs(spark, sf_dir), _BM25_QUERIES)
+    emb = _emb(spark, sf_dir)
+    vec = topk_bruteforce(emb, emb.where(F.col("vec_id") < 3), k=10).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    return rrf_fuse(lex, vec, k_rrf=60, topn=10)
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -6469,10 +6534,10 @@ def orders_weekday_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. the 20 first-wave r06 queries (the recall matrix, both sketch
 #    error contracts, incremental/span/phash dedup, the composed
 #    curation_pipeline flagship, kNN graph + PageRank, ...);
-# 3. 11 slots for the highest-value wave-2..6 additions (new ANN
+# 3. 11 slots for the highest-value wave-2..7 additions (new ANN
 #    tiers + their recall rows, the containment/estimate dedup pair,
-#    CMS, label propagation, bigram LM, Z-order).
-# The ~14 remaining wave-2..6 queries and the 23 stale extension rows
+#    CMS, label propagation, bigram LM, and the hybrid-RRF capstone).
+# The ~15 remaining wave-2..7 queries and the 23 stale extension rows
 # queue behind (r07); every one of them is re-verified at sf0.001 by
 # each pytest run and was check_oracles-green at sf0.01 this session.
 _VERIFY_FIRST = [
@@ -6528,8 +6593,9 @@ _VERIFY_FIRST = [
     "knn_label_propagation",
     "text_bigram_lm",
     "bm25_search",
-    "zorder_layout",
+    "hybrid_search_rrf",  # the retrieval capstone — fuses bm25 + vector tiers
     # --- remaining wave-2..7 queries (r07 window) ---
+    "zorder_layout",
     "lang_confusion",
     "split_drift_ks",
     "orders_weekday_seasonality",

@@ -1424,3 +1424,57 @@ def topk_int8(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    vector: DataFrame,
+    k_rrf: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector ranking — the
+    standard hybrid-search combiner (Cormack/Clarke/Buettcher 2009;
+    what vector stores ship as "hybrid query"):
+
+        rrf(d) = sum over systems s ranking d of 1 / (k_rrf + rank_s(d))
+
+    Inputs are any two (query_id, doc_id, rank) frames — the fusion is
+    rank-based, so the vector side can come from ANY retrieval tier
+    (brute force at fixture scale; LSH/IVF/PQ/binary at 100 TB) without
+    changing this operator. Output keeps each side's rank (nullable —
+    a doc found by only one system scores with one term).
+
+    Plan shape: both inputs are candidate lists (n_queries x topn
+    rows), so the FULL OUTER merge-by-(query_id, doc_id) and the final
+    per-query window are candidate-sized — nothing here scales with
+    the corpus. Determinism: ranks are exact ints, rrf is a sum of at
+    most two 1/(k+r) doubles evaluated in a fixed order, rounded to 6;
+    final ties break (score desc, doc_id asc).
+    """
+    lex = lexical.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("int").alias("lex_rank"),
+    )
+    vec = vector.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("int").alias("vec_rank"),
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        "lex_rank",
+        "vec_rank",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topn)
+        .select("query_id", "doc_id", "rrf_score", "lex_rank", "vec_rank", "rank")
+    )

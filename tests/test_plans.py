@@ -399,6 +399,7 @@ _BNLJ_ALLOWED = {
     "approx_percentile_error", "binary_recall_at_10",
     "bm25_search",  # 1-row (N, avgdl) corpus-stats broadcast
     "fk_integrity_check",  # three 1-row audit-count broadcasts composed
+    "hybrid_search_rrf",  # bm25 stats broadcast + exact vector baseline
     "ivf_recall_at_10",
     "int8_recall_at_10",  # broadcast-queries x corpus int8 scan
     "ivfpq_probe2_recall_at_10", "ivfpq_recall_at_10", "knn_pagerank",

@@ -486,3 +486,36 @@ def test_int8_quantization_drops_zero_vectors(spark):
     out = {r.vec_id: r.qv for r in sim.int8_vectors(df).collect()}
     assert 1 not in out                      # all-zero vector has no direction
     assert out[0][0] == 64 and out[0][1] == -127   # round(127 * 1/2), round(127 * -2/2)
+
+
+def test_rrf_fuse_semantics(spark):
+    # doc 10 ranks 1 in both systems; doc 11 lexical-only rank 2;
+    # doc 12 vector-only rank 2; doc 13 vector-only rank 3.
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id int, doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(0, 10, 1), (0, 12, 2), (0, 13, 3)], "query_id int, doc_id long, rank int"
+    )
+    got = {r.doc_id: r for r in sim.rrf_fuse(lex, vec, k_rrf=60, topn=10).collect()}
+    assert got[10].rrf_score == round(2 / 61, 6)       # both systems, rank 1 each
+    assert got[10].rank == 1                           # consensus doc wins
+    assert (got[10].lex_rank, got[10].vec_rank) == (1, 1)
+    assert got[11].rrf_score == round(1 / 62, 6)       # single-system docs score one term
+    assert (got[11].lex_rank, got[11].vec_rank) == (2, None)
+    assert (got[12].lex_rank, got[12].vec_rank) == (None, 2)
+    # equal single-system rank 2 -> equal score -> doc_id tie-break
+    assert got[11].rrf_score == got[12].rrf_score
+    assert (got[11].rank, got[12].rank) == (2, 3)
+    assert got[13].rank == 4
+
+
+def test_rrf_fuse_topn_bounds_output(spark):
+    lex = spark.createDataFrame(
+        [(0, d, d + 1) for d in range(8)], "query_id int, doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(0, d + 100, d + 1) for d in range(8)], "query_id int, doc_id long, rank int"
+    )
+    out = sim.rrf_fuse(lex, vec, k_rrf=60, topn=5).collect()
+    assert len(out) == 5 and all(r.rank <= 5 for r in out)
