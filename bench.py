@@ -55,6 +55,7 @@ HEADLINE = [
     "sim_topk_int8",  # round 6: SQ8 compressed scan
     "sim_topk_matryoshka",  # round 6: prefix-dim compressed scan
     "bm25_search",  # round 6: lexical retrieval
+    "hybrid_search_rrf",  # round 6: BM25 + vector fused by reciprocal rank
     "heavy_hitters_cms",  # round 6: Count-Min sketch build + probe
 ]
 
