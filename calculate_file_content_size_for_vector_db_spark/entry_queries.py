@@ -6516,6 +6516,106 @@ def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wave 8: index-build QA (the operational numbers an index BUILD emits
+# before anything is served from it — recall@k grades the serving path,
+# these grade the artifact) + DSIR importance weighting for
+# domain-targeted curation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivf_list_stats",
+    f"""
+WITH {_SQL_IVF},
+sizes AS (SELECT cell, count(*) AS ls FROM assign GROUP BY cell),
+tot AS (SELECT CAST(sum(ls) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS n_live FROM sizes)
+SELECT CAST(cell AS INT) AS cell, CAST(ls AS BIGINT) AS list_size,
+       round(ls / tot.n, 6) AS corpus_share,
+       round(ls * tot.n_live / tot.n, 6) AS balance_ratio
+FROM sizes, tot
+""",
+)
+def ivf_list_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list size profile of the IVF index (similarity.
+    ivf_list_stats): per-cell size, corpus share, and balance ratio vs
+    a uniform split — the build-time QA that catches a degenerate
+    coarse quantizer (one hot cell = task skew at 100 TB) before the
+    index serves a single query."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import ivf_list_stats
+
+    return ivf_list_stats(_emb(spark, sf_dir))
+
+
+@register(
+    "pq_reconstruction_error",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+err AS (
+    SELECT s.sub,
+           round(list_sum(list_transform(range(1, 17),
+               j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))), 6) AS d2
+    FROM sv s JOIN codes a ON s.vec_id = a.vec_id AND s.sub = a.sub
+         JOIN cb2 c ON a.sub = c.sub AND a.code = c.code
+)
+SELECT CAST(sub AS INT) AS sub, CAST(count(*) AS BIGINT) AS n_subvectors,
+       round(avg(d2), 6) AS avg_sq_error, round(max(d2), 6) AS max_sq_error
+FROM err GROUP BY sub
+""",
+)
+def pq_reconstruction_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion (similarity.
+    pq_reconstruction_error): avg/max squared L2 between each
+    subvector and its assigned codeword — the representation-quality
+    twin of pq_recall_at_10 (recall grades the served ranking; this
+    grades the compressed artifact, and sizes m and k before a
+    100-TB build). The oracle reuses _sql_pq_chain's trained cb2 and
+    final codes, so both engines measure the identical codebooks."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_reconstruction_error,
+    )
+
+    return pq_reconstruction_error(_emb(spark, sf_dir))
+
+
+@register(
+    "dsir_importance",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+ttok AS (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents WHERE lang = 'en'),
+rfreq AS (SELECT tok, count(*) AS rf FROM tok GROUP BY tok),
+tfreq AS (SELECT tok, count(*) AS tf FROM ttok GROUP BY tok),
+w0 AS (SELECT r.tok, r.rf, COALESCE(t.tf, 0) AS tf
+       FROM rfreq r LEFT JOIN tfreq t USING (tok)),
+tot AS (SELECT CAST(sum(rf) AS DOUBLE) AS rn, CAST(sum(tf) AS DOUBLE) AS tn,
+               CAST(count(*) AS DOUBLE) AS v FROM w0),
+w AS (SELECT tok, ln(((tf + 1) / (tot.tn + tot.v)) / ((rf + 1) / (tot.rn + tot.v))) AS lr
+      FROM w0, tot)
+SELECT d.doc_id, s.n_tokens, s.dsir_weight
+FROM documents d LEFT JOIN (
+    SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+           round(avg(w.lr), 6) AS dsir_weight
+    FROM tok t JOIN w USING (tok)
+    GROUP BY t.doc_id
+) s USING (doc_id)
+""",
+)
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (textstats.dsir_importance, Xie
+    et al. 2023) against an English target domain: per-doc mean
+    ln(p_target/p_raw) under add-1-smoothed unigram LMs — resampling
+    proportionally to exp(weight) shifts the corpus toward the
+    target. The hashed-n-gram curation method sitting between the
+    pure-frequency text_lm_score and a trained quality classifier."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        dsir_importance,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance(docs, docs.where(F.col("lang") == "en"))
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -6594,6 +6694,10 @@ _VERIFY_FIRST = [
     "text_bigram_lm",
     "bm25_search",
     "hybrid_search_rrf",  # the retrieval capstone — fuses bm25 + vector tiers
+    # --- wave 8: index-build QA + DSIR (r07 window overflow) ---
+    "ivf_list_stats",
+    "pq_reconstruction_error",
+    "dsir_importance",
     # --- remaining wave-2..7 queries (r07 window) ---
     "zorder_layout",
     "lang_confusion",

@@ -1478,3 +1478,76 @@ def rrf_fuse(
         .where(F.col("rank") <= topn)
         .select("query_id", "doc_id", "rrf_score", "lex_rank", "vec_rank", "rank")
     )
+
+
+def ivf_list_stats(
+    embeddings: DataFrame,
+    n_cells: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, list_size, corpus_share, balance_ratio): the inverted-
+    list size profile of the IVF index — the build-time QA pass that
+    decides whether the coarse quantizer is usable before anything is
+    served from it. balance_ratio = list_size / (N / n_live_cells);
+    a cell far above 1 concentrates scan cost (and, at 100 TB, task
+    skew) on itself, the signal to retrain or split.
+
+    Plan shape: the assignment table collapses map-side into one
+    n_cells-group hash-agg; the 1-row totals broadcast back. Nothing
+    here is corpus-sized after the assignment pass the index build
+    already paid for."""
+    sizes = (
+        ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, k=n_cells, iters=iters)
+        .groupBy("cell")
+        .agg(F.count("*").alias("list_size"))
+    )
+    totals = sizes.agg(
+        F.sum("list_size").cast("double").alias("n"),
+        F.count("*").cast("double").alias("n_live"),
+    )
+    return sizes.crossJoin(F.broadcast(totals)).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("list_size").cast("long").alias("list_size"),
+        F.round(F.col("list_size") / F.col("n"), 6).alias("corpus_share"),
+        F.round(F.col("list_size") * F.col("n_live") / F.col("n"), 6).alias("balance_ratio"),
+    )
+
+
+def pq_reconstruction_error(
+    embeddings: DataFrame,
+    m: int = PQ_SUBS,
+    k: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_df: DataFrame | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """(sub, n_subvectors, avg_sq_error, max_sq_error): per-subspace
+    quantization distortion of the trained PQ codebooks — the index-
+    quality twin of the recall@k queries. Recall measures the served
+    ranking; this measures the representation itself (avg/max squared
+    L2 between each subvector and its assigned codeword), the number
+    that decides m and k before an index is built at scale.
+
+    Plan shape: reuses the shared _pq_train path (sampled via
+    ``train_df`` at 100 TB), then one (sub, code) broadcast join of
+    the m*k codebook onto the subvector table and one m-group
+    hash-agg that collapses map-side. Linear in the corpus, no
+    pairwise stage."""
+    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist)
+    cb = _maybe_persist(cb, persist)
+    asg = _pq_assign(sv, cb, id_col)
+    err = (
+        sv.join(asg, [id_col, "sub"])
+        .join(F.broadcast(cb), ["sub", "code"])
+        .select("sub", sqdist(F.col("sv"), F.col("cv")).alias("d2"))
+    )
+    return err.groupBy("sub").agg(
+        F.count("*").cast("long").alias("n_subvectors"),
+        F.round(F.avg("d2"), 6).alias("avg_sq_error"),
+        F.round(F.max("d2"), 6).alias("max_sq_error"),
+    ).select(F.col("sub").cast("int").alias("sub"), "n_subvectors", "avg_sq_error", "max_sq_error")

@@ -687,3 +687,62 @@ def lang_confusion(df: DataFrame, text_col: str = "text", lang_col: str = "lang"
         "n",
         F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("share"),
     )
+
+
+def dsir_importance(
+    df: DataFrame, target: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(key, n_tokens, dsir_weight): DSIR-style importance weight per
+    document — the mean over tokens of ln(p_target(w) / p_raw(w)),
+    add-1 smoothed over the raw corpus vocabulary (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+    Documents resembling the target domain score high; resampling the
+    corpus proportionally to exp(weight) shifts it toward the target.
+    The cheap hashed-feature stand-in for domain-targeted curation
+    when no trained classifier is available.
+
+    ``target`` is a frame with the same ``text_col`` — typically a
+    small in-domain sample (here: a labeled subset of the corpus, so
+    every target token is in the raw vocabulary; out-of-vocabulary
+    target tokens would be ignored by the left join and excluded from
+    the smoothing mass on both engines alike).
+
+    Plan shape: two token explodes feed two vocab-sized hash-aggs
+    (raw LM and target LM — Heaps-bounded, like unigram_logprob); the
+    per-token log-ratio table broadcasts via the 1-row totals; scoring
+    is one equi-join on token plus one keyed avg. At 100 TB the only
+    corpus-sized stages are the explode and the final keyed agg — both
+    linear, no window, no self-join. Zero-token docs keep NULL.
+
+    Determinism: ln on both engines differs at ~1 ulp, far below the
+    6-decimal rounding grain (the text_lm_score precedent).
+    """
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    df = spread(df)
+    tok = df.select(F.col(key), F.explode(tokens(text_col)).alias("tok"))
+    ttok = target.select(F.explode(tokens(text_col)).alias("tok"))
+    raw_freq = tok.groupBy("tok").agg(F.count("*").alias("rf"))
+    tgt_freq = ttok.groupBy("tok").agg(F.count("*").alias("tf"))
+    w0 = raw_freq.join(tgt_freq, "tok", "left").na.fill(0, ["tf"])
+    totals = w0.agg(
+        F.sum("rf").cast("double").alias("rn"),
+        F.sum("tf").cast("double").alias("tn"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lr = w0.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log(
+            ((F.col("tf") + 1) / (F.col("tn") + F.col("v")))
+            / ((F.col("rf") + 1) / (F.col("rn") + F.col("v")))
+        ).alias("lr"),
+    )
+    scored = (
+        tok.join(lr, "tok")
+        .groupBy(key)
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("dsir_weight"),
+        )
+    )
+    return df.select(key).join(scored, key, "left")

@@ -464,3 +464,27 @@ def test_weekday_seasonality_shares_sum_to_one(spark):
     assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert abs(r.seasonal_index - r.revenue_share * 7) < 1e-5
+
+
+def test_dsir_importance_upweights_target_domain(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        dsir_importance,
+    )
+
+    rows = [
+        (0, "alpha beta gamma alpha beta", "en"),
+        (1, "alpha gamma beta beta alpha", "en"),
+        (2, "rouge bleu vert rouge bleu", "fr"),
+        (3, "alpha beta gamma rouge bleu", "fr"),  # mixed: between the poles
+        (4, "", "en"),  # zero tokens -> NULL weight
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_importance(df, df.where("lang = 'en'")).collect()
+    }
+    assert got[4] is None
+    # Target-domain vocabulary scores above off-domain vocabulary,
+    # with the mixed doc strictly between the two poles.
+    assert got[0] > got[3] > got[2]
+    assert got[1] > got[3]

@@ -519,3 +519,36 @@ def test_rrf_fuse_topn_bounds_output(spark):
     )
     out = sim.rrf_fuse(lex, vec, k_rrf=60, topn=5).collect()
     assert len(out) == 5 and all(r.rank <= 5 for r in out)
+
+
+def test_ivf_list_stats_partition_of_corpus(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    df = _emb(spark, rows)
+    got = sim.ivf_list_stats(df, n_cells=4).collect()
+    # Lists partition the corpus exactly; shares sum to 1; the
+    # size-weighted balance identity holds (sum ls*ratio-normalizer).
+    assert sum(r.list_size for r in got) == 60
+    assert abs(sum(r.corpus_share for r in got) - 1.0) < 1e-5
+    n_live = len(got)
+    for r in got:
+        assert abs(r.balance_ratio - r.list_size * n_live / 60.0) < 1e-5
+
+
+def test_pq_reconstruction_error_shape_and_training_helps(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    df = _emb(spark, rows)
+    trained = {r.sub: r for r in sim.pq_reconstruction_error(df, iters=2).collect()}
+    untrained = {r.sub: r for r in sim.pq_reconstruction_error(df, iters=0).collect()}
+    assert sorted(trained) == [0, 1, 2, 3]
+    for s, r in trained.items():
+        assert r.n_subvectors == 40
+        assert 0.0 <= r.avg_sq_error <= r.max_sq_error
+        # Lloyd rounds never increase distortion (k-means monotonicity;
+        # the 1e-6 per-round rounding sits far below the improvement).
+        assert r.avg_sq_error <= untrained[s].avg_sq_error + 1e-5
