@@ -257,3 +257,41 @@ def test_graph_ops_survive_empty_edges(spark):
     s = spark.createDataFrame([], "node long, label int")
     lp = {r.node: r.label for r in label_propagation(e, s, n).collect()}
     assert lp == {0: None, 1: None}  # no seeds, no edges -> all unlabeled
+
+
+def test_dsir_importance_weird_docs_and_empty_target(spark, weird_docs):
+    # NULL/empty/unicode docs must not throw; an EMPTY target corpus
+    # degenerates to tf=0 everywhere (pure add-1 smoothing) and must
+    # still score every tokenized doc.
+    full = textstats.dsir_importance(weird_docs, weird_docs.where("doc_id = 4"))
+    assert full.count() == 6
+    empty_target = textstats.dsir_importance(
+        weird_docs, weird_docs.where("doc_id < 0")
+    ).collect()
+    assert len(empty_target) == 6
+    scored = [r for r in empty_target if r.dsir_weight is not None]
+    assert scored  # tokenized docs still get a (uniform-target) weight
+
+
+def test_ivf_list_stats_fewer_vectors_than_cells(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_list_stats,
+    )
+
+    rows = [(i, [float(i)] * 64) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_list_stats(df, n_cells=8).collect()  # k > N: live cells only
+    assert sum(r.list_size for r in got) == 3
+    assert abs(sum(r.corpus_share for r in got) - 1.0) < 1e-6
+
+
+def test_pq_reconstruction_error_identical_vectors_zero_error(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_reconstruction_error,
+    )
+
+    rows = [(i, [1.0] * 64) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in pq_reconstruction_error(df).collect():
+        # every subvector equals the single surviving codeword exactly
+        assert r.avg_sq_error == 0.0 and r.max_sq_error == 0.0
