@@ -421,6 +421,8 @@ _BNLJ_ALLOWED = {
     "text_lm_score", "tpch_q11", "tpch_q20",
     "tpch_q22", "triplet_mining",
     "zorder_layout",  # 1-row min/max quantization-span broadcast
+    "ivf_list_stats",  # 1-row (N, n_live) totals broadcast onto n_cells rows
+    "dsir_importance",  # 1-row (rn, tn, V) LM-totals broadcast onto the vocab table
 }
 
 
@@ -458,3 +460,30 @@ def test_curation_pipeline_composed_plan_shape(spark):
     assert plan.count("LeftAnti") == 2
     assert plan.count("SortMergeJoin") <= 2
     assert plan.count("Exchange hashpartitioning") <= 6
+
+
+def test_ivf_list_stats_collapses_to_tiny_agg_no_python(spark):
+    # downstream of the assignment scan everything is n_cells-sized:
+    # one list-size hash-agg, a 1-row totals broadcast, no Python
+    plan = _formatted(spark, "ivf_list_stats")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_reconstruction_error_broadcast_codebook_no_python(spark):
+    # the m*k codebook joins onto the subvector table as a broadcast
+    # (never a shuffled join keyed on the corpus), the m-group agg
+    # collapses map-side, and nothing drops to Python
+    plan = _formatted(spark, "pq_reconstruction_error")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_importance_vocab_joins_no_python(spark):
+    # both LMs are vocab-bounded hash-aggs; scoring is one token
+    # equi-join + keyed avg — no Python stage, no cartesian, and the
+    # only corpus-sized exchanges are the explode-feed aggs
+    plan = _formatted(spark, "dsir_importance")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
