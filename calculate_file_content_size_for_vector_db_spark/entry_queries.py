@@ -6615,6 +6615,33 @@ def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(docs, docs.where(F.col("lang") == "en"))
 
 
+@register(
+    "source_cap_sample",
+    f"""
+WITH {_SQL_QUALITY_CHAIN}
+SELECT d.doc_id, d.source, q.quality_score,
+       CAST(row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY q.quality_score DESC NULLS LAST, d.doc_id) AS INT) AS source_rank
+FROM documents d JOIN q USING (doc_id)
+QUALIFY source_rank <= 10
+""",
+)
+def source_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (curation.cap_per_source): at most 10 docs per
+    source, best composite quality first — the web-pipeline gate that
+    stops one hot domain from dominating the mix. The Spark side runs
+    the two-phase salted top-k (output provably identical to the
+    plain window the oracle states; phase 1 can never evict a final
+    winner), so the hot-domain case distributes instead of piling one
+    partition."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import cap_per_source
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir)).select("doc_id", "source", "quality_score")
+    return cap_per_source(scored, cap=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -6694,10 +6721,11 @@ _VERIFY_FIRST = [
     "text_bigram_lm",
     "bm25_search",
     "hybrid_search_rrf",  # the retrieval capstone — fuses bm25 + vector tiers
-    # --- wave 8: index-build QA + DSIR (r07 window overflow) ---
+    # --- wave 8: index-build QA + DSIR + domain cap (r07 window overflow) ---
     "ivf_list_stats",
     "pq_reconstruction_error",
     "dsir_importance",
+    "source_cap_sample",
     # --- remaining wave-2..7 queries (r07 window) ---
     "zorder_layout",
     "lang_confusion",

@@ -422,3 +422,45 @@ def ks_drift(
             F.col("v").cast("long").alias("ks_at_value"),
         )
     )
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int = 10,
+    n_salts: int = 8,
+    source_col: str = "source",
+    score_col: str = "quality_score",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, source, score, source_rank): keep at most ``cap`` docs per
+    source, best ``score_col`` first — the per-domain cap every
+    web-scale corpus applies so one hot domain cannot dominate the
+    training mix (the CommonCrawl-pipeline counterpart of
+    stratified_sample's rate-based thinning).
+
+    Two-phase top-k so the shape survives a hot domain at 100 TB: each
+    (source, salt) bucket first keeps its own local top-``cap`` (the
+    pack_sequences_salted salting pattern — a domain with 10^9 docs
+    spreads over ``n_salts`` partitions and each discards all but
+    ``cap`` rows), then the final per-source window ranks at most
+    n_salts * cap candidates per source. Phase 1 can never evict a
+    final winner (any global top-``cap`` row is a fortiori in its own
+    bucket's top-``cap``), so output is IDENTICAL to the plain
+    single-window form the oracle states. Ties break (score desc
+    NULLS LAST, key asc) on both engines.
+    """
+    salted = df.withColumn("_salt", (F.col(key) % n_salts).cast("int"))
+    w1 = Window.partitionBy(source_col, "_salt").orderBy(
+        F.desc_nulls_last(score_col), F.asc(key)
+    )
+    local = (
+        salted.withColumn("_lr", F.row_number().over(w1))
+        .where(F.col("_lr") <= cap)
+        .drop("_lr", "_salt")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(F.desc_nulls_last(score_col), F.asc(key))
+    return (
+        local.withColumn("source_rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("source_rank") <= cap)
+        .select(key, source_col, score_col, "source_rank")
+    )

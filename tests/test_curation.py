@@ -234,3 +234,36 @@ class TestBalancedMixRecipe:
             assert r.target_share == round(1 / 3, 6)
             assert r.sample_rate == round(10 / r.n_docs, 6)
         assert got["fr"].sample_rate == 1.0       # smallest group keeps all
+
+
+def test_cap_per_source_identical_to_plain_window_and_caps(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import cap_per_source
+
+    rng = random.Random(5)
+    rows = [
+        (i, "hot" if i < 150 else f"src{i % 5}", round(rng.uniform(0, 2), 6))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality_score double")
+    got = cap_per_source(df, cap=7, n_salts=4).collect()
+    # every source capped, the hot domain included
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r.source, []).append((r.source_rank, r.doc_id))
+    assert max(len(v) for v in per_src.values()) <= 7
+    assert len(per_src["hot"]) == 7
+    # two-phase output identical to the plain single-window form
+    w = Window.partitionBy("source").orderBy(
+        F.desc_nulls_last("quality_score"), F.asc("doc_id")
+    )
+    plain = (
+        df.withColumn("source_rank", F.row_number().over(w).cast("int"))
+        .where("source_rank <= 7")
+        .select("doc_id", "source", "quality_score", "source_rank")
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, plain.collect()))
