@@ -6642,6 +6642,35 @@ def source_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_source(scored, cap=10)
 
 
+@register(
+    "dedup_rate_by_source",
+    """
+WITH per_text AS (
+    SELECT source, sha256(text) AS content_hash, count(*) AS copies
+    FROM documents
+    GROUP BY source, sha256(text)
+)
+SELECT source,
+       CAST(sum(copies) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(copies) - count(*) AS BIGINT) AS n_dup,
+       round((sum(copies) - count(*)) / CAST(sum(copies) AS DOUBLE), 6) AS dup_rate
+FROM per_text
+GROUP BY source
+""",
+)
+def dedup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate density per source (dedup.dup_rate_by_source) —
+    the dedup observability view: the dedup ops emit pairs/survivors,
+    this reports WHERE the duplication comes from, the per-domain
+    number that re-prioritizes the next crawl cycle. Within-source
+    semantics (a text shared across sources is a duplicate in
+    neither), stated identically by both engines' GROUP BYs."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import dup_rate_by_source
+
+    return dup_rate_by_source(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -6726,6 +6755,7 @@ _VERIFY_FIRST = [
     "pq_reconstruction_error",
     "dsir_importance",
     "source_cap_sample",
+    "dedup_rate_by_source",
     # --- remaining wave-2..7 queries (r07 window) ---
     "zorder_layout",
     "lang_confusion",

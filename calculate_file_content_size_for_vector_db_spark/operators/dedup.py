@@ -722,3 +722,39 @@ def minhash_jaccard_estimate(
             F.round(F.abs(F.col("jaccard_est") - F.col("jaccard_exact")), 6).alias("abs_error"),
         )
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(source, n_docs, n_distinct, n_dup, dup_rate): exact-duplicate
+    density per source — the dedup OBSERVABILITY view. Dedup ops emit
+    the pairs/survivors; this reports where the duplication comes
+    from, the number that decides which domains get crawled less (or
+    dropped) next cycle.
+
+    Within-source semantics: a text shared by two sources counts as a
+    duplicate in neither (each source has it once) — the per-domain
+    crawl-hygiene reading, matching the per-source GROUP BY both
+    engines state.
+
+    Plan shape: one (source, sha256) hash-agg — exact_dedup's single
+    linear shuffle with the source key prepended — then one
+    sources-sized keyed rollup. Linear at any scale, no pairwise
+    stage."""
+    per_text = (
+        df.select(F.col(source_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy(source_col, "content_hash")
+        .agg(F.count("*").alias("copies"))
+    )
+    return per_text.groupBy(source_col).agg(
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct"),
+        (F.sum("copies") - F.count("*")).cast("long").alias("n_dup"),
+        F.round(
+            (F.sum("copies") - F.count("*")) / F.sum("copies").cast("double"), 6
+        ).alias("dup_rate"),
+    )

@@ -444,3 +444,23 @@ def test_minhash_estimate_structural_properties_on_fixture(spark):
     lo = [r.jaccard_est for r in rows if r.jaccard_exact < 0.1]
     if hi and lo:
         assert sum(hi) / len(hi) > sum(lo) / len(lo)
+
+
+def test_dup_rate_by_source_within_source_semantics(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        dup_rate_by_source,
+    )
+
+    rows = [
+        (0, "same text", "a"),
+        (1, "same text", "a"),      # within-source dup
+        (2, "same text", "b"),      # cross-source copy: NOT a dup for b
+        (3, "unique one", "b"),
+        (4, "unique two", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in dup_rate_by_source(df).collect()}
+    assert (got["a"].n_docs, got["a"].n_distinct, got["a"].n_dup) == (2, 1, 1)
+    assert got["a"].dup_rate == 0.5
+    assert (got["b"].n_docs, got["b"].n_distinct, got["b"].n_dup) == (3, 3, 0)
+    assert got["b"].dup_rate == 0.0
