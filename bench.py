@@ -192,28 +192,41 @@ def main() -> None:
             spark.catalog.clearCache()
         return round(min(samples), 3), meter.sample()
 
+    # A contaminated window means the timing measures the intruder, not
+    # the query — re-measure and keep the cleaner sample (round 4
+    # flagged contention but still published the dirty number; VERDICT
+    # r04 item 6). The threshold is an absolute 2 CPUs, not a fraction
+    # of the machine: r06's sim_topk_ivf row recorded a 6.12-CPU
+    # external burst — enough to distort a 32-thread shuffle stage by
+    # >10% — yet stayed under the old 0.25*ncpus=8 gate and shipped
+    # unretried (VERDICT r06 item 2). On a quiet machine external busy
+    # measures ~0.06, so 2.0 keeps a wide noise margin while catching
+    # any co-running JVM worth worrying about.
+    ext_retry_cpus = 2.0
     timings: dict[str, float] = {}
     external_cpus: dict[str, float] = {}
-    retried: dict[str, bool] = {}
+    retried: dict[str, int] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         t, ext = _measure(fn)
-        # A contaminated window means the timing measures the intruder,
-        # not the query — re-measure once and keep the cleaner sample
-        # (round 4 flagged contention but still published the dirty
-        # number; VERDICT r04 item 6).
-        retried[name] = ext > 0.25 * meter.ncpus
-        if retried[name]:
+        retried[name] = 0
+        while ext > ext_retry_cpus and retried[name] < 2:
+            retried[name] += 1
             print(
-                f"# {name}: contended window (external busy cpus: {ext}) — retrying",
+                f"# {name}: contended window (external busy cpus: {ext}) — "
+                f"retry {retried[name]}",
                 file=sys.stderr,
             )
             t2, ext2 = _measure(fn)
             if ext2 < ext:
                 t, ext = t2, ext2
+            if ext2 > ext_retry_cpus and ext > ext_retry_cpus:
+                # intruder persisted through both windows; stop burning
+                # samples — the CONTENDED flag below marks the row
+                break
         timings[name] = t
         external_cpus[name] = ext
-        flag = "  ** CONTENDED **" if ext > 0.25 * meter.ncpus else ""
+        flag = "  ** CONTENDED **" if ext > ext_retry_cpus else ""
         print(
             f"# {name}: {t:.2f}s (external busy cpus: {ext}){flag}",
             file=sys.stderr,
@@ -221,7 +234,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     max_external = max(external_cpus.values()) if external_cpus else 0.0
-    contended = max_external > 0.25 * meter.ncpus
+    contended = max_external > ext_retry_cpus
     if contended:
         print(
             f"# WARNING: external processes used up to {max_external} of "
@@ -256,7 +269,8 @@ def main() -> None:
                 "max_external_busy_cpus": max_external,
                 "ncpus": meter.ncpus,
                 "contended": contended,
-                "contention_retries": {n: True for n, r in retried.items() if r},
+                "external_busy_retry_threshold_cpus": ext_retry_cpus,
+                "contention_retries": {n: r for n, r in retried.items() if r},
             }
         )
     )

@@ -448,8 +448,16 @@ def cap_per_source(
     bucket's top-``cap``), so output is IDENTICAL to the plain
     single-window form the oracle states. Ties break (score desc
     NULLS LAST, key asc) on both engines.
+
+    pmod, not %: Spark's % keeps the dividend's sign, so negative keys
+    would land in negative salt buckets — still correct (the proof
+    only needs each row in exactly one bucket) but doubling the
+    documented n_salts fan-out. pmod keeps it exactly [0, n_salts);
+    NULL keys coalesce to bucket 0 (ADVICE r06).
     """
-    salted = df.withColumn("_salt", (F.col(key) % n_salts).cast("int"))
+    salted = df.withColumn(
+        "_salt", F.coalesce(F.pmod(F.col(key), F.lit(n_salts)), F.lit(0)).cast("int")
+    )
     w1 = Window.partitionBy(source_col, "_salt").orderBy(
         F.desc_nulls_last(score_col), F.asc(key)
     )

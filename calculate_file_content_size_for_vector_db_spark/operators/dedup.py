@@ -552,6 +552,19 @@ def neardup_clusters(
     graph diameter (near-dup clusters are tiny, so 2-4 in practice);
     each round is one join + one aggregation. The driver-side loop only
     carries a row COUNT per iteration — no data is collected.
+
+    Non-convergence RAISES rather than returning a silently-partial
+    labeling (VERDICT r06 item 6): a 100-TB crawl with CHAINED
+    near-dups (doc_i ~ doc_{i+1} for thousands of i — boilerplate
+    drift, mirror chains) has pair-graph diameter proportional to the
+    chain length, and exceeding ``max_iterations`` there would split
+    one true cluster into several, under-deduplicating with no signal.
+    Wrong-but-loud beats wrong-but-quiet for a dedup gate; callers on
+    such corpora should raise ``max_iterations`` (cost is one
+    join+agg per round) — or switch to an O(log n)-round
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) if diameter is
+    genuinely unbounded.
     """
     pairs = minhash_lsh_pairs(df, threshold, text_col, key)
     edges = (
@@ -564,6 +577,7 @@ def neardup_clusters(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -588,6 +602,16 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"neardup_clusters: min-label propagation did not converge in "
+            f"{max_iterations} rounds ({changed} labels still changing) — "
+            "the near-dup graph has diameter > max_iterations (chained "
+            "near-dups?). Raise max_iterations, or use star-contraction CC "
+            "for unbounded-diameter graphs."
+        )
     out = labels.select(F.col("node").alias(key), F.col("label").alias("cluster_id"))
     edges.unpersist()
     return out

@@ -1494,6 +1494,13 @@ def ivf_list_stats(
     a cell far above 1 concentrates scan cost (and, at 100 TB, task
     skew) on itself, the signal to retrain or split.
 
+    balance_ratio alone can't flag a COLLAPSED quantizer: with all
+    vectors in 1-2 live cells it normalizes by those live cells and
+    reads ~1.0 — perfectly balanced. dead_cells (requested n_cells
+    minus live cells, constant across rows) exposes that pathology
+    directly: dead_cells near n_cells means the quantizer degenerated
+    no matter how even the survivors look.
+
     Plan shape: the assignment table collapses map-side into one
     n_cells-group hash-agg; the 1-row totals broadcast back. Nothing
     here is corpus-sized after the assignment pass the index build
@@ -1512,6 +1519,7 @@ def ivf_list_stats(
         F.col("list_size").cast("long").alias("list_size"),
         F.round(F.col("list_size") / F.col("n"), 6).alias("corpus_share"),
         F.round(F.col("list_size") * F.col("n_live") / F.col("n"), 6).alias("balance_ratio"),
+        (F.lit(n_cells) - F.col("n_live")).cast("int").alias("dead_cells"),
     )
 
 

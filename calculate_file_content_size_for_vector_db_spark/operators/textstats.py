@@ -702,10 +702,14 @@ def dsir_importance(
     when no trained classifier is available.
 
     ``target`` is a frame with the same ``text_col`` — typically a
-    small in-domain sample (here: a labeled subset of the corpus, so
-    every target token is in the raw vocabulary; out-of-vocabulary
-    target tokens would be ignored by the left join and excluded from
-    the smoothing mass on both engines alike).
+    small in-domain sample. The vocabulary is the UNION of raw and
+    target tokens (full-outer join, both counts filled with 0), so an
+    EXTERNAL target corpus keeps its full token mass: both LMs are
+    genuine add-1-smoothed distributions over the shared support, and
+    no target token silently drops out of tn or V (ADVICE r06).
+    Target-only tokens never re-enter the scoring join (raw docs
+    can't contain them) — they matter exactly through the smoothing
+    denominators, as in the paper.
 
     Plan shape: two token explodes feed two vocab-sized hash-aggs
     (raw LM and target LM — Heaps-bounded, like unigram_logprob); the
@@ -724,7 +728,7 @@ def dsir_importance(
     ttok = target.select(F.explode(tokens(text_col)).alias("tok"))
     raw_freq = tok.groupBy("tok").agg(F.count("*").alias("rf"))
     tgt_freq = ttok.groupBy("tok").agg(F.count("*").alias("tf"))
-    w0 = raw_freq.join(tgt_freq, "tok", "left").na.fill(0, ["tf"])
+    w0 = raw_freq.join(tgt_freq, "tok", "full_outer").na.fill(0, ["rf", "tf"])
     totals = w0.agg(
         F.sum("rf").cast("double").alias("rn"),
         F.sum("tf").cast("double").alias("tn"),

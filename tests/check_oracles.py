@@ -1,10 +1,18 @@
 """Fast standalone oracle check: python -m tests.check_oracles [names...]
 
 Mirrors the driver's t2 gate over every registered query at sf0.01.
+
+`--json PATH` additionally writes one row per checked query, so each
+round can commit the FULL-registry sweep as ORACLES_r{N}.json next to
+the driver's ~50-row CORRECTNESS file (VERDICT r06 item 4): the
+staleness debt of the 50-slot driver window stops being a blind spot
+because the all-queries claim becomes a committed, re-runnable
+artifact instead of builder prose.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -16,10 +24,17 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
     spark = get_spark(app_name="check-oracles", cpus=16, shuffle_partitions=16)
     con = duck_connection(SF_DIR)
     failures = 0
+    rows: dict[str, dict] = {}
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
@@ -30,6 +45,11 @@ def main() -> int:
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
         dt = time.time() - t0
         tag = "no-oracle" if q.oracle is None else "oracle"
+        rows[name] = {
+            "status": ("fail" if problems else ("green_rows_only" if q.oracle is None else "green")),
+            "problems": problems,
+            "sec": round(dt, 1),
+        }
         if problems:
             failures += 1
             print(f"FAIL {name} [{tag}] ({dt:.1f}s)")
@@ -37,6 +57,20 @@ def main() -> int:
                 print(f"     {p}")
         else:
             print(f"ok   {name} [{tag}] ({dt:.1f}s)")
+    if json_path:
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(rows),
+            "n_green": sum(r["status"] == "green" for r in rows.values()),
+            "n_green_rows_only": sum(
+                r["status"] == "green_rows_only" for r in rows.values()
+            ),
+            "n_fail": failures,
+            "queries": rows,
+        }
+        with open(json_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_path}")
     print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

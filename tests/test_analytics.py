@@ -488,3 +488,34 @@ def test_dsir_importance_upweights_target_domain(spark):
     # with the mixed doc strictly between the two poles.
     assert got[0] > got[3] > got[2]
     assert got[1] > got[3]
+
+
+def test_dsir_importance_external_target_full_token_mass(spark):
+    """ADVICE r06: the vocabulary is the UNION of raw and target
+    tokens, so an external target with out-of-raw-vocabulary tokens
+    keeps its full mass in (tn, V) — the target LM is a distribution
+    over the target's own support, and rankings still follow domain
+    resemblance."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        dsir_importance,
+    )
+
+    raw = spark.createDataFrame(
+        [(0, "alpha beta alpha beta"), (1, "rouge bleu rouge bleu")],
+        "doc_id long, text string",
+    )
+    # external target: half its tokens never appear in the raw corpus
+    target = spark.createDataFrame(
+        [(100, "alpha beta nova nova quasar")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.dsir_weight for r in dsir_importance(raw, target).collect()}
+    assert got[0] > got[2] if 2 in got else got[0] > got[1]
+    # hand-computed under the union vocab: V=6 (alpha beta rouge bleu
+    # nova quasar), rn=8, tn=5; doc 0 tokens have tf=1, rf=2;
+    # doc 1 tokens tf=0, rf=2
+    import math
+
+    w_alpha = math.log((2 / 11) / (3 / 14))
+    w_rouge = math.log((1 / 11) / (3 / 14))
+    assert abs(got[0] - round(w_alpha, 6)) < 2e-6
+    assert abs(got[1] - round(w_rouge, 6)) < 2e-6

@@ -267,3 +267,34 @@ def test_cap_per_source_identical_to_plain_window_and_caps(spark):
         .select("doc_id", "source", "quality_score", "source_rank")
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, plain.collect()))
+
+
+def test_cap_per_source_negative_and_null_keys_one_bucket_each(spark):
+    """ADVICE r06: pmod salting — negative keys must land in [0,
+    n_salts) (Spark % keeps the dividend's sign) and a NULL key gets a
+    fixed bucket, so the documented fan-out holds for any key domain.
+    Output stays identical to the plain single-window form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import cap_per_source
+
+    rows = [(i - 10, "s", float((i * 7) % 13)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality_score double")
+    salts = [
+        r._salt
+        for r in df.withColumn(
+            "_salt", F.coalesce(F.pmod(F.col("doc_id"), F.lit(4)), F.lit(0)).cast("int")
+        ).collect()
+    ]
+    assert all(0 <= s < 4 for s in salts)
+    got = cap_per_source(df, cap=5, n_salts=4).collect()
+    w = Window.partitionBy("source").orderBy(
+        F.desc_nulls_last("quality_score"), F.asc("doc_id")
+    )
+    plain = (
+        df.withColumn("source_rank", F.row_number().over(w).cast("int"))
+        .where("source_rank <= 5")
+        .select("doc_id", "source", "quality_score", "source_rank")
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, plain.collect()))

@@ -464,3 +464,24 @@ def test_dup_rate_by_source_within_source_semantics(spark):
     assert got["a"].dup_rate == 0.5
     assert (got["b"].n_docs, got["b"].n_distinct, got["b"].n_dup) == (3, 3, 0)
     assert got["b"].dup_rate == 0.0
+
+
+def test_neardup_clusters_chained_corpus_guard_and_convergence(spark):
+    """VERDICT r06 item 6: a CHAINED near-dup corpus (rolling word
+    windows — doc_i ~ doc_{i+1..i+3}, nothing farther) has pair-graph
+    diameter ~n/3, so min-label propagation must either converge or
+    RAISE — never return a silently-partial labeling that splits one
+    true cluster."""
+    import pytest
+
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import neardup_clusters
+
+    words = [f"w{i:03d}" for i in range(200)]
+    L, s, n = 30, 3, 9  # J(offset d) = (L-s*d-2)/(L+s*d-2): >=0.5 iff d<=3
+    rows = [(i, " ".join(words[i * s : i * s + L])) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(df, threshold=0.5, max_iterations=1)
+    out = neardup_clusters(df, threshold=0.5, max_iterations=20).collect()
+    assert len(out) == n  # every doc is in some pair, so every doc labeled
+    assert {r.cluster_id for r in out} == {0}  # ONE chain-connected cluster

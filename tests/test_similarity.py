@@ -552,3 +552,23 @@ def test_pq_reconstruction_error_shape_and_training_helps(spark):
         # Lloyd rounds never increase distortion (k-means monotonicity;
         # the 1e-6 per-round rounding sits far below the improvement).
         assert r.avg_sq_error <= untrained[s].avg_sq_error + 1e-5
+
+
+def test_ivf_list_stats_dead_cells_flags_collapsed_quantizer(spark):
+    """ADVICE r06: balance_ratio normalizes by LIVE cells, so a fully
+    collapsed quantizer (every vector in one cell) reads ~1.0 —
+    dead_cells is the column that exposes the pathology directly."""
+    rows = [(i, [1.0] * 64) for i in range(20)]  # identical vectors -> 1 live cell
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sim.ivf_list_stats(df, n_cells=8).collect()
+    assert len(got) == 1
+    assert abs(got[0].balance_ratio - 1.0) < 1e-6  # looks "balanced"
+    assert got[0].dead_cells == 7  # ...but 7 of 8 requested cells are dead
+    # healthy spread: dead_cells small, constant across rows
+    import random
+
+    rng = random.Random(11)
+    healthy = _emb(spark, [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)])
+    hrows = sim.ivf_list_stats(healthy, n_cells=4).collect()
+    assert len({r.dead_cells for r in hrows}) == 1
+    assert hrows[0].dead_cells == 4 - len(hrows)
