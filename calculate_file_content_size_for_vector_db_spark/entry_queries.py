@@ -2289,6 +2289,108 @@ def ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_frontier",
+    f"""
+WITH {_SQL_IVF},
+{_SQL_LSH_BUCKETS},
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a, e b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+lsh_app AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN buck ba ON a.vec_id = ba.vec_id
+        JOIN buck bb ON ba.bucket = bb.bucket
+        JOIN e b ON b.vec_id = bb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+mp_app AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN buck ba ON a.vec_id = ba.vec_id
+        JOIN buck bb ON (ba.bucket = bb.bucket OR bit_count(xor(ba.bucket, bb.bucket)) = 1)
+        JOIN e b ON b.vec_id = bb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+ivf_app AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN assign sa ON a.vec_id = sa.vec_id
+        JOIN assign sb ON sa.cell = sb.cell
+        JOIN e b ON b.vec_id = sb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+bf_cand AS (SELECT count(*) AS c FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 10),
+lsh_cand AS (SELECT count(*) AS c FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
+             WHERE ba.vec_id < 10 AND ba.vec_id <> bb.vec_id),
+mp_cand AS (SELECT count(*) AS c FROM buck ba
+            JOIN buck bb ON (ba.bucket = bb.bucket OR bit_count(xor(ba.bucket, bb.bucket)) = 1)
+            WHERE ba.vec_id < 10 AND ba.vec_id <> bb.vec_id),
+ivf_cand AS (SELECT count(*) AS c FROM assign sa JOIN assign sb ON sa.cell = sb.cell
+             WHERE sa.vec_id < 10 AND sa.vec_id <> sb.vec_id)
+SELECT 'bruteforce' AS tier, CAST((SELECT c FROM bf_cand) AS BIGINT) AS candidate_rows,
+       CAST(count(*) AS BIGINT) AS n_exact, CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact ex LEFT JOIN exact ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+UNION ALL
+SELECT 'lsh', CAST((SELECT c FROM lsh_cand) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(count(ap.neighbor_id) AS BIGINT),
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+FROM exact ex LEFT JOIN lsh_app ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+UNION ALL
+SELECT 'lsh_multiprobe', CAST((SELECT c FROM mp_cand) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(count(ap.neighbor_id) AS BIGINT),
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+FROM exact ex LEFT JOIN mp_app ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+UNION ALL
+SELECT 'ivf', CAST((SELECT c FROM ivf_cand) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(count(ap.neighbor_id) AS BIGINT),
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+FROM exact ex LEFT JOIN ivf_app ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+""",
+)
+def ann_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-work frontier (similarity.ann_frontier): one row
+    per exact-scoring ANN tier with its recall@10 AND the number of
+    candidate pairs it scores — tier selection at 100 TB becomes a
+    lookup (cheapest tier whose recall clears the bar) instead of a
+    synthesis across separate recall queries and SCALE.md slopes.
+    The ADC tiers (PQ/IVFxPQ) are excluded by design: compressed
+    scoring voids the candidates-superset => recall>= guarantee this
+    frame pins; their rows live in tools/ann_frontier.py."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import ann_frontier
+
+    emb = _emb(spark, sf_dir)
+    return ann_frontier(emb, emb.where(F.col("vec_id") < 10), k=_RECALL_K)
+
+
+@register(
     "knn_graph",
     f"""
 WITH {_SQL_EMB},
@@ -6744,7 +6846,9 @@ _VERIFY_FIRST = [
     "part_unpivot",
     "value_histogram",
     "vocabulary",
-    # --- 3. remaining slots: capped-LSH recheck + oldest r04 rows ---
+    # --- 3. remaining slots: the new frontier exhibit, capped-LSH
+    # recheck, then oldest r04 rows ---
+    "ann_frontier",  # new r07: recall-vs-work frontier (VERDICT item 7)
     "dedup_minhash_lsh_capped",  # production default; r06 bench watch item
     "dedup_minhash_lsh",
     "dedup_exact",

@@ -198,13 +198,17 @@ def topk_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: exact rank restricted to same-LSH-bucket candidates.
     May return < k rows per query (single-probe recall tradeoff).
 
     The bucketed frame feeds both the query and candidate sides;
-    persist it so the 16-plane signature runs once."""
-    buckets = lsh_buckets(embeddings, id_col, vec_col)
+    persist it so the 16-plane signature runs once. Callers that
+    already materialized the bucket table (ann_frontier, an index kept
+    in parquet at scale) pass it via ``buckets`` so it isn't rebuilt."""
+    if buckets is None:
+        buckets = lsh_buckets(embeddings, id_col, vec_col)
     emb_b = embeddings.join(buckets, id_col).persist()
     q = emb_b.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "bucket"
@@ -231,6 +235,7 @@ def topk_lsh_multiprobe(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k probing the query's own LSH bucket PLUS every bucket
     at hamming distance 1 (one flipped hyperplane sign) — the standard
@@ -241,7 +246,8 @@ def topk_lsh_multiprobe(
     meets on exactly one bucket — no dedup needed) and candidates
     stream through the same broadcast-query bucket join as single-probe
     topk_lsh. Candidate count ~ (n_planes+1) * N / 2^n_planes."""
-    buckets = lsh_buckets(embeddings, id_col, vec_col)
+    if buckets is None:
+        buckets = lsh_buckets(embeddings, id_col, vec_col)
     emb_b = embeddings.join(buckets, id_col).persist()
     probe = F.explode(
         F.array(
@@ -386,14 +392,18 @@ def topk_ivf(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k searching only the query's own IVF cell (single-probe).
     Join shape: equi-join on cell id — candidate count ~ N / n_cells.
 
     The assignment feeds both the query side and the candidate side of
     the cell join; persist it so the unrolled k-means lineage runs once
-    (Spark does not dedupe common subplans)."""
-    assign = ivf_assign(embeddings, id_col, vec_col).persist()
+    (Spark does not dedupe common subplans). Callers with a stored
+    assignment table (ann_frontier, a parquet index at scale) pass it
+    via ``assign``."""
+    if assign is None:
+        assign = ivf_assign(embeddings, id_col, vec_col).persist()
     emb_c = embeddings.join(assign.select(id_col, "cell"), id_col)
     q = emb_c.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "cell"
@@ -1559,3 +1569,122 @@ def pq_reconstruction_error(
         F.round(F.avg("d2"), 6).alias("avg_sq_error"),
         F.round(F.max("d2"), 6).alias("max_sq_error"),
     ).select(F.col("sub").cast("int").alias("sub"), "n_subvectors", "avg_sq_error", "max_sq_error")
+
+
+def ann_frontier(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(tier, candidate_rows, n_exact, n_hits, recall): the
+    recall-vs-work frontier of the EXACT-SCORING candidate-pruned ANN
+    tiers in one frame — bruteforce (the recall=1 anchor), single-
+    bucket LSH, multi-probe LSH, and single-probe IVF. candidate_rows
+    is the number of (query, corpus-vector) pairs the tier actually
+    scores (exactly what its topk join materializes), so tier
+    selection at 100 TB is a lookup: pick the cheapest tier whose
+    recall clears the product bar, then scale candidate_rows by the
+    real corpus/query volume.
+
+    Because these tiers rank their candidates by EXACT cosine, a tier
+    whose candidate set contains another's can only match or beat its
+    recall (multi-probe >= single-probe LSH; bruteforce >= all) — the
+    monotone-frontier property pinned in tests. The ADC-scored tiers
+    (PQ / IVFxPQ) deliberately live OUTSIDE this frame: their
+    compressed scoring breaks the guarantee (the honestly-pinned
+    non-monotone probe finding), and their frontier rows come from the
+    tools/ann_frontier.py exhibit next to their own recall queries.
+
+    Plan shape: one exact top-k (Q·N scored pairs — Q is 10 here; at
+    scale the ground-truth side is always a small labeled query
+    sample), one LSH bucket table and one IVF assignment table, each
+    persisted and reused by both the tier's top-k and its candidate
+    COUNT; every per-tier result is a 1-row aggregate, so the union is
+    4 rows and every join below the aggregates is keyed.
+    """
+    emb = spread(embeddings)
+    qids = queries.select(id_col)
+    exact = topk_bruteforce(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+    def row(tier: str, cand: DataFrame, approx: DataFrame) -> DataFrame:
+        rec = recall_vs_exact(exact, approx)
+        return rec.crossJoin(F.broadcast(cand)).select(
+            F.lit(tier).alias("tier"),
+            F.col("c").cast("long").alias("candidate_rows"),
+            "n_exact",
+            "n_hits",
+            "recall",
+        )
+
+    # bruteforce: every query scores every other vector
+    bf_cand = (
+        qids.agg(F.count("*").alias("qn"))
+        .crossJoin(F.broadcast(emb.agg(F.count("*").alias("nn"))))
+        .select((F.col("qn") * (F.col("nn") - 1)).alias("c"))
+    )
+
+    buckets = lsh_buckets(embeddings, id_col, vec_col).persist()
+    qb = buckets.join(qids, id_col).select(F.col(id_col).alias("qid"), "bucket")
+    lsh_cand = (
+        qb.join(buckets, "bucket")
+        .where(F.col("qid") != F.col(id_col))
+        .agg(F.count("*").alias("c"))
+    )
+    # multi-probe: own bucket + every 1-bit flip — all 17 probe buckets
+    # are distinct, so the equi-join counts each candidate once; the
+    # query itself appears only in its own bucket (subtract Q rows)
+    probes = F.explode(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("bigint"))
+                for p in range(N_PLANES)
+            ],
+        )
+    )
+    qmp = buckets.join(qids, id_col).select(
+        F.col(id_col).alias("qid"), probes.alias("bucket")
+    )
+    mp_cand = (
+        qmp.join(buckets, "bucket")
+        .where(F.col("qid") != F.col(id_col))
+        .agg(F.count("*").alias("c"))
+    )
+
+    assign = ivf_assign(embeddings, id_col, vec_col).select(id_col, "cell").persist()
+    qa = assign.join(qids, id_col).select(F.col(id_col).alias("qid"), "cell")
+    ivf_cand = (
+        qa.join(assign, "cell")
+        .where(F.col("qid") != F.col(id_col))
+        .agg(F.count("*").alias("c"))
+    )
+
+    out = (
+        row("bruteforce", bf_cand, exact)
+        .unionByName(
+            row(
+                "lsh",
+                lsh_cand,
+                topk_lsh(embeddings, queries, k, id_col, vec_col, buckets=buckets),
+            )
+        )
+        .unionByName(
+            row(
+                "lsh_multiprobe",
+                mp_cand,
+                topk_lsh_multiprobe(
+                    embeddings, queries, k, id_col, vec_col, buckets=buckets
+                ),
+            )
+        )
+        .unionByName(
+            row(
+                "ivf",
+                ivf_cand,
+                topk_ivf(embeddings, queries, k, id_col, vec_col, assign=assign),
+            )
+        )
+    )
+    return out

@@ -1,0 +1,142 @@
+"""Streaming-native near-duplicate ingest gate (VERDICT r06 stretch).
+
+``dropDuplicatesWithinWatermark`` covers EXACT keys; this module is
+its near-dup counterpart: a rate-limited document stream where every
+micro-batch is LSH-checked against the stored corpus artifacts AND
+the batch's own earlier documents, admitted survivors land in the
+corpus store — bands and shingle sets included — so the very next
+micro-batch already deduplicates against them.
+
+Semantics (the greedy online gate every production ingest runs): a
+document is ADMITTED iff it near-dups neither (a) any already-stored
+corpus document nor (b) any smaller-id document of its own
+micro-batch. First occurrence survives; later arrivals of its
+near-dups are rejected. With one document per micro-batch this is
+exactly sequential greedy admission in arrival order (pinned in
+tests/test_streaming.py against a hand-run sequential reference).
+
+State model — why there is NO executor state to watermark: the gate
+runs inside foreachBatch, so Spark's state store holds nothing
+between triggers. All cross-batch memory lives in the corpus
+artifacts themselves:
+
+- ``bands_dir``: MINHASH_BANDS rows per admitted doc (4 band hashes),
+- ``shingles_dir``: one row per admitted doc with its distinct
+  shingle array.
+
+Both grow with the ADMITTED corpus, never with stream history or
+trigger count — a rejected duplicate adds zero state. That is the
+same bound the batch incremental path carries (PLANS.md
+"dedup_incremental"), which is the point: the stream and the daily
+batch job share one store and one contract. Replays of a checkpointed
+batch re-derive the same admitted set against the store as of that
+batch (appends are idempotent per batch id only if the sink dedupes;
+availableNow + checkpoint gives effectively-once for the drain-the
+-source deployments this targets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+    incremental_neardup_pairs,
+    incremental_survivors,
+    minhash_bands,
+    minhash_lsh_pairs,
+    minhash_signature,
+    shingle_sets,
+)
+
+
+def admit_batch(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The pure (testable, batch-callable) core of the gate: the
+    subset of ``batch`` admitted against the stored corpus AND its own
+    smaller-id members.
+
+    Plan shape: one incremental corpus check (batch-side signatures
+    only — the corpus side is two stored-table scans) plus one
+    batch-local LSH self-join; both candidate-bounded. The batch-local
+    reject rule is "pairs with ANY smaller-id batch doc" — at one doc
+    per trigger it coincides with greedy admission; within larger
+    batches it is the deterministic a_id<b_id convention every dedup
+    op here uses."""
+    vs_corpus = incremental_survivors(
+        batch,
+        incremental_neardup_pairs(
+            batch,
+            corpus_bands,
+            corpus_shingles,
+            threshold,
+            text_col,
+            key,
+            max_bucket_size=max_bucket_size,
+        ),
+        key,
+    )
+    local_pairs = minhash_lsh_pairs(
+        batch, threshold, text_col, key, max_bucket_size=max_bucket_size
+    )
+    # a_id < b_id by construction: b is the later/larger id — reject it
+    return (
+        batch.join(vs_corpus.select(key), key, "left_semi")
+        .join(local_pairs.select(F.col("b_id").alias(key)), key, "left_anti")
+    )
+
+
+def neardup_ingest_gate(
+    stream: DataFrame,
+    bands_dir: str,
+    shingles_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> StreamingQuery:
+    """Start the gate on a streaming document frame. Rate-limit the
+    source (``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``) so each
+    trigger's signature work is bounded; the corpus side never
+    recomputes regardless of batch size. Admitted docs append to
+    ``admitted_dir`` AND their band/shingle artifacts append to the
+    corpus store, so cross-micro-batch near-dups are rejected."""
+
+    def _gate(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        admitted = admit_batch(
+            batch_df,
+            spark.read.parquet(bands_dir),
+            spark.read.parquet(shingles_dir),
+            threshold,
+            text_col,
+            key,
+            max_bucket_size,
+        ).persist()
+        admitted.write.mode("append").parquet(admitted_dir)
+        minhash_bands(
+            minhash_signature(admitted, text_col=text_col, key=key), key=key
+        ).write.mode("append").parquet(bands_dir)
+        shingle_sets(admitted, text_col, key).write.mode("append").parquet(
+            shingles_dir
+        )
+        admitted.unpersist()
+        batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

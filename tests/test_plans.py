@@ -423,6 +423,7 @@ _BNLJ_ALLOWED = {
     "zorder_layout",  # 1-row min/max quantization-span broadcast
     "ivf_list_stats",  # 1-row (N, n_live) totals broadcast onto n_cells rows
     "dsir_importance",  # 1-row (rn, tn, V) LM-totals broadcast onto the vocab table
+    "ann_frontier",  # exact-baseline scan + 1-row candidate-count broadcasts
 }
 
 

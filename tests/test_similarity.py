@@ -572,3 +572,30 @@ def test_ivf_list_stats_dead_cells_flags_collapsed_quantizer(spark):
     hrows = sim.ivf_list_stats(healthy, n_cells=4).collect()
     assert len({r.dead_cells for r in hrows}) == 1
     assert hrows[0].dead_cells == 4 - len(hrows)
+
+
+def test_ann_frontier_monotone_for_candidate_pruned_tiers(spark):
+    """VERDICT r06 item 7: the frontier frame must itself witness the
+    monotone property — for EXACT-scored tiers, a candidate superset
+    can only raise recall. multiprobe's candidate set contains lsh's
+    by construction (own bucket subset of own+hamming-1), bruteforce
+    contains everything; candidate_rows must order the same way."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    df = _emb(spark, rows)
+    out = {
+        r.tier: r for r in sim.ann_frontier(df, df.where("vec_id < 10"), k=10).collect()
+    }
+    assert set(out) == {"bruteforce", "lsh", "lsh_multiprobe", "ivf"}
+    bf = out["bruteforce"]
+    assert bf.recall == 1.0 and bf.n_hits == bf.n_exact == 100
+    assert bf.candidate_rows == 10 * 79
+    # nested candidate sets: lsh subset of multiprobe subset of bruteforce
+    assert out["lsh"].candidate_rows <= out["lsh_multiprobe"].candidate_rows
+    assert out["lsh_multiprobe"].candidate_rows <= bf.candidate_rows
+    assert out["ivf"].candidate_rows <= bf.candidate_rows
+    # the monotone-frontier property (exact scoring)
+    assert out["lsh"].recall <= out["lsh_multiprobe"].recall <= 1.0
+    assert out["ivf"].recall <= 1.0

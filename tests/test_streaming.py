@@ -325,3 +325,75 @@ def test_streaming_cms_sketch_merges_to_batch_sketch(spark, tmp_path):
     got = sorted(map(tuple, merged.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_streaming_neardup_gate_equals_sequential_greedy(spark, tmp_path):
+    """The streaming-native near-dup gate (streaming/neardup.py): one
+    doc per trigger, every admitted doc's band/shingle artifacts land
+    in the corpus store BEFORE the next trigger, so the stream result
+    must equal sequential greedy admission in arrival order — first
+    occurrence survives, near-dups of ADMITTED docs are rejected,
+    near-dups of REJECTED docs still enter. Rolling word windows give
+    exact Jaccard control: doc shifts (0, -, 2, 10) make d2 a near-dup
+    of d0 (J=0.867) and d3 distinct from d0 (J=0.474) yet similar to
+    the rejected d2 (J=0.556)."""
+    from calculate_file_content_size_for_vector_db_spark.operators import dedup
+    from calculate_file_content_size_for_vector_db_spark.streaming.neardup import (
+        admit_batch,
+        neardup_ingest_gate,
+    )
+
+    words = [f"w{i:03d}" for i in range(60)]
+    corpus = spark.createDataFrame(
+        [(100, "corpus doc alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    bands_dir, sh_dir = str(tmp_path / "bands"), str(tmp_path / "sh")
+    dedup.minhash_bands(dedup.minhash_signature(corpus)).write.parquet(bands_dir)
+    dedup.shingle_sets(corpus).write.parquet(sh_dir)
+
+    new_rows = [
+        (0, " ".join(words[0:30])),  # fresh -> admitted
+        (1, "corpus doc alpha beta gamma delta epsilon zeta eta theta"),  # corpus dup -> rejected
+        (2, " ".join(words[2:32])),  # near-dup of admitted d0 -> rejected
+        (3, " ".join(words[10:40])),  # near-dup of REJECTED d2 only -> admitted
+    ]
+    schema = "doc_id long, text string"
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    # one file per doc + maxFilesPerTrigger=1 = one doc per micro-batch
+    for i, row in enumerate(new_rows):
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stream_dir / f"f{i}"))
+
+    admitted_dir = str(tmp_path / "admitted")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = neardup_ingest_gate(
+        stream, bands_dir, sh_dir, admitted_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(admitted_dir).collect())
+
+    # hand-run sequential greedy over the same docs with admit_batch
+    ref_bands, ref_sh = str(tmp_path / "rbands"), str(tmp_path / "rsh")
+    dedup.minhash_bands(dedup.minhash_signature(corpus)).write.parquet(ref_bands)
+    dedup.shingle_sets(corpus).write.parquet(ref_sh)
+    want = []
+    for row in new_rows:
+        one = spark.createDataFrame([row], schema)
+        adm = admit_batch(
+            one, spark.read.parquet(ref_bands), spark.read.parquet(ref_sh)
+        ).persist()
+        if adm.count():
+            want.append(row[0])
+            dedup.minhash_bands(dedup.minhash_signature(adm)).write.mode(
+                "append"
+            ).parquet(ref_bands)
+            dedup.shingle_sets(adm).write.mode("append").parquet(ref_sh)
+        adm.unpersist()
+    assert got == sorted(want) == [0, 3]

@@ -1,0 +1,175 @@
+"""Recall-vs-work frontier exhibit across ALL TEN ANN tiers.
+
+    python tools/ann_frontier.py [sf_dir]     # default /root/testdata/sf0.01
+
+For every tier this emits, in one frame: recall@10 (the tier's own
+registered, oracle-verified recall query), the number of candidate
+pairs its scan scores, the bytes of vector data each candidate costs,
+and the resulting scan volume relative to bruteforce — so picking a
+tier for a given corpus size and recall bar is a table lookup.
+
+The exact-scored pruned tiers (lsh / multiprobe / ivf) also appear in
+the registered, DuckDB-mirrored `ann_frontier` query, where the
+candidates-superset => recall>= property is oracle-checked. The
+ADC/compressed tiers (pq, ivfpq, binary, matryoshka, int8) live only
+here: compressed scoring voids that monotone guarantee (the pinned
+non-monotone probe finding), so their frontier rows are exhibit data,
+not an invariant.
+
+Writes FRONTIER.md next to the repo root and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY, _emb
+from calculate_file_content_size_for_vector_db_spark.operators import similarity as sim
+from calculate_file_content_size_for_vector_db_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+DIM = sim.DIM
+F32 = 4  # embeddings are stored float32
+
+# (tier, recall-query name, bytes of vector data per scanned candidate,
+#  reranked rows note). Full-scan tiers score Q*(N-1) candidates; the
+# compressed ones just move fewer bytes per candidate; rerank tiers add
+# a bounded Q*rerank*k full-vector pass.
+RERANK = 4
+K = 10
+
+
+def main() -> None:
+    spark = get_spark(app_name="ann-frontier", cpus=16, shuffle_partitions=16)
+    emb = _emb(spark, SF_DIR)
+    q = emb.where(F.col("vec_id") < 10)
+    n = emb.count()
+    nq = q.count()
+    full_scan = nq * (n - 1)
+
+    # candidate counts for the pruned tiers (same joins their topk runs)
+    buckets = sim.lsh_buckets(emb).persist()
+    qb = buckets.join(q.select("vec_id"), "vec_id").select(
+        F.col("vec_id").alias("qid"), "bucket"
+    )
+    lsh_cand = (
+        qb.join(buckets, "bucket").where(F.col("qid") != F.col("vec_id")).count()
+    )
+    probes = F.explode(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("bigint"))
+                for p in range(sim.N_PLANES)
+            ],
+        )
+    )
+    qmp = buckets.join(q.select("vec_id"), "vec_id").select(
+        F.col("vec_id").alias("qid"), probes.alias("bucket")
+    )
+    mp_cand = (
+        qmp.join(buckets, "bucket").where(F.col("qid") != F.col("vec_id")).count()
+    )
+    assign = sim.ivf_assign(emb).select("vec_id", "cell").persist()
+    qa = assign.join(q.select("vec_id"), "vec_id").select(
+        F.col("vec_id").alias("qid"), "cell"
+    )
+    ivf_cand = (
+        qa.join(assign, "cell").where(F.col("qid") != F.col("vec_id")).count()
+    )
+    # IVFxPQ probe2: query probes its top-2 coarse cells
+    v = emb.select("vec_id", sim.as_double("embedding").alias("v"))
+    cents = sim.ivf_centroids(emb)
+    top2 = sim._assign_topc(v.join(q.select("vec_id"), "vec_id"), cents, "vec_id", 2)
+    p2_cand = (
+        top2.select(F.col("vec_id").alias("qid"), "cell")
+        .join(assign, "cell")
+        .where(F.col("qid") != F.col("vec_id"))
+        .count()
+    )
+
+    tiers = [
+        # tier, recall query, candidate rows, bytes/candidate, rerank rows
+        ("bruteforce", None, full_scan, DIM * F32, 0),
+        ("lsh", "lsh_recall_at_10", lsh_cand, DIM * F32, 0),
+        ("lsh_multiprobe", "lsh_multiprobe_recall_at_10", mp_cand, DIM * F32, 0),
+        ("ivf", "ivf_recall_at_10", ivf_cand, DIM * F32, 0),
+        ("pq_adc", "pq_recall_at_10", full_scan, sim.PQ_SUBS, 0),
+        ("ivfpq", "ivfpq_recall_at_10", ivf_cand, sim.PQ_SUBS, 0),
+        ("ivfpq_probe2", "ivfpq_probe2_recall_at_10", p2_cand, sim.PQ_SUBS, 0),
+        ("binary_rerank", "binary_recall_at_10", full_scan, 8, nq * RERANK * K),
+        ("matryoshka_rerank", "matryoshka_recall_at_10", full_scan, 16 * F32, nq * RERANK * K),
+        ("int8_rerank", "int8_recall_at_10", full_scan, DIM, nq * RERANK * K),
+    ]
+
+    rows = []
+    bf_bytes = full_scan * DIM * F32
+    for tier, rq, cand, bpc, rerank_rows in tiers:
+        t0 = time.time()
+        recall = (
+            1.0 if rq is None else REGISTRY[rq].fn(spark, SF_DIR).collect()[0].recall
+        )
+        scan_bytes = cand * bpc + rerank_rows * DIM * F32
+        rows.append(
+            {
+                "tier": tier,
+                "recall_at_10": recall,
+                "candidate_rows": cand,
+                "bytes_per_candidate": bpc,
+                "scan_mb": round(scan_bytes / 1e6, 3),
+                "scan_vs_bruteforce": round(scan_bytes / bf_bytes, 4),
+                "recall_query_sec": round(time.time() - t0, 1),
+            }
+        )
+        print(f"# {tier}: recall={recall} candidates={cand} "
+              f"scan={rows[-1]['scan_vs_bruteforce']}x bf", file=sys.stderr)
+
+    md = [
+        "# FRONTIER — recall@10 vs scan work, all ANN tiers",
+        "",
+        f"Corpus: `{SF_DIR}` ({n} vectors, {nq} queries, k={K}). Recall values",
+        "come from the registered oracle-verified recall queries; candidate",
+        "counts are the exact row counts each tier's scan join scores",
+        "(measured with the same joins, not estimated). `scan_vs_bruteforce`",
+        "= bytes of vector data moved through the scan (+ bounded rerank)",
+        "relative to the full-precision bruteforce scan — the number that,",
+        "multiplied by corpus x query volume, prices a tier at 100 TB.",
+        "",
+        "| tier | recall@10 | candidate rows | B/candidate | scan MB | vs bruteforce |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        md.append(
+            f"| {r['tier']} | {r['recall_at_10']} | {r['candidate_rows']} "
+            f"| {r['bytes_per_candidate']} | {r['scan_mb']} | {r['scan_vs_bruteforce']} |"
+        )
+    md += [
+        "",
+        "Reading the frontier: exact-scored pruned tiers (lsh/multiprobe/ivf)",
+        "trade recall for candidate pruning with a MONOTONE guarantee",
+        "(superset candidates => recall >=, oracle-pinned in the registered",
+        "`ann_frontier` query). Compressed tiers keep the full candidate set",
+        "but shrink bytes/candidate 4-64x; their recall is approximation-",
+        "bound, not coverage-bound, and NOT monotone in probes (pinned",
+        "finding). At 100 TB the composed IVFxPQ row is the headline: cell",
+        "pruning multiplied by 64x compression, with probe2 buying recall",
+        "back at 2x its scan cost.",
+        "",
+        f"Regenerate: `python tools/ann_frontier.py {SF_DIR}`.",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "FRONTIER.md")
+    with open(out, "w") as f:
+        f.write("\n".join(md))
+    print(json.dumps({"sf_dir": SF_DIR, "n_vectors": n, "tiers": rows}))
+
+
+if __name__ == "__main__":
+    main()
