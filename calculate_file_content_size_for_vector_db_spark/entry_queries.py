@@ -6778,6 +6778,133 @@ def dedup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wave 9 (round 7): trained quality classifier — hashed-bag-of-words
+# logistic regression, full-batch GD unrolled in pure DataFrame ops
+# (the unrolled-Lloyd pattern of the kmeans chain, same 6-decimal
+# per-round rounding for bit-exact cross-engine training parity).
+# ---------------------------------------------------------------------------
+
+
+def _sql_logreg_chain(buckets: int = 16, rounds: int = 2, lr: float = 1.0) -> str:
+    """DuckDB mirror of curation.quality_classifier_weights: hashed
+    features (token_hash % buckets, intercept pseudo-bucket -1), then
+    ``rounds`` unrolled GD steps. Final weights CTE is ``wl{rounds}``."""
+    parts = [
+        f"tokq AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents)",
+        "hb AS (SELECT doc_id, CAST(list_reduce(list_transform(string_split(w, ''),"
+        " c -> CAST(ord(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+        f" % {buckets} AS INT) AS b FROM tokq)",
+        "cntq AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b)",
+        "ntq AS (SELECT doc_id, count(*) AS n FROM hb GROUP BY doc_id)",
+        "featq AS (SELECT c.doc_id, c.b, c.c / CAST(n.n AS DOUBLE) AS x"
+        " FROM cntq c JOIN ntq n USING (doc_id)"
+        " UNION ALL SELECT doc_id, -1 AS b, 1.0 AS x FROM ntq)",
+        "labq AS (SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y"
+        " FROM documents d JOIN ntq USING (doc_id))",
+        "ntrq AS (SELECT CAST(count(*) AS DOUBLE) AS n_train FROM labq)",
+        "wl0 AS (SELECT DISTINCT b, 0.0 AS wgt FROM featq)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"zl{r} AS (SELECT f.doc_id, round(sum(f.x * w.wgt), 6) AS z"
+            f" FROM featq f JOIN wl{r - 1} w USING (b) GROUP BY f.doc_id)",
+            f"pl{r} AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM zl{r})",
+            f"gl{r} AS (SELECT f.b, round(sum(f.x * (p.p - l.y)) / ntrq.n_train, 6) AS g"
+            f" FROM featq f JOIN pl{r} p USING (doc_id) JOIN labq l USING (doc_id), ntrq"
+            " GROUP BY f.b, ntrq.n_train)",
+            f"wl{r} AS (SELECT w.b, round(w.wgt - {lr} * COALESCE(g.g, 0.0), 6) AS wgt"
+            f" FROM wl{r - 1} w LEFT JOIN gl{r} g USING (b))",
+        ]
+    return ",\n".join(parts)
+
+
+@register(
+    "quality_classifier_weights",
+    f"""
+WITH {_sql_logreg_chain()}
+SELECT CAST(b AS INT) AS b, wgt FROM wl2
+""",
+)
+def quality_classifier_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained model artifact (curation.quality_classifier_weights):
+    17 rows of hashed-bucket logistic weights (b=-1 intercept) after 2
+    full-batch GD rounds against the English-language label — the
+    fastText-style quality gate trained entirely in DataFrame algebra,
+    reproduced bit-for-bit by the oracle's unrolled SQL chain. At
+    100 TB this trains on a labeled sample (train_df) and broadcasts."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        quality_classifier_weights,
+    )
+
+    return quality_classifier_weights(
+        _docs(spark, sf_dir), positive=F.col("lang") == "en"
+    ).select(F.col("b").cast("int").alias("b"), "wgt")
+
+
+@register(
+    "quality_classifier_score",
+    f"""
+WITH {_sql_logreg_chain()},
+zf AS (SELECT f.doc_id, round(sum(f.x * w.wgt), 6) AS z
+       FROM featq f JOIN wl2 w USING (b) GROUP BY f.doc_id)
+SELECT d.doc_id, CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS label,
+       round(1.0 / (1.0 + exp(-zf.z)), 6) AS score
+FROM documents d LEFT JOIN zf USING (doc_id)
+""",
+)
+def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document scored by the trained classifier (curation.
+    quality_classifier_score): sigmoid(w·x) next to the training label
+    — the probability gate that sits above gopher_quality (rules) and
+    dsir_importance (importance heuristic) in the curation ladder.
+    Zero-token docs keep NULL score. Scoring is one broadcast of the
+    17-row weight table + one keyed agg: linear at any corpus size."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        quality_classifier_score,
+    )
+
+    return quality_classifier_score(
+        _docs(spark, sf_dir), positive=F.col("lang") == "en"
+    )
+
+
+@register(
+    "compaction_plan",
+    """
+SELECT source,
+       doc_id,
+       CAST(length(text) AS BIGINT) AS size_bytes,
+       CAST(floor(COALESCE(sum(length(text)) OVER (
+           PARTITION BY source ORDER BY length(text) DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS INT)
+           AS compact_bin
+FROM documents
+""",
+)
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (maintenance.compaction_plan):
+    per source partition, greedy first-fit packing of files into
+    ~target-byte output bins via one exclusive-frame window sum over
+    the LISTING (metadata only, never contents). Exercised here on the
+    documents table as the file inventory (doc_id=path,
+    length(text)=size, 4 KB target at fixture scale); on a real lake
+    the input is the recursive file scan (SRC1/SRC2) and the target is
+    ~128 MB row groups."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        compaction_plan,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return compaction_plan(
+        docs.select("source", "doc_id", F.length("text").alias("size_bytes")),
+        target_bytes=4096,
+        partition_col="source",
+        size_col="size_bytes",
+        key="doc_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -6849,6 +6976,9 @@ _VERIFY_FIRST = [
     # --- 3. remaining slots: the new frontier exhibit, capped-LSH
     # recheck, then oldest r04 rows ---
     "ann_frontier",  # new r07: recall-vs-work frontier (VERDICT item 7)
+    "quality_classifier_score",  # new r07: trained logreg quality gate
+    "quality_classifier_weights",  # new r07: the trained model artifact
+    "compaction_plan",  # new r07: small-files compaction planning
     "dedup_minhash_lsh_capped",  # production default; r06 bench watch item
     "dedup_minhash_lsh",
     "dedup_exact",

@@ -472,3 +472,152 @@ def cap_per_source(
         .where(F.col("source_rank") <= cap)
         .select(key, source_col, score_col, "source_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier: hashed-bag-of-words logistic regression,
+# trained with unrolled full-batch gradient descent in pure DataFrame
+# ops — the fastText-style quality gate (Joulin et al. 2016; used for
+# GPT-3/LLaMA-style "looks like the reference corpus" filtering) that
+# sits ABOVE the rule-based gates (gopher_quality) and the importance
+# heuristic (dsir_importance) in the curation ladder.
+#
+# Spark shape (the 100 TB design): features are one token explode +
+# one (doc, bucket) hash-agg — linear, Heaps-free (bucket count is
+# FIXED at n_buckets, unlike a vocabulary). Each GD round is one
+# broadcast join of the (n_buckets+1)-row weight table onto the
+# feature table, one per-doc keyed agg (the logit), and one
+# n_buckets-group agg (the gradient) — the unrolled-Lloyd pattern of
+# ivf_centroids, with the same determinism discipline: every logit,
+# probability, gradient, and weight rounds to 6 decimals per round,
+# so the DuckDB oracle reproduces training bit-for-bit. At 100 TB,
+# training runs on a labeled SAMPLE (pass train_df) and scoring is a
+# broadcast-weights map over the full corpus.
+# ---------------------------------------------------------------------------
+
+LOGREG_BUCKETS = 16
+LOGREG_ROUNDS = 2
+LOGREG_LR = 1.0
+
+
+def _hashed_features(
+    df: DataFrame, text_col: str, key: str, n_buckets: int
+) -> DataFrame:
+    """(key, b, x): L1-normalized hashed token-count features plus an
+    intercept pseudo-bucket b=-1 with x=1. Zero-token docs produce no
+    rows (they can't be scored or trained on)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        token_hash,
+        tokens,
+    )
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    tok = spread(df).select(
+        F.col(key), F.explode(tokens(text_col)).alias("w")
+    )
+    cnt = tok.groupBy(key, (token_hash(F.col("w")) % n_buckets).cast("int").alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    n = tok.groupBy(key).agg(F.count("*").alias("n"))
+    feat = cnt.join(n, key).select(
+        key, "b", (F.col("c") / F.col("n")).alias("x")
+    )
+    return feat.unionByName(
+        n.select(key, F.lit(-1).alias("b"), F.lit(1.0).alias("x"))
+    )
+
+
+def quality_classifier_weights(
+    df: DataFrame,
+    positive: Column,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n_buckets: int = LOGREG_BUCKETS,
+    rounds: int = LOGREG_ROUNDS,
+    lr: float = LOGREG_LR,
+) -> DataFrame:
+    """(b, wgt): the trained weight vector (b=-1 is the intercept) —
+    the model artifact a 100-TB run trains once on a labeled sample
+    and broadcasts to score everything.
+
+    ``positive`` is a Boolean Column over ``df`` marking the
+    reference-quality class. Weights start at 0; ``rounds`` full-batch
+    GD steps unroll into one lazy plan (nothing collected)."""
+    feat = _hashed_features(df, text_col, key, n_buckets).persist()
+    y = (
+        df.select(F.col(key), positive.cast("int").alias("y"))
+        .join(feat.select(key).distinct(), key)
+        .persist()
+    )
+    n_train = y.agg(F.count("*").cast("double").alias("n_train"))
+    w = (
+        feat.select("b")
+        .distinct()
+        .withColumn("wgt", F.lit(0.0))
+    )
+    for _ in range(rounds):
+        z = (
+            feat.join(w, "b")
+            .groupBy(key)
+            .agg(F.round(F.sum(F.col("x") * F.col("wgt")), 6).alias("z"))
+        )
+        p = z.select(
+            F.col(key), F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("p")
+        )
+        resid = y.join(p, key).select(key, (F.col("p") - F.col("y")).alias("r"))
+        grad = (
+            feat.join(resid, key)
+            .groupBy("b")
+            .agg(F.sum(F.col("x") * F.col("r")).alias("g_sum"))
+            .crossJoin(F.broadcast(n_train))
+            .select("b", F.round(F.col("g_sum") / F.col("n_train"), 6).alias("g"))
+        )
+        w = w.join(grad, "b", "left").select(
+            "b",
+            F.round(
+                F.col("wgt") - F.lit(lr) * F.coalesce(F.col("g"), F.lit(0.0)), 6
+            ).alias("wgt"),
+        )
+    return w
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    positive: Column,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n_buckets: int = LOGREG_BUCKETS,
+    rounds: int = LOGREG_ROUNDS,
+    lr: float = LOGREG_LR,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """(key, label, score): every document's trained-classifier quality
+    probability (rounded sigmoid of w·x), next to its training label
+    for calibration inspection. Zero-token docs keep NULL score.
+
+    ``train_df`` (default: ``df`` itself) is the labeled training
+    frame — at 100 TB a small curated sample; scoring then touches the
+    full corpus exactly once with the (n_buckets+1)-row weight table
+    broadcast."""
+    w = quality_classifier_weights(
+        train_df if train_df is not None else df,
+        positive,
+        text_col,
+        key,
+        n_buckets,
+        rounds,
+        lr,
+    )
+    feat = _hashed_features(df, text_col, key, n_buckets)
+    scores = (
+        feat.join(F.broadcast(w), "b")
+        .groupBy(key)
+        .agg(F.round(F.sum(F.col("x") * F.col("wgt")), 6).alias("z"))
+        .select(
+            F.col(key),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("score"),
+        )
+    )
+    return df.select(F.col(key), positive.cast("int").alias("label")).join(
+        scores, key, "left"
+    )

@@ -542,6 +542,7 @@ def neardup_clusters(
     text_col: str = "text",
     key: str = "doc_id",
     max_iterations: int = 20,
+    pointer_jumping: bool = False,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in
     a duplicate cluster gets the cluster's smallest doc id as label.
@@ -561,10 +562,21 @@ def neardup_clusters(
     one true cluster into several, under-deduplicating with no signal.
     Wrong-but-loud beats wrong-but-quiet for a dedup gate; callers on
     such corpora should raise ``max_iterations`` (cost is one
-    join+agg per round) — or switch to an O(log n)-round
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC 2014) if diameter is
-    genuinely unbounded.
+    join+agg per round) or set ``pointer_jumping=True``.
+
+    ``pointer_jumping``: after each neighborhood-min step, every node
+    additionally adopts its LABEL'S label (one extra keyed self-join
+    per round). The label forest's depth then HALVES as propagation
+    distance doubles, so convergence needs O(log diameter) rounds
+    instead of O(diameter) — the standard Shiloach-Vishkin shortcut,
+    same O(log n)-round class as large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) without its re-edging phase; edges still never move.
+    Output is identical (labels only ever jump to an id already
+    labeling a same-component node, and the fixpoints coincide:
+    component-min self-labels), so the oracle is unchanged — pinned by
+    tests. OFF by default to keep the registered query's pinned plan;
+    the unbounded-diameter deployment turns it on.
     """
     pairs = minhash_lsh_pairs(df, threshold, text_col, key)
     edges = (
@@ -584,14 +596,27 @@ def neardup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
         )
+        if pointer_jumping:
+            # label := label(label) — one keyed self-join; halves the
+            # forest depth every round (propagation distance doubles)
+            lab2 = new_labels.select(
+                F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            )
+            new_labels = new_labels.join(
+                lab2, new_labels.label == lab2.pnode, "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
+            )
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

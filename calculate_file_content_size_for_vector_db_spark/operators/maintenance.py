@@ -22,7 +22,7 @@ analytic operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_BUCKETS = 16
@@ -178,3 +178,44 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return f.join(d, [key, "_salt"]).drop("_salt")
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_col: str = "source",
+    size_col: str = "size_bytes",
+    key: str = "path",
+) -> DataFrame:
+    """(partition, key, size, compact_bin): which output file each
+    small input file lands in when compacting a partition to
+    ~``target_bytes`` files — the small-files maintenance pass every
+    long-lived parquet lake needs (streaming sinks and per-trigger
+    appends leave thousands of KB-scale files whose open/seek overhead
+    dominates scans; compaction restores ~row-group-sized files).
+
+    Deterministic first-fit-by-order packing: files sort by
+    (size desc, key) within their partition, the EXCLUSIVE running sum
+    of sizes is bucketed by target_bytes — so bins fill greedily and
+    every engine derives the identical plan (no driver-side listing,
+    no RNG). A bin can overflow target_bytes by at most one file —
+    the standard compactor contract (files are never split).
+
+    Plan shape: ONE per-partition window sum over the file LISTING —
+    input is metadata rows (path, size), never file contents, so the
+    planning pass is ~10^6x smaller than the data it organizes; the
+    window parallelizes across partitions like pack_sequences. The
+    rewrite itself is then per-bin file groups, embarrassingly
+    parallel."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.desc(size_col), F.asc(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("bigint")
+    return files.select(
+        F.col(partition_col),
+        F.col(key),
+        F.col(size_col).cast("bigint").alias(size_col),
+        F.floor(cum_before / F.lit(target_bytes)).cast("int").alias("compact_bin"),
+    )

@@ -519,3 +519,37 @@ def test_dsir_importance_external_target_full_token_mass(spark):
     w_rouge = math.log((1 / 11) / (3 / 14))
     assert abs(got[0] - round(w_alpha, 6)) < 2e-6
     assert abs(got[1] - round(w_rouge, 6)) < 2e-6
+
+
+def test_compaction_plan_greedy_first_fit_properties(spark):
+    """Every file lands in exactly one bin; bins fill in size-desc
+    order; a bin's total exceeds target only by its last-placed file
+    (files are never split); bin ids are dense from 0 per partition."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        compaction_plan,
+    )
+
+    rows = [("a", f"f{i}", s) for i, s in enumerate([700, 600, 300, 250, 200, 90, 60])] + [
+        ("b", "g0", 5000),  # single oversized file: its own bin
+        ("b", "g1", 10),
+    ]
+    df = spark.createDataFrame(rows, "source string, path string, size_bytes long")
+    got = compaction_plan(
+        df, target_bytes=1000, partition_col="source", size_col="size_bytes", key="path"
+    ).collect()
+    assert len(got) == len(rows)  # one bin per file, nothing split
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r.source, []).append(r)
+    for part, rs in by_part.items():
+        rs.sort(key=lambda r: (-r.size_bytes, r.path))
+        # exclusive-prefix binning reproduced by hand
+        cum = 0
+        for r in rs:
+            assert r.compact_bin == cum // 1000
+            cum += r.size_bytes
+    # partition a: 700+600 -> cum 0,700 -> bins 0,1... check a concrete bin map
+    a = {r.path: r.compact_bin for r in by_part["a"]}
+    assert a == {"f0": 0, "f1": 0, "f2": 1, "f3": 1, "f4": 1, "f5": 2, "f6": 2}
+    b = {r.path: r.compact_bin for r in by_part["b"]}
+    assert b == {"g0": 0, "g1": 5}

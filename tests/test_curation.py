@@ -298,3 +298,54 @@ def test_cap_per_source_negative_and_null_keys_one_bucket_each(spark):
         .select("doc_id", "source", "quality_score", "source_rank")
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, plain.collect()))
+
+
+def test_quality_classifier_learns_separable_corpus(spark):
+    """Two token-disjoint classes: after 2 GD rounds every positive doc
+    must score above every negative doc, the intercept row must exist,
+    and a zero-token doc keeps NULL score."""
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        LOGREG_BUCKETS,
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon", "en") for i in range(10)] + [
+        (100 + i, "rouge bleu vert jaune violet", "fr") for i in range(10)
+    ] + [(999, "", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pos = F.col("lang") == "en"
+    w = quality_classifier_weights(df, pos).collect()
+    assert any(r.b == -1 for r in w)  # intercept trained
+    assert len(w) <= LOGREG_BUCKETS + 1
+    got = {r.doc_id: (r.label, r.score) for r in quality_classifier_score(df, pos).collect()}
+    assert got[999] == (1, None)  # zero tokens -> NULL score
+    pos_scores = [s for d, (l, s) in got.items() if l == 1 and s is not None]
+    neg_scores = [s for d, (l, s) in got.items() if l == 0]
+    assert min(pos_scores) > max(neg_scores)
+
+
+def test_quality_classifier_sampled_training_scores_full_corpus(spark):
+    """The 100-TB contract: train on a labeled SAMPLE (train_df),
+    score everything — scores must come from the sample-trained
+    weights (bit-equal to scoring with those weights directly)."""
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    rows = [(i, f"alpha beta gamma doc{i}", "en") for i in range(8)] + [
+        (100 + i, f"rouge bleu vert doc{i}", "fr") for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pos = F.col("lang") == "en"
+    sample = df.where((F.col("doc_id") % 2) == 0)
+    scored = quality_classifier_score(df, pos, train_df=sample)
+    assert scored.count() == 16  # full corpus scored
+    w_sample = {r.b: r.wgt for r in quality_classifier_weights(sample, pos).collect()}
+    w_full = {r.b: r.wgt for r in quality_classifier_weights(df, pos).collect()}
+    assert w_sample != w_full  # training really used the sample

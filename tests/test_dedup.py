@@ -485,3 +485,28 @@ def test_neardup_clusters_chained_corpus_guard_and_convergence(spark):
     out = neardup_clusters(df, threshold=0.5, max_iterations=20).collect()
     assert len(out) == n  # every doc is in some pair, so every doc labeled
     assert {r.cluster_id for r in out} == {0}  # ONE chain-connected cluster
+
+
+def test_neardup_clusters_pointer_jumping_fewer_rounds_same_output(spark):
+    """pointer_jumping=True (label := label(label) each round) must
+    converge in O(log diameter) rounds — on the 15-doc chain it lands
+    in 3 where plain min-label still raises at 4 — and produce the
+    IDENTICAL labeling (fixpoints coincide: component-min self-labels),
+    so the registered query's oracle is unchanged."""
+    import pytest
+
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import neardup_clusters
+
+    words = [f"w{i:03d}" for i in range(200)]
+    L, s, n = 30, 3, 15
+    rows = [(i, " ".join(words[i * s : i * s + L])) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(df, threshold=0.5, max_iterations=4)
+    fast = neardup_clusters(
+        df, threshold=0.5, max_iterations=3, pointer_jumping=True
+    ).collect()
+    slow = neardup_clusters(df, threshold=0.5, max_iterations=20).collect()
+    as_map = lambda rs: {r.doc_id: r.cluster_id for r in rs}
+    assert as_map(fast) == as_map(slow)
+    assert set(as_map(fast).values()) == {0}

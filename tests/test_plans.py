@@ -424,6 +424,8 @@ _BNLJ_ALLOWED = {
     "ivf_list_stats",  # 1-row (N, n_live) totals broadcast onto n_cells rows
     "dsir_importance",  # 1-row (rn, tn, V) LM-totals broadcast onto the vocab table
     "ann_frontier",  # exact-baseline scan + 1-row candidate-count broadcasts
+    "quality_classifier_weights",  # 1-row n_train broadcast onto the 17-row gradient
+    "quality_classifier_score",  # same trained-weights chain feeds scoring
 }
 
 
