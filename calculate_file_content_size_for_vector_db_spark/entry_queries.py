@@ -6869,6 +6869,228 @@ def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ccnet_lm_buckets",
+    f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM freq),
+sc AS (
+    SELECT t.doc_id, round(avg(ln(f.tf / tot.n)), 6) AS lm_score
+    FROM tok t JOIN freq f USING (tok), tot
+    GROUP BY t.doc_id
+),
+b AS (
+    SELECT d.doc_id, sc.lm_score,
+           ntile(3) OVER (PARTITION BY d.lang ORDER BY sc.lm_score DESC, d.doc_id) AS t
+    FROM documents d JOIN sc USING (doc_id)
+)
+SELECT d.doc_id, d.lang, b.lm_score,
+       CASE b.t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' WHEN 3 THEN 'tail' END AS lm_bucket
+FROM documents d LEFT JOIN b USING (doc_id)
+""",
+)
+def ccnet_lm_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition (textstats.ccnet_lm_buckets,
+    Wenzek et al. 2020): each language's docs split into unigram-LM
+    perplexity terciles — keep head, sample middle, drop tail PER
+    LANGUAGE, the bucketing that doesn't starve low-resource langs.
+    One per-lang ntile window over (score, id) pairs on top of the
+    text_lm_score chain; zero-token docs keep NULL score and bucket."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        ccnet_lm_buckets,
+    )
+
+    return ccnet_lm_buckets(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_pair_quality",
+    _SQL_MINHASH_BANDS
+    + f""",
+truth AS (
+    SELECT sa.doc_id AS a_id, sb.doc_id AS b_id
+    FROM sh_t sa JOIN sh_t sb ON sa.doc_id < sb.doc_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh))
+          / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6)
+          >= 0.5
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+lshp AS (
+    SELECT c.a_id, c.b_id FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh))
+          / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6)
+          >= 0.5
+),
+bands_f AS (
+    SELECT * FROM bands
+    QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= {PROD_MAX_BUCKET_SIZE}
+),
+cand_c AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands_f a JOIN bands_f b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+lshc AS (
+    SELECT c.a_id, c.b_id FROM cand_c c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh))
+          / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6)
+          >= 0.5
+),
+simh AS (
+    SELECT doc_id,
+           list_transform(ws, w -> list_reduce(
+               list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+    FROM ws_t
+),
+simv AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) = 0 THEN 0
+                ELSE CAST(list_sum(list_transform(range(0, 16),
+                    b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                              THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) END AS s
+    FROM simh
+),
+simp AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM simv a JOIN simv b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+),
+m AS (
+    SELECT 'minhash_lsh' AS method,
+           (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM lshp) AS n_found,
+           (SELECT count(*) FROM lshp p JOIN truth t
+             ON p.a_id = t.a_id AND p.b_id = t.b_id) AS n_hit
+    UNION ALL
+    SELECT 'minhash_lsh_capped',
+           (SELECT count(*) FROM truth),
+           (SELECT count(*) FROM lshc),
+           (SELECT count(*) FROM lshc p JOIN truth t
+             ON p.a_id = t.a_id AND p.b_id = t.b_id)
+    UNION ALL
+    SELECT 'simhash',
+           (SELECT count(*) FROM truth),
+           (SELECT count(*) FROM simp),
+           (SELECT count(*) FROM simp p JOIN truth t
+             ON p.a_id = t.a_id AND p.b_id = t.b_id)
+)
+SELECT method, CAST(n_true AS BIGINT) AS n_true, CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(n_hit / CAST(NULLIF(n_true, 0) AS DOUBLE), 6) AS pair_recall,
+       round(n_hit / CAST(NULLIF(n_found, 0) AS DOUBLE), 6) AS pair_precision
+FROM m
+""",
+)
+def dedup_pair_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup counterpart of the ANN recall matrix (dedup.
+    dedup_pair_quality): per candidate tier (MinHash-LSH, its
+    production bucket-capped form, SimHash), recall and precision
+    against the exact word-3-gram Jaccard truth — LSH tiers verify by
+    exact Jaccard so their precision is 1.0 by construction and recall
+    isolates banding coverage; SimHash's precision measures how well
+    sketch hamming proxies Jaccard on this corpus. The parameter-
+    picking numbers before a 100-TB dedup run."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        dedup_pair_quality,
+    )
+
+    return dedup_pair_quality(_docs(spark, sf_dir))
+
+
+@register(
+    "repetition_filters",
+    f"""
+WITH lines AS (
+    SELECT doc_id, trim(ln) AS ln
+    FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents)
+    WHERE trim(ln) <> ''
+),
+per_line AS (SELECT doc_id, ln, count(*) AS c FROM lines GROUP BY doc_id, ln),
+line_stats AS (
+    SELECT doc_id,
+           round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6)
+               AS dup_line_frac,
+           round(sum(CASE WHEN c > 1 THEN c * length(ln) ELSE 0 END)
+               / CAST(sum(c * length(ln)) AS DOUBLE), 6) AS dup_line_char_frac
+    FROM per_line GROUP BY doc_id
+),
+ws_rep AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+tchars AS (
+    SELECT doc_id, CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) AS tchars
+    FROM ws_rep WHERE len(ws) > 0
+),
+bg AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+    FROM ws_rep
+),
+per_bg AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+top_bg AS (
+    SELECT doc_id, round(c * (length(g) - 1) / t.tchars, 6) AS top_2gram_char_frac
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+          FROM per_bg) b
+    JOIN tchars t USING (doc_id)
+    WHERE rn = 1
+),
+g5 AS (
+    SELECT doc_id,
+           unnest(range(1, greatest(len(ws) - 3, 1))) - 1 AS pos,
+           unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+               i -> array_to_string(ws[i : i + 4], ' '))) AS g
+    FROM ws_rep WHERE len(ws) >= 5
+),
+g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+covered AS (
+    SELECT DISTINCT g5.doc_id, g5.pos + unnest([0, 1, 2, 3, 4]) AS pos
+    FROM g5 JOIN g5c ON g5.doc_id = g5c.doc_id AND g5.g = g5c.g
+    WHERE g5c.c >= 2
+),
+tokpos AS (
+    SELECT doc_id, unnest(range(1, len(ws) + 1)) - 1 AS pos, unnest(ws) AS w
+    FROM ws_rep
+),
+cov_chars AS (
+    SELECT c.doc_id, CAST(sum(length(t.w)) AS DOUBLE) AS cchars
+    FROM covered c JOIN tokpos t ON c.doc_id = t.doc_id AND c.pos = t.pos
+    GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ls.dup_line_frac, 0.0) AS dup_line_frac,
+       COALESCE(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       COALESCE(tb.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+       COALESCE(round(cc.cchars / tc.tchars, 6), 0.0) AS dup_5gram_char_frac
+FROM documents d
+LEFT JOIN line_stats ls USING (doc_id)
+LEFT JOIN top_bg tb USING (doc_id)
+LEFT JOIN tchars tc USING (doc_id)
+LEFT JOIN cov_chars cc USING (doc_id)
+""",
+)
+def repetition_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION rules (textstats.repetition_filters, Rae et
+    al. 2021 table A1 — the half of the Gopher set gopher_quality's
+    scalar features don't cover): duplicate-line fractions, the top
+    bigram's character share, and the positional character coverage of
+    duplicated 5-grams. Three explodes feeding per-doc hash-aggs —
+    no corpus-wide window, linear at any scale."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        repetition_filters,
+    )
+
+    return repetition_filters(_docs(spark, sf_dir))
+
+
+@register(
     "compaction_plan",
     """
 SELECT source,
@@ -6979,6 +7201,9 @@ _VERIFY_FIRST = [
     "quality_classifier_score",  # new r07: trained logreg quality gate
     "quality_classifier_weights",  # new r07: the trained model artifact
     "compaction_plan",  # new r07: small-files compaction planning
+    "repetition_filters",  # new r07: Gopher repetition rules
+    "dedup_pair_quality",  # new r07: dedup-tier recall/precision matrix
+    "ccnet_lm_buckets",  # new r07: CCNet head/middle/tail partition
     "dedup_minhash_lsh_capped",  # production default; r06 bench watch item
     "dedup_minhash_lsh",
     "dedup_exact",

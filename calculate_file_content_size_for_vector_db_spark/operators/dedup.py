@@ -807,3 +807,74 @@ def dup_rate_by_source(
             (F.sum("copies") - F.count("*")) / F.sum("copies").cast("double"), 6
         ).alias("dup_rate"),
     )
+
+
+def dedup_pair_quality(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(method, n_true, n_found, n_hit, pair_recall, pair_precision):
+    the candidate-tier quality matrix for DEDUP — what the recall
+    matrix (recall@10) is for ANN. Ground truth is the exact word-3-gram
+    Jaccard pair set at ``threshold``; each approximate tier (MinHash-
+    LSH, its production bucket-capped form, SimHash hamming<=k) is
+    scored by how much of the truth it recovers (pair_recall) and how
+    much of what it emits is true (pair_precision).
+
+    Interpreting the rows: LSH tiers verify candidates by exact
+    Jaccard, so their precision is 1.0 BY CONSTRUCTION and recall
+    isolates banding coverage; SimHash pairs by a different similarity
+    (sketch hamming), so both numbers move — precision says how well
+    hamming<=k proxies Jaccard>=t on this corpus. These are the
+    numbers that pick a dedup tier + parameters before a 100-TB run,
+    measured on a sample exactly like this.
+
+    Plan shape: the truth and each tier are the already-proven
+    bounded ops; the comparisons are pair-table joins (candidate-
+    bounded) collapsing into 1-row aggregates; the output is one row
+    per tier."""
+    truth = ngram_jaccard_pairs(df, threshold, text_col, key).select(
+        "a_id", "b_id"
+    ).persist()
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+
+    def row(method: str, pairs: DataFrame) -> DataFrame:
+        p = pairs.select("a_id", "b_id")
+        n_found = p.agg(F.count("*").cast("long").alias("n_found"))
+        n_hit = p.join(truth, ["a_id", "b_id"], "left_semi").agg(
+            F.count("*").cast("long").alias("n_hit")
+        )
+        return (
+            n_true.crossJoin(F.broadcast(n_found))
+            .crossJoin(F.broadcast(n_hit))
+            .select(
+                F.lit(method).alias("method"),
+                "n_true",
+                "n_found",
+                "n_hit",
+                F.round(F.try_divide(F.col("n_hit"), F.col("n_true")), 6).alias(
+                    "pair_recall"
+                ),
+                F.round(F.try_divide(F.col("n_hit"), F.col("n_found")), 6).alias(
+                    "pair_precision"
+                ),
+            )
+        )
+
+    out = row("minhash_lsh", minhash_lsh_pairs(df, threshold, text_col, key))
+    out = out.unionByName(
+        row(
+            "minhash_lsh_capped",
+            minhash_lsh_pairs(
+                df, threshold, text_col, key, max_bucket_size=PROD_MAX_BUCKET_SIZE
+            ),
+        )
+    )
+    out = out.unionByName(
+        row("simhash", simhash_pairs(df, max_hamming, text_col, key))
+    )
+    return out

@@ -750,3 +750,194 @@ def dsir_importance(
         )
     )
     return df.select(key).join(scored, key, "left")
+
+
+def repetition_filters(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(key, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+    dup_5gram_char_frac): the Gopher REPETITION rules (Rae et al. 2021,
+    table A1 — the half of the rule set gopher_quality's scalar
+    features don't cover). Machine-generated and boilerplate text
+    repeats itself; these four fractions are the standard signals:
+
+    - dup_line_frac: fraction of (trimmed, non-empty) lines whose text
+      occurs more than once in the document;
+    - dup_line_char_frac: fraction of line characters inside such
+      duplicated lines (all occurrences count);
+    - top_2gram_char_frac: characters covered by occurrences of the
+      single most frequent word bigram (ties -> lexicographically
+      smallest), over total token characters;
+    - dup_5gram_char_frac: fraction of token characters at POSITIONS
+      covered by any 5-gram that occurs at least twice in the doc
+      (positional coverage — overlapping duplicated grams don't
+      double-count a position; the within-doc analogue of the
+      span-coverage machinery in dedup.span_dedup_rewrite).
+
+    Docs with no lines / fewer tokens than the gram width get 0 for
+    the respective fractions (nothing repeats in an empty structure),
+    keeping every output non-NULL so downstream gates can threshold
+    directly.
+
+    Plan shape: three explodes (lines, bigrams, 5-gram positions) each
+    feeding per-(doc, unit) hash-aggs and then per-doc rollups — all
+    keyed by doc, no windows over the corpus, no joins wider than the
+    doc's own units. Linear at any corpus size."""
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    df = spread(df)
+    base = df.select(F.col(key))
+
+    # --- lines ---
+    lines = df.select(
+        F.col(key), F.explode(F.split(F.col(text_col), "\n")).alias("ln")
+    ).select(F.col(key), F.trim(F.col("ln")).alias("ln")).where(F.col("ln") != "")
+    per_line = lines.groupBy(key, "ln").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy(key).agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("ln")).otherwise(0))
+            / F.sum(F.col("c") * F.length("ln")).cast("double"),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    # --- token positions (shared by the gram metrics) ---
+    toks = df.select(
+        F.col(key), F.posexplode(tokens(text_col)).alias("pos", "w")
+    ).persist()
+    tok_chars = toks.groupBy(key).agg(
+        F.sum(F.length("w")).cast("double").alias("tchars")
+    )
+
+    # --- top bigram ---
+    bg = (
+        toks.alias("a")
+        .join(
+            toks.select(
+                F.col(key), (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+            ).alias("b"),
+            [key, "pos"],
+        )
+        .select(F.col(key), F.concat_ws(" ", "w", "w2").alias("g"),
+                (F.length("w") + F.length("w2")).alias("glen"))
+    )
+    per_bg = bg.groupBy(key, "g", "glen").agg(F.count("*").alias("c"))
+    wtop = Window.partitionBy(key).orderBy(F.desc("c"), F.asc("g"))
+    top_bg = (
+        per_bg.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") == 1)
+        .join(tok_chars, key)
+        .select(
+            F.col(key),
+            F.round(F.col("c") * F.col("glen") / F.col("tchars"), 6).alias(
+                "top_2gram_char_frac"
+            ),
+        )
+    )
+
+    # --- duplicated 5-gram positional coverage ---
+    # (built straight off the token array; the size>=n guard matters —
+    # F.sequence(0, size-n) DESCENDS when size < n)
+    n = 5
+    ws = tokens(text_col)
+    grams5 = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g5 = df.select(F.col(key), F.posexplode(grams5).alias("pos", "g"))
+    g5_counts = g5.groupBy(key, "g").agg(
+        F.count("*").alias("c"), F.collect_list("pos").alias("starts")
+    )
+    covered = (
+        g5_counts.where(F.col("c") >= 2)
+        .select(F.col(key), F.explode("starts").alias("start"))
+        .select(
+            F.col(key),
+            F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    cov_chars = (
+        covered.join(toks, [key, "pos"])
+        .groupBy(key)
+        .agg(F.sum(F.length("w")).cast("double").alias("cchars"))
+    )
+    dup5 = tok_chars.join(cov_chars, key, "left").select(
+        F.col(key),
+        F.round(F.coalesce(F.col("cchars"), F.lit(0.0)) / F.col("tchars"), 6).alias(
+            "dup_5gram_char_frac"
+        ),
+    )
+
+    return (
+        base.join(line_stats, key, "left")
+        .join(top_bg, key, "left")
+        .join(dup5, key, "left")
+        .select(
+            key,
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            F.coalesce("top_2gram_char_frac", F.lit(0.0)).alias("top_2gram_char_frac"),
+            F.coalesce("dup_5gram_char_frac", F.lit(0.0)).alias("dup_5gram_char_frac"),
+        )
+    )
+
+
+def ccnet_lm_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, lang, lm_score, lm_bucket): CCNet's head/middle/tail
+    partition (Wenzek et al. 2020) — each LANGUAGE's documents split
+    into perplexity terciles by the unigram LM score, so a pipeline
+    can keep 'head', sample 'middle', and drop 'tail' per language
+    instead of applying one global threshold that would starve
+    low-resource languages.
+
+    head = the best-scoring tercile (highest mean ln-probability =
+    most fluent under the corpus LM). Ties break on (score desc, key
+    asc) so the tercile boundary is deterministic; zero-token docs
+    keep NULL score AND NULL bucket (CCNet drops them before
+    bucketing).
+
+    Plan: unigram_logprob's two shuffles + ONE per-language ntile
+    window over (score, key) — the window is per-lang, so it
+    parallelizes across languages; within a language the ranked frame
+    is (key, score) pairs only, a tiny fraction of corpus bytes. At
+    extreme per-language skew the same two-phase trick as
+    cap_per_source applies; at CCNet's own scale (per-lang shards) the
+    plain window is the deployed shape."""
+    scored = unigram_logprob(df, text_col, key).join(
+        df.select(F.col(key), F.col(lang_col)), key
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("lm_score"), F.asc(key)
+    )
+    bucketed = scored.where(F.col("lm_score").isNotNull()).withColumn(
+        "t", F.ntile(3).over(w)
+    )
+    named = bucketed.select(
+        key,
+        lang_col,
+        "lm_score",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("t")
+        ).alias("lm_bucket"),
+    )
+    return (
+        df.select(F.col(key), F.col(lang_col))
+        .join(named.drop(lang_col), key, "left")
+        .select(key, lang_col, "lm_score", "lm_bucket")
+    )

@@ -553,3 +553,63 @@ def test_compaction_plan_greedy_first_fit_properties(spark):
     assert a == {"f0": 0, "f1": 0, "f2": 1, "f3": 1, "f4": 1, "f5": 2, "f6": 2}
     b = {r.path: r.compact_bin for r in by_part["b"]}
     assert b == {"g0": 0, "g1": 5}
+
+
+def test_repetition_filters_goldens(spark):
+    """Gopher repetition fractions on crafted docs, hand-derived:
+    token-char totals, top-bigram coverage, duplicated-5-gram
+    positional coverage (overlaps counted once), line duplication."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        repetition_filters,
+    )
+
+    rows = [
+        (0, "a b c d e f g h i j"),            # nothing repeats
+        (1, "x y z w v x y z w v x y z w v"),  # every position in a dup 5-gram
+        (2, "line one\nline one\nline two"),   # duplicated line
+        (3, ""),                               # empty -> all zeros
+        (4, "the cat the cat the dog"),        # top bigram 'the cat' x2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_filters(df).collect()}
+    assert len(got) == 5
+    r0 = got[0]
+    assert (r0.dup_line_frac, r0.dup_5gram_char_frac) == (0.0, 0.0)
+    assert r0.top_2gram_char_frac == 0.2  # any single bigram: 2 chars / 10
+    r1 = got[1]
+    assert r1.dup_5gram_char_frac == 1.0  # rotations cover every position
+    assert r1.top_2gram_char_frac == 0.4  # 'x y' x3 -> 6 chars / 15
+    r2 = got[2]
+    assert r2.dup_line_frac == 0.666667 and r2.dup_line_char_frac == 0.666667
+    r3 = got[3]
+    assert (r3.dup_line_frac, r3.dup_line_char_frac, r3.top_2gram_char_frac,
+            r3.dup_5gram_char_frac) == (0.0, 0.0, 0.0, 0.0)
+    assert got[4].top_2gram_char_frac == 0.666667  # 12 of 18 token chars
+
+
+def test_ccnet_lm_buckets_per_lang_terciles(spark):
+    """Buckets are per-language terciles by LM score: sizes within 1,
+    head outranks tail inside each lang, zero-token docs keep NULL."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        ccnet_lm_buckets,
+    )
+
+    rows = []
+    for i in range(9):  # en: common tokens for low ids -> high score
+        rows.append((i, "the cat sat " + ("the " * (9 - i)), "en"))
+    for i in range(6):
+        rows.append((100 + i, "le chat " + (f"rare{i} " * (i + 1)), "fr"))
+    rows.append((999, "", "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = ccnet_lm_buckets(df).collect()
+    assert {r.doc_id: r.lm_bucket for r in got}[999] is None
+    import collections
+
+    sizes = collections.Counter((r.lang, r.lm_bucket) for r in got if r.lm_bucket)
+    for lang, n in (("en", 9), ("fr", 6)):
+        per = [sizes[(lang, b)] for b in ("head", "middle", "tail")]
+        assert sum(per) == n and max(per) - min(per) <= 1
+    for lang in ("en", "fr"):
+        hs = [r.lm_score for r in got if r.lang == lang and r.lm_bucket == "head"]
+        ts = [r.lm_score for r in got if r.lang == lang and r.lm_bucket == "tail"]
+        assert min(hs) >= max(ts)

@@ -510,3 +510,27 @@ def test_neardup_clusters_pointer_jumping_fewer_rounds_same_output(spark):
     as_map = lambda rs: {r.doc_id: r.cluster_id for r in rs}
     assert as_map(fast) == as_map(slow)
     assert set(as_map(fast).values()) == {0}
+
+
+def test_dedup_pair_quality_matrix_semantics(spark):
+    """LSH tiers verify by exact Jaccard -> precision exactly 1.0 and
+    found = hits; the capped tier can only lose recall vs uncapped;
+    SimHash's numbers measure how hamming<=3 proxies Jaccard here."""
+    rows = [
+        (0, "p q r s t u v w"),
+        (1, "p q r s t u v w"),          # exact dup of 0
+        (2, "p q r s t u v DIFFERENT"),  # near dup of 0/1
+        (3, "totally other words entirely unrelated body"),
+        (4, "x y z x y z x y z"),
+        (5, "x y z x y z x y q"),        # near dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.method: r for r in dedup.dedup_pair_quality(df).collect()}
+    assert set(got) == {"minhash_lsh", "minhash_lsh_capped", "simhash"}
+    for m in ("minhash_lsh", "minhash_lsh_capped"):
+        r = got[m]
+        assert r.n_found == r.n_hit  # exact-verified: no false positives
+        assert r.pair_precision in (1.0, None)
+        assert r.n_true == got["minhash_lsh"].n_true  # shared truth
+    assert got["minhash_lsh_capped"].n_hit <= got["minhash_lsh"].n_hit
+    assert got["simhash"].n_true == got["minhash_lsh"].n_true

@@ -426,6 +426,8 @@ _BNLJ_ALLOWED = {
     "ann_frontier",  # exact-baseline scan + 1-row candidate-count broadcasts
     "quality_classifier_weights",  # 1-row n_train broadcast onto the 17-row gradient
     "quality_classifier_score",  # same trained-weights chain feeds scoring
+    "ccnet_lm_buckets",  # text_lm_score's 1-row LM-total broadcast
+    "dedup_pair_quality",  # 1-row per-tier count aggregates composed
 }
 
 
