@@ -57,6 +57,9 @@ HEADLINE = [
     "bm25_search",  # round 6: lexical retrieval
     "hybrid_search_rrf",  # round 6: BM25 + vector fused by reciprocal rank
     "heavy_hitters_cms",  # round 6: Count-Min sketch build + probe
+    "quality_classifier_score",  # round 7: trained logreg gate (GD + broadcast scoring)
+    "repetition_filters",  # round 7: Gopher repetition rules (3 explode pipelines)
+    "leakage_safe_split",  # round 7: LSH + CC + split composition
 ]
 
 

@@ -6869,6 +6869,115 @@ def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_score",
+    """
+WITH toks AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+    FROM toks WHERE len(ws) >= 5
+),
+totals AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+    FROM sh WHERE doc_id % 5 <> 0 GROUP BY doc_id
+),
+bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 5 = 0),
+hits AS (
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM sh t JOIN bg ON t.g = bg.g
+    WHERE t.doc_id % 5 <> 0 GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(t.n_grams, 0) AS n_grams,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / CAST(NULLIF(t.n_grams, 0) AS DOUBLE), 6)
+           AS contamination
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 5 <> 0
+""",
+)
+def contamination_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark-overlap measurement (curation.
+    contamination_score, GPT-3 appendix-C style): for EVERY training
+    doc (doc_id % 5 != 0), the fraction of its distinct 5-grams found
+    anywhere in the pseudo-benchmark split — decontaminate gates on
+    any overlap; this measures HOW MUCH, which sets drop-vs-surgical
+    policy. Same shingle equi-join shape, benchmark side broadcast at
+    scale."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        contamination_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return contamination_score(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        n=5,
+    )
+
+
+@register(
+    "leakage_safe_split",
+    _SQL_MINHASH_BANDS
+    + """,
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) >= 0.5
+),
+sym AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach AS (
+    WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+    )
+    SELECT * FROM r
+),
+cc AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       CAST(COALESCE(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CASE WHEN COALESCE(cc.cluster_id, d.doc_id) % 5 = 0 THEN 'test' ELSE 'train' END
+           AS split
+FROM documents d LEFT JOIN cc USING (doc_id)
+""",
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/test split (curation.leakage_safe_split):
+    every near-dup CLUSTER lands on one side (cluster_id = cluster-min
+    doc id, test iff cluster_id % 5 == 0) — the leakage guard
+    train_test_split's per-doc hashing lacks; a test doc's near-dup in
+    train inflates eval exactly like benchmark contamination. Oracle:
+    the dedup_clusters recursive-CTE transitive closure + the same
+    modulo rule."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    return leakage_safe_split(_docs(spark, sf_dir))
+
+
+@register(
     "ccnet_lm_buckets",
     f"""
 WITH tok AS (
@@ -7195,15 +7304,19 @@ _VERIFY_FIRST = [
     "part_unpivot",
     "value_histogram",
     "vocabulary",
-    # --- 3. remaining slots: the new frontier exhibit, capped-LSH
-    # recheck, then oldest r04 rows ---
+    # --- 3. remaining ~4 slots: the four highest-value r07 queries
+    # (the other five r07 additions + capped-LSH queue just behind —
+    # all 204 get a committed sf0.01 row in ORACLES_r07.json, so the
+    # driver window is the independent signal, not the only one) ---
     "ann_frontier",  # new r07: recall-vs-work frontier (VERDICT item 7)
     "quality_classifier_score",  # new r07: trained logreg quality gate
-    "quality_classifier_weights",  # new r07: the trained model artifact
-    "compaction_plan",  # new r07: small-files compaction planning
-    "repetition_filters",  # new r07: Gopher repetition rules
     "dedup_pair_quality",  # new r07: dedup-tier recall/precision matrix
+    "leakage_safe_split",  # new r07: dedup-aware train/test split
+    "quality_classifier_weights",  # new r07: the trained model artifact
+    "repetition_filters",  # new r07: Gopher repetition rules
     "ccnet_lm_buckets",  # new r07: CCNet head/middle/tail partition
+    "contamination_score",  # new r07: graded benchmark-overlap fraction
+    "compaction_plan",  # new r07: small-files compaction planning
     "dedup_minhash_lsh_capped",  # production default; r06 bench watch item
     "dedup_minhash_lsh",
     "dedup_exact",

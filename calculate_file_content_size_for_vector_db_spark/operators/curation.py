@@ -621,3 +621,97 @@ def quality_classifier_score(
     return df.select(F.col(key), positive.cast("int").alias("label")).join(
         scores, key, "left"
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    test_mod: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+    pointer_jumping: bool = False,
+) -> DataFrame:
+    """(key, cluster_id, split): train/test assignment where every
+    near-duplicate CLUSTER lands on one side — the leakage guard a
+    random per-document split lacks (a test doc's near-duplicate in
+    the training set inflates eval exactly like benchmark
+    contamination; splitting by cluster is the standard fix).
+
+    Assignment is deterministic: cluster_id = the cluster's smallest
+    doc id (singletons: the doc itself), split = 'test' iff
+    pmod(cluster_id, test_mod) == 0 — so ~1/test_mod of CLUSTERS (and
+    their every member) test, reproducible with no RNG and stable
+    under re-runs as long as ids are stable.
+
+    Plan: the near-dup CC labeling (bounded rounds — raise
+    ``pointer_jumping`` for unbounded-diameter corpora) + one left
+    join back onto the corpus + a narrow projection. Nothing beyond
+    the clustering itself is more than linear."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    clusters = neardup_clusters(
+        df, threshold, text_col, key, pointer_jumping=pointer_jumping
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col(key))
+    return (
+        df.select(F.col(key))
+        .join(clusters, key, "left")
+        .select(
+            key,
+            cluster.cast("long").alias("cluster_id"),
+            F.when(F.pmod(cluster, F.lit(test_mod)) == 0, F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+def contamination_score(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, n_grams, n_hits, contamination): the GRADED companion of
+    ``decontaminate`` — for EVERY training document, the fraction of
+    its distinct word n-grams that appear anywhere in the benchmark
+    (GPT-3 appendix-C style overlap measurement). decontaminate gates
+    (who overlaps at all); this measures (how much), which is what
+    sets dirty-doc policy: drop above a high fraction, surgically null
+    the spans below it.
+
+    Docs with fewer than ``n`` tokens have no n-grams: n_grams=0,
+    contamination NULL (nothing measurable), row preserved.
+
+    Plan: same shingle equi-join as decontaminate (benchmark side tiny
+    => broadcast at scale), plus a per-doc distinct-gram count off the
+    already-exploded train shingles. Linear, never pairwise."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import shingles
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    t = spread(train).select(
+        F.col(key), F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).persist()
+    totals = t.groupBy(key).agg(F.count("*").cast("bigint").alias("n_grams"))
+    b = benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g")).distinct()
+    hits = (
+        t.join(b, "g")
+        .groupBy(key)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        train.select(F.col(key))
+        .join(totals, key, "left")
+        .join(hits, key, "left")
+        .select(
+            key,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.try_divide(F.coalesce("n_hits", F.lit(0)), F.col("n_grams")), 6
+            ).alias("contamination"),
+        )
+    )

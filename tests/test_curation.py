@@ -349,3 +349,55 @@ def test_quality_classifier_sampled_training_scores_full_corpus(spark):
     w_sample = {r.b: r.wgt for r in quality_classifier_weights(sample, pos).collect()}
     w_full = {r.b: r.wgt for r in quality_classifier_weights(df, pos).collect()}
     assert w_sample != w_full  # training really used the sample
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every near-dup cluster must land wholly on one side; singletons
+    split by their own id; ids in the output cover the corpus."""
+    rows = [
+        (0, "p q r s t u v w"),
+        (5, "p q r s t u v w"),          # dup of 0 -> cluster 0 (train)
+        (10, "x y z w v u t s"),
+        (15, "x y z w v u t s"),         # dup of 10 -> cluster 10 (test)
+        (3, "alone words that match nothing else here"),
+        (20, "another loner with its very own body text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    got = {r.doc_id: (r.cluster_id, r.split) for r in leakage_safe_split(df).collect()}
+    assert set(got) == {0, 5, 10, 15, 3, 20}
+    assert got[0] == (0, "test") and got[5] == (0, "test")     # cluster 0: 0 % 5 == 0
+    assert got[10] == (10, "test") and got[15] == (10, "test")  # cluster 10
+    assert got[3] == (3, "train") and got[20] == (20, "test")
+    # invariant: same cluster -> same split
+    by_cluster = {}
+    for d, (c, s) in got.items():
+        by_cluster.setdefault(c, set()).add(s)
+    assert all(len(v) == 1 for v in by_cluster.values())
+
+
+def test_contamination_score_graded_fractions(spark):
+    """Hand-derived fractions: doc A shares 2 of its 4 distinct
+    5-grams with the benchmark, doc B none, short doc has no grams."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        contamination_score,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id long, text string"
+    )  # benchmark grams: 'a b c d e', 'b c d e f'
+    train = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),  # grams: abcde, bcdef, cdefg, defgh -> 2/4 hit
+            (1, "q r s t u v"),      # 2 grams, 0 hits
+            (2, "x y"),              # < 5 tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in contamination_score(train, bench).collect()}
+    assert (got[0].n_grams, got[0].n_hits, got[0].contamination) == (4, 2, 0.5)
+    assert (got[1].n_grams, got[1].n_hits, got[1].contamination) == (2, 0, 0.0)
+    assert (got[2].n_grams, got[2].n_hits, got[2].contamination) == (0, 0, None)
