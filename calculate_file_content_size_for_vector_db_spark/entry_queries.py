@@ -2289,6 +2289,50 @@ def ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_probe2_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+qassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+        WHERE a.vec_id < 10
+    ) WHERE rn <= 2
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN qassign qa ON a.vec_id = qa.vec_id
+        JOIN assign sb ON qa.cell = sb.cell
+        JOIN e b ON b.vec_id = sb.vec_id
+        WHERE a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def ivf_probe2_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of 2-probe IVF with EXACT in-cell scoring — unlike
+    ivfpq_probe2 (ADC-scored, pinned non-monotone), this must sit at
+    or above ivf_recall_at_10: the probe1 candidate set is contained
+    in probe2's and exact cosine ranks both. Completes the exact-tier
+    probe story next to lsh -> lsh_multiprobe."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_ivf,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_ivf(emb, q, k=_RECALL_K, probes=2))
+
+
+@register(
     "ann_frontier",
     f"""
 WITH {_SQL_IVF},
@@ -2341,6 +2385,28 @@ ivf_app AS (
         WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
     ) WHERE rank <= {_RECALL_K}
 ),
+qassign2 AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+        WHERE a.vec_id < 10
+    ) WHERE rn <= 2
+),
+ivf2_app AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN qassign2 qa ON a.vec_id = qa.vec_id
+        JOIN assign sb ON qa.cell = sb.cell
+        JOIN e b ON b.vec_id = sb.vec_id
+        WHERE a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
 bf_cand AS (SELECT count(*) AS c FROM e a JOIN e b ON a.vec_id <> b.vec_id
             WHERE a.vec_id < 10),
 lsh_cand AS (SELECT count(*) AS c FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
@@ -2349,7 +2415,9 @@ mp_cand AS (SELECT count(*) AS c FROM buck ba
             JOIN buck bb ON (ba.bucket = bb.bucket OR bit_count(xor(ba.bucket, bb.bucket)) = 1)
             WHERE ba.vec_id < 10 AND ba.vec_id <> bb.vec_id),
 ivf_cand AS (SELECT count(*) AS c FROM assign sa JOIN assign sb ON sa.cell = sb.cell
-             WHERE sa.vec_id < 10 AND sa.vec_id <> sb.vec_id)
+             WHERE sa.vec_id < 10 AND sa.vec_id <> sb.vec_id),
+ivf2_cand AS (SELECT count(*) AS c FROM qassign2 qa JOIN assign sb ON qa.cell = sb.cell
+              WHERE qa.vec_id <> sb.vec_id)
 SELECT 'bruteforce' AS tier, CAST((SELECT c FROM bf_cand) AS BIGINT) AS candidate_rows,
        CAST(count(*) AS BIGINT) AS n_exact, CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
        round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
@@ -2372,6 +2440,12 @@ SELECT 'ivf', CAST((SELECT c FROM ivf_cand) AS BIGINT),
        CAST(count(*) AS BIGINT), CAST(count(ap.neighbor_id) AS BIGINT),
        round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
 FROM exact ex LEFT JOIN ivf_app ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+UNION ALL
+SELECT 'ivf_probe2', CAST((SELECT c FROM ivf2_cand) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(count(ap.neighbor_id) AS BIGINT),
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+FROM exact ex LEFT JOIN ivf2_app ap
   ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
 """,
 )
@@ -7312,6 +7386,7 @@ _VERIFY_FIRST = [
     "quality_classifier_score",  # new r07: trained logreg quality gate
     "dedup_pair_quality",  # new r07: dedup-tier recall/precision matrix
     "leakage_safe_split",  # new r07: dedup-aware train/test split
+    "ivf_probe2_recall_at_10",  # new r07: exact probe-monotone recall row
     "quality_classifier_weights",  # new r07: the trained model artifact
     "repetition_filters",  # new r07: Gopher repetition rules
     "ccnet_lm_buckets",  # new r07: CCNet head/middle/tail partition

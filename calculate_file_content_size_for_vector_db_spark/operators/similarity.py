@@ -393,21 +393,49 @@ def topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: DataFrame | None = None,
+    probes: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """ANN top-k searching only the query's own IVF cell (single-probe).
-    Join shape: equi-join on cell id — candidate count ~ N / n_cells.
+    """ANN top-k with exact in-cell scoring over the query's top
+    ``probes`` IVF cells (single-probe by default). Join shape:
+    equi-join on cell id — candidate count ~ probes * N / n_cells.
+
+    Because candidates are scored by EXACT cosine, probes=2's
+    candidate set contains probes=1's (top-1 cell is in the top-2),
+    so recall is provably monotone in ``probes`` — the guarantee the
+    ADC-scored topk_ivfpq probes lack (its pinned non-monotone
+    finding). Probe cells are distinct, so the cell equi-join meets
+    each (query, candidate) pair at most once — no dedup needed.
 
     The assignment feeds both the query side and the candidate side of
     the cell join; persist it so the unrolled k-means lineage runs once
     (Spark does not dedupe common subplans). Callers with a stored
     assignment table (ann_frontier, a parquet index at scale) pass it
-    via ``assign``."""
+    via ``assign`` (its corpus-side cells are always the argmax
+    assignment; only the query side multi-probes)."""
     if assign is None:
         assign = ivf_assign(embeddings, id_col, vec_col).persist()
     emb_c = embeddings.join(assign.select(id_col, "cell"), id_col)
-    q = emb_c.join(queries.select(id_col), id_col).select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "cell"
-    )
+    if probes > 1:
+        cents = (
+            centroids
+            if centroids is not None
+            else ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col)
+        )
+        qv = embeddings.join(queries.select(id_col), id_col).select(
+            F.col(id_col), as_double(vec_col).alias("v")
+        )
+        qcells = _assign_topc(qv, cents, id_col, probes)
+        q = (
+            embeddings.join(queries.select(id_col), id_col)
+            .select(F.col(id_col), as_double(vec_col).alias("qv"))
+            .join(qcells, id_col)
+            .select(F.col(id_col).alias("query_id"), "qv", "cell")
+        )
+    else:
+        q = emb_c.join(queries.select(id_col), id_col).select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "cell"
+        )
     c = spread(emb_c).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
     )
@@ -1581,7 +1609,8 @@ def ann_frontier(
     """(tier, candidate_rows, n_exact, n_hits, recall): the
     recall-vs-work frontier of the EXACT-SCORING candidate-pruned ANN
     tiers in one frame — bruteforce (the recall=1 anchor), single-
-    bucket LSH, multi-probe LSH, and single-probe IVF. candidate_rows
+    bucket LSH, multi-probe LSH, and IVF at 1 and 2 probes.
+    candidate_rows
     is the number of (query, corpus-vector) pairs the tier actually
     scores (exactly what its topk join materializes), so tier
     selection at 100 TB is a lookup: pick the cheapest tier whose
@@ -1590,7 +1619,8 @@ def ann_frontier(
 
     Because these tiers rank their candidates by EXACT cosine, a tier
     whose candidate set contains another's can only match or beat its
-    recall (multi-probe >= single-probe LSH; bruteforce >= all) — the
+    recall (multi-probe >= single-probe LSH; IVF probe2 >= probe1;
+    bruteforce >= all) — the
     monotone-frontier property pinned in tests. The ADC-scored tiers
     (PQ / IVFxPQ) deliberately live OUTSIDE this frame: their
     compressed scoring breaks the guarantee (the honestly-pinned
@@ -1601,8 +1631,10 @@ def ann_frontier(
     scale the ground-truth side is always a small labeled query
     sample), one LSH bucket table and one IVF assignment table, each
     persisted and reused by both the tier's top-k and its candidate
-    COUNT; every per-tier result is a 1-row aggregate, so the union is
-    4 rows and every join below the aggregates is keyed.
+    COUNT (the IVF centroids likewise train once for probe2's query
+    assignment and top-k); every per-tier result is a 1-row aggregate,
+    so the union is 5 rows and every join below the aggregates is
+    keyed.
     """
     emb = spread(embeddings)
     qids = queries.select(id_col)
@@ -1660,6 +1692,19 @@ def ann_frontier(
         .where(F.col("qid") != F.col(id_col))
         .agg(F.count("*").alias("c"))
     )
+    # ivf probe2: the query's top-2 coarse cells (exact-scored, so the
+    # probe1-subset guarantee holds); centroids trained once, shared
+    # with the probe2 top-k below
+    cents = ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col).persist()
+    qv = embeddings.join(qids, id_col).select(F.col(id_col), as_double(vec_col).alias("v"))
+    q2 = _assign_topc(qv, cents, id_col, 2).select(
+        F.col(id_col).alias("qid"), "cell"
+    )
+    ivf2_cand = (
+        q2.join(assign, "cell")
+        .where(F.col("qid") != F.col(id_col))
+        .agg(F.count("*").alias("c"))
+    )
 
     out = (
         row("bruteforce", bf_cand, exact)
@@ -1684,6 +1729,22 @@ def ann_frontier(
                 "ivf",
                 ivf_cand,
                 topk_ivf(embeddings, queries, k, id_col, vec_col, assign=assign),
+            )
+        )
+        .unionByName(
+            row(
+                "ivf_probe2",
+                ivf2_cand,
+                topk_ivf(
+                    embeddings,
+                    queries,
+                    k,
+                    id_col,
+                    vec_col,
+                    assign=assign,
+                    probes=2,
+                    centroids=cents,
+                ),
             )
         )
     )

@@ -588,14 +588,15 @@ def test_ann_frontier_monotone_for_candidate_pruned_tiers(spark):
     out = {
         r.tier: r for r in sim.ann_frontier(df, df.where("vec_id < 10"), k=10).collect()
     }
-    assert set(out) == {"bruteforce", "lsh", "lsh_multiprobe", "ivf"}
+    assert set(out) == {"bruteforce", "lsh", "lsh_multiprobe", "ivf", "ivf_probe2"}
     bf = out["bruteforce"]
     assert bf.recall == 1.0 and bf.n_hits == bf.n_exact == 100
     assert bf.candidate_rows == 10 * 79
     # nested candidate sets: lsh subset of multiprobe subset of bruteforce
     assert out["lsh"].candidate_rows <= out["lsh_multiprobe"].candidate_rows
     assert out["lsh_multiprobe"].candidate_rows <= bf.candidate_rows
-    assert out["ivf"].candidate_rows <= bf.candidate_rows
+    assert out["ivf"].candidate_rows <= out["ivf_probe2"].candidate_rows
+    assert out["ivf_probe2"].candidate_rows <= bf.candidate_rows
     # the monotone-frontier property (exact scoring)
     assert out["lsh"].recall <= out["lsh_multiprobe"].recall <= 1.0
-    assert out["ivf"].recall <= 1.0
+    assert out["ivf"].recall <= out["ivf_probe2"].recall <= 1.0

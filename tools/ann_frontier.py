@@ -101,6 +101,7 @@ def main() -> None:
         ("lsh", "lsh_recall_at_10", lsh_cand, DIM * F32, 0),
         ("lsh_multiprobe", "lsh_multiprobe_recall_at_10", mp_cand, DIM * F32, 0),
         ("ivf", "ivf_recall_at_10", ivf_cand, DIM * F32, 0),
+        ("ivf_probe2", "ivf_probe2_recall_at_10", p2_cand, DIM * F32, 0),
         ("pq_adc", "pq_recall_at_10", full_scan, sim.PQ_SUBS, 0),
         ("ivfpq", "ivfpq_recall_at_10", ivf_cand, sim.PQ_SUBS, 0),
         ("ivfpq_probe2", "ivfpq_probe2_recall_at_10", p2_cand, sim.PQ_SUBS, 0),
