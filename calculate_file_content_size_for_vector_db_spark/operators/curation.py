@@ -630,6 +630,7 @@ def leakage_safe_split(
     text_col: str = "text",
     key: str = "doc_id",
     pointer_jumping: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(key, cluster_id, split): train/test assignment where every
     near-duplicate CLUSTER lands on one side — the leakage guard a
@@ -652,7 +653,12 @@ def leakage_safe_split(
     )
 
     clusters = neardup_clusters(
-        df, threshold, text_col, key, pointer_jumping=pointer_jumping
+        df,
+        threshold,
+        text_col,
+        key,
+        pointer_jumping=pointer_jumping,
+        max_bucket_size=max_bucket_size,
     )
     cluster = F.coalesce(F.col("cluster_id"), F.col(key))
     return (

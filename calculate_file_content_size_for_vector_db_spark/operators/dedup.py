@@ -543,6 +543,7 @@ def neardup_clusters(
     key: str = "doc_id",
     max_iterations: int = 20,
     pointer_jumping: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in
     a duplicate cluster gets the cluster's smallest doc id as label.
@@ -578,7 +579,9 @@ def neardup_clusters(
     tests. OFF by default to keep the registered query's pinned plan;
     the unbounded-diameter deployment turns it on.
     """
-    pairs = minhash_lsh_pairs(df, threshold, text_col, key)
+    pairs = minhash_lsh_pairs(
+        df, threshold, text_col, key, max_bucket_size=max_bucket_size
+    )
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
@@ -647,6 +650,7 @@ def dedup_survivors(
     threshold: float = 0.5,
     text_col: str = "text",
     key: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(key): the KEPT document ids after near-dup collapse — every doc
     except cluster members that aren't their cluster's minimum id.
@@ -661,7 +665,9 @@ def dedup_survivors(
     large fraction of the input, and a forced broadcast would OOM
     where AQE's size check falls back to a shuffled anti join.
     """
-    clusters = neardup_clusters(df, threshold, text_col, key)
+    clusters = neardup_clusters(
+        df, threshold, text_col, key, max_bucket_size=max_bucket_size
+    )
     losers = clusters.where(F.col("cluster_id") != F.col(key)).select(key)
     return df.select(key).join(losers, key, "left_anti")
 

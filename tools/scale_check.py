@@ -149,6 +149,42 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
     t("topk_binary", similarity.topk_binary(emb, emb.where("vec_id < 10")))
     t("topk_int8", similarity.topk_int8(emb, emb.where("vec_id < 10")))
     t("topk_matryoshka", similarity.topk_matryoshka(emb, emb.where("vec_id < 10")))
+    # round-7 additions: the trained logreg gate (GD is feature-table
+    # joins — expect ~linear; the SAMPLED variant amortizes training
+    # like pq_encode_sampled), the Gopher repetition explodes, graded
+    # contamination (shingle equi-join, benchmark side 1%), the
+    # probe-2 exact IVF search, and the dedup-aware split (CC over
+    # capped LSH pairs + pointer jumping for the bounded-round bound)
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        contamination_score,
+        leakage_safe_split,
+        quality_classifier_score,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        repetition_filters,
+    )
+
+    pos = (F.col("doc_id") % 3) == 0
+    t("quality_classifier", quality_classifier_score(docs, pos))
+    t(
+        "quality_classifier_sampled",
+        quality_classifier_score(
+            docs, pos, train_df=docs.where("doc_id % 100 = 0")
+        ),
+    )
+    t("repetition_filters", repetition_filters(docs))
+    t(
+        "contamination_score_1pct",
+        contamination_score(
+            docs.where(F.col("doc_id") % 100 != 0),
+            docs.where(F.col("doc_id") % 100 == 0),
+        ),
+    )
+    t("topk_ivf_probe2", similarity.topk_ivf(emb, emb.where("vec_id < 10"), probes=2))
+    t(
+        "leakage_safe_split_capped",
+        leakage_safe_split(docs, pointer_jumping=True, max_bucket_size=64),
+    )
     # the daily-ingest op: 1% of docs arrive as a new batch; the corpus
     # side reads its STORED band/shingle tables (parquet), so only the
     # batch is signature-hashed — timing excludes the corpus build
