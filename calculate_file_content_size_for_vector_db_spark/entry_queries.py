@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+    BLOOM_BITS,
+    BLOOM_HASHES,
     PROD_MAX_BUCKET_SIZE,
     PROD_MAX_SHINGLE_FREQ,
 )
@@ -1005,6 +1007,60 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_neardup_pairs(batch, corpus_bands, shingle_sets(corpus))
 
 
+@register(
+    "dedup_bloom_prefilter",
+    _SQL_MINHASH_BANDS
+    + f""",
+hashed AS (
+    SELECT doc_id, band_hash,
+           CAST(('0x' || substring(band_hash, 1, 15)) AS BIGINT) AS h1,
+           CAST(('0x' || substring(band_hash, 16, 15)) AS BIGINT) AS h2
+    FROM bands
+),
+corpus_pos AS (
+    SELECT DISTINCT (h1 + t.j * h2) % {BLOOM_BITS} AS p
+    FROM hashed CROSS JOIN range(0, {BLOOM_HASHES}) t(j)
+    WHERE doc_id % {_INCR_BATCH_MOD} <> 0
+),
+batch_probe AS (
+    SELECT doc_id, band_hash, (h1 + t.j * h2) % {BLOOM_BITS} AS p
+    FROM hashed CROSS JOIN range(0, {BLOOM_HASHES}) t(j)
+    WHERE doc_id % {_INCR_BATCH_MOD} = 0
+),
+row_ok AS (
+    SELECT doc_id, band_hash,
+           min(CASE WHEN p IN (SELECT p FROM corpus_pos) THEN 1 ELSE 0 END) AS all_hit
+    FROM batch_probe GROUP BY doc_id, band_hash
+),
+doc_ok AS (SELECT doc_id, max(all_hit) AS hit FROM row_ok GROUP BY doc_id)
+SELECT d.doc_id, coalesce(o.hit = 1, FALSE) AS maybe_neardup
+FROM documents d LEFT JOIN doc_ok o ON o.doc_id = d.doc_id
+WHERE d.doc_id % {_INCR_BATCH_MOD} = 0
+""",
+)
+def dedup_bloom_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom-join pre-gate for incremental near-dup: the
+    stored corpus's LSH band hashes are packed into a bounded bitmap
+    (dedup.bloom_bitmap — at most m/32 rows, broadcastable at any
+    corpus size) and the daily batch probes it with its own band
+    hashes. maybe_neardup=false docs provably share no band hash with
+    the corpus, so only the true fraction enters the band equi-join.
+    The oracle checks membership against the unpacked DISTINCT
+    position set — equivalent because the 32-bit word packing is
+    lossless."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bloom_neardup_prefilter,
+        minhash_bands,
+        minhash_signature,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+    corpus_bands = minhash_bands(minhash_signature(corpus))
+    return bloom_neardup_prefilter(batch, corpus_bands)
+
+
 def _sql_simhash(bits: int = 16) -> str:
     return f"""
 ws_t AS (
@@ -1691,6 +1747,58 @@ def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return topk_ivf(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "sim_topk_ivf_stored",
+    f"""
+WITH {_SQL_IVF},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a
+    JOIN assign sa ON a.vec_id = sa.vec_id
+    JOIN assign sb ON sa.cell = sb.cell
+    JOIN e b ON b.vec_id = sb.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_ivf_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parquet-backed index path: train the IVF quantizer ONCE,
+    persist (centroids, assignment) as parquet — the stored index a
+    100-TB deployment builds offline — then answer the query from the
+    STORE alone, so search pays no training lineage at all (the
+    incremental-dedup contract, applied to ANN). The oracle is
+    sim_topk_ivf's verbatim: the round-trip must be exact, because
+    cells are ints and centroid/assignment doubles are 6-decimal-
+    rounded values that parquet stores losslessly. What this query
+    guards is the serialization seam itself — schema drift, rounding
+    drift, or a lossy write in the index tables would hash-mismatch."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        topk_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    ivf_centroids(emb).write.mode("overwrite").parquet(f"{idx}/centroids")
+    ivf_assign(emb).write.mode("overwrite").parquet(f"{idx}/assign")
+    return topk_ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        assign=spark.read.parquet(f"{idx}/assign"),
+        centroids=spark.read.parquet(f"{idx}/centroids"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2865,6 +2973,49 @@ def cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(docs, updates, "doc_id")
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+WITH v_old AS (
+    SELECT doc_id, sha256(text) AS fp FROM documents WHERE doc_id % 53 <> 0
+),
+v_new AS (
+    SELECT doc_id,
+           sha256(CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END) AS fp
+    FROM documents WHERE doc_id % 47 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
+WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+           ELSE 'unchanged' END <> 'unchanged'
+""",
+)
+def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff (relational.snapshot_diff): two
+    deterministic corpus versions derived from the fixture — v_old
+    drops every 53rd doc (later ingests), v_new drops every 47th
+    (deletions) and revises every 31st text — then the added / removed /
+    changed delta by content fingerprint. Only 64-hex fingerprints
+    cross the full-outer shuffle, never text bytes."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    v_old = docs.where(F.col("doc_id") % 53 != 0)
+    v_new = docs.where(F.col("doc_id") % 47 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(v_old, v_new)
 
 
 @register(
@@ -5839,6 +5990,103 @@ def bpe_top_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir))
 
 
+def _sql_bpe_chain(n_merges: int) -> str:
+    """Unrolled BPE training chain (the kmeans/GD discipline applied to
+    tokenizer training): r0 = char reprs of the (word, freq) dict with
+    the double-space boundary invariant; each round counts adjacent
+    symbol pairs, picks (count DESC, lhs, rhs) LIMIT 1, and rewrites
+    reprs with the same literal replace() Spark uses — integer counts,
+    so training is reproduced bit-for-bit."""
+    parts = [
+        f"""w0 AS (
+    SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents) GROUP BY 1
+)""",
+        """r0 AS (
+    SELECT word, freq,
+           ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS repr
+    FROM w0
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.extend([
+            f"""p{i} AS (
+    SELECT s[j] AS l, s[j + 1] AS r, freq FROM (
+        SELECT s, freq, CAST(unnest(range(1, greatest(len(s), 1))) AS INT) AS j
+        FROM (SELECT string_split(trim(repr), '  ') AS s, freq FROM r{i - 1})
+    )
+)""",
+            f"""b{i} AS (
+    SELECT {i} AS rank, l AS lhs, r AS rhs, l || r AS merged,
+           CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM p{i} GROUP BY l, r
+    ORDER BY pair_count DESC, l, r LIMIT 1
+)""",
+            f"""r{i} AS (
+    SELECT word, freq,
+           replace(repr, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                   ' ' || b.merged || ' ') AS repr
+    FROM r{i - 1} CROSS JOIN b{i} b
+)""",
+        ])
+    return "WITH " + ",\n".join(parts)
+
+
+_BPE_N = 8  # keep in sync with textstats.BPE_MERGES
+
+
+@register(
+    "bpe_train_merges",
+    _sql_bpe_chain(_BPE_N)
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT CAST(rank AS INT) AS rank, lhs, rhs, merged, pair_count FROM b{i}"
+        for i in range(1, _BPE_N + 1)
+    ),
+)
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table (Sennrich et al. 2016) — 8 greedy
+    merges over the corpus word dictionary, the tokenizer-as-artifact
+    next to quality_classifier_weights' classifier-as-artifact. Every
+    round is vocab-bounded (pair hash-agg + 1-row argmax + one literal
+    replace rewrite), the corpus itself is scanned exactly once for
+    word counts; rounds localCheckpoint the |V|-row repr table so the
+    plan stays flat (operators/textstats.py:_bpe_train_reprs)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    return bpe_train_merges(_docs(spark, sf_dir))
+
+
+@register(
+    "bpe_apply_tokens",
+    _sql_bpe_chain(_BPE_N)
+    + f""",
+vocab AS (
+    SELECT word,
+           CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_sym
+    FROM r{_BPE_N}
+),
+tk AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM tk JOIN vocab USING (word) GROUP BY doc_id
+""",
+)
+def bpe_apply_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token counts under the TRAINED segmentation: the final
+    merged reprs ARE the segmentation of every vocab word, so serving
+    is one broadcast join from the exploded corpus onto the |V|-row
+    (word -> n_symbols) map — the merge loop never touches documents.
+    Docs with zero tokens are absent on both sides (inner join)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_apply_tokens,
+    )
+
+    return bpe_apply_tokens(_docs(spark, sf_dir))
+
+
 @register(
     "zorder_layout",
     """
@@ -7392,6 +7640,9 @@ _VERIFY_FIRST = [
     "ccnet_lm_buckets",  # new r07: CCNet head/middle/tail partition
     "contamination_score",  # new r07: graded benchmark-overlap fraction
     "compaction_plan",  # new r07: small-files compaction planning
+    "dedup_bloom_prefilter",  # new r07 wave 13: Bloom-join pre-gate
+    "sim_topk_ivf_stored",  # new r07 wave 13: parquet-backed index path
+    "corpus_snapshot_diff",  # new r07 wave 13: dataset-versioning diff
     "dedup_minhash_lsh_capped",  # production default; r06 bench watch item
     "dedup_minhash_lsh",
     "dedup_exact",

@@ -631,6 +631,7 @@ def leakage_safe_split(
     key: str = "doc_id",
     pointer_jumping: bool = False,
     max_bucket_size: int | None = None,
+    method: str = "label",
 ) -> DataFrame:
     """(key, cluster_id, split): train/test assignment where every
     near-duplicate CLUSTER lands on one side — the leakage guard a
@@ -644,10 +645,12 @@ def leakage_safe_split(
     their every member) test, reproducible with no RNG and stable
     under re-runs as long as ids are stable.
 
-    Plan: the near-dup CC labeling (bounded rounds — raise
-    ``pointer_jumping`` for unbounded-diameter corpora) + one left
-    join back onto the corpus + a narrow projection. Nothing beyond
-    the clustering itself is more than linear."""
+    Plan: the near-dup CC labeling (bounded rounds — use
+    ``method="star"`` for unbounded-diameter / adversarial-id corpora,
+    where it is the O(log^2 n)-round guarantee pointer jumping only
+    approximates) + one left join back onto the corpus + a narrow
+    projection. Nothing beyond the clustering itself is more than
+    linear."""
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
         neardup_clusters,
     )
@@ -659,6 +662,7 @@ def leakage_safe_split(
         key,
         pointer_jumping=pointer_jumping,
         max_bucket_size=max_bucket_size,
+        method=method,
     )
     cluster = F.coalesce(F.col("cluster_id"), F.col(key))
     return (

@@ -456,6 +456,140 @@ def incremental_survivors(
     )
 
 
+BLOOM_BITS = 1 << 18  # fixture default; 2^30+ at 100 TB (128 MiB packed)
+BLOOM_HASHES = 5
+
+
+def _bloom_hashes(hash_hex: Column) -> tuple[Column, Column]:
+    """Two independent 60-bit integers from an md5 hex string (first
+    and second 15 hex digits) — the (h1, h2) pair for Kirsch-
+    Mitzenmacher double hashing. 15 hex digits = 60 bits, safely inside
+    a signed bigint; h1 + j*h2 for j <= ~7 cannot overflow."""
+    h1 = F.conv(F.substring(hash_hex, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(hash_hex, 16, 15), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def _bloom_positions(hash_hex: Column, m_bits: int, n_hashes: int) -> Column:
+    """Array of ``n_hashes`` bit positions in [0, m_bits): the standard
+    g_j = (h1 + j*h2) mod m double-hashing scheme (Kirsch &
+    Mitzenmacher 2006 — j independent-quality probes from 2 hashes)."""
+    h1, h2 = _bloom_hashes(hash_hex)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda j: F.pmod(h1 + j.cast("bigint") * h2, F.lit(m_bits)),
+    )
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    hash_hex_col: str = "band_hash",
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(word_id, word): a Bloom filter over an md5-hex hash column,
+    packed into 32-bit words — at most m_bits/32 rows regardless of
+    input size, so the filter over a 10^9-row stored band table is a
+    bounded, broadcastable artifact (2^30 bits = 128 MiB).
+
+    This is the classic distributed Bloom-join build side: one explode
+    (n_hashes rows per input row) plus one hash-agg (bit_or per word),
+    both linear with map-side partial aggregation. The word packing is
+    lossless, so the DuckDB oracle can verify membership against the
+    unpacked DISTINCT position set instead.
+
+    Masks use pow(2, bit): exact in a double for bit <= 31, which the
+    32-bit word width guarantees (PySpark's shiftleft takes only a
+    literal shift amount, not a per-row column)."""
+    p = F.explode(_bloom_positions(F.col(hash_hex_col), m_bits, n_hashes)).alias("p")
+    return (
+        df.select(p)
+        .select(
+            F.shiftright(F.col("p"), 5).alias("word_id"),
+            F.pow(F.lit(2.0), F.pmod(F.col("p"), F.lit(32))).cast("bigint").alias("mask"),
+        )
+        .groupBy("word_id")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bitmap: DataFrame,
+    hash_hex_col: str = "band_hash",
+    group_cols: list[str] | None = None,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(group_cols..., maybe_member): Bloom membership verdict — true
+    iff ANY of the group's hash rows has ALL ``n_hashes`` bit positions
+    set in ``bitmap``. No false negatives (a hash that was inserted
+    always probes all-set); false positives at the filter's documented
+    rate, which the downstream exact join resolves.
+
+    The bitmap side is broadcast by construction: it is bounded at
+    m_bits/32 rows whatever the corpus size, which is the whole point
+    of the structure — probing costs one explode plus a broadcast
+    equi-join on word_id, never a shuffle of the corpus."""
+    if group_cols is None:
+        group_cols = ["doc_id"]
+    probes = df.select(
+        *group_cols,
+        F.col(hash_hex_col).alias("_h"),
+        F.explode(_bloom_positions(F.col(hash_hex_col), m_bits, n_hashes)).alias("p"),
+    ).select(
+        *group_cols,
+        "_h",
+        F.shiftright(F.col("p"), 5).alias("word_id"),
+        F.pow(F.lit(2.0), F.pmod(F.col("p"), F.lit(32))).cast("bigint").alias("mask"),
+    )
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0).cast("bigint")).bitwiseAND(F.col("mask")) != 0
+    )
+    per_row = (
+        probes.join(F.broadcast(bitmap), "word_id", "left")
+        .groupBy(*group_cols, "_h")
+        .agg(F.min(F.when(hit, 1).otherwise(0)).alias("_all_hit"))
+    )
+    return per_row.groupBy(*group_cols).agg(
+        (F.max("_all_hit") == 1).alias("maybe_member")
+    )
+
+
+def bloom_neardup_prefilter(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(key, maybe_neardup): the Bloom pre-gate in front of
+    incremental_neardup_pairs — a fresh batch doc can only near-dup the
+    stored corpus if at least one of its LSH band hashes collides with
+    a stored band hash, and that collision test runs against a bounded
+    128-MiB-class bitmap instead of the 10^9-row band table itself.
+
+    A daily 100-TB-pipeline ingest probes the bitmap first (broadcast
+    join, no corpus shuffle) and sends only maybe_neardup=true docs —
+    typically a small fraction — into the band equi-join. No false
+    negatives: every admitted-as-unique doc provably shares no band
+    hash with the corpus, the same guarantee the full band join gives.
+    Docs with no shingles at all produce no bands and return
+    maybe_neardup=false, matching the band join (no candidates).
+    """
+    bitmap = bloom_bitmap(corpus_bands, "band_hash", m_bits, n_hashes)
+    batch_bands = minhash_bands(
+        minhash_signature(batch, text_col=text_col, key=key), key=key
+    )
+    verdicts = bloom_probe(
+        batch_bands, bitmap, "band_hash", [key], m_bits, n_hashes
+    )
+    return batch.select(key).join(verdicts, key, "left").select(
+        key, F.coalesce(F.col("maybe_member"), F.lit(False)).alias("maybe_neardup")
+    )
+
+
 def span_dedup_rewrite(
     df: DataFrame, n: int = 5, text_col: str = "text", key: str = "doc_id"
 ) -> DataFrame:
@@ -536,6 +670,93 @@ def span_dedup_rewrite(
     )
 
 
+def star_components(
+    edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """(node, cluster_id): connected components by alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — O(log^2 n)
+    rounds on ANY graph structure, where min-label propagation is
+    O(diameter) and its pointer-jumping variant loses the doubling
+    guarantee under adversarial id placement (the min id of a window
+    can sit mid-window, pointing somewhere that knows nothing new —
+    measured: 200k-doc ladder graph, 1105 labels still moving after
+    20 jump rounds).
+
+    large-star: every node links its LARGER neighbors to the minimum
+    of its closed neighborhood; small-star: edges orient toward the
+    smaller endpoint and every node links its smaller neighbors (and
+    itself) to that minimum. Both are one groupBy-min plus one keyed
+    join per round — edges re-key but never multiply (outputs are
+    distinct subsets of neighbor links). The fixpoint is a forest of
+    stars rooted at each component's minimum id; rounds
+    localCheckpoint the edge set (each op references it 2-3x — the
+    exponential-plan lesson from the label loop applies here too).
+
+    ``edges``: (src, dst) pairs, either direction, self-loops ignored.
+    Output covers every node incident to an edge; roots label
+    themselves. Raises if ``max_rounds`` is hit (with the O(log^2 n)
+    bound, that indicates a bug, not a big graph).
+    """
+    E = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        E.select(F.col("u").alias("node"))
+        .unionByName(E.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("u", "_mv").alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small(e: DataFrame) -> DataFrame:
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        relink = d.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_link = m.select("u", F.col("m").alias("v"))
+        return (
+            relink.unionByName(self_link)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        new_e = _small(_large(E)).localCheckpoint(eager=True)
+        diff = new_e.exceptAll(E).limit(1).count() + E.exceptAll(new_e).limit(1).count()
+        E = new_e
+        if diff == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star_components did not converge in {max_rounds} rounds — "
+            "with the O(log^2 n) bound this indicates a defect, not scale."
+        )
+    children = E.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    return (
+        all_nodes.join(children, "node", "left")
+        .select("node", F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"))
+    )
+
+
 def neardup_clusters(
     df: DataFrame,
     threshold: float = 0.5,
@@ -544,9 +765,18 @@ def neardup_clusters(
     max_iterations: int = 20,
     pointer_jumping: bool = False,
     max_bucket_size: int | None = None,
+    method: str = "label",
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in
     a duplicate cluster gets the cluster's smallest doc id as label.
+
+    ``method="star"`` delegates to star_components (large-star/small-
+    star contraction, O(log^2 n) rounds on ANY structure) — the
+    deployment-scale path after the ladder showed pointer jumping's
+    doubling argument fails under adversarial id placement (it is a
+    heuristic, not a bound: the min id of a propagation window can sit
+    mid-window, pointing nowhere new). Identical output — both
+    fixpoints are component-min labels — so the oracle is unchanged.
 
     Iterative min-label propagation (the standard distributed CC
     algorithm): labels start as self, each round every node takes the
@@ -582,6 +812,10 @@ def neardup_clusters(
     pairs = minhash_lsh_pairs(
         df, threshold, text_col, key, max_bucket_size=max_bucket_size
     )
+    if method == "star":
+        return star_components(
+            pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        ).select(F.col("node").alias(key), "cluster_id")
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
@@ -619,7 +853,16 @@ def neardup_clusters(
                     F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
-        new_labels = new_labels.persist()
+        # localCheckpoint, not persist: persist() caches the DATA but
+        # keeps the LOGICAL plan, and each round's plan embeds the
+        # previous round's 2-3 times (neighbor join + optional pointer
+        # jump), so plan size grows exponentially in rounds — by ~round
+        # 10 the driver OOMs merely RENDERING the plan string for the
+        # cache name. localCheckpoint materializes the round AND cuts
+        # lineage to an RDD scan, the standard iterative-graph move;
+        # on a cluster, set a checkpoint dir + .checkpoint() for
+        # executor-loss tolerance on long jobs.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -651,6 +894,7 @@ def dedup_survivors(
     text_col: str = "text",
     key: str = "doc_id",
     max_bucket_size: int | None = None,
+    method: str = "label",
 ) -> DataFrame:
     """(key): the KEPT document ids after near-dup collapse — every doc
     except cluster members that aren't their cluster's minimum id.
@@ -666,7 +910,7 @@ def dedup_survivors(
     where AQE's size check falls back to a shuffled anti join.
     """
     clusters = neardup_clusters(
-        df, threshold, text_col, key, max_bucket_size=max_bucket_size
+        df, threshold, text_col, key, max_bucket_size=max_bucket_size, method=method
     )
     losers = clusters.where(F.col("cluster_id") != F.col(key)).select(key)
     return df.select(key).join(losers, key, "left_anti")

@@ -524,3 +524,40 @@ def weekday_seasonality(orders: DataFrame) -> DataFrame:
         F.round(share, 6).alias("revenue_share"),
         F.round(share * 7, 6).alias("seasonal_index"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(key, status): dataset-versioning diff between two corpus
+    snapshots — 'added' (key only in new), 'removed' (key only in old),
+    'changed' (both, content fingerprint differs). Unchanged rows are
+    not emitted: at 100 TB the diff is the small output, the snapshots
+    are the big inputs.
+
+    Each side is reduced map-side to (key, sha256(content)) before ONE
+    full-outer shuffle on the key — content bytes never move, only
+    64-hex fingerprints. With both snapshot tables bucketed by the key
+    (sources/io bucketed writes) the join is co-located and shuffle-
+    free. NULL contents compare via null-safe equality: NULL -> NULL
+    is unchanged, NULL -> text is changed.
+    """
+    # presence flags, not fingerprint nullness, decide added/removed:
+    # a row whose content is NULL still EXISTS in its snapshot
+    fp = F.sha2(F.col(content_col), 256)
+    o = old.select(F.col(key), fp.alias("old_fp"), F.lit(True).alias("_in_old"))
+    n = new.select(F.col(key), fp.alias("new_fp"), F.lit(True).alias("_in_new"))
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.col(key), status.alias("status"))
+        .where(F.col("status") != "unchanged")
+    )

@@ -549,6 +549,144 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", topn: int = 20) -> Da
     )
 
 
+BPE_MERGES = 8
+
+
+def _bpe_symbols(repr_col: Column) -> Column:
+    """Symbol array of a boundary-safe repr string (see _bpe_repr0)."""
+    return F.split(F.trim(repr_col), "  ")
+
+
+def _bpe_repr0(word: Column) -> Column:
+    """Initial BPE repr: characters joined by TWO spaces, single space
+    at both ends — ' t  h  e '. The double-space invariant makes a
+    literal replace of ' l  r ' -> ' lr ' symbol-boundary-safe (a
+    symbol can never false-match a SUFFIX of another symbol, because
+    every full symbol is flanked by spaces) AND chainable across
+    consecutive occurrences (the match consumes one of the two
+    separator spaces, leaving one to open the next match — so plain
+    left-to-right replace() implements exactly the greedy merge both
+    engines agree on). No regex, no UDF, no marker characters that
+    could collide with corpus text."""
+    return F.concat(F.lit(" "), F.array_join(F.split(word, ""), "  "), F.lit(" "))
+
+
+def _bpe_train_reprs(
+    df: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+) -> tuple[list[DataFrame], DataFrame]:
+    """(per-rank 1-row merge DFs, final word reprs) — shared core of
+    bpe_train_merges / bpe_apply_tokens.
+
+    Classic BPE training (Sennrich et al. 2016) on the (word, count)
+    dictionary: each round counts adjacent symbol pairs weighted by
+    word frequency (overlapping occurrences counted, as in the
+    reference algorithm), picks the max (ties: lexicographic on the
+    pair — integer counts, fully deterministic), and rewrites every
+    word's repr with one literal replace. Each round localCheckpoints
+    the vocab-sized repr table: the rewrite references the previous
+    round's reprs AND the best-pair row (itself derived from those
+    reprs), so a lazy chain would nest the plan exponentially in
+    rounds — the neardup_clusters lesson applied at design time.
+
+    Scale: every stage is vocab-bounded (the dictionary is orders of
+    magnitude smaller than the corpus and caps at |V|); the corpus is
+    touched once, by the word count."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    reprs = words.select(
+        "word", "freq", _bpe_repr0(F.col("word")).alias("repr")
+    ).localCheckpoint(eager=True)
+    merges: list[DataFrame] = []
+    for rank in range(1, n_merges + 1):
+        s = _bpe_symbols(F.col("repr"))
+        pair_arr = F.when(
+            F.size(s) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(s) - 2),
+                lambda i: F.struct(
+                    F.element_at(s, i + 1).alias("l"),
+                    F.element_at(s, (i + 2).cast("int")).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            reprs.select(F.explode(pair_arr).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .select(
+                F.lit(rank).cast("int").alias("rank"),
+                F.col("l").alias("lhs"),
+                F.col("r").alias("rhs"),
+                F.concat("l", "r").alias("merged"),
+                "pair_count",
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best)
+        search = F.concat(F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" "))
+        repl = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        reprs = (
+            reprs.crossJoin(F.broadcast(best))
+            .select("word", "freq", F.replace(F.col("repr"), search, repl).alias("repr"))
+            .localCheckpoint(eager=True)
+        )
+    return merges, reprs
+
+
+def bpe_train_merges(
+    df: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """(rank, lhs, rhs, merged, pair_count): the trained BPE merge
+    table — the tokenizer-as-artifact, like quality_classifier_weights
+    is the classifier-as-artifact. Deterministic by construction
+    (integer pair counts, lexicographic ties), so an unrolled SQL
+    chain reproduces training bit-for-bit."""
+    merges, _ = _bpe_train_reprs(df, n_merges, text_col)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_apply_tokens(
+    df: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, n_tokens, n_bpe_tokens): per-document token count under
+    the TRAINED BPE segmentation vs the whitespace count — the real
+    'how many tokens is this corpus' number a training-data budget
+    needs, where n_bpe_tokens shrinks as merges fuse frequent
+    character runs.
+
+    Application is vocab-level: the final merged reprs from training
+    already ARE the segmentation of every known word, so serving is
+    one broadcast-sized join from the exploded corpus onto the
+    |V|-row (word -> n_symbols) map — the merge loop never touches
+    per-document data. (Serving UNSEEN words would fall back to
+    replaying the stored merge table; this operator scores the
+    training corpus itself, where the vocab covers every word.)"""
+    _, reprs = _bpe_train_reprs(df, n_merges, text_col)
+    vocab = reprs.select(
+        "word", F.size(_bpe_symbols(F.col("repr"))).cast("long").alias("n_sym")
+    )
+    toks = df.select(F.col(key), F.explode(tokens(text_col)).alias("word"))
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy(key)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def bigram_logprob(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """(key, lm2_score): bigram language-model score with add-1
     smoothing — mean ln P(w2 | w1) over a document's adjacent token

@@ -613,3 +613,117 @@ def test_ccnet_lm_buckets_per_lang_terciles(spark):
         hs = [r.lm_score for r in got if r.lang == lang and r.lm_bucket == "head"]
         ts = [r.lm_score for r in got if r.lang == lang and r.lm_bucket == "tail"]
         assert min(hs) >= max(ts)
+
+
+def test_snapshot_diff_added_removed_changed_null_matrix(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone"), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, None), (5, "was null"), (6, "fresh"), (7, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    # 1: unchanged (absent); 4: NULL->NULL unchanged (absent)
+    assert got == {
+        2: "changed",
+        3: "removed",
+        5: "changed",  # NULL -> text is a content change, not an add
+        6: "added",
+        7: "added",  # exists in new only, even with NULL content
+    }
+
+
+def test_bpe_train_merges_sennrich_golden(spark):
+    # the classic BPE walkthrough: low x3, lower x2.
+    # round 1: (l,o)=5 ties (o,w)=5 -> lexicographic, (l,o) merges.
+    # round 2: (lo,w)=5 wins. round 3: (e,r)=2 ties (low,e)=2 ->
+    # 'e' < 'low', (e,r) merges. round 4: (low,er)=2 -> 'lower'.
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "low low low"), (1, "lower lower")], "doc_id long, text string"
+    )
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_train_merges(df, n_merges=4).orderBy("rank").collect()
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "r", "er", 2),
+        (4, "low", "er", "lower", 2),
+    ]
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    # 'ab' must not merge INSIDE the symbol sequence 'x a b' as a
+    # substring of a larger symbol, and a merged symbol is atomic:
+    # corpus: xab x2, ab x1 -> (a,b)=3 is the top pair; after it,
+    # xab = [x, ab] (2 symbols), never [xab].
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        _bpe_symbols,
+        _bpe_train_reprs,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "xab xab ab")], "doc_id long, text string"
+    )
+    merges, reprs = _bpe_train_reprs(df, n_merges=1)
+    m = merges[0].collect()[0]
+    assert (m.lhs, m.rhs, m.pair_count) == ("a", "b", 3)
+    sym = {
+        r.word: r.s
+        for r in reprs.select("word", _bpe_symbols(F.col("repr")).alias("s")).collect()
+    }
+    assert sym == {"xab": ["x", "ab"], "ab": ["ab"]}
+
+
+def test_bpe_consecutive_merge_chains_left_to_right(spark):
+    # pair (a,a) over 'aaaa' and 'aaa': greedy left-to-right gives
+    # [aa, aa] and [aa, a] — the double-space invariant must keep the
+    # second occurrence matchable after the first replace consumes a
+    # separator space.
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        _bpe_symbols,
+        _bpe_train_reprs,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0, "aaaa aaa")], "doc_id long, text string")
+    merges, reprs = _bpe_train_reprs(df, n_merges=1)
+    m = merges[0].collect()[0]
+    assert (m.lhs, m.rhs, m.pair_count) == ("a", "a", 5)  # 3 + 2 overlapping
+    sym = {
+        r.word: r.s
+        for r in reprs.select("word", _bpe_symbols(F.col("repr")).alias("s")).collect()
+    }
+    assert sym == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"]}
+
+
+def test_bpe_apply_tokens_counts(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_apply_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "low low low"), (1, "lower lower")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_bpe_tokens)
+        for r in bpe_apply_tokens(df, n_merges=4).collect()
+    }
+    # after 4 merges both 'low' and 'lower' are single symbols
+    assert got == {0: (3, 3), 1: (2, 2)}
+    # with ONE merge (l,o): low = [lo, w] (2), lower = [lo, w, e, r] (4)
+    got1 = {
+        r.doc_id: (r.n_tokens, r.n_bpe_tokens)
+        for r in bpe_apply_tokens(df, n_merges=1).collect()
+    }
+    assert got1 == {0: (3, 6), 1: (2, 8)}

@@ -534,3 +534,138 @@ def test_dedup_pair_quality_matrix_semantics(spark):
         assert r.n_true == got["minhash_lsh"].n_true  # shared truth
     assert got["minhash_lsh_capped"].n_hit <= got["minhash_lsh"].n_hit
     assert got["simhash"].n_true == got["minhash_lsh"].n_true
+
+
+# ---------------------------------------------------------------------------
+# Bloom pre-gate (bloom_bitmap / bloom_probe / bloom_neardup_prefilter)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_bitmap_is_bounded_and_32bit(spark):
+    df = _docs(spark, [(i, f"doc {i} body text {i * 7}") for i in range(20)])
+    bands = dedup.minhash_bands(dedup.minhash_signature(df))
+    bm = dedup.bloom_bitmap(bands, m_bits=1 << 10).collect()
+    assert len(bm) <= (1 << 10) // 32
+    for r in bm:
+        assert 0 <= r.word_id < (1 << 10) // 32
+        assert 0 < r.word < (1 << 32)  # only the low 32 bits ever set
+
+
+def test_bloom_prefilter_no_false_negatives_vs_band_join(spark):
+    # docs 0/8 and 3/21 are exact dups across the batch/corpus split
+    # (batch = %7==0: docs 0,7,14,21); every doc the band join would
+    # pair MUST be flagged maybe_neardup — the gate's only guarantee.
+    rows = []
+    for i in range(24):
+        rows.append((i, f"unique words number {i} alpha beta gamma delta {i}"))
+    rows[8] = (8, rows[0][1])
+    rows[21] = (21, rows[3][1])
+    df = _docs(spark, rows)
+    batch = df.where(F.col("doc_id") % 7 == 0)
+    corpus = df.where(F.col("doc_id") % 7 != 0)
+    corpus_bands = dedup.minhash_bands(dedup.minhash_signature(corpus))
+    verdict = {
+        r.doc_id: r.maybe_neardup
+        for r in dedup.bloom_neardup_prefilter(batch, corpus_bands).collect()
+    }
+    pairs = dedup.incremental_neardup_pairs(
+        batch, corpus_bands, dedup.shingle_sets(corpus)
+    ).collect()
+    assert {p.new_id for p in pairs} == {0, 21}
+    for p in pairs:
+        assert verdict[p.new_id] is True
+    # every batch doc gets a verdict, including never-paired ones
+    assert set(verdict) == {0, 7, 14, 21}
+
+
+def test_bloom_prefilter_empty_text_is_false(spark):
+    df = _docs(spark, [(0, None), (7, ""), (14, "short"), (1, "corpus doc words here")])
+    batch = df.where(F.col("doc_id") % 7 == 0)
+    corpus = df.where(F.col("doc_id") % 7 != 0)
+    corpus_bands = dedup.minhash_bands(dedup.minhash_signature(corpus))
+    verdict = {
+        r.doc_id: r.maybe_neardup
+        for r in dedup.bloom_neardup_prefilter(batch, corpus_bands).collect()
+    }
+    # NULL / empty / <3-token docs have no shingles -> no bands -> false
+    assert verdict == {0: False, 7: False, 14: False}
+
+
+def test_bloom_packed_probe_equals_position_set_membership(spark):
+    # the packed-word probe must agree with direct membership of every
+    # probe position in the corpus position set (packing is lossless)
+    df = _docs(spark, [(i, f"some body of text {i} for hashing {i * 3}") for i in range(30)])
+    bands = dedup.minhash_bands(dedup.minhash_signature(df))
+    m, k = 1 << 12, 5
+    corpus_b = bands.where(F.col("doc_id") % 3 != 0)
+    probe_b = bands.where(F.col("doc_id") % 3 == 0)
+    bitmap = dedup.bloom_bitmap(corpus_b, m_bits=m, n_hashes=k)
+    packed = {
+        r.doc_id: r.maybe_member
+        for r in dedup.bloom_probe(
+            probe_b, bitmap, "band_hash", ["doc_id"], m_bits=m, n_hashes=k
+        ).collect()
+    }
+    def pos_rows(df_):
+        return df_.select(
+            "doc_id",
+            "band",
+            F.explode(dedup._bloom_positions(F.col("band_hash"), m, k)).alias("p"),
+        ).collect()
+
+    corpus_pos = {r.p for r in pos_rows(corpus_b)}
+    per_band: dict[tuple, list] = {}
+    for r in pos_rows(probe_b):
+        per_band.setdefault((r.doc_id, r.band), []).append(r.p in corpus_pos)
+    naive: dict[int, bool] = {}
+    for (doc_id, _), hits in per_band.items():
+        naive[doc_id] = naive.get(doc_id, False) or all(hits)
+    assert packed == naive
+
+
+# ---------------------------------------------------------------------------
+# star_components (large-star/small-star CC)
+# ---------------------------------------------------------------------------
+
+
+def test_star_components_adversarial_id_path(spark):
+    # the exact structure that defeats pointer jumping: a long PATH
+    # whose node ids are a deterministic pseudo-random permutation, so
+    # the window-min id keeps landing mid-window. star contraction
+    # must converge (O(log^2 n) bound) and label every node with the
+    # component minimum.
+    n = 64
+    ids = sorted(range(n), key=lambda i: (i * 37) % n)  # permutation
+    edges = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.cluster_id for r in dedup.star_components(e).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_components_two_components_and_pair(spark):
+    e = spark.createDataFrame(
+        [(5, 9), (9, 2), (11, 30), (40, 41)], "src long, dst long"
+    )
+    got = {r.node: r.cluster_id for r in dedup.star_components(e).collect()}
+    assert got == {5: 2, 9: 2, 2: 2, 11: 11, 30: 11, 40: 40, 41: 40}
+
+
+def test_neardup_clusters_star_equals_label_method(spark):
+    rows = []
+    for i in range(12):
+        rows.append((i, f"unique filler number {i} one two three {i}"))
+    # a chained near-dup family: 2~5~8 share text, 3~9 share text
+    rows[5] = (5, rows[2][1])
+    rows[8] = (8, rows[2][1])
+    rows[9] = (9, rows[3][1])
+    df = _docs(spark, rows)
+    lab = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.neardup_clusters(df, threshold=0.5).collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.neardup_clusters(df, threshold=0.5, method="star").collect()
+    }
+    assert star == lab
+    assert {(2, 2), (5, 2), (8, 2), (3, 3), (9, 3)} <= star

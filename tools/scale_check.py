@@ -183,7 +183,12 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
     t("topk_ivf_probe2", similarity.topk_ivf(emb, emb.where("vec_id < 10"), probes=2))
     t(
         "leakage_safe_split_capped",
-        leakage_safe_split(docs, pointer_jumping=True, max_bucket_size=64),
+        # star CC, not pointer jumping: the 200k-doc tier PROVED the
+        # jump heuristic non-convergent here (1105 labels still moving
+        # after 20 rounds — adversarial id placement voids the
+        # doubling argument); star contraction carries an O(log^2 n)
+        # round bound
+        leakage_safe_split(docs, max_bucket_size=64, method="star"),
     )
     # the daily-ingest op: 1% of docs arrive as a new batch; the corpus
     # side reads its STORED band/shingle tables (parquet), so only the
