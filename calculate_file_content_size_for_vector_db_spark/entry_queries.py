@@ -5990,7 +5990,7 @@ def bpe_top_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir))
 
 
-def _sql_bpe_chain(n_merges: int) -> str:
+def _sql_bpe_chain(n_merges: int, train_where: str = "") -> str:
     """Unrolled BPE training chain (the kmeans/GD discipline applied to
     tokenizer training): r0 = char reprs of the (word, freq) dict with
     the double-space boundary invariant; each round counts adjacent
@@ -6000,8 +6000,8 @@ def _sql_bpe_chain(n_merges: int) -> str:
     parts = [
         f"""w0 AS (
     SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
-    FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents) GROUP BY 1
-)""",
+    FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents {{train_where}}) GROUP BY 1
+)""".format(train_where=train_where),
         """r0 AS (
     SELECT word, freq,
            ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS repr
@@ -6085,6 +6085,120 @@ def bpe_apply_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_apply_tokens(_docs(spark, sf_dir))
+
+
+@register(
+    "bpe_apply_oov",
+    _sql_bpe_chain(_BPE_N, train_where="WHERE doc_id % 17 <> 0")
+    + f""",
+nw AS (
+    SELECT DISTINCT t AS word
+    FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents WHERE doc_id % 17 = 0)
+),
+a0 AS (
+    SELECT word,
+           ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS repr
+    FROM nw
+),
+"""
+    + ",\n".join(
+        f"""a{i} AS (
+    SELECT word, replace(repr, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                         ' ' || b.merged || ' ') AS repr
+    FROM a{i - 1} CROSS JOIN b{i} b
+)"""
+        for i in range(1, _BPE_N + 1)
+    )
+    + f""",
+vocab AS (
+    SELECT word,
+           CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_sym
+    FROM a{_BPE_N}
+),
+tk AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS word
+    FROM documents WHERE doc_id % 17 = 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM tk JOIN vocab USING (word) GROUP BY doc_id
+""",
+)
+def bpe_apply_oov_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The out-of-vocabulary serving path: a tokenizer trained ONLY on
+    docs with id % 17 != 0 segments the HELD-OUT docs by replaying the
+    stored merge table in rank order — an F.aggregate fold over the
+    merges as a 1-row broadcast (textstats.bpe_segment_with_merges),
+    each step the same boundary-safe literal replace training used.
+    Distinct held-out words fold once; documents pay one broadcast
+    join. This is what a deployed tokenizer does to fresh crawl data;
+    the oracle replays the identical merges as unrolled CTE rounds."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_apply_oov,
+    )
+
+    return bpe_apply_oov(_docs(spark, sf_dir))
+
+
+@register(
+    "line_dedup_rewrite",
+    """
+WITH paged AS (
+    SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents
+),
+lt AS (
+    SELECT doc_id, ls[i] AS line, i AS pos FROM (
+        SELECT doc_id, ls, CAST(unnest(range(1, len(ls) + 1)) AS INT) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM paged WHERE text IS NOT NULL)
+    )
+),
+kept AS (
+    SELECT doc_id, line, pos FROM (
+        SELECT doc_id, line, pos,
+               row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        FROM lt
+    ) WHERE rn = 1 OR line = ''
+),
+rb AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+),
+tot AS (
+    SELECT doc_id, text,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE len(string_split(text, chr(10))) END AS n_lines
+    FROM paged
+)
+SELECT t.doc_id,
+       CASE WHEN t.text IS NULL THEN NULL
+            ELSE coalesce(rb.clean_text, '') END AS clean_text,
+       CAST(coalesce(rb.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(CASE WHEN t.text IS NULL THEN 0
+                 ELSE t.n_lines - coalesce(rb.n_lines_kept, 0) END AS BIGINT)
+           AS n_lines_removed
+FROM tot t LEFT JOIN rb ON rb.doc_id = t.doc_id
+""",
+)
+def line_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line removal (dedup.line_dedup_rewrite):
+    repeated non-empty lines keep their first occurrence, empty lines
+    (paragraph structure) survive — the CCNet/C4-style page cleanup
+    next to span_dedup_rewrite's cross-document span removal. Entirely
+    keyed on doc_id: posexplode, one first-occurrence window, one
+    ordered re-assembly; no cross-document stage. The fixture corpus
+    is single-line, so both engines first re-page it (word -> line)
+    to give the dedup real duplicate lines to remove; multi-line
+    goldens incl. empty-line preservation live in tests/test_dedup.py."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        line_dedup_rewrite,
+    )
+
+    paged = _docs(spark, sf_dir).withColumn(
+        "text", F.replace(F.col("text"), F.lit(" "), F.lit("\n"))
+    )
+    return line_dedup_rewrite(paged)
 
 
 @register(
@@ -7643,6 +7757,10 @@ _VERIFY_FIRST = [
     "dedup_bloom_prefilter",  # new r07 wave 13: Bloom-join pre-gate
     "sim_topk_ivf_stored",  # new r07 wave 13: parquet-backed index path
     "corpus_snapshot_diff",  # new r07 wave 13: dataset-versioning diff
+    "bpe_train_merges",  # new r07 wave 14: trained tokenizer artifact
+    "bpe_apply_tokens",  # new r07 wave 14: corpus token budget
+    "bpe_apply_oov",  # new r07 wave 15: merge-replay serving path
+    "line_dedup_rewrite",  # new r07 wave 15: within-page line cleanup
     "dedup_minhash_lsh_capped",  # production default; r06 bench watch item
     "dedup_minhash_lsh",
     "dedup_exact",

@@ -20,7 +20,7 @@ Both are reproducible bit-for-bit in DuckDB for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
@@ -667,6 +667,58 @@ def span_dedup_rewrite(
             .cast("long")
             .alias("n_tokens_removed"),
         )
+    )
+
+
+def line_dedup_rewrite(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(key, clean_text, n_lines_kept, n_lines_removed): WITHIN-document
+    duplicate-line removal — every repeated non-empty line keeps its
+    FIRST occurrence and later copies are dropped; empty lines are
+    preserved (they are paragraph structure, not content). The CCNet /
+    C4-style cleanup that strips navigation chrome, repeated headers
+    and boilerplate lists inside a single page, complementing
+    span_dedup_rewrite's ACROSS-document span removal.
+
+    Plan: one posexplode on newline, one (key, line) window marking
+    first occurrences, one ordered per-key re-assembly — all keyed on
+    the document id, linear at any corpus size, no cross-document
+    stage at all. NULL text keeps its row with NULL clean_text.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    lt = df.select(F.col(key), F.posexplode(lines).alias("pos", "line"))
+    w = Window.partitionBy(key, "line").orderBy("pos")
+    kept = (
+        lt.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) | (F.col("line") == ""))
+        .drop("_rn")
+    )
+    rebuilt = kept.groupBy(key).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_lines_kept"),
+    )
+    total = df.select(
+        F.col(key), F.size(lines).cast("long").alias("_n_lines"), F.col(text_col)
+    )
+    return total.join(rebuilt, key, "left").select(
+        key,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce("clean_text", F.lit("")))
+        .alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        F.when(
+            F.col(text_col).isNull(), F.lit(0)
+        )
+        .otherwise(F.col("_n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
     )
 
 

@@ -687,6 +687,70 @@ def bpe_apply_tokens(
     )
 
 
+def bpe_segment_with_merges(words: DataFrame, merges: DataFrame) -> DataFrame:
+    """(word, n_sym): segment ARBITRARY words by replaying a stored
+    merge table in rank order — the serving path for words the
+    training vocab never saw (bpe_apply_tokens short-circuits through
+    the trained reprs and only covers known words).
+
+    The replay is one F.aggregate fold over the merges collected into
+    a single broadcast row (array_sort on the struct puts rank first,
+    so the fold applies merges in training order): each step is the
+    same boundary-safe literal replace training used. No driver
+    collect, no UDF — the merge table rides the plan as a 1-row
+    broadcast whatever its length."""
+    merge_row = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("rank", "lhs", "rhs", "merged"))
+        ).alias("ms")
+    )
+    folded = words.crossJoin(F.broadcast(merge_row)).select(
+        "word",
+        F.aggregate(
+            "ms",
+            _bpe_repr0(F.col("word")),
+            lambda acc, m: F.replace(
+                acc,
+                F.concat(F.lit(" "), m["lhs"], F.lit("  "), m["rhs"], F.lit(" ")),
+                F.concat(F.lit(" "), m["merged"], F.lit(" ")),
+            ),
+        ).alias("repr"),
+    )
+    return folded.select(
+        "word", F.size(_bpe_symbols(F.col("repr"))).cast("long").alias("n_sym")
+    )
+
+
+def bpe_apply_oov(
+    df: DataFrame,
+    n_merges: int = BPE_MERGES,
+    train_mod: int = 17,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, n_tokens, n_bpe_tokens) for HELD-OUT documents (key %
+    train_mod == 0) segmented by a tokenizer trained only on the REST —
+    the out-of-vocabulary serving path: every held-out word, seen or
+    not, is segmented by replaying the stored merge table
+    (bpe_segment_with_merges), exactly what a deployed tokenizer does
+    to fresh crawl data. Distinct held-out words segment once
+    (vocab-sized fold), documents pay one broadcast join."""
+    train = df.where(F.pmod(F.col(key), F.lit(train_mod)) != 0)
+    held = df.where(F.pmod(F.col(key), F.lit(train_mod)) == 0)
+    merges = bpe_train_merges(train, n_merges, text_col)
+    words = held.select(F.explode(tokens(text_col)).alias("word")).distinct()
+    seg = bpe_segment_with_merges(words, merges)
+    toks = held.select(F.col(key), F.explode(tokens(text_col)).alias("word"))
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy(key)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def bigram_logprob(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """(key, lm2_score): bigram language-model score with add-1
     smoothing — mean ln P(w2 | w1) over a document's adjacent token

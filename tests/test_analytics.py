@@ -727,3 +727,24 @@ def test_bpe_apply_tokens_counts(spark):
         for r in bpe_apply_tokens(df, n_merges=1).collect()
     }
     assert got1 == {0: (3, 6), 1: (2, 8)}
+
+
+def test_bpe_apply_oov_segments_unseen_words(spark):
+    # tokenizer trained on docs 1/2 (low x3, lower x2); doc 0 (held
+    # out, 0 % 17 == 0) contains the UNSEEN word 'lowest'. With the 4
+    # trained merges (l,o)(lo,w)(e,r)(low,er): low -> [low],
+    # lower -> [lower], lowest -> [low, e, s, t] (er never forms — e
+    # is followed by s).
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_apply_oov,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "low low low"), (2, "lower lower")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_bpe_tokens)
+        for r in bpe_apply_oov(df, n_merges=4).collect()
+    }
+    assert got == {0: (3, 1 + 1 + 4)}

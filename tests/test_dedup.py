@@ -669,3 +669,23 @@ def test_neardup_clusters_star_equals_label_method(spark):
     }
     assert star == lab
     assert {(2, 2), (5, 2), (8, 2), (3, 3), (9, 3)} <= star
+
+
+def test_line_dedup_rewrite_goldens(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a\nb\na\n\nb\nc\n\na"),  # dups of a, b dropped; empties kept
+            (1, None),
+            (2, ""),
+            (3, "only\nunique\nlines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_removed)
+        for r in dedup.line_dedup_rewrite(df).collect()
+    }
+    assert got[0] == ("a\nb\n\nc\n", 5, 3)
+    assert got[1] == (None, 0, 0)
+    assert got[2] == ("", 1, 0)
+    assert got[3] == ("only\nunique\nlines", 3, 0)

@@ -295,3 +295,25 @@ def test_pq_reconstruction_error_identical_vectors_zero_error(spark):
     for r in pq_reconstruction_error(df).collect():
         # every subvector equals the single surviving codeword exactly
         assert r.avg_sq_error == 0.0 and r.max_sq_error == 0.0
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        lambda s, d: textstats.bpe_train_merges(d, n_merges=3),
+        lambda s, d: textstats.bpe_apply_tokens(d, n_merges=3),
+        lambda s, d: dedup.line_dedup_rewrite(d),
+        lambda s, d: dedup.bloom_neardup_prefilter(
+            d.where("doc_id % 2 = 0"),
+            dedup.minhash_bands(dedup.minhash_signature(d.where("doc_id % 2 = 1"))),
+        ),
+    ],
+    ids=["bpe_train", "bpe_apply", "line_rewrite", "bloom_prefilter"],
+)
+def test_round7_wave_ops_survive_weird_docs(spark, weird_docs, op):
+    op(spark, weird_docs).collect()  # must not throw
+
+
+def test_star_components_empty_edges(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert dedup.star_components(empty).collect() == []

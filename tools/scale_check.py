@@ -95,7 +95,13 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
     timings: dict[str, float] = {}
 
     def t(name, df):
+        # a callable means the op does EAGER work at construction time
+        # (localCheckpoint rounds in star CC / BPE training): build it
+        # INSIDE the timer or the heavy stages escape measurement (the
+        # r07 leakage_safe_split_capped "0.45s" artifact)
         t0 = time.perf_counter()
+        if callable(df):
+            df = df()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 2)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
@@ -187,12 +193,38 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
         # jump heuristic non-convergent here (1105 labels still moving
         # after 20 rounds — adversarial id placement voids the
         # doubling argument); star contraction carries an O(log^2 n)
-        # round bound
-        leakage_safe_split(docs, max_bucket_size=64, method="star"),
+        # round bound. Thunk: the contraction rounds run eagerly at
+        # construction (localCheckpoint), so build inside the timer.
+        lambda: leakage_safe_split(docs, max_bucket_size=64, method="star"),
+    )
+    # wave 13/14 additions: the trained tokenizer (vocab-bounded — the
+    # word dict of the synthetic corpus caps at |V|^3-ish shingle
+    # combinations, so expect strongly sub-linear), its broadcast-join
+    # application, and the versioning diff (fingerprints only shuffle)
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        snapshot_diff,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_apply_tokens,
+        bpe_train_merges,
+    )
+
+    # thunks: BPE training rounds localCheckpoint eagerly at build time
+    t("bpe_train_merges", lambda: bpe_train_merges(docs))
+    t("bpe_apply_tokens", lambda: bpe_apply_tokens(docs))
+    t(
+        "snapshot_diff",
+        snapshot_diff(
+            docs.where(F.col("doc_id") % 53 != 0),
+            docs.where(F.col("doc_id") % 47 != 0),
+        ),
     )
     # the daily-ingest op: 1% of docs arrive as a new batch; the corpus
     # side reads its STORED band/shingle tables (parquet), so only the
-    # batch is signature-hashed — timing excludes the corpus build
+    # batch is signature-hashed — timing excludes the corpus build.
+    # The Bloom pre-gate probes the SAME stored corpus's band bitmap:
+    # its cost should stay flat-ish (batch-sized explode + broadcast
+    # join against a bounded bitmap) while the corpus grows 5x.
     with tempfile.TemporaryDirectory() as tmp:
         corpus = docs.where(F.col("doc_id") % 100 != 0)
         dedup.minhash_bands(dedup.minhash_signature(corpus)).write.parquet(f"{tmp}/bands")
@@ -204,6 +236,13 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
                 spark.read.parquet(f"{tmp}/bands"),
                 spark.read.parquet(f"{tmp}/sh"),
                 max_bucket_size=64,
+            ),
+        )
+        t(
+            "bloom_prefilter_1pct",
+            dedup.bloom_neardup_prefilter(
+                docs.where(F.col("doc_id") % 100 == 0),
+                spark.read.parquet(f"{tmp}/bands"),
             ),
         )
     return timings
