@@ -515,3 +515,44 @@ def test_dedup_minhash_lsh_capped_band_join_bounded_verify_no_python(spark):
     # bounded shuffle budget: signature agg, cap window, candidate
     # dedup — silent extra exchanges are attributable regressions
     assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_bloom_prefilter_probe_is_broadcast_join(spark):
+    # the probe side must meet the bitmap via a BROADCAST hash join on
+    # word_id (the bitmap is bounded at m/32 rows by construction —
+    # that boundedness is the whole point); no Python anywhere
+    plan = _physical(spark, "dedup_bloom_prefilter")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    import re
+
+    assert re.search(r"BroadcastHashJoin \[word_id#\d+L?\]", plan), plan
+
+
+def test_snapshot_diff_shuffles_fingerprints_not_content(spark):
+    # ONE full-outer join keyed on doc_id; the sha256 projection sits
+    # BELOW it so content never crosses the exchange (the join inputs
+    # carry fp columns, not text)
+    plan = _physical(spark, "corpus_snapshot_diff")
+    assert plan.count("FullOuter") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    import re
+
+    m = re.search(r"SortMergeJoin [^\n]*FullOuter", plan)
+    assert m, plan
+    # no text column survives into the join operands: every occurrence
+    # of the raw text attribute must be under a sha2 projection
+    join_input = plan[m.start() :]
+    assert "sha2(text" not in join_input.split("\n")[0]
+
+
+def test_bpe_apply_is_broadcast_vocab_join(spark):
+    # serving: exploded corpus joins the |V|-row (word, n_sym) map via
+    # broadcast — the trained merge loop is lineage-free at serve time
+    # (training localCheckpoints), so the final plan is scan + explode
+    # + broadcast join + one keyed agg, zero Python
+    plan = _physical(spark, "bpe_apply_tokens")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    import re
+
+    assert re.search(r"BroadcastHashJoin \[word#\d+L?\]", plan), plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
