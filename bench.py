@@ -60,6 +60,9 @@ HEADLINE = [
     "quality_classifier_score",  # round 7: trained logreg gate (GD + broadcast scoring)
     "repetition_filters",  # round 7: Gopher repetition rules (3 explode pipelines)
     "leakage_safe_split",  # round 7: LSH + CC + split composition
+    "bpe_train_merges",  # round 7: trained tokenizer (8 vocab-bounded merge rounds)
+    "dedup_bloom_prefilter",  # round 7: Bloom-join pre-gate (bounded bitmap probe)
+    "line_dedup_rewrite",  # round 7: within-page duplicate-line removal
 ]
 
 
