@@ -3780,6 +3780,56 @@ def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register("dedup_clusters_star", None)  # oracle assigned below — identical to dedup_clusters
+def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment-scale CC path under the SAME oracle as
+    dedup_clusters: large-star/small-star contraction (dedup.
+    star_components, O(log^2 n) rounds on any structure) must produce
+    exactly the label-propagation fixpoint — component-min labels —
+    so the recursive-CTE transitive closure verifies both. This row
+    exists because the scale ladder showed pointer jumping failing to
+    converge on a 200k-doc graph; the replacement algorithm gets a
+    driver-checked correctness row, not just unit tests."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import neardup_clusters
+
+    return neardup_clusters(_docs(spark, sf_dir), threshold=0.5, method="star")
+
+
+REGISTRY["dedup_clusters_star"].oracle = REGISTRY["dedup_clusters"].oracle
+
+
+@register("dedup_incremental_bloom", None)  # oracle assigned below — identical to dedup_incremental
+def dedup_incremental_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ingest: Bloom pre-gate THEN the band
+    join, registered under dedup_incremental's oracle verbatim — the
+    no-false-negatives guarantee as a hash-checked equality, not a
+    docstring claim. Only batch docs whose band hashes hit the corpus
+    bitmap (broadcast probe against the bounded word table) enter
+    incremental_neardup_pairs; if the gate ever dropped a true
+    near-dup, this row would mismatch."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bloom_neardup_prefilter,
+        incremental_neardup_pairs,
+        minhash_bands,
+        minhash_signature,
+        shingle_sets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+    corpus_bands = minhash_bands(minhash_signature(corpus))
+    gate = bloom_neardup_prefilter(batch, corpus_bands)
+    batch_f = batch.join(
+        gate.where(F.col("maybe_neardup")).select("doc_id"), "doc_id", "left_semi"
+    )
+    return incremental_neardup_pairs(batch_f, corpus_bands, shingle_sets(corpus))
+
+
+REGISTRY["dedup_incremental_bloom"].oracle = REGISTRY["dedup_incremental"].oracle
+
+
+
 _SQL_REV = (
     "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
     "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)"
@@ -7761,6 +7811,8 @@ _VERIFY_FIRST = [
     "bpe_apply_tokens",  # new r07 wave 14: corpus token budget
     "bpe_apply_oov",  # new r07 wave 15: merge-replay serving path
     "line_dedup_rewrite",  # new r07 wave 15: within-page line cleanup
+    "dedup_clusters_star",  # new r07 wave 16: star CC vs closure oracle
+    "dedup_incremental_bloom",  # new r07 wave 16: gated == ungated proof
     "dedup_minhash_lsh_capped",  # production default; r06 bench watch item
     "dedup_minhash_lsh",
     "dedup_exact",
