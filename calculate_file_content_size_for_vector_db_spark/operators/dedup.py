@@ -723,7 +723,7 @@ def line_dedup_rewrite(
 
 
 def star_components(
-    edges: DataFrame, max_rounds: int = 30
+    edges: DataFrame, max_rounds: int | None = None
 ) -> DataFrame:
     """(node, cluster_id): connected components by alternating
     large-star / small-star contraction (Kiveris et al., "Connected
@@ -747,9 +747,18 @@ def star_components(
 
     ``edges``: (src, dst) pairs, either direction, self-loops ignored.
     Output covers every node incident to an edge; roots label
-    themselves. Raises if ``max_rounds`` is hit (with the O(log^2 n)
-    bound, that indicates a bug, not a big graph).
+    themselves.
+
+    ``max_rounds``: convergence cap. The default (None) is sized from
+    the node count as max(30, ceil(log2 n)^2) — the theoretical bound
+    is O(log^2 n) alternations, so a fixed 30 could be legitimately
+    exceeded by a huge adversarial graph (log2(10^9)^2 ~ 900) even
+    though OBSERVED convergence is ~2*log2(n) (ladder graphs, 200k
+    nodes: 9 alternations). Callers who know their structure can pass
+    a tighter cap; hitting the derived cap still raises, because at
+    that point the edge set is cycling, not converging.
     """
+    import math
     E = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -762,6 +771,9 @@ def star_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if max_rounds is None:
+        n = all_nodes.count()  # already checkpointed — a cheap metadata-ish scan
+        max_rounds = max(30, math.ceil(math.log2(max(n, 2))) ** 2)
 
     def _large(e: DataFrame) -> DataFrame:
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -799,8 +811,11 @@ def star_components(
             break
     else:
         raise RuntimeError(
-            f"star_components did not converge in {max_rounds} rounds — "
-            "with the O(log^2 n) bound this indicates a defect, not scale."
+            f"star_components did not converge in {max_rounds} rounds "
+            "(cap = max(30, ceil(log2 n)^2), at or above the theoretical "
+            "O(log^2 n) alternation bound) — the edge set is cycling, not "
+            "converging; pass a larger max_rounds only if you have reason "
+            "to believe the graph is legitimately beyond the bound."
         )
     children = E.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
     return (

@@ -627,6 +627,16 @@ def _bpe_train_reprs(
             )
             .localCheckpoint(eager=True)
         )
+        if not best.take(1):
+            # Degenerate corpus: no adjacent symbol pair anywhere (every
+            # word already a single symbol before n_merges rounds). The
+            # crossJoin rewrite below would silently EMPTY the repr
+            # table (0-row broadcast x reprs = 0 rows) and every
+            # downstream apply would return zero rows for every doc —
+            # and because the oracle collapses identically, parity
+            # could never catch it. Stop training instead: the merge
+            # table simply has fewer than n_merges rows.
+            break
         merges.append(best)
         search = F.concat(F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" "))
         repl = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
@@ -645,8 +655,14 @@ def bpe_train_merges(
     table — the tokenizer-as-artifact, like quality_classifier_weights
     is the classifier-as-artifact. Deterministic by construction
     (integer pair counts, lexicographic ties), so an unrolled SQL
-    chain reproduces training bit-for-bit."""
+    chain reproduces training bit-for-bit. A degenerate corpus (no
+    adjacent pair to merge) yields an empty merge table, not an
+    error."""
     merges, _ = _bpe_train_reprs(df, n_merges, text_col)
+    if not merges:
+        return df.sparkSession.createDataFrame(
+            [], "rank int, lhs string, rhs string, merged string, pair_count long"
+        )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)

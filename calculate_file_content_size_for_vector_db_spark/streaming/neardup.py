@@ -110,15 +110,41 @@ def neardup_ingest_gate(
     trigger's signature work is bounded; the corpus side never
     recomputes regardless of batch size. Admitted docs append to
     ``admitted_dir`` AND their band/shingle artifacts append to the
-    corpus store, so cross-micro-batch near-dups are rejected."""
+    corpus store, so cross-micro-batch near-dups are rejected.
+
+    Cold start needs no pre-seeded store: missing ``bands_dir`` /
+    ``shingles_dir`` are treated as an empty corpus (which admits
+    everything), and the first trigger's appends create them."""
+
+    def _read_store(spark, path: str, empty_like: DataFrame) -> DataFrame:
+        """Corpus-store read with an empty-corpus bootstrap. On a
+        brand-new pipeline neither store dir exists until the first
+        trigger appends, and spark.read.parquet on a missing (or
+        file-less) dir raises AnalysisException. An empty corpus
+        admits everything under the greedy semantics, so substitute
+        an empty frame — schema derived from the SAME functions that
+        write the store, so the seam can't drift."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return empty_like
 
     def _gate(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        empty = batch_df.limit(0)
         admitted = admit_batch(
             batch_df,
-            spark.read.parquet(bands_dir),
-            spark.read.parquet(shingles_dir),
+            _read_store(
+                spark,
+                bands_dir,
+                minhash_bands(
+                    minhash_signature(empty, text_col=text_col, key=key), key=key
+                ),
+            ),
+            _read_store(spark, shingles_dir, shingle_sets(empty, text_col, key)),
             threshold,
             text_col,
             key,

@@ -317,3 +317,37 @@ def test_round7_wave_ops_survive_weird_docs(spark, weird_docs, op):
 def test_star_components_empty_edges(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert dedup.star_components(empty).collect() == []
+
+
+def test_bpe_degenerate_corpus_stops_merging_without_emptying_vocab(spark):
+    """ADVICE r07: a corpus where every word is already one symbol has
+    no adjacent pair to merge. Training must stop early with an EMPTY
+    merge table — NOT crossJoin a 0-row best frame into the repr
+    table, which silently emptied the vocab so bpe_apply_tokens
+    returned zero rows for every doc (and the oracle collapsed
+    identically, so parity could never catch it)."""
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d e")], "doc_id long, text string"
+    )
+    assert textstats.bpe_train_merges(df, n_merges=3).collect() == []
+    rows = {
+        r.doc_id: r
+        for r in textstats.bpe_apply_tokens(df, n_merges=3).collect()
+    }
+    # one row PER DOC survives, and with zero merges every word stays
+    # one 1-char symbol: bpe token count == whitespace token count
+    assert set(rows) == {0, 1}
+    assert rows[0].n_bpe_tokens == rows[0].n_tokens == 3
+    assert rows[1].n_bpe_tokens == rows[1].n_tokens == 4
+
+
+def test_bpe_partial_exhaustion_keeps_earlier_merges(spark):
+    """One merge is possible ('a b' -> 'ab' inside word 'ab'), then the
+    pair supply is exhausted; rounds 2..5 must stop early, keeping
+    round 1's row and the merged reprs."""
+    df = spark.createDataFrame([(0, "ab ab c d e")], "doc_id long, text string")
+    merges = textstats.bpe_train_merges(df, n_merges=5).collect()
+    assert [(m.rank, m.merged) for m in merges] == [(1, "ab")]
+    row = textstats.bpe_apply_tokens(df, n_merges=5).collect()[0]
+    # 'ab' words collapse to 1 symbol each; c/d/e stay 1 symbol
+    assert row.n_tokens == 5 and row.n_bpe_tokens == 5

@@ -397,3 +397,48 @@ def test_streaming_neardup_gate_equals_sequential_greedy(spark, tmp_path):
             dedup.shingle_sets(adm).write.mode("append").parquet(ref_sh)
         adm.unpersist()
     assert got == sorted(want) == [0, 3]
+
+
+def test_streaming_neardup_gate_cold_start_bootstraps_store(spark, tmp_path):
+    """ADVICE r07: a brand-new pipeline has NO pre-seeded corpus store —
+    bands_dir/shingles_dir don't exist until the first trigger appends.
+    The gate must treat the missing store as an empty corpus (which
+    admits everything) instead of failing the first micro-batch with a
+    path-does-not-exist AnalysisException, and later triggers must
+    still reject near-dups of cold-start admissions."""
+    from calculate_file_content_size_for_vector_db_spark.streaming.neardup import (
+        neardup_ingest_gate,
+    )
+
+    words = [f"w{i:03d}" for i in range(40)]
+    new_rows = [
+        (0, " ".join(words[0:30])),  # first-ever doc -> admitted (store absent)
+        (1, " ".join(words[2:32])),  # near-dup of d0 (J=0.867) -> rejected
+        (2, " ".join(words[10:40])),  # J=0.474 vs d0 -> admitted
+    ]
+    schema = "doc_id long, text string"
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    for i, row in enumerate(new_rows):
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stream_dir / f"f{i}"))
+
+    bands_dir = str(tmp_path / "bands")  # never created before the stream
+    sh_dir = str(tmp_path / "sh")
+    admitted_dir = str(tmp_path / "admitted")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = neardup_ingest_gate(
+        stream, bands_dir, sh_dir, admitted_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(admitted_dir).collect())
+    assert got == [0, 2]
+    # the first trigger created the store; it now holds both admissions
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(sh_dir).select("doc_id").distinct().collect()
+    ) == [0, 2]
