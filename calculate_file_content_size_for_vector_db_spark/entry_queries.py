@@ -7271,22 +7271,40 @@ def dedup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sql_logreg_chain(buckets: int = 16, rounds: int = 2, lr: float = 1.0) -> str:
+def _sql_hashed_features(suffix: str, src: str = "documents", buckets: int = 16) -> str:
+    """CTE chain tok{s}/hb{s}/cnt{s}/nt{s}/feat{s}: the hashed-bucket
+    normalized-count features of curation._hashed_features over
+    ``src`` (intercept pseudo-bucket -1), shared by the training chain
+    and the full-corpus scoring side of the sampled-train variant."""
+    s = suffix
+    return ",\n".join(
+        [
+            f"tok{s} AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM {src})",
+            f"hb{s} AS (SELECT doc_id, CAST(list_reduce(list_transform(string_split(w, ''),"
+            " c -> CAST(ord(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+            f" % {buckets} AS INT) AS b FROM tok{s})",
+            f"cnt{s} AS (SELECT doc_id, b, count(*) AS c FROM hb{s} GROUP BY doc_id, b)",
+            f"nt{s} AS (SELECT doc_id, count(*) AS n FROM hb{s} GROUP BY doc_id)",
+            f"feat{s} AS (SELECT c.doc_id, c.b, c.c / CAST(n.n AS DOUBLE) AS x"
+            f" FROM cnt{s} c JOIN nt{s} n USING (doc_id)"
+            f" UNION ALL SELECT doc_id, -1 AS b, 1.0 AS x FROM nt{s})",
+        ]
+    )
+
+
+def _sql_logreg_chain(
+    buckets: int = 16, rounds: int = 2, lr: float = 1.0, train_src: str = "documents"
+) -> str:
     """DuckDB mirror of curation.quality_classifier_weights: hashed
-    features (token_hash % buckets, intercept pseudo-bucket -1), then
-    ``rounds`` unrolled GD steps. Final weights CTE is ``wl{rounds}``."""
+    features (token_hash % buckets, intercept pseudo-bucket -1) over
+    ``train_src``, then ``rounds`` unrolled GD steps. Final weights
+    CTE is ``wl{rounds}``; its bucket universe is the TRAINING
+    corpus's (matching Spark, where unseen buckets simply have no
+    weight row and contribute nothing at scoring time)."""
     parts = [
-        f"tokq AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents)",
-        "hb AS (SELECT doc_id, CAST(list_reduce(list_transform(string_split(w, ''),"
-        " c -> CAST(ord(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
-        f" % {buckets} AS INT) AS b FROM tokq)",
-        "cntq AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b)",
-        "ntq AS (SELECT doc_id, count(*) AS n FROM hb GROUP BY doc_id)",
-        "featq AS (SELECT c.doc_id, c.b, c.c / CAST(n.n AS DOUBLE) AS x"
-        " FROM cntq c JOIN ntq n USING (doc_id)"
-        " UNION ALL SELECT doc_id, -1 AS b, 1.0 AS x FROM ntq)",
-        "labq AS (SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y"
-        " FROM documents d JOIN ntq USING (doc_id))",
+        _sql_hashed_features("q", train_src, buckets),
+        f"labq AS (SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y"
+        f" FROM {train_src} d JOIN ntq USING (doc_id))",
         "ntrq AS (SELECT CAST(count(*) AS DOUBLE) AS n_train FROM labq)",
         "wl0 AS (SELECT DISTINCT b, 0.0 AS wgt FROM featq)",
     ]
@@ -7351,6 +7369,41 @@ def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return quality_classifier_score(
         _docs(spark, sf_dir), positive=F.col("lang") == "en"
+    )
+
+
+@register(
+    "quality_classifier_score_sampled",
+    f"""
+WITH {_sql_logreg_chain(train_src="(SELECT * FROM documents WHERE doc_id % 4 = 0)")},
+{_sql_hashed_features("f")},
+zf AS (SELECT f.doc_id, round(sum(f.x * w.wgt), 6) AS z
+       FROM featf f JOIN wl2 w USING (b) GROUP BY f.doc_id)
+SELECT d.doc_id, CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS label,
+       round(1.0 / (1.0 + exp(-zf.z)), 6) AS score
+FROM documents d LEFT JOIN zf USING (doc_id)
+""",
+)
+def quality_classifier_score_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of quality_classifier_score (VERDICT r07
+    item 5): GD runs on a deterministic 25% hash-sample
+    (doc_id % 4 = 0) and the resulting 17-row weight table broadcasts
+    to score the FULL corpus — at 100 TB training cost is
+    sample-sized while scoring stays one broadcast join + one keyed
+    agg over the corpus. The oracle trains its unrolled chain on the
+    same sample and scores through a second full-corpus feature
+    chain, so sampled-train parity is hash-checked end-to-end.
+    Buckets unseen in the sample have no weight row on either side
+    (inner join drops them); zero-token docs keep NULL score."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        quality_classifier_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return quality_classifier_score(
+        docs,
+        positive=F.col("lang") == "en",
+        train_df=docs.where(F.col("doc_id") % 4 == 0),
     )
 
 

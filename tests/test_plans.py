@@ -413,6 +413,7 @@ _BNLJ_ALLOWED = {
     "orders_price_band_join",
     "orders_rfm_segments",  # 1-row max-date (recency reference) broadcast
     "pq_recall_at_10", "quality_calibrate",
+    "quality_classifier_score_sampled",  # 1-row n_train (sample-size) broadcast in the GD chain
     "sim_range_search",  # broadcast-queries x corpus radius scan
     "sim_ivf_assign", "sim_ivf_centroids", "sim_topk_binary",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivfpq",
