@@ -1636,28 +1636,32 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sql_kmeans_chain(k: int = 8, iters: int = 3) -> str:
+def _sql_kmeans_chain(k: int = 8, iters: int = 3, src: str = "e", tag: str = "") -> str:
+    """Unrolled Lloyd chain over ``src``; ``tag`` namespaces the CTEs
+    (cent{tag}{i} / assign{tag}{i}) so two trainings — e.g. the
+    base-corpus store and a fresh full-corpus retrain in
+    ivf_staleness — can coexist in one oracle."""
     parts = [
-        "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv"
-        f" FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"
+        f"cent{tag}0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv"
+        f" FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT {k}))"
     ]
     for i in range(1, iters + 1):
-        prev = f"cent{i - 1}"
+        prev = f"cent{tag}{i - 1}"
         parts.append(
-            f"""assign{i} AS (
+            f"""assign{tag}{i} AS (
     SELECT vec_id, cell FROM (
         SELECT a.vec_id, c.cell,
                row_number() OVER (PARTITION BY a.vec_id
                    ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
-        FROM e a, {prev} c
+        FROM {src} a, {prev} c
     ) WHERE rn = 1
 )"""
         )
         parts.append(
-            f"""cent{i} AS (
+            f"""cent{tag}{i} AS (
     SELECT cell, list(cx ORDER BY pos) AS cv FROM (
         SELECT s.cell, t.pos AS pos, round(avg(a.v[t.pos]), 6) AS cx
-        FROM e a JOIN assign{i} s ON a.vec_id = s.vec_id,
+        FROM {src} a JOIN assign{tag}{i} s ON a.vec_id = s.vec_id,
              (SELECT unnest(range(1, 65)) AS pos) t
         GROUP BY s.cell, t.pos
     ) GROUP BY cell
@@ -1799,6 +1803,120 @@ def sim_topk_ivf_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign=spark.read.parquet(f"{idx}/assign"),
         centroids=spark.read.parquet(f"{idx}/centroids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: incremental maintenance of the stored ANN index (VERDICT
+# r07 items 3-4). sim_ivf_append is the write half of the stored path:
+# the store is trained on the BASE corpus (vec_id % 10 != 0), a new
+# ingest batch (vec_id % 10 == 0) is assigned against the FROZEN
+# stored centroids — no retrain — and appended to the stored
+# assignment table. The oracle trains its unrolled chain on the base
+# subset only and assigns ALL vectors, so the hash pins the
+# equivalence store+batch == assignment-from-stored-centroids (valid
+# because per-vector assignment depends only on the frozen centroids).
+# ivf_staleness is the paired QA row: the number that says when the
+# frozen quantizer has drifted far enough from the appended data to
+# warrant a rebuild.
+# ---------------------------------------------------------------------------
+
+_SQL_IVF_BASE_STORE = f"""
+{_SQL_EMB},
+eb AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+{_sql_kmeans_chain(src="eb", tag="b")},
+centb AS (SELECT cell, cv FROM centb3),
+assignb AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, centb c
+    ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "sim_ivf_append",
+    f"""
+WITH {_SQL_IVF_BASE_STORE}
+SELECT vec_id, CAST(cell AS INT) AS cell, cell_cosine FROM assignb
+""",
+)
+def sim_ivf_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest maintenance of the stored IVF index
+    (similarity.ivf_append_assign): centroids train ONCE on the base
+    corpus and persist; the new batch is assigned against the frozen
+    store and appended to the stored assignment table, at batch-sized
+    (never corpus-sized) cost. Result = the appended assignment table
+    read back from parquet, so the hash also guards the append seam
+    (schema drift or a lossy append would mismatch)."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+        ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    idx = tempfile.mkdtemp(prefix="ivf_append_")
+    ivf_centroids(base).write.mode("overwrite").parquet(f"{idx}/centroids")
+    cents = spark.read.parquet(f"{idx}/centroids")
+    ivf_append_assign(base, cents).write.mode("overwrite").parquet(f"{idx}/assign")
+    ivf_append_assign(batch, cents).write.mode("append").parquet(f"{idx}/assign")
+    return spark.read.parquet(f"{idx}/assign").select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "cell_cosine"
+    )
+
+
+@register(
+    "ivf_staleness",
+    f"""
+WITH {_SQL_IVF_BASE_STORE},
+{_sql_kmeans_chain()},
+centf AS (SELECT cell, cv FROM cent3),
+assignf AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, centf c
+    ) WHERE rn = 1
+),
+ss AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+              round(avg(cell_cosine), 6) AS mean_cc_stored FROM assignb),
+sbal AS (SELECT round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS max_share_stored
+         FROM (SELECT count(*) AS c FROM assignb GROUP BY cell)),
+fs AS (SELECT round(avg(cell_cosine), 6) AS mean_cc_fresh FROM assignf),
+fbal AS (SELECT round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS max_share_fresh
+         FROM (SELECT count(*) AS c FROM assignf GROUP BY cell))
+SELECT n_vectors, mean_cc_stored, mean_cc_fresh,
+       round(mean_cc_fresh - mean_cc_stored, 6) AS cc_drift,
+       max_share_stored, max_share_fresh
+FROM ss, fs, sbal, fbal
+""",
+)
+def ivf_staleness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness QA for the appended store
+    (similarity.ivf_staleness): after sim_ivf_append has grown the
+    corpus past the store's training set, recall decays silently —
+    this row quantifies the decay as quantization-quality drift
+    (mean nearest-centroid cosine, stored vs fresh retrain) plus list
+    balance (largest cell share, the probe-1 degeneracy signal).
+    Pinned property: zero appends => cc_drift == 0 exactly
+    (tests/test_similarity.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_staleness,
+    )
+
+    emb = _emb(spark, sf_dir)
+    stored = ivf_centroids(emb.where(F.col("vec_id") % 10 != 0))
+    return ivf_staleness(emb, stored)
 
 
 # ---------------------------------------------------------------------------
@@ -7783,106 +7901,74 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds even if the driver caps or timeboxes its sweep.
 # ---------------------------------------------------------------------------
 
-# Round-7 priority (the driver caps its per-round sweep at ~50 rows).
-# Freshness rotation, per VERDICT r06 item 1: the 23 wave-2..8 queries
-# that have NEVER received a driver row lead, then the 23 r03-stale
-# extension rows, then the production-default dedup path (whose r06
-# bench sample was the round's headline regression and needs a fresh
-# correctness row alongside the re-measure) plus the oldest r04 rows.
-# Everything already r05/r06-green queues behind — each is still
-# re-verified at sf0.001 by every pytest run, and the full 195-query
-# sf0.01 sweep is committed per-round as ORACLES_r{N}.json
+# Round-8 priority (the driver caps its per-round sweep at ~50 rows).
+# Freshness rotation, per VERDICT r07 item 1: the 3 brand-new round-8
+# queries lead (they would otherwise enter next round never-checked),
+# then the 15 r07 queries that have NEVER received a driver row (the
+# r07 flagships: trained tokenizer, Bloom gate, stored index, star CC,
+# snapshot diff), then 32 of the 49 r04-stale rows, oldest families
+# first (events_*, sim_*, text_*, multimodal_*, simhash_pairs, the
+# tpch completion set). The 17 r04 rows that don't fit this window
+# (tpch_q20..q22, the dedup_* production family, relational misc)
+# lead the r09 rotation. Everything else queues behind — each is
+# still re-verified at sf0.001 by every pytest run, and the full
+# registry sf0.01 sweep is committed per-round as ORACLES_r{N}.json
 # (tests/check_oracles.py), so window position is about the driver's
 # independent signal, not the only verification.
 _VERIFY_FIRST = [
-    # --- 1. never driver-checked (waves 2..8), 23 queries ---
-    "ivf_list_stats",
-    "pq_reconstruction_error",
-    "dsir_importance",
-    "source_cap_sample",
-    "dedup_rate_by_source",
-    "zorder_layout",
-    "lang_confusion",
-    "split_drift_ks",
-    "orders_weekday_seasonality",
-    "knn_clustering_coeff",
-    "salted_join_events",
-    "cohort_retention",
-    "orders_rfm_segments",
-    "sim_range_search",
-    "label_centroid_quality",
-    "events_anomaly",
-    "key_skew_profile",
-    "event_transitions",
-    "fk_integrity_check",
-    "mix_temperature_recipe",
-    "text_readability",
-    "bpe_top_pairs",
-    "embedding_dim_stats",
-    # --- 2. the 23 r03-stale extension rows ---
-    "orc_source",
-    "tfidf_top_terms",
-    "zscore_by_lang",
-    "fuzzy_source_match",
-    "grouped_percentiles",
-    "grouping_sets_lang_source",
-    "events_json_struct",
-    "events_props_map",
-    "cdc_upsert",
-    "train_test_split",
-    "training_shard_order",
-    "orders_moving_avg",
-    "orders_window_stats",
-    "late_shipment_orders",
-    "lineitem_stats",
-    "richest_customer_per_nation",
-    "salted_event_counts",
-    "above_avg_customers",
-    "char_entropy",
-    "tpch_q6",
-    "part_unpivot",
-    "value_histogram",
-    "vocabulary",
-    # --- 3. remaining ~4 slots: the four highest-value r07 queries
-    # (the other five r07 additions + capped-LSH queue just behind —
-    # all 204 get a committed sf0.01 row in ORACLES_r07.json, so the
-    # driver window is the independent signal, not the only one) ---
-    "ann_frontier",  # new r07: recall-vs-work frontier (VERDICT item 7)
-    "quality_classifier_score",  # new r07: trained logreg quality gate
-    "dedup_pair_quality",  # new r07: dedup-tier recall/precision matrix
-    "leakage_safe_split",  # new r07: dedup-aware train/test split
-    "ivf_probe2_recall_at_10",  # new r07: exact probe-monotone recall row
-    "quality_classifier_weights",  # new r07: the trained model artifact
-    "repetition_filters",  # new r07: Gopher repetition rules
-    "ccnet_lm_buckets",  # new r07: CCNet head/middle/tail partition
-    "contamination_score",  # new r07: graded benchmark-overlap fraction
-    "compaction_plan",  # new r07: small-files compaction planning
-    "dedup_bloom_prefilter",  # new r07 wave 13: Bloom-join pre-gate
-    "sim_topk_ivf_stored",  # new r07 wave 13: parquet-backed index path
-    "corpus_snapshot_diff",  # new r07 wave 13: dataset-versioning diff
-    "bpe_train_merges",  # new r07 wave 14: trained tokenizer artifact
-    "bpe_apply_tokens",  # new r07 wave 14: corpus token budget
-    "bpe_apply_oov",  # new r07 wave 15: merge-replay serving path
-    "line_dedup_rewrite",  # new r07 wave 15: within-page line cleanup
-    "dedup_clusters_star",  # new r07 wave 16: star CC vs closure oracle
-    "dedup_incremental_bloom",  # new r07 wave 16: gated == ungated proof
-    "dedup_minhash_lsh_capped",  # production default; r06 bench watch item
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding",
+    # --- 1. new in round 8 ---
+    "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
+    "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
+    "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)
+    # --- 2. the 15 r07 queries with no driver row yet ---
+    "bpe_train_merges",  # trained tokenizer artifact
+    "bpe_apply_tokens",  # corpus token budget under the trained BPE
+    "bpe_apply_oov",  # merge-replay serving path
+    "dedup_bloom_prefilter",  # Bloom-join pre-gate
+    "dedup_incremental_bloom",  # gated == ungated proof
+    "dedup_clusters_star",  # star CC vs closure oracle
+    "sim_topk_ivf_stored",  # parquet-backed index read path
+    "corpus_snapshot_diff",  # dataset-versioning diff
+    "compaction_plan",  # small-files compaction planning
+    "quality_classifier_weights",  # the trained model artifact
+    "repetition_filters",  # Gopher repetition rules
+    "ccnet_lm_buckets",  # CCNet head/middle/tail partition
+    "contamination_score",  # graded benchmark-overlap fraction
+    "ivf_probe2_recall_at_10",  # exact probe-monotone recall row
+    "line_dedup_rewrite",  # within-page line cleanup
+    # --- 3. 32 oldest-stale rows (r04), whole families ---
     "events_asof_join",
-    "events_tumbling",
-    "events_session",
-    "anti_join_customers",
-    "doc_cube",
-    "duplicated_spans",
     "events_json",
     "events_lag_delta",
+    "events_session",
     "events_sessionize_lag",
     "events_sliding",
     "events_topk_per_user",
-    "lang_pivot",
+    "events_tumbling",
+    "sim_ivf_assign",
+    "sim_lsh_buckets",
+    "sim_nearest_neighbor",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+    "multimodal_frames",
+    "multimodal_image_meta",
+    "simhash_pairs",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {

@@ -373,6 +373,93 @@ def ivf_centroids(
     return cents
 
 
+def ivf_append_assign(
+    batch: DataFrame,
+    stored_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, cell_cosine) for a NEW ingest batch against STORED
+    centroids — the write half of the parquet-backed ANN path
+    (sim_topk_ivf_stored serves reads; this serves appends). No
+    retraining: one pass over the batch against the packed 1-row
+    centroid broadcast, so cost is batch-sized, never corpus-sized —
+    the dedup_incremental contract applied to index maintenance.
+
+    Appending the result to the stored assignment table yields exactly
+    the table a from-scratch assignment over store+batch would, because
+    per-vector assignment depends only on the (frozen) centroids — the
+    equivalence the sim_ivf_append oracle hash-pins. The price is that
+    the DATA drifts away from the frozen quantizer as appends
+    accumulate; ivf_staleness measures that drift."""
+    v = batch.select(F.col(id_col), as_double(vec_col).alias("v"))
+    return _assign_to(v, stored_centroids, id_col)
+
+
+def ivf_staleness(
+    embeddings: DataFrame,
+    stored_centroids: DataFrame,
+    fresh_centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row telling an operator when to rebuild an appended IVF
+    store: the corpus assigned to the STORED (possibly stale)
+    centroids vs a FRESH retrain on the same data —
+
+    - ``mean_cc_stored`` / ``mean_cc_fresh``: average nearest-centroid
+      cosine (quantization quality; the cosine analogue of k-means
+      inertia),
+    - ``cc_drift`` = fresh - stored: how much quality a rebuild buys
+      (~0 -> the store is still good; large -> rebuild),
+    - ``max_share_stored`` / ``max_share_fresh``: largest cell's share
+      of the corpus (list balance — a skewed store makes probe-1
+      search degenerate even when mean quality looks fine).
+
+    Pinned property: zero appends (stored == trained on exactly this
+    corpus) => cc_drift == 0 and identical shares, because both
+    assignments are the same deterministic argmax. Cost: two
+    batch-style assignment passes (each a packed 1-row broadcast map)
+    plus the fresh retrain — itself sampled at 100 TB, like every
+    quantizer training here."""
+    if fresh_centroids is None:
+        fresh_centroids = ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col)
+
+    def _stats(assigned: DataFrame, tag: str) -> DataFrame:
+        per_cell = assigned.groupBy("cell").agg(F.count("*").alias("c"))
+        balance = per_cell.agg(
+            F.round(
+                F.max("c") / F.sum("c").cast("double"), 6
+            ).alias(f"max_share_{tag}")
+        )
+        return (
+            assigned.agg(
+                F.count("*").cast("long").alias(f"n_vectors_{tag}"),
+                F.round(F.avg("cell_cosine"), 6).alias(f"mean_cc_{tag}"),
+            )
+            .crossJoin(F.broadcast(balance))
+        )
+    stored = _stats(
+        ivf_append_assign(embeddings, stored_centroids, id_col, vec_col), "stored"
+    )
+    fresh = _stats(
+        ivf_append_assign(embeddings, fresh_centroids, id_col, vec_col), "fresh"
+    )
+    return (
+        stored.crossJoin(F.broadcast(fresh))
+        .select(
+            F.col("n_vectors_stored").alias("n_vectors"),
+            "mean_cc_stored",
+            "mean_cc_fresh",
+            F.round(F.col("mean_cc_fresh") - F.col("mean_cc_stored"), 6).alias(
+                "cc_drift"
+            ),
+            "max_share_stored",
+            "max_share_fresh",
+        )
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     id_col: str = "vec_id",

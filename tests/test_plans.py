@@ -415,6 +415,8 @@ _BNLJ_ALLOWED = {
     "pq_recall_at_10", "quality_calibrate",
     "quality_classifier_score_sampled",  # 1-row n_train (sample-size) broadcast in the GD chain
     "sim_range_search",  # broadcast-queries x corpus radius scan
+    "sim_ivf_append",  # packed 1-row centroid broadcast (the _assign_to map)
+    "ivf_staleness",  # two packed-centroid assignment maps + 1-row stat broadcasts
     "sim_ivf_assign", "sim_ivf_centroids", "sim_topk_binary",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_topk_ivfpq_probe2",

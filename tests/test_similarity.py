@@ -600,3 +600,71 @@ def test_ann_frontier_monotone_for_candidate_pruned_tiers(spark):
     # the monotone-frontier property (exact scoring)
     assert out["lsh"].recall <= out["lsh_multiprobe"].recall <= 1.0
     assert out["ivf"].recall <= out["ivf_probe2"].recall <= 1.0
+
+
+def test_ivf_append_assign_equals_from_scratch_assignment(spark):
+    """The incremental-index contract: assigning base then batch
+    against the SAME frozen centroids and unioning must equal one
+    assignment pass over base+batch — per-vector assignment depends
+    only on the centroids, never on the other vectors."""
+    import random
+
+    rng = random.Random(8)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)]) for i in range(40)
+    ]
+    emb = _emb(spark, rows)
+    base = emb.where("vec_id % 10 != 0")
+    batch = emb.where("vec_id % 10 = 0")
+    cents = sim.ivf_centroids(base).persist()
+    appended = (
+        sim.ivf_append_assign(base, cents)
+        .unionByName(sim.ivf_append_assign(batch, cents))
+    )
+    scratch = sim.ivf_append_assign(emb, cents)
+    got = sorted(map(tuple, appended.collect()))
+    want = sorted(map(tuple, scratch.collect()))
+    assert got == want and len(got) == 40
+
+
+def test_ivf_staleness_zero_appends_zero_drift(spark):
+    """Pinned property (VERDICT r07 item 4): a store trained on
+    exactly the current corpus has NOTHING to gain from a rebuild —
+    stored and fresh assignments are the same deterministic argmax,
+    so cc_drift is exactly 0.0 and the balance shares coincide."""
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)]) for i in range(30)
+    ]
+    emb = _emb(spark, rows)
+    stored = sim.ivf_centroids(emb).persist()
+    row = sim.ivf_staleness(emb, stored).collect()[0]
+    assert row.n_vectors == 30
+    assert row.cc_drift == 0.0
+    assert row.mean_cc_stored == row.mean_cc_fresh
+    assert row.max_share_stored == row.max_share_fresh
+
+
+def test_ivf_staleness_detects_distribution_shift(spark):
+    """An appended batch from a DIFFERENT distribution (orthant the
+    base never saw) must show positive drift: the fresh retrain fits
+    the shifted corpus strictly better than the frozen base-trained
+    store."""
+    import random
+
+    rng = random.Random(10)
+    # base: first 8 dims active; batch: last 8 dims active (disjoint support)
+    base_rows = [
+        (i, _pad([round(rng.uniform(0.5, 1.0), 3) for _ in range(8)]))
+        for i in range(1, 25)
+    ]
+    batch_rows = [
+        (100 + i, [0.0] * 56 + [round(rng.uniform(0.5, 1.0), 3) for _ in range(8)])
+        for i in range(25)
+    ]
+    emb = _emb(spark, base_rows + batch_rows)
+    stored = sim.ivf_centroids(_emb(spark, base_rows)).persist()
+    row = sim.ivf_staleness(emb, stored).collect()[0]
+    assert row.cc_drift > 0.05, row

@@ -442,3 +442,90 @@ def test_streaming_neardup_gate_cold_start_bootstraps_store(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(sh_dir).select("doc_id").distinct().collect()
     ) == [0, 2]
+
+
+def test_streaming_lake_maintenance_face_diffs_and_compaction_bins(spark, tmp_path):
+    """The ops counterpart of the near-dup gate (streaming/
+    maintenance.py): per trigger, the batch is diffed against the
+    stored snapshot (corpus_snapshot_diff restricted to batch keys),
+    appended to the partitioned lake, and the compaction bins of the
+    dirtied partitions are re-planned from the file LISTING. Pinned
+    equal to the batch computation: the per-trigger diffs match
+    hand-derived snapshot deltas, and the final trigger's plan equals
+    maintenance.compaction_plan run in batch over the same listing.
+    Cold start: no pre-seeded lake (trigger 0 creates it)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        compaction_plan,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.maintenance import (
+        lake_file_listing,
+        lake_maintenance_face,
+    )
+
+    new_rows = [
+        [(1, "alpha", "s1"), (2, "beta", "s1")],   # b0: both added
+        [(1, "alpha v2", "s1"), (3, "gamma", "s2")],  # b1: 1 changed, 3 added
+        [(2, "beta", "s1")],                       # b2: identical re-delivery -> no diff
+    ]
+    schema = "doc_id long, text string, source string"
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    for i, rows in enumerate(new_rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stream_dir / f"f{i}"))
+
+    lake_dir = str(tmp_path / "lake")
+    diff_dir = str(tmp_path / "diff")
+    plan_dir = str(tmp_path / "plan")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = lake_maintenance_face(
+        stream, lake_dir, diff_dir, plan_dir, str(tmp_path / "ckpt"),
+        target_bytes=2048,
+    )
+    q.awaitTermination(180)
+
+    diffs = {
+        (r.batch_id, r.doc_id): r.status
+        for r in spark.read.parquet(diff_dir).collect()
+    }
+    assert diffs == {
+        (0, 1): "added",
+        (0, 2): "added",
+        (1, 1): "changed",
+        (1, 3): "added",
+        # b2's identical re-delivery emits nothing
+    }
+
+    # the lake's latest-version snapshot is the upserted corpus
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lake = spark.read.parquet(lake_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_v"))
+    snap = {
+        r.doc_id: r.text
+        for r in lake.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .collect()
+    }
+    assert snap == {1: "alpha v2", 2: "beta", 3: "gamma"}
+
+    # final trigger dirtied only s1; its plan rows must equal the batch
+    # compaction_plan over the same (post-append) listing
+    got_plan = sorted(
+        (r.source, r.path, r.size_bytes, r.compact_bin)
+        for r in spark.read.parquet(plan_dir).where("batch_id = 2").collect()
+    )
+    want_plan = sorted(
+        (r.source, r.path, r.size_bytes, r.compact_bin)
+        for r in compaction_plan(
+            lake_file_listing(spark, lake_dir).where("source = 's1'"),
+            target_bytes=2048,
+        ).collect()
+    )
+    assert got_plan == want_plan and len(got_plan) >= 3

@@ -245,6 +245,22 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
                 spark.read.parquet(f"{tmp}/bands"),
             ),
         )
+    # round-8 stored-index maintenance: the centroid store is built
+    # OUTSIDE the timer (train-once/offline); the append row assigns a
+    # FIXED 500-vector batch against the stored centroids — the
+    # flagship claim is batch-sized cost, so this row should stay FLAT
+    # while the vector corpus grows 5x. The staleness QA row touches
+    # the whole corpus twice (frozen + fresh assignment maps) plus the
+    # retrain, so it should track the vector factor — it runs at
+    # maintenance cadence, not per append.
+    with tempfile.TemporaryDirectory() as tmp:
+        similarity.ivf_centroids(emb).write.parquet(f"{tmp}/cents")
+        cents = spark.read.parquet(f"{tmp}/cents")
+        batch = synth_embeddings(spark, 500).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000_000)
+        )
+        t("ivf_append_fixed_batch", similarity.ivf_append_assign(batch, cents))
+        t("ivf_staleness", similarity.ivf_staleness(emb, cents))
     return timings
 
 
