@@ -1061,6 +1061,58 @@ def dedup_bloom_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_neardup_prefilter(batch, corpus_bands)
 
 
+@register(
+    "dedup_bloom_append",
+    _SQL_MINHASH_BANDS
+    + f""",
+hashed AS (
+    SELECT band_hash,
+           CAST(('0x' || substring(band_hash, 1, 15)) AS BIGINT) AS h1,
+           CAST(('0x' || substring(band_hash, 16, 15)) AS BIGINT) AS h2
+    FROM bands
+),
+pos AS (
+    SELECT DISTINCT (h1 + t.j * h2) % {BLOOM_BITS} AS p
+    FROM hashed CROSS JOIN range(0, {BLOOM_HASHES}) t(j)
+),
+words AS (
+    SELECT p // 32 AS word_id, CAST(power(2, p % 32) AS BIGINT) AS mask FROM pos
+)
+SELECT CAST(word_id AS BIGINT) AS word_id, CAST(bit_or(mask) AS BIGINT) AS word
+FROM words GROUP BY word_id
+""",
+)
+def dedup_bloom_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the Bloom pre-gate's bitmap
+    (dedup.bloom_bitmap_union, VERDICT r07 item 3): the stored bitmap
+    is built from the corpus band store and persisted to parquet; the
+    daily batch's band words are unioned IN (one bounded full-outer +
+    bitwise OR) instead of rebuilding over the whole band store. The
+    oracle builds the bitmap from scratch over ALL bands, so the hash
+    pins union-in == rebuild (bit_or idempotence) THROUGH the parquet
+    store seam — and a checkpoint replay that re-admits the same batch
+    provably cannot corrupt the filter."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_bitmap_union,
+        minhash_bands,
+        minhash_signature,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+    idx = tempfile.mkdtemp(prefix="bloom_store_")
+    bloom_bitmap(minhash_bands(minhash_signature(corpus))).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/bitmap")
+    stored = spark.read.parquet(f"{idx}/bitmap")
+    delta = bloom_bitmap(minhash_bands(minhash_signature(batch)))
+    return bloom_bitmap_union(stored, delta)
+
+
 def _sql_simhash(bits: int = 16) -> str:
     return f"""
 ws_t AS (
@@ -7920,6 +7972,7 @@ _VERIFY_FIRST = [
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)
+    "dedup_bloom_append",  # bitmap union-in == rebuild (item 3, bitmap half)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE
@@ -7968,7 +8021,6 @@ _VERIFY_FIRST = [
     "tpch_q12",
     "tpch_q13",
     "tpch_q15",
-    "tpch_q16",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {

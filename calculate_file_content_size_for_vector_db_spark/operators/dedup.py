@@ -513,6 +513,30 @@ def bloom_bitmap(
     )
 
 
+def bloom_bitmap_union(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """(word_id, word): a delta bitmap unioned into a stored bitmap —
+    ONE full-outer equi-join on word_id + a bitwise OR of the packed
+    words. This is the incremental-maintenance half of the Bloom
+    pre-gate (the sim_ivf_append contract applied to the bitmap):
+    admitting a batch unions its word rows in instead of rebuilding
+    over the whole band store.
+
+    bit_or is idempotent, commutative, and associative, so
+    re-admitting a batch (checkpoint replay), unioning deltas in any
+    order, or unioning a delta already contained in the store all
+    yield exactly the from-scratch bitmap — the equality the
+    dedup_bloom_append oracle hash-pins. Cost is bounded by
+    construction: both sides are at most m_bits/32 rows at ANY corpus
+    size, so the union is metadata-scale work."""
+    s = stored.select("word_id", F.col("word").alias("_ws"))
+    d = delta.select("word_id", F.col("word").alias("_wd"))
+    zero = F.lit(0).cast("bigint")
+    return s.join(d, "word_id", "full_outer").select(
+        "word_id",
+        F.coalesce("_ws", zero).bitwiseOR(F.coalesce("_wd", zero)).alias("word"),
+    )
+
+
 def bloom_probe(
     df: DataFrame,
     bitmap: DataFrame,

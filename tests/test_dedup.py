@@ -689,3 +689,35 @@ def test_line_dedup_rewrite_goldens(spark):
     assert got[1] == (None, 0, 0)
     assert got[2] == ("", 1, 0)
     assert got[3] == ("only\nunique\nlines", 3, 0)
+
+
+def test_bloom_bitmap_union_equals_rebuild_and_is_idempotent(spark):
+    """The incremental-bitmap contract (VERDICT r07 item 3): unioning
+    a batch's delta bitmap into the stored bitmap must equal the
+    from-scratch bitmap over store+batch, and re-admitting the same
+    delta (checkpoint replay) must change nothing — both direct
+    consequences of bit_or idempotence that the plumbing (full-outer
+    + coalesce + OR) must preserve."""
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some shared words and tail {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    corpus = docs.where("doc_id % 4 != 0")
+    batch = docs.where("doc_id % 4 = 0")
+    b_corpus = dedup.bloom_bitmap(dedup.minhash_bands(dedup.minhash_signature(corpus)))
+    b_batch = dedup.bloom_bitmap(dedup.minhash_bands(dedup.minhash_signature(batch)))
+    b_all = dedup.bloom_bitmap(dedup.minhash_bands(dedup.minhash_signature(docs)))
+
+    unioned = dedup.bloom_bitmap_union(b_corpus, b_batch)
+    got = sorted(map(tuple, unioned.collect()))
+    want = sorted(map(tuple, b_all.collect()))
+    assert got == want and len(got) > 0
+
+    # replaying the same delta is a no-op
+    again = dedup.bloom_bitmap_union(unioned, b_batch)
+    assert sorted(map(tuple, again.collect())) == want
+
+    # and probes through the unioned bitmap see every stored hash
+    bands_all = dedup.minhash_bands(dedup.minhash_signature(docs))
+    verdicts = dedup.bloom_probe(bands_all, unioned)
+    assert all(r.maybe_member for r in verdicts.collect())
