@@ -560,3 +560,42 @@ def test_bpe_apply_is_broadcast_vocab_join(spark):
 
     assert re.search(r"BroadcastHashJoin \[word#\d+L?\]", plan), plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_ivf_append_assign_serves_from_store_no_training_lineage(spark, tmp_path):
+    # the incremental-index write contract (round 8): assigning a new
+    # batch against STORED centroids must read the parquet store and
+    # carry ZERO k-means lineage — the only shuffle allowed is the
+    # 1-row centroid packing agg; the batch side is a narrow map
+    # (packed-broadcast argmax), never a sort-merge join or product
+    from calculate_file_content_size_for_vector_db_spark.operators import similarity as sim
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(64)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sim.ivf_centroids(emb).write.parquet(str(tmp_path / "cents"))
+    out = sim.ivf_append_assign(
+        emb.where("vec_id % 10 = 0"), spark.read.parquet(str(tmp_path / "cents"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan  # served from the store
+    assert plan.count("Exchange") <= 2  # centroid packing only
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_bitmap_union_is_bounded_equi_join(spark):
+    # the bitmap union must stay an equi-join on word_id (bounded at
+    # m/32 rows per side) — no product, no Python, no broadcast of the
+    # corpus-sized band table
+    from calculate_file_content_size_for_vector_db_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"some text payload {i} {i+1} {i+2}") for i in range(16)],
+        "doc_id long, text string",
+    )
+    a = dd.bloom_bitmap(dd.minhash_bands(dd.minhash_signature(docs.where("doc_id < 8"))))
+    b = dd.bloom_bitmap(dd.minhash_bands(dd.minhash_signature(docs.where("doc_id >= 8"))))
+    plan = dd.bloom_bitmap_union(a, b)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
