@@ -6361,6 +6361,39 @@ def bpe_apply_oov_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_vocab_coverage",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents),
+vocab AS (SELECT DISTINCT w FROM tok WHERE doc_id % 17 <> 0),
+bw AS (SELECT w, CAST(count(*) AS BIGINT) AS occ
+       FROM tok WHERE doc_id % 17 = 0 GROUP BY w),
+fl AS (SELECT bw.occ, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+       FROM bw LEFT JOIN vocab v ON bw.w = v.w)
+SELECT CAST(count(*) AS BIGINT) AS n_batch_words,
+       CAST(sum(oov) AS BIGINT) AS n_oov_words,
+       CAST(sum(occ) AS BIGINT) AS n_batch_tokens,
+       CAST(sum(oov * occ) AS BIGINT) AS n_oov_tokens,
+       round(sum(oov) / CAST(NULLIF(count(*), 0) AS DOUBLE), 6) AS oov_word_rate,
+       round(sum(oov * occ) / CAST(NULLIF(sum(occ), 0) AS DOUBLE), 6) AS oov_token_rate
+FROM fl
+""",
+)
+def bpe_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-staleness QA (textstats.bpe_vocab_coverage): OOV
+    word/token rates of the held-out batch (the bpe_apply_oov split,
+    doc_id % 17 == 0) against the stored training vocabulary — the
+    retrain trigger for the trained merge table, completing the
+    round-8 store-maintenance symmetry (sim_ivf_append/ivf_staleness
+    :: bpe_apply_oov/bpe_vocab_coverage). Coverage needs only the
+    vocab's word set, so no merge training appears in the plan."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_vocab_coverage,
+    )
+
+    return bpe_vocab_coverage(_docs(spark, sf_dir))
+
+
+@register(
     "line_dedup_rewrite",
     """
 WITH paged AS (
@@ -7973,6 +8006,7 @@ _VERIFY_FIRST = [
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)
     "dedup_bloom_append",  # bitmap union-in == rebuild (item 3, bitmap half)
+    "bpe_vocab_coverage",  # tokenizer-staleness QA (the ivf_staleness symmetry)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE
@@ -8020,7 +8054,6 @@ _VERIFY_FIRST = [
     "tpch_q11",
     "tpch_q12",
     "tpch_q13",
-    "tpch_q15",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {

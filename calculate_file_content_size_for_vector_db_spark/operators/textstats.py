@@ -767,6 +767,64 @@ def bpe_apply_oov(
     )
 
 
+def bpe_vocab_coverage(
+    df: DataFrame,
+    train_mod: int = 17,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """One row: OOV drift of the held-out batch (key % train_mod == 0)
+    against the STORED training vocabulary — the staleness QA for the
+    tokenizer artifact, playing ivf_staleness's role for BPE. Serving
+    known words is a vocab-table join (bpe_apply_tokens); every OOV
+    word pays the merge-replay fold (bpe_apply_oov) and typically
+    segments worse, so rising OOV rates are the retrain trigger for
+    the stored merge table, exactly as cc_drift is for the stored
+    centroids.
+
+    Columns: n_batch_words (distinct), n_oov_words, n_batch_tokens
+    (occurrences), n_oov_tokens, oov_word_rate, oov_token_rate.
+    Pinned property: a batch whose words all appear in the training
+    corpus has both rates exactly 0. Empty batch keeps NULL rates.
+
+    Plan: two token explodes collapsing into word-keyed hash-aggs,
+    one left join on the word key (vocab side Heaps-bounded — tiny
+    next to the corpus, broadcastable at scale), one 1-row agg. No
+    merge training in the plan at all: coverage only needs the word
+    set, which is the cheap half of the stored artifact."""
+    train = df.where(F.pmod(F.col(key), F.lit(train_mod)) != 0)
+    held = df.where(F.pmod(F.col(key), F.lit(train_mod)) == 0)
+    vocab = (
+        train.select(F.explode(tokens(text_col)).alias("word"))
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    batch_words = (
+        held.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("occ"))
+    )
+    oov = F.when(F.col("_known").isNull(), 1).otherwise(0)
+    return (
+        batch_words.join(vocab, "word", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_batch_words"),
+            F.sum(oov).cast("long").alias("n_oov_words"),
+            F.sum("occ").cast("long").alias("n_batch_tokens"),
+            F.sum(oov * F.col("occ")).cast("long").alias("n_oov_tokens"),
+        )
+        .select(
+            "*",
+            F.round(F.try_divide("n_oov_words", "n_batch_words"), 6).alias(
+                "oov_word_rate"
+            ),
+            F.round(F.try_divide("n_oov_tokens", "n_batch_tokens"), 6).alias(
+                "oov_token_rate"
+            ),
+        )
+    )
+
+
 def bigram_logprob(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """(key, lm2_score): bigram language-model score with add-1
     smoothing — mean ln P(w2 | w1) over a document's adjacent token

@@ -351,3 +351,44 @@ def test_bpe_partial_exhaustion_keeps_earlier_merges(spark):
     row = textstats.bpe_apply_tokens(df, n_merges=5).collect()[0]
     # 'ab' words collapse to 1 symbol each; c/d/e stay 1 symbol
     assert row.n_tokens == 5 and row.n_bpe_tokens == 5
+
+
+def test_bpe_vocab_coverage_zero_when_batch_covered_and_counts_oov(spark):
+    """Tokenizer staleness QA: a held-out batch whose words all appear
+    in the training corpus has BOTH rates exactly 0; novel words are
+    counted by distinct word AND by occurrence."""
+    # train_mod=17: doc 0 and 17 are held out, the rest train
+    covered = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha beta gamma"), (2, "beta delta")],
+        "doc_id long, text string",
+    )
+    row = textstats.bpe_vocab_coverage(covered).collect()[0]
+    assert (row.n_oov_words, row.n_oov_tokens) == (0, 0)
+    assert row.oov_word_rate == 0.0 and row.oov_token_rate == 0.0
+    assert row.n_batch_words == 2 and row.n_batch_tokens == 2
+
+    drifted = spark.createDataFrame(
+        [
+            (0, "alpha NOVELWORD NOVELWORD other"),  # held out
+            (17, "beta"),  # held out, covered
+            (1, "alpha beta other"),  # train
+        ],
+        "doc_id long, text string",
+    )
+    row = textstats.bpe_vocab_coverage(drifted).collect()[0]
+    # batch distinct words: alpha, NOVELWORD, other, beta -> 1 OOV word
+    assert row.n_batch_words == 4 and row.n_oov_words == 1
+    # occurrences: alpha 1, NOVELWORD 2, other 1, beta 1 -> 2 OOV tokens of 5
+    assert row.n_batch_tokens == 5 and row.n_oov_tokens == 2
+    assert row.oov_word_rate == 0.25 and row.oov_token_rate == 0.4
+
+
+def test_bpe_vocab_coverage_empty_batch_keeps_null_rates(spark):
+    # no doc_id % 17 == 0 docs at all: the row survives with 0 counts
+    # and NULL rates (nothing to divide)
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    row = textstats.bpe_vocab_coverage(df).collect()[0]
+    assert row.n_batch_words == 0
+    assert row.oov_word_rate is None and row.oov_token_rate is None
