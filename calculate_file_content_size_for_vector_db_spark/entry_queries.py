@@ -7977,6 +7977,72 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lake_vacuum_plan",
+    """
+WITH waves AS (
+    SELECT doc_id, source, 0 AS v FROM documents
+    UNION ALL SELECT doc_id, source, 1 FROM documents WHERE doc_id % 5 = 0
+    UNION ALL SELECT doc_id, source, 2 FROM documents WHERE doc_id % 5 = 0
+),
+latest AS (SELECT doc_id, max(v) AS maxv FROM waves GROUP BY doc_id),
+per_file AS (
+    SELECT w.source, w.v,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN w.v = l.maxv THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+    FROM waves w JOIN latest l USING (doc_id)
+    GROUP BY w.source, w.v
+)
+SELECT source, CAST(v AS INT) AS v, n_rows, n_live,
+       round(n_live / CAST(n_rows AS DOUBLE), 6) AS live_frac,
+       n_live / CAST(n_rows AS DOUBLE) < 0.5 AS vacuum_candidate
+FROM per_file
+""",
+)
+def lake_vacuum_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-version GC planning (maintenance.vacuum_plan), closing the
+    lake-maintenance triad: snapshot_diff = what changed,
+    compaction_plan = small files, vacuum_plan = superseded rows. A
+    three-wave versioned lake is physically WRITTEN to parquet (wave 0
+    = initial load of every doc; waves 1 and 2 re-crawl the doc_id %
+    5 == 0 set, so wave 1's file ends up fully dead), read back, and
+    every physical file is scored by its live-row fraction under
+    latest-version-wins — files below 50% live are vacuum candidates.
+    One file per (source, wave) by construction (single-task
+    partitioned writes), so the oracle reasons at (source, v)
+    granularity while the Spark side attributes rows to REAL files via
+    input_file_name — the hash covers the store round-trip and the
+    file-attribution seam."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        vacuum_plan,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lake = tempfile.mkdtemp(prefix="lake_vacuum_")
+    for v, pred in ((0, "1 = 1"), (1, "doc_id % 5 = 0"), (2, "doc_id % 5 = 0")):
+        (
+            docs.where(pred)
+            .select("doc_id", "source", F.lit(v).cast("long").alias("_v"))
+            .repartition(1)
+            .write.partitionBy("source")
+            .mode("append")
+            .parquet(lake)
+        )
+    read = spark.read.parquet(lake).withColumn("_file", F.input_file_name())
+    plan = vacuum_plan(read)
+    file_ident = read.select("_file", "source", "_v").distinct()
+    return plan.join(file_ident, "_file").select(
+        "source",
+        F.col("_v").cast("int").alias("v"),
+        "n_rows",
+        "n_live",
+        "live_frac",
+        "vacuum_candidate",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -8007,6 +8073,7 @@ _VERIFY_FIRST = [
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)
     "dedup_bloom_append",  # bitmap union-in == rebuild (item 3, bitmap half)
     "bpe_vocab_coverage",  # tokenizer-staleness QA (the ivf_staleness symmetry)
+    "lake_vacuum_plan",  # dead-version GC planning (maintenance triad complete)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE
@@ -8053,7 +8120,6 @@ _VERIFY_FIRST = [
     "tpch_q9",
     "tpch_q11",
     "tpch_q12",
-    "tpch_q13",
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {

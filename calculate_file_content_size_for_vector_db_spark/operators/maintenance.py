@@ -219,3 +219,55 @@ def compaction_plan(
         F.col(size_col).cast("bigint").alias(size_col),
         F.floor(cum_before / F.lit(target_bytes)).cast("int").alias("compact_bin"),
     )
+
+
+def vacuum_plan(
+    lake: DataFrame,
+    key: str = "doc_id",
+    version_col: str = "_v",
+    file_col: str = "_file",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(file, n_rows, n_live, live_frac, vacuum_candidate): per data
+    file of a versioned append-only lake, how many of its rows are
+    still the LATEST version of their key — the dead-version GC pass
+    that completes the maintenance triad (snapshot_diff = what
+    changed, compaction_plan = small files, vacuum_plan = superseded
+    rows). Files whose live fraction falls below ``threshold`` are
+    rewrite candidates: rewriting only their live rows reclaims the
+    dead bytes without touching healthy files.
+
+    ``lake`` carries one row per (key, version) — the CDC convention
+    the lake-maintenance face appends under (a key appears at most
+    once per version, so the latest-version argmax has no ties) —
+    plus ``file_col`` identifying the physical file (e.g.
+    F.input_file_name(), or partition/version labels for a logical
+    plan).
+
+    Plan shape: ONE window over (key) ranking versions, then one
+    file-keyed hash-agg — only (key, version, file) triples shuffle,
+    never content bytes (Catalyst prunes the rest at the scan), so
+    the pass is fingerprint-sized like snapshot_diff. The comparison
+    against ``threshold`` uses the UNROUNDED ratio (identical IEEE
+    division in any engine); live_frac is 6-rounded for display."""
+    w = Window.partitionBy(key).orderBy(F.desc(version_col))
+    flagged = lake.select(key, version_col, file_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    frac = F.col("n_live") / F.col("n_rows")
+    return (
+        flagged.groupBy(file_col)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_live"),
+        )
+        .select(
+            F.col(file_col),
+            "n_rows",
+            "n_live",
+            F.round(frac, 6).alias("live_frac"),
+            (frac < F.lit(threshold)).alias("vacuum_candidate"),
+        )
+    )

@@ -748,3 +748,56 @@ def test_bpe_apply_oov_segments_unseen_words(spark):
         for r in bpe_apply_oov(df, n_merges=4).collect()
     }
     assert got == {0: (3, 1 + 1 + 4)}
+
+
+def test_vacuum_plan_live_fractions_and_threshold(spark):
+    """Dead-version GC planning (maintenance.vacuum_plan): per file,
+    rows still carrying their key's LATEST version. Hand-built lake:
+    file A holds keys 1,2,4 at v0 and only key 2 is never superseded
+    (1/3 < 0.5 -> vacuum candidate); file B holds keys 1,3,4 at v1 of
+    which keys 1 and 4 are latest (2/3 -> healthy); file C (key 3 at
+    v2) is fully live."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        vacuum_plan,
+    )
+
+    rows = [
+        # (key, version, file)
+        (1, 0, "A"), (2, 0, "A"), (4, 0, "A"),  # A: only key 2 live (1/3)
+        (1, 1, "B"), (3, 1, "B"), (4, 1, "B"),  # B: keys 1,4 live (2/3)
+        (3, 2, "C"),                              # C: fully live
+    ]
+    lake = spark.createDataFrame(rows, "doc_id long, _v long, _file string")
+    got = {r._file: r for r in vacuum_plan(lake).collect()}
+    assert (got["A"].n_rows, got["A"].n_live) == (3, 1)
+    assert got["A"].live_frac == round(1 / 3, 6) and got["A"].vacuum_candidate
+    assert (got["B"].n_rows, got["B"].n_live) == (3, 2)
+    assert not got["B"].vacuum_candidate
+    assert (got["C"].n_rows, got["C"].n_live) == (1, 1)
+    assert got["C"].live_frac == 1.0 and not got["C"].vacuum_candidate
+
+
+def test_vacuum_plan_on_maintenance_face_lake(spark, tmp_path):
+    """vacuum_plan composes with the streaming face's lake layout
+    (doc_id, text, _v, source partition): after an upsert of doc 1,
+    the wave-0 file that held it drops below full liveness."""
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        vacuum_plan,
+    )
+
+    lake = str(tmp_path / "lake")
+    for v, rows in ((0, [(1, "alpha", "s1"), (2, "beta", "s1")]),
+                    (1, [(1, "alpha v2", "s1")])):
+        (spark.createDataFrame(rows, "doc_id long, text string, source string")
+         .withColumn("_v", F.lit(v).cast("long"))
+         .repartition(1).write.partitionBy("source").mode("append").parquet(lake))
+    read = spark.read.parquet(lake).withColumn("_file", F.input_file_name())
+    got = sorted(
+        (r.n_rows, r.n_live, r.vacuum_candidate)
+        for r in vacuum_plan(read).collect()
+    )
+    # wave-0 file: 2 rows, 1 live (doc 1 superseded) -> 0.5, not below
+    # threshold; wave-1 file: 1 row fully live
+    assert got == [(1, 1, False), (2, 1, False)]
