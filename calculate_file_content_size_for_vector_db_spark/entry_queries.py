@@ -8044,6 +8044,212 @@ def lake_vacuum_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-8 wave 17: layout-prune QA (the observable that justifies a
+# Z-order rewrite), retrieval-family recall (grading the lexical and
+# hybrid paths against the same exact-cosine truth the ANN tiers use),
+# and the token-denominated mixing recipe (the unit LLM budgets are
+# actually written in).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zonemap_prune_stats",
+    """
+WITH span AS (
+    SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+           min(o_orderdate) AS dt_lo, max(o_orderdate) AS dt_hi
+    FROM orders
+),
+wz AS (
+    SELECT CAST((o_custkey - ck_lo) * 16 // (ck_hi - ck_lo + 1) AS BIGINT) AS x,
+           CAST(date_diff('day', dt_lo, o_orderdate) * 16
+                // (date_diff('day', dt_lo, dt_hi) + 1) AS BIGINT) AS y
+    FROM orders, span
+),
+z AS (
+    SELECT x, y,
+           (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+         + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+         + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+         + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) AS zv
+    FROM wz
+),
+tagged AS (
+    SELECT 'zorder' AS layout, CAST(zv // 16 AS INT) AS file_id, x, y FROM z
+    UNION ALL
+    SELECT 'linear' AS layout, CAST(x AS INT) AS file_id, x, y FROM z
+),
+boxes AS (
+    SELECT layout, file_id, min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM tagged GROUP BY 1, 2
+),
+preds AS (
+    SELECT * FROM (VALUES
+        ('custkey_band', 6, 7, 0, 15),
+        ('date_band', 0, 15, 6, 7),
+        ('both_bands', 6, 7, 6, 7)) AS t(predicate, px_lo, px_hi, py_lo, py_hi)
+),
+hit AS (
+    SELECT layout, predicate,
+           CASE WHEN max_x >= px_lo AND min_x <= px_hi
+                 AND max_y >= py_lo AND min_y <= py_hi
+           THEN 1 ELSE 0 END AS must_read
+    FROM boxes CROSS JOIN preds
+)
+SELECT layout, predicate,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(must_read) AS BIGINT) AS files_read,
+       round(1.0 - sum(must_read) / CAST(count(*) AS DOUBLE), 6) AS prune_fraction
+FROM hit GROUP BY 1, 2
+""",
+)
+def zonemap_prune_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map prunability of Z-order vs linear layout
+    (maintenance.zonemap_prune_stats) — the 6-row observable that
+    justifies paying for an OPTIMIZE ZORDER rewrite: for the same 16
+    files, the custkey-sorted linear layout reads 2/16 files on a
+    custkey band but ALL files on a date band, while the Morton layout
+    reads a few files on either axis and fewest on the conjunction.
+    Faithful zone-map semantics (per-file min/max box intersection, so
+    false-positive files count as read, exactly like parquet row-group
+    skipping). One span broadcast + one narrow quantize/interleave
+    scan + a 32-group hash-agg; the 3-row predicate frame joins
+    broadcast."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        zonemap_prune_stats,
+    )
+
+    return zonemap_prune_stats(read_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "retrieval_recall_families",
+    f"""
+WITH {_SQL_BM25_CTES},
+ltop AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM sc
+    ) WHERE rank <= 10
+),
+{_SQL_EMB},
+vtop AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT CAST(a.vec_id AS INT) AS query_id, b.vec_id AS doc_id,
+               CAST(row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id) AS INT) AS rank
+        FROM e a, e b WHERE a.vec_id < 3 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 10
+),
+fused AS (
+    SELECT query_id, doc_id,
+           round(coalesce(1.0::DOUBLE / (60 + l.rank), 0) + coalesce(1.0::DOUBLE / (60 + v.rank), 0), 6) AS rrf_score
+    FROM ltop l FULL OUTER JOIN vtop v USING (query_id, doc_id)
+),
+hy AS (
+    SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+)
+SELECT 'lexical' AS family,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.doc_id) AS BIGINT) AS n_hits,
+       round(count(ap.doc_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM vtop ex LEFT JOIN ltop ap
+  ON ex.query_id = ap.query_id AND ex.doc_id = ap.doc_id
+UNION ALL
+SELECT 'hybrid' AS family,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.doc_id) AS BIGINT) AS n_hits,
+       round(count(ap.doc_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM vtop ex LEFT JOIN hy ap
+  ON ex.query_id = ap.query_id AND ex.doc_id = ap.doc_id
+""",
+)
+def retrieval_recall_families_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LEXICAL (BM25) and HYBRID (RRF-fused) retrieval
+    families against the exact-cosine truth — extending the recall
+    matrix that so far graded only the ANN tiers to the other two
+    families the engine serves. The three two-form fixture queries
+    (keyword text paired with query vectors 0..2) are retrieved
+    lexically and by exact vector search, fused by RRF, and both
+    candidate lists are scored against the same brute-force truth the
+    ANN recall rows use; the vector side IS that truth, so the hybrid
+    row isolates what fusing a (recall-1.0) vector list with a lexical
+    list costs or buys. Everything past the BM25 scoring join is
+    candidate-list-sized (3 queries x 10 rows); the recall join and
+    1-row aggregates never scale with the corpus."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        rrf_fuse,
+        topk_bruteforce,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import bm25_search
+
+    emb = _emb(spark, sf_dir)
+    exact = topk_bruteforce(emb, emb.where(F.col("vec_id") < 3), k=10)
+    lex = bm25_search(_docs(spark, sf_dir), _BM25_QUERIES)
+    hyb = rrf_fuse(lex, exact.withColumnRenamed("neighbor_id", "doc_id"), k_rrf=60, topn=10)
+    lex_recall = recall_vs_exact(exact, lex.withColumnRenamed("doc_id", "neighbor_id"))
+    hyb_recall = recall_vs_exact(exact, hyb.withColumnRenamed("doc_id", "neighbor_id"))
+    return lex_recall.select(F.lit("lexical").alias("family"), "*").unionByName(
+        hyb_recall.select(F.lit("hybrid").alias("family"), "*")
+    )
+
+
+@register(
+    "mix_token_budget",
+    f"""
+WITH c AS (
+    SELECT lang, CAST(sum(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS wsum_raw FROM c),
+q AS (
+    SELECT lang, n_tokens, total,
+           n_tokens / CAST(total AS DOUBLE) AS share,
+           pow(n_tokens / CAST(total AS DOUBLE), 0.5)
+               / (wsum_raw / pow(CAST(total AS DOUBLE), 0.5)) AS mw
+    FROM c, t
+)
+SELECT lang, n_tokens,
+       round(share, 6) AS token_share,
+       round(mw, 6) AS mix_weight,
+       round(mw * 1.0 * total, 6) AS target_tokens,
+       CASE WHEN n_tokens > 0
+            THEN round(mw * 1.0 * total / CAST(n_tokens AS DOUBLE), 6) END AS epochs,
+       CASE WHEN n_tokens > 0
+            THEN mw * 1.0 * total / CAST(n_tokens AS DOUBLE) > 1.0 END AS upsampled,
+       CASE WHEN n_tokens > 0
+            THEN mw * 1.0 * total / CAST(n_tokens AS DOUBLE) > 4.0 END AS over_repeat_cap
+FROM q
+""",
+)
+def mix_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-denominated temperature mixing recipe (textstats.
+    token_budget_recipe, alpha=0.5, budget = one corpus-epoch of
+    tokens) — the unit an LLM training budget is actually written in,
+    next to mix_temperature_recipe's doc-denominated form. Emits per
+    language the implied EPOCH count (target tokens / available
+    tokens) plus the two flags a recipe review needs: upsampled
+    (repeated beyond one pass) and over_repeat_cap (past the ~4-epoch
+    data-constrained-scaling regime where repetition stops helping).
+    One corpus scan (narrow size(split()) map, no explode), a
+    |langs|-group agg, a 1-row broadcast normalizer; flags compare the
+    unrounded ratio so both engines agree at the boundary."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        token_budget_recipe,
+    )
+
+    return token_budget_recipe(_docs(spark, sf_dir), alpha=0.5, budget_frac=1.0, max_epochs=4.0)
+
+
+# ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
 # registration order is also verification priority. Put the queries
@@ -8053,13 +8259,13 @@ def lake_vacuum_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Round-8 priority (the driver caps its per-round sweep at ~50 rows).
-# Freshness rotation, per VERDICT r07 item 1: the 3 brand-new round-8
+# Freshness rotation, per VERDICT r07 item 1: the 9 brand-new round-8
 # queries lead (they would otherwise enter next round never-checked),
 # then the 15 r07 queries that have NEVER received a driver row (the
 # r07 flagships: trained tokenizer, Bloom gate, stored index, star CC,
-# snapshot diff), then 32 of the 49 r04-stale rows, oldest families
+# snapshot diff), then the r04-stale rows that fit, oldest families
 # first (events_*, sim_*, text_*, multimodal_*, simhash_pairs, the
-# tpch completion set). The 17 r04 rows that don't fit this window
+# tpch completion set). The r04 rows past the ~50-row window
 # (tpch_q20..q22, the dedup_* production family, relational misc)
 # lead the r09 rotation. Everything else queues behind — each is
 # still re-verified at sf0.001 by every pytest run, and the full
@@ -8074,6 +8280,9 @@ _VERIFY_FIRST = [
     "dedup_bloom_append",  # bitmap union-in == rebuild (item 3, bitmap half)
     "bpe_vocab_coverage",  # tokenizer-staleness QA (the ivf_staleness symmetry)
     "lake_vacuum_plan",  # dead-version GC planning (maintenance triad complete)
+    "zonemap_prune_stats",  # Z-order vs linear layout prunability (wave 17)
+    "retrieval_recall_families",  # lexical/hybrid recall vs exact truth (wave 17)
+    "mix_token_budget",  # token-denominated temperature recipe (wave 17)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

@@ -271,3 +271,108 @@ def vacuum_plan(
             (frac < F.lit(threshold)).alias("vacuum_candidate"),
         )
     )
+
+
+def zonemap_prune_stats(
+    orders: DataFrame, n_files: int = 16, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """(layout, predicate, files_total, files_read, prune_fraction):
+    how many physical files a zone-map-aware reader must open under
+    two competing layouts of the SAME table — Z-order on (o_custkey,
+    o_orderdate) vs a linear range layout on o_custkey alone — for
+    three representative predicates (a custkey band, a date band, and
+    their conjunction). This is the observable that justifies paying
+    for a Z-order rewrite: the linear layout prunes perfectly on its
+    own sort key and not at all on the other dimension, while the
+    Morton layout prunes usefully on BOTH (each file's min/max box is
+    narrow in both quantized coordinates).
+
+    Zone-map semantics are faithful: a file is read iff its per-file
+    [min, max] box intersects the predicate box in every constrained
+    dimension — overlap can admit files with no qualifying rows,
+    exactly as parquet row-group skipping does. Predicates are the
+    middle eighth of each quantized axis ([6, 7] of 0..15), derived
+    from the same 1-row span frame the layout itself uses, so the row
+    is deterministic at any SF.
+
+    Plan shape: one 1-row min/max span broadcast, a narrow per-row
+    quantization + Morton interleave, a 2-element explode tagging each
+    row with both layouts, ONE (layout, file)-keyed hash-agg (2 *
+    n_files groups, map-side partials), then a tiny cross join with
+    the 3-row predicate frame. Nothing after the first scan scales
+    with the table."""
+    span = orders.agg(
+        F.min("o_custkey").alias("_ck_lo"),
+        F.max("o_custkey").alias("_ck_hi"),
+        F.min("o_orderdate").alias("_dt_lo"),
+        F.max("o_orderdate").alias("_dt_hi"),
+    )
+    files_div = (1 << (2 * bits)) // n_files
+    with_xy = (
+        orders.crossJoin(F.broadcast(span))
+        .select(
+            F.expr(
+                f"CAST((o_custkey - _ck_lo) * {1 << bits} "
+                "div (_ck_hi - _ck_lo + 1) AS BIGINT)"
+            ).alias("_x"),
+            F.expr(
+                f"CAST(datediff(o_orderdate, _dt_lo) * {1 << bits} "
+                "div (datediff(_dt_hi, _dt_lo) + 1) AS BIGINT)"
+            ).alias("_y"),
+        )
+        .withColumn("_z", _zvalue(F.col("_x"), F.col("_y"), bits))
+    )
+    tagged = with_xy.select(
+        "_x",
+        "_y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"CAST(_z div {files_div} AS INT)").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("_x").cast("int").alias("file_id"),
+                ),
+            )
+        ).alias("_lf"),
+    ).select("_x", "_y", F.col("_lf.layout").alias("layout"), F.col("_lf.file_id").alias("file_id"))
+    boxes = tagged.groupBy("layout", "file_id").agg(
+        F.min("_x").alias("min_x"),
+        F.max("_x").alias("max_x"),
+        F.min("_y").alias("min_y"),
+        F.max("_y").alias("max_y"),
+    )
+    hi = (1 << bits) - 1
+    preds = orders.sparkSession.createDataFrame(
+        [
+            ("custkey_band", 6, 7, 0, hi),
+            ("date_band", 0, hi, 6, 7),
+            ("both_bands", 6, 7, 6, 7),
+        ],
+        "predicate string, px_lo int, px_hi int, py_lo int, py_hi int",
+    )
+    overlap = (
+        (F.col("max_x") >= F.col("px_lo"))
+        & (F.col("min_x") <= F.col("px_hi"))
+        & (F.col("max_y") >= F.col("py_lo"))
+        & (F.col("min_y") <= F.col("py_hi"))
+    )
+    counted = (
+        boxes.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count("*").cast("long").alias("files_total"),
+            F.sum(F.when(overlap, 1).otherwise(0)).cast("long").alias("files_read"),
+        )
+    )
+    return counted.select(
+        "layout",
+        "predicate",
+        "files_total",
+        "files_read",
+        F.round(
+            F.lit(1.0) - F.col("files_read") / F.col("files_total").cast("double"), 6
+        ).alias("prune_fraction"),
+    )

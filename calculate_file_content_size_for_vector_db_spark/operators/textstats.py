@@ -1217,3 +1217,58 @@ def ccnet_lm_buckets(
         .join(named.drop(lang_col), key, "left")
         .select(key, lang_col, "lm_score", "lm_bucket")
     )
+
+
+def token_budget_recipe(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    budget_frac: float = 1.0,
+    max_epochs: float = 4.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_tokens, token_share, mix_weight, target_tokens,
+    epochs, upsampled, over_repeat_cap): the TOKEN-denominated data
+    recipe next to temperature_mix_recipe's doc-denominated one —
+    the unit an LLM training budget is actually written in. Each
+    group's sampled token mass is share^alpha renormalized (same
+    temperature form), scaled to a budget of ``budget_frac`` x the
+    corpus's total tokens; ``epochs`` = target_tokens / n_tokens is
+    how many passes over that group's data the recipe implies.
+    ``upsampled`` marks groups repeated beyond one epoch, and
+    ``over_repeat_cap`` marks groups whose implied repetition exceeds
+    ``max_epochs`` — the data-constrained-scaling regime (Muennighoff
+    et al. 2023: value decays past ~4 epochs) where the recipe is
+    asking for more unique data than the group has.
+
+    Plan shape: ONE corpus scan (per-row token count is a narrow
+    size(split()) map, no explode), one |groups|-row hash-agg with
+    map-side partials, and a 1-row broadcast normalizer — after the
+    scan nothing scales with corpus rows. Epoch flags compare the
+    UNROUNDED ratio (identical IEEE arithmetic in any engine);
+    displayed doubles are 6-rounded. Empty groups (zero tokens) keep
+    their row with NULL epochs/flags."""
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(F.size(tokens(text_col)).cast("long")).cast("long").alias("n_tokens")
+    )
+    tot = counts.agg(
+        F.sum("n_tokens").cast("long").alias("_total"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_wsum_raw"),
+    )
+    share = F.col("n_tokens") / F.col("_total").cast("double")
+    mw = F.pow(share, F.lit(alpha)) / (
+        F.col("_wsum_raw") / F.pow(F.col("_total").cast("double"), F.lit(alpha))
+    )
+    target = mw * F.lit(budget_frac) * F.col("_total")
+    epochs = target / F.col("n_tokens").cast("double")
+    has_tokens = F.col("n_tokens") > 0
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(mw, 6).alias("mix_weight"),
+        F.round(target, 6).alias("target_tokens"),
+        F.when(has_tokens, F.round(epochs, 6)).alias("epochs"),
+        F.when(has_tokens, epochs > F.lit(1.0)).alias("upsampled"),
+        F.when(has_tokens, epochs > F.lit(max_epochs)).alias("over_repeat_cap"),
+    )

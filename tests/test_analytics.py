@@ -801,3 +801,73 @@ def test_vacuum_plan_on_maintenance_face_lake(spark, tmp_path):
     # wave-0 file: 2 rows, 1 live (doc 1 superseded) -> 0.5, not below
     # threshold; wave-1 file: 1 row fully live
     assert got == [(1, 1, False), (2, 1, False)]
+
+
+def test_zonemap_prune_stats_zorder_prunes_both_dimensions(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        zonemap_prune_stats,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    rows = {
+        (r.layout, r.predicate): r
+        for r in zonemap_prune_stats(read_table(spark, SF_DIR, "orders")).collect()
+    }
+    assert len(rows) == 6
+    assert all(r.files_total == 16 for r in rows.values())
+    # The linear (custkey-sorted) layout prunes perfectly on its own
+    # sort key and NOT AT ALL on the other dimension ...
+    assert rows[("linear", "custkey_band")].files_read == 2
+    assert rows[("linear", "date_band")].prune_fraction == 0.0
+    # ... while the Morton layout's 4x4 quantized boxes prune BOTH
+    # single-dimension bands and their conjunction hardest.
+    assert rows[("zorder", "custkey_band")].files_read == 4
+    assert rows[("zorder", "date_band")].files_read == 4
+    assert rows[("zorder", "both_bands")].files_read == 1
+    for r in rows.values():
+        assert 0.0 <= r.prune_fraction <= 1.0
+        assert 0 <= r.files_read <= r.files_total
+
+
+def test_token_budget_recipe_epochs_flags_and_conservation(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        token_budget_recipe,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "t " * 10, "en", "s", 20) for i in range(900)]
+        + [(900, "t " * 10, "fr", "s", 20)]
+        + [(901, "", "und", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.lang: r for r in token_budget_recipe(df, alpha=0.5, budget_frac=1.0).collect()}
+    # token budget is conserved: targets sum to budget_frac x total
+    total = sum(r.n_tokens for r in out.values())
+    assert abs(sum(r.target_tokens for r in out.values()) - total) < 1e-3
+    # temperature up-weights the rare language far past one epoch,
+    # over the 4-epoch repetition cap; the dominant language trains
+    # on a subsample (< 1 epoch)
+    assert out["fr"].epochs > 4.0 and out["fr"].upsampled and out["fr"].over_repeat_cap
+    assert out["en"].epochs < 1.0 and not out["en"].upsampled
+    # zero-token group keeps its row with NULL epochs and flags
+    assert out["und"].n_tokens == 0
+    assert out["und"].epochs is None and out["und"].upsampled is None
+
+
+def test_retrieval_recall_families_hybrid_beats_lexical(spark):
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r.family: r
+        for r in REGISTRY["retrieval_recall_families"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"lexical", "hybrid"}
+    # truth is 3 queries x top-10
+    assert all(r.n_exact == 30 for r in rows.values())
+    assert all(0.0 <= r.recall <= 1.0 for r in rows.values())
+    # fusing the exact vector list in lifts recall far above keywords
+    # alone (and RRF's rank mixing is why hybrid sits below 1.0: a
+    # lexical-only rank-1 doc outscores a truth doc at rank > ~5)
+    assert rows["hybrid"].recall > rows["lexical"].recall

@@ -433,6 +433,9 @@ _BNLJ_ALLOWED = {
     "quality_classifier_score",  # same trained-weights chain feeds scoring
     "ccnet_lm_buckets",  # text_lm_score's 1-row LM-total broadcast
     "dedup_pair_quality",  # 1-row per-tier count aggregates composed
+    "zonemap_prune_stats",  # 1-row span broadcast + 3-row predicate frame
+    "retrieval_recall_families",  # bm25 stats broadcast + exact vector baseline
+    "mix_token_budget",  # 1-row token-total normalizer broadcast
 }
 
 
