@@ -64,6 +64,7 @@ HEADLINE = [
     "bpe_train_merges",  # round 7: trained tokenizer (8 vocab-bounded merge rounds)
     "dedup_bloom_prefilter",  # round 7: Bloom-join pre-gate (bounded bitmap probe)
     "line_dedup_rewrite",  # round 7: within-page duplicate-line removal
+    "serving_pipeline",  # round 8: composed three-artifact serving flagship
 ]
 
 

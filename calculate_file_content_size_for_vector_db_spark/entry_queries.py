@@ -8249,6 +8249,237 @@ def mix_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_recipe(_docs(spark, sf_dir), alpha=0.5, budget_frac=1.0, max_epochs=4.0)
 
 
+@register(
+    "bpe_fertility_by_lang",
+    _sql_bpe_chain(_BPE_N)
+    + f""",
+vocab AS (
+    SELECT word,
+           CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_sym
+    FROM r{_BPE_N}
+),
+tk AS (SELECT lang, unnest({_SQL_TOKENS}) AS word FROM documents),
+g AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars
+    FROM tk JOIN vocab USING (word) GROUP BY lang
+)
+SELECT lang, n_words, n_bpe_tokens, n_chars,
+       round(n_bpe_tokens / CAST(n_words AS DOUBLE), 6) AS fertility,
+       round(n_chars / CAST(n_bpe_tokens AS DOUBLE), 6) AS chars_per_token
+FROM g
+""",
+)
+def bpe_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY (BPE tokens per word) and
+    compression (chars per BPE token) under the trained merge table
+    (textstats.bpe_fertility) — the multilingual-tokenizer equity
+    metric: the language the 8 greedy merges underserve segments into
+    more pieces per word and pays more sequence length for the same
+    text, making it the first candidate for more merges or more
+    training data. The QUALITY half of the tokenizer-staleness pair
+    (bpe_vocab_coverage = how much of the batch the vocab has seen;
+    this row = how well it segments what it saw). Training is the
+    vocab-bounded 8-round chain scanned once from the corpus; serving
+    is one explode + broadcast |V|-row join + |langs|-group agg."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_fertility,
+    )
+
+    return bpe_fertility(_docs(spark, sf_dir))
+
+
+_SQL_TRAIN17 = "(SELECT * FROM documents WHERE doc_id % 17 <> 0)"
+_SQL_SERVE17 = "(SELECT * FROM documents WHERE doc_id % 17 = 0)"
+
+
+@register(
+    "serving_pipeline",
+    _sql_bpe_chain(_BPE_N, train_where="WHERE doc_id % 17 <> 0")
+    + f""",
+nw AS (
+    SELECT DISTINCT t AS word
+    FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents WHERE doc_id % 17 = 0)
+),
+a0 AS (
+    SELECT word,
+           ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS repr
+    FROM nw
+),
+"""
+    + ",\n".join(
+        f"""a{i} AS (
+    SELECT word, replace(repr, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                         ' ' || b.merged || ' ') AS repr
+    FROM a{i - 1} CROSS JOIN b{i} b
+)"""
+        for i in range(1, _BPE_N + 1)
+    )
+    + f""",
+bvoc AS (
+    SELECT word,
+           CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_sym
+    FROM a{_BPE_N}
+),
+btk AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS word
+    FROM documents WHERE doc_id % 17 = 0
+),
+btok AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM btk JOIN bvoc USING (word) GROUP BY doc_id
+),
+{_sql_logreg_chain(train_src=_SQL_TRAIN17)},
+{_sql_hashed_features("f", _SQL_SERVE17)},
+zf AS (SELECT f.doc_id, round(sum(f.x * w.wgt), 6) AS z
+       FROM featf f JOIN wl2 w USING (b) GROUP BY f.doc_id),
+{_SQL_EMB},
+eb AS (SELECT * FROM e WHERE vec_id % 17 <> 0),
+es AS (SELECT * FROM e WHERE vec_id % 17 = 0),
+{_sql_kmeans_chain(src="eb", tag="v")},
+centx AS (SELECT cell, cv FROM centv3),
+routeb AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM eb a, centx c
+    ) WHERE rn = 1
+),
+routes AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM es a, centx c
+    ) WHERE rn = 1
+),
+nn AS (
+    SELECT query_id, neighbor_id, nn_cosine FROM (
+        SELECT s.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(sv.v, bv.v), 6) AS nn_cosine,
+               row_number() OVER (PARTITION BY s.vec_id
+                   ORDER BY round(list_cosine_similarity(sv.v, bv.v), 6) DESC, b.vec_id) AS rn
+        FROM routes s JOIN routeb b ON s.cell = b.cell
+        JOIN es sv ON sv.vec_id = s.vec_id
+        JOIN eb bv ON bv.vec_id = b.vec_id
+    ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS label,
+       round(1.0 / (1.0 + exp(-zf.z)), 6) AS score,
+       btok.n_tokens, btok.n_bpe_tokens,
+       CAST(routes.cell AS INT) AS cell, routes.cell_cosine,
+       nn.neighbor_id AS nn_id, nn.nn_cosine
+FROM {_SQL_SERVE17} d
+LEFT JOIN zf USING (doc_id)
+LEFT JOIN btok USING (doc_id)
+LEFT JOIN routes ON routes.vec_id = d.doc_id
+LEFT JOIN nn ON nn.query_id = d.doc_id
+""",
+)
+def serving_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact-SERVING flagship: one lazy plan pushes the same
+    held-out ingest batch (doc_id % 17 == 0 — the bpe_apply_oov
+    split) through all three trained-artifact families this engine
+    stores: (1) the quality classifier trained on the REST of the
+    corpus scores the batch via the 17-row weight broadcast, (2) the
+    BPE tokenizer trained on the rest segments every batch word by
+    replaying the stored merge table (the OOV fold), and (3) the IVF
+    index trained on the rest ROUTES each batch embedding to its
+    frozen cell and answers the in-cell exact top-1 neighbor. One row
+    per batch doc: doc_id, label, score, n_tokens, n_bpe_tokens,
+    cell, cell_cosine, nn_id, nn_cosine (NULLs where the doc has no
+    tokens or no embedding). This is the daily-ingest shape at 100
+    TB: every artifact is train-once (sampled) + broadcast; the only
+    batch-vs-corpus join is the cell-pruned neighbor probe, and every
+    stage's cost is batch-sized except the one corpus scan each
+    training consumes (sampled in production, exercised in full by
+    the dedicated per-artifact queries). The parquet store seams are
+    covered by sim_topk_ivf_stored / sim_ivf_append; this composition
+    pins that the three SERVING paths agree end-to-end in one plan."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        quality_classifier_score,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        as_double,
+        cosine,
+        ivf_append_assign,
+        ivf_centroids,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_apply_oov,
+    )
+
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    serve_docs = docs.where(F.col("doc_id") % 17 == 0)
+    train_docs = docs.where(F.col("doc_id") % 17 != 0)
+    scored = quality_classifier_score(
+        serve_docs, positive=F.col("lang") == "en", train_df=train_docs
+    )
+    toks = bpe_apply_oov(docs)
+    base = emb.where(F.col("vec_id") % 17 != 0)
+    batch = emb.where(F.col("vec_id") % 17 == 0)
+    cents = ivf_centroids(base)
+    routed = ivf_append_assign(batch, cents)
+    base_assign = ivf_append_assign(base, cents)
+    qv = batch.select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    ).join(routed.select(F.col("vec_id").alias("query_id"), "cell"), "query_id")
+    cv = base.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    ).join(base_assign.select(F.col("vec_id").alias("neighbor_id"), "cell"), "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("nn_cosine"), F.asc("neighbor_id")
+    )
+    nn = (
+        cv.join(F.broadcast(qv), "cell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("nn_cosine"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("query_id").alias("doc_id"),
+            F.col("neighbor_id").alias("nn_id"),
+            "nn_cosine",
+        )
+    )
+    return (
+        scored.join(toks, "doc_id", "left")
+        .join(
+            routed.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("cell").cast("int").alias("cell"),
+                "cell_cosine",
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(nn, "doc_id", "left")
+        .select(
+            "doc_id",
+            "label",
+            "score",
+            "n_tokens",
+            "n_bpe_tokens",
+            "cell",
+            "cell_cosine",
+            "nn_id",
+            "nn_cosine",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -8283,6 +8514,8 @@ _VERIFY_FIRST = [
     "zonemap_prune_stats",  # Z-order vs linear layout prunability (wave 17)
     "retrieval_recall_families",  # lexical/hybrid recall vs exact truth (wave 17)
     "mix_token_budget",  # token-denominated temperature recipe (wave 17)
+    "bpe_fertility_by_lang",  # tokenizer-equity QA (wave 18)
+    "serving_pipeline",  # composed artifact-serving flagship (wave 18)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

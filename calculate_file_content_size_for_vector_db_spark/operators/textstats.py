@@ -1272,3 +1272,58 @@ def token_budget_recipe(
         F.when(has_tokens, epochs > F.lit(1.0)).alias("upsampled"),
         F.when(has_tokens, epochs > F.lit(max_epochs)).alias("over_repeat_cap"),
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    n_merges: int = BPE_MERGES,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_words, n_bpe_tokens, n_chars, fertility,
+    chars_per_token): per-group tokenizer FERTILITY (BPE tokens per
+    word) and compression (characters per BPE token) under the
+    trained segmentation — the standard multilingual-tokenizer equity
+    metric: a language the merge table underserves segments into more
+    pieces per word (high fertility), pays more sequence length for
+    the same text, and is the first candidate for more merges or
+    more training data. The per-language twin of bpe_apply_tokens'
+    per-document budget, and the quality half of the staleness pair
+    with bpe_vocab_coverage (coverage says how much of the batch the
+    vocab has seen; fertility says how WELL it segments what it saw).
+
+    Application is vocab-level exactly like bpe_apply_tokens: the
+    trained reprs are the segmentation, so the corpus pays one
+    explode + one broadcast |V|-row join + a |groups|-row hash-agg —
+    the merge loop never touches per-document data. fertility >= 1
+    always (every word is at least one symbol); both ratios are
+    6-rounded, and a group with zero words cannot appear (inner
+    join on exploded words)."""
+    _, reprs = _bpe_train_reprs(df, n_merges, text_col)
+    vocab = reprs.select(
+        "word", F.size(_bpe_symbols(F.col("repr"))).cast("long").alias("n_sym")
+    )
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("word")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_bpe_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars") / F.col("n_bpe_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+    )

@@ -871,3 +871,56 @@ def test_retrieval_recall_families_hybrid_beats_lexical(spark):
     # alone (and RRF's rank mixing is why hybrid sits below 1.0: a
     # lexical-only rank-1 doc outscores a truth doc at rank > ~5)
     assert rows["hybrid"].recall > rows["lexical"].recall
+
+
+def test_bpe_fertility_bounds_and_merge_benefit(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_fertility,
+    )
+
+    # 'aa' dominates lang a -> its pair merges in round 1, so lang a
+    # segments to 1 token/word; lang b's two 10-char all-distinct
+    # words have 18 rare pairs, more than the 7 remaining merges can
+    # collapse, so lang b keeps fertility well above 1
+    df = spark.createDataFrame(
+        [(i, "aa aa aa aa", "a", "s", 11) for i in range(8)]
+        + [(100, "abcdefghij klmnopqrst", "b", "s", 21)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.lang: r for r in bpe_fertility(df).collect()}
+    for r in out.values():
+        # every word is at least one symbol and at most its char count
+        assert 1.0 <= r.fertility
+        assert r.n_bpe_tokens <= r.n_chars
+        assert r.chars_per_token >= 1.0
+    assert out["a"].fertility == 1.0  # 'aa' fully merged
+    assert out["a"].fertility < out["b"].fertility
+
+
+def test_serving_pipeline_covers_batch_with_artifact_outputs(spark):
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import REGISTRY
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    out = REGISTRY["serving_pipeline"].fn(spark, SF_DIR).collect()
+    docs = read_table(spark, SF_DIR, "documents")
+    n_serve = docs.where("doc_id % 17 = 0").count()
+    assert len(out) == n_serve
+    emb_ids = {
+        r.vec_id for r in read_table(spark, SF_DIR, "embeddings").select("vec_id").collect()
+    }
+    for r in out:
+        assert r.doc_id % 17 == 0
+        if r.score is not None:
+            assert 0.0 < r.score < 1.0
+        if r.n_tokens:
+            # merge-table replay segments every word: bounded by chars
+            assert r.n_bpe_tokens >= r.n_tokens
+        if r.doc_id in emb_ids:
+            # routed to a frozen cell, neighbor served from the BASE
+            # corpus (never itself, never another batch vector)
+            assert r.cell is not None and r.nn_id is not None
+            assert r.nn_id % 17 != 0
+            assert -1.0 <= r.nn_cosine <= 1.0
+        else:
+            assert r.cell is None and r.nn_id is None

@@ -436,6 +436,7 @@ _BNLJ_ALLOWED = {
     "zonemap_prune_stats",  # 1-row span broadcast + 3-row predicate frame
     "retrieval_recall_families",  # bm25 stats broadcast + exact vector baseline
     "mix_token_budget",  # 1-row token-total normalizer broadcast
+    "serving_pipeline",  # merge-fold 1-row broadcast + packed-centroid maps + 1-row n_train
 }
 
 
