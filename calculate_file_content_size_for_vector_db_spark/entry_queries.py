@@ -8480,6 +8480,60 @@ def serving_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "paragraph_dedup_rewrite",
+    """
+WITH w AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents
+),
+p AS (
+    SELECT doc_id, pid, para FROM (
+        SELECT doc_id, CAST(j AS INT) AS pid,
+               array_to_string(ws[j * 5 + 1 : j * 5 + 5], ' ') AS para
+        FROM (SELECT doc_id, ws,
+                     unnest(range(0, greatest((len(ws) - 1) // 5, 0) + 1)) AS j
+              FROM w)
+    ) WHERE para <> ''
+),
+k AS (
+    SELECT doc_id, pid, para,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, pid) AS rn
+    FROM p
+),
+kept AS (SELECT doc_id, pid, para FROM k WHERE rn = 1),
+t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM p GROUP BY doc_id),
+ka AS (
+    SELECT doc_id, array_to_string(list(para ORDER BY pid), ' ') AS text_dedup,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(ka.text_dedup, '') AS text_dedup,
+       CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN t USING (doc_id) LEFT JOIN ka USING (doc_id)
+""",
+)
+def paragraph_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document paragraph dedup with rewrite (dedup.
+    paragraph_dedup_rewrite) — the unit CCNet actually dedups at:
+    every paragraph keeps its corpus-wide FIRST occurrence (smallest
+    (doc, position)), later copies are removed from any document, and
+    survivors re-join in document order. Completes the rewrite
+    granularity ladder (span_dedup_rewrite = 50-token windows
+    cross-doc, line_dedup_rewrite = lines within-doc). The fixture's
+    single-line docs are re-paragraphed into 5-word groups. First
+    occurrence is groupBy-min + equi-join (map-side combine, so a
+    billion-copy boilerplate paragraph collapses before the shuffle
+    instead of hot-spotting a window partition); paragraphing itself
+    is a per-row narrow map."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        paragraph_dedup_rewrite,
+    )
+
+    return paragraph_dedup_rewrite(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -8516,6 +8570,7 @@ _VERIFY_FIRST = [
     "mix_token_budget",  # token-denominated temperature recipe (wave 17)
     "bpe_fertility_by_lang",  # tokenizer-equity QA (wave 18)
     "serving_pipeline",  # composed artifact-serving flagship (wave 18)
+    "paragraph_dedup_rewrite",  # CCNet cross-doc paragraph dedup (wave 19)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

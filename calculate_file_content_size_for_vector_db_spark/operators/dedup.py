@@ -1219,3 +1219,79 @@ def dedup_pair_quality(
         row("simhash", simhash_pairs(df, max_hamming, text_col, key))
     )
     return out
+
+
+def paragraph_dedup_rewrite(
+    df: DataFrame,
+    para_words: int = 5,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, text_dedup, n_paras, n_kept): CROSS-document paragraph
+    deduplication — the unit CCNet (Wenzek et al. 2020) actually
+    dedups at: every paragraph that appears anywhere in the corpus
+    keeps its FIRST occurrence (smallest (doc, position)) and every
+    later copy, in any document, is removed; surviving paragraphs are
+    re-joined in document order. Completes the rewrite-granularity
+    ladder: span_dedup_rewrite (50-token windows, cross-doc) /
+    line_dedup_rewrite (lines, within-doc) / this (paragraphs,
+    cross-doc). Documents are re-paragraphed into ``para_words``-word
+    groups (the fixture corpus is single-line), standing in for the
+    \\n\\n-split a web corpus would use.
+
+    Plan shape: paragraphing is a PER-ROW narrow map (split + slice
+    over a generated index — no shuffle, no explode until the
+    paragraph table itself); first-occurrence is groupBy(para) ->
+    min(struct(doc, pid)) + one equi-join back — the partial-agg
+    (map-side combine) form of the window alternative, so a
+    boilerplate paragraph repeated a billion times collapses
+    map-side instead of hot-spotting one window partition; then one
+    doc-keyed ordered re-assembly. Everything shuffles paragraph-
+    sized rows exactly twice (once on the paragraph, once on the
+    doc). At 100 TB group on xxhash64(paragraph) to shrink the
+    shuffle key (cited CCNet does exactly this with SHA-1); exact
+    strings are kept here so the oracle needs no hash seam."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n = F.size(ws)
+    pids = F.sequence(F.lit(0), F.greatest((n - F.lit(1)) / F.lit(para_words), F.lit(0)).cast("int"))
+    paras = df.select(
+        F.col(key),
+        F.posexplode(
+            F.transform(
+                pids,
+                lambda j: F.array_join(
+                    F.slice(ws, j * para_words + 1, para_words), " "
+                ),
+            )
+        ).alias("pid", "para"),
+    ).where(F.col("para") != "")
+    first = paras.groupBy("para").agg(
+        F.min(F.struct(F.col(key).alias("k"), F.col("pid").alias("p"))).alias("_f")
+    )
+    kept = (
+        paras.join(first, "para")
+        .where((F.col(key) == F.col("_f.k")) & (F.col("pid") == F.col("_f.p")))
+        .drop("_f")
+    )
+    totals = paras.groupBy(key).agg(F.count("*").cast("long").alias("n_paras"))
+    rebuilt = kept.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pid", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return (
+        df.select(key)
+        .join(totals, key, "left")
+        .join(rebuilt, key, "left")
+        .select(
+            key,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

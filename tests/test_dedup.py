@@ -721,3 +721,25 @@ def test_bloom_bitmap_union_equals_rebuild_and_is_idempotent(spark):
     bands_all = dedup.minhash_bands(dedup.minhash_signature(docs))
     verdicts = dedup.bloom_probe(bands_all, unioned)
     assert all(r.maybe_member for r in verdicts.collect())
+
+
+def test_paragraph_dedup_rewrite_cross_document_first_occurrence(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        paragraph_dedup_rewrite,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "x y a b"), (4, "p q r"), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup_rewrite(df, para_words=2).collect()}
+    # doc 1 owns 'a b' (smallest (doc, pid) corpus-wide)
+    assert out[1].text_dedup == "a b c d" and (out[1].n_paras, out[1].n_kept) == (2, 2)
+    # doc 2 loses 'a b' to doc 1 but owns 'x y'
+    assert out[2].text_dedup == "x y" and out[2].n_kept == 1
+    # doc 3: both paragraphs already seen -> fully rewritten away
+    assert out[3].text_dedup == "" and (out[3].n_paras, out[3].n_kept) == (2, 0)
+    # ragged tail keeps its short last paragraph
+    assert out[4].text_dedup == "p q r" and out[4].n_paras == 2
+    # empty doc keeps its row with zero paragraphs
+    assert out[5].text_dedup == "" and (out[5].n_paras, out[5].n_kept) == (0, 0)
