@@ -5203,6 +5203,44 @@ def tpch_q12_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking), completing the
+    q1-q22 set: orders from one quarter counted per priority when at
+    least one of their lineitems was LATE. The fixture has no
+    l_commitdate/l_receiptdate, so late = shipped more than 60 days
+    after the order date — the correlated-EXISTS shape survives
+    exactly: a LEFT SEMI join on the order key with the lateness
+    predicate inside the join condition (each order counted once no
+    matter how many late lines), date filter pushed into the orders
+    scan, then a tiny priority-keyed count."""
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )
+
+
+@register(
     "tpch_q13",
     """
 WITH per_cust AS (
@@ -8571,6 +8609,7 @@ _VERIFY_FIRST = [
     "bpe_fertility_by_lang",  # tokenizer-equity QA (wave 18)
     "serving_pipeline",  # composed artifact-serving flagship (wave 18)
     "paragraph_dedup_rewrite",  # CCNet cross-doc paragraph dedup (wave 19)
+    "tpch_q4",  # the last literal TPC-H query (correlated-EXISTS semi join)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

@@ -261,6 +261,14 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
         )
         t("ivf_append_fixed_batch", similarity.ivf_append_assign(batch, cents))
         t("ivf_staleness", similarity.ivf_staleness(emb, cents))
+    # round-8 wave 19: cross-doc paragraph dedup — paragraphing is a
+    # per-row map, then two paragraph-sized shuffles (groupBy-min on
+    # the paragraph string, doc-keyed re-assembly); expect ~linear in
+    # docs. The other wave-17/18 rows are compositions of shapes
+    # already on this ladder (zonemap = one narrow scan + 32-group
+    # agg; fertility = bpe_apply_tokens + a |langs| agg; serving =
+    # classifier + BPE-OOV + IVF-append, each measured above).
+    t("paragraph_dedup_rewrite", dedup.paragraph_dedup_rewrite(docs))
     return timings
 
 
