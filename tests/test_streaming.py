@@ -529,3 +529,94 @@ def test_streaming_lake_maintenance_face_diffs_and_compaction_bins(spark, tmp_pa
         ).collect()
     )
     assert got_plan == want_plan and len(got_plan) >= 3
+
+
+def test_streaming_index_maintenance_face_matches_batch_artifacts(spark, tmp_path):
+    """The serving-artifact face (streaming/index_maintenance.py),
+    completing the face triad: near-dup gate = quality, lake face =
+    storage, this = the stored ingest artifacts. Pinned equal to the
+    batch computation: after three triggers, (a) the assignment store
+    equals ivf_append_assign of ALL vectors against the trigger-0
+    frozen centroids, (b) the folded bloom store equals a from-scratch
+    bloom_bitmap over ALL band hashes (fold(deltas) == rebuild), and
+    (c) re-appending a delta (checkpoint-replay shape) changes the
+    folded bitmap NOWHERE (bit_or idempotence through the store)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bloom_bitmap,
+        minhash_bands,
+        minhash_signature,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.index_maintenance import (
+        index_maintenance_face,
+        read_bloom_bitmap,
+    )
+
+    def vec(i):
+        return [float(math.sin(0.1 * i * (d + 1)) % 1.0) for d in range(64)]
+
+    batches = [
+        [(i + 10 * b, f"doc {i} of batch {b} word{i % 3} tail", vec(i + 10 * b)) for i in range(10)]
+        for b in range(3)
+    ]
+    schema = "doc_id long, text string, embedding array<float>"
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stream_dir / f"f{b}"))
+
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = index_maintenance_face(stream, index_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    # (a) assignment store == batch assignment against the frozen store
+    all_rows = [r for rows in batches for r in rows]
+    all_vec = spark.createDataFrame(all_rows, schema).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    want_assign = {
+        (r.vec_id, r.cell, r.cell_cosine)
+        for r in ivf_append_assign(all_vec, cents).collect()
+    }
+    got_assign = {
+        (r.vec_id, r.cell, r.cell_cosine)
+        for r in spark.read.parquet(f"{index_dir}/assign").collect()
+    }
+    assert got_assign == want_assign and len(got_assign) == 30
+
+    # (b) folded bloom store == from-scratch rebuild over all bands
+    all_docs = spark.createDataFrame(all_rows, schema).select("doc_id", "text")
+    want_bloom = {
+        (r.word_id, r.word)
+        for r in bloom_bitmap(minhash_bands(minhash_signature(all_docs))).collect()
+    }
+    got_bloom = {(r.word_id, r.word) for r in read_bloom_bitmap(spark, index_dir).collect()}
+    assert got_bloom == want_bloom
+
+    # (c) replay shape: re-appending one trigger's delta is a no-op
+    b1_docs = spark.createDataFrame(batches[1], schema).select("doc_id", "text")
+    bloom_bitmap(minhash_bands(minhash_signature(b1_docs))).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/bloom")
+    replayed = {(r.word_id, r.word) for r in read_bloom_bitmap(spark, index_dir).collect()}
+    assert replayed == want_bloom
+
+    # one metrics row per trigger, each batch-sized
+    metrics = {r.batch_id: r for r in spark.read.parquet(f"{index_dir}/metrics").collect()}
+    assert set(metrics) == {0, 1, 2}
+    assert all(m.n_vectors == 10 and m.n_bloom_delta_words > 0 for m in metrics.values())
+    assert all(-1.0 <= m.mean_cc_batch <= 1.0 for m in metrics.values())
