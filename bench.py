@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_bloom_prefilter",  # round 7: Bloom-join pre-gate (bounded bitmap probe)
     "line_dedup_rewrite",  # round 7: within-page duplicate-line removal
     "serving_pipeline",  # round 8: composed three-artifact serving flagship
+    "sim_topk_graph",  # round 8: graph-ANN beam search (build + 3-hop serve)
 ]
 
 

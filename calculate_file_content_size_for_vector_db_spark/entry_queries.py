@@ -8572,6 +8572,121 @@ def paragraph_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup_rewrite(_docs(spark, sf_dir))
 
 
+def _sql_graph_beam_chain(k_graph: int = 8, beam: int = 16, hops: int = 3) -> str:
+    """Unrolled NSW-style beam search (the kmeans-chain discipline
+    applied to graph ANN): ed = the exact kNN graph, m = the two
+    smallest ids (entry-point frame), g0 = every query at its entry
+    node, then ``hops`` rounds of expand-out-edges / dedup / exact
+    rescore / keep-top-beam. Final beam CTE is ``g{hops}``."""
+    parts = [
+        f"""ed AS (
+    SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id) AS rn
+        FROM e a, e b WHERE a.vec_id <> b.vec_id
+    ) WHERE rn <= {k_graph}
+)""",
+        """m AS (
+    SELECT min(vec_id) AS m1, max(vec_id) AS m2
+    FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 2)
+)""",
+        """g0 AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS node,
+           round(list_cosine_similarity(q.v, n.v), 6) AS cosine
+    FROM e q CROSS JOIN m
+    JOIN e n ON n.vec_id = CASE WHEN q.vec_id = m.m1 THEN m.m2 ELSE m.m1 END
+    WHERE q.vec_id < 10
+)""",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"""c{i} AS (
+    SELECT DISTINCT query_id, node FROM (
+        SELECT query_id, node FROM g{i - 1}
+        UNION ALL
+        SELECT g.query_id, ed.dst AS node FROM g{i - 1} g JOIN ed ON g.node = ed.src
+    ) WHERE node <> query_id
+)"""
+        )
+        parts.append(
+            f"""g{i} AS (
+    SELECT query_id, node, cosine FROM (
+        SELECT c.query_id, c.node,
+               round(list_cosine_similarity(q.v, n.v), 6) AS cosine,
+               row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, c.node) AS rn
+        FROM c{i} c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.node
+    ) WHERE rn <= {beam}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_GRAPH_HOPS = 3
+
+
+@register(
+    "sim_topk_graph",
+    f"""
+WITH {_SQL_EMB},
+{_sql_graph_beam_chain(hops=_GRAPH_HOPS)}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, node AS neighbor_id, cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, node) AS INT) AS rank
+    FROM g{_GRAPH_HOPS}
+) WHERE rank <= 10
+""",
+)
+def sim_topk_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-based ANN (similarity.topk_graph): greedy beam search
+    over the exact kNN graph — the NSW/HNSW base-layer idea as a
+    fixed 3-hop unroll, completing the index-family matrix
+    (IVF / LSH / PQ / binary / SQ8 / matryoshka / GRAPH). Per-query
+    search cost is (hops x beam x k_graph) candidate scorings —
+    independent of corpus size and of any cell's population, the
+    property no partition-based tier has. The graph build is the
+    once-per-corpus stage (stored-table serving via the edges= hook,
+    the sim_topk_ivf_stored contract); the oracle unrolls the
+    identical beam rounds CTE-for-CTE."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_graph
+
+    emb = _emb(spark, sf_dir)
+    return topk_graph(emb, emb.where(F.col("vec_id") < 10), k=10, hops=_GRAPH_HOPS)
+
+
+@register(
+    "graph_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_sql_graph_beam_chain(hops=_GRAPH_HOPS)},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, node AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
+        FROM g{_GRAPH_HOPS}
+    ) WHERE rank <= 10
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def graph_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 3-hop graph beam search vs exact cosine — the
+    graph family's row in the recall matrix. Exact rescoring makes
+    recall monotone in BOTH beam width and hop count (a wider beam /
+    extra hop only grows the visited set), the same
+    candidates-superset guarantee the exact IVF probes carry."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_graph,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_graph(emb, q, k=_RECALL_K, hops=_GRAPH_HOPS))
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -8610,6 +8725,8 @@ _VERIFY_FIRST = [
     "serving_pipeline",  # composed artifact-serving flagship (wave 18)
     "paragraph_dedup_rewrite",  # CCNet cross-doc paragraph dedup (wave 19)
     "tpch_q4",  # the last literal TPC-H query (correlated-EXISTS semi join)
+    "sim_topk_graph",  # graph-ANN beam search (wave 21)
+    "graph_recall_at_10",  # the graph family's recall-matrix row (wave 21)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

@@ -1836,3 +1836,94 @@ def ann_frontier(
         )
     )
     return out
+
+
+def topk_graph(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_graph: int = 8,
+    beam: int = 16,
+    hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): GRAPH-based ANN — greedy
+    beam search over the exact kNN graph (the NSW/HNSW base-layer
+    idea, Malkov & Yashunin 2018, flattened to a fixed ``hops``-round
+    unroll): start every query at a deterministic entry node, expand
+    the current beam's out-edges each hop, score candidates by EXACT
+    cosine against the query, and keep the best ``beam``. The last
+    missing index family next to IVF/LSH/PQ/binary/SQ8/matryoshka —
+    and, unlike them, its per-query search cost depends only on
+    (hops x beam x k_graph), never on the corpus or any cell size.
+
+    Entry point: the corpus's smallest id — or the second-smallest for
+    that vector's own query (a query never visits itself, mirrored by
+    the node <> query_id filter every hop). Determinism: cosine
+    rounded to 6 BEFORE ranking, ties break on node id — identical in
+    the unrolled SQL chain.
+
+    Plan shape: the graph build (``edges`` = per-node exact top-
+    ``k_graph``, topk_grid) is the expensive, ONCE-per-corpus stage —
+    at 100 TB it comes from an approximate builder (IVF-candidate
+    kNN) or a stored table via the ``edges`` hook, the same
+    train-once/store/serve contract as sim_topk_ivf_stored. Search is
+    ``hops`` unrolled rounds, each: one candidate-sized equi-join on
+    the edge key, one dedup, one embedding lookup join, one
+    beam-window — every frame (queries x beam x k_graph) rows. Fixed
+    small round count with single back-references keeps the lazy plan
+    linear (the kmeans-chain discipline; no checkpoint needed)."""
+    if edges is None:
+        edges = topk_grid(embeddings, embeddings, k=k_graph, id_col=id_col, vec_col=vec_col)
+    ed = edges.select(
+        F.col("query_id").alias("_src"), F.col("neighbor_id").alias("_dst")
+    )
+    e = embeddings.select(F.col(id_col).alias("_nid"), as_double(vec_col).alias("_nv"))
+    qv = (
+        embeddings.join(queries.select(id_col), id_col)
+        .select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv"))
+    )
+    mins = (
+        embeddings.select(id_col)
+        .orderBy(id_col)
+        .limit(2)
+        .agg(F.min(id_col).alias("_m1"), F.max(id_col).alias("_m2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("node"))
+    b = (
+        qv.crossJoin(F.broadcast(mins))
+        .select(
+            "query_id",
+            "_qv",
+            F.when(F.col("query_id") == F.col("_m1"), F.col("_m2"))
+            .otherwise(F.col("_m1"))
+            .alias("node"),
+        )
+        .join(e, F.col("node") == F.col("_nid"))
+        .select("query_id", "_qv", "node", cosine(F.col("_qv"), F.col("_nv")).alias("cosine"))
+    )
+    for _ in range(hops):
+        nbr = b.join(ed, b["node"] == ed["_src"]).select(
+            "query_id", F.col("_dst").alias("node")
+        )
+        cand = (
+            b.select("query_id", "node")
+            .unionByName(nbr)
+            .where(F.col("node") != F.col("query_id"))
+            .dropDuplicates(["query_id", "node"])
+        )
+        b = (
+            cand.join(qv, "query_id")
+            .join(e, F.col("node") == F.col("_nid"))
+            .select("query_id", "_qv", "node", cosine(F.col("_qv"), F.col("_nv")).alias("cosine"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= beam)
+            .drop("_rn")
+        )
+    return (
+        b.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("node").alias("neighbor_id"), "cosine", "rank")
+    )

@@ -437,6 +437,8 @@ _BNLJ_ALLOWED = {
     "retrieval_recall_families",  # bm25 stats broadcast + exact vector baseline
     "mix_token_budget",  # 1-row token-total normalizer broadcast
     "serving_pipeline",  # merge-fold 1-row broadcast + packed-centroid maps + 1-row n_train
+    "sim_topk_graph",  # 1-row entry-point (two smallest ids) broadcast
+    "graph_recall_at_10",  # same entry-point broadcast + exact baseline
 }
 
 

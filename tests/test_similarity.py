@@ -668,3 +668,48 @@ def test_ivf_staleness_detects_distribution_shift(spark):
     stored = sim.ivf_centroids(_emb(spark, base_rows)).persist()
     row = sim.ivf_staleness(emb, stored).collect()[0]
     assert row.cc_drift > 0.05, row
+
+
+def test_topk_graph_recall_monotone_in_hops_and_beam(spark):
+    """Graph beam search with EXACT rescoring: the visited/answer
+    candidate sets nest as hops or beam grow, and exactly-scored
+    truth members can only be displaced by other truth members — so
+    recall@k is monotone in both knobs (the same candidates-superset
+    argument as the exact IVF probes). Also exercises the edges=
+    stored-graph hook: one built graph serves every search."""
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_bruteforce,
+        topk_graph,
+        topk_grid,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = topk_bruteforce(emb, q, k=10).persist()
+    edges = topk_grid(emb, emb, k=8).persist()
+    edges.count()
+
+    def recall(**kw):
+        return recall_vs_exact(
+            exact, topk_graph(emb, q, k=10, edges=edges, **kw)
+        ).first().recall
+
+    r1, r3, r5 = recall(hops=1), recall(hops=3), recall(hops=5)
+    assert r1 <= r3 <= r5
+    assert r5 > 0.0
+    b16, b32 = recall(hops=3, beam=16), recall(hops=3, beam=32)
+    assert b16 <= b32
+    # the answer list itself: <= k rows per query, never the query
+    rows = topk_graph(emb, q, k=10, edges=edges).collect()
+    per_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(c <= 10 for c in per_q.values())
+    exact.unpersist()
+    edges.unpersist()
