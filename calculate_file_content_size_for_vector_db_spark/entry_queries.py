@@ -8572,14 +8572,18 @@ def paragraph_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup_rewrite(_docs(spark, sf_dir))
 
 
-def _sql_graph_beam_chain(k_graph: int = 8, beam: int = 16, hops: int = 3) -> str:
+def _sql_graph_beam_chain(
+    k_graph: int = 8, beam: int = 16, hops: int = 3, ed_sql: str | None = None
+) -> str:
     """Unrolled NSW-style beam search (the kmeans-chain discipline
-    applied to graph ANN): ed = the exact kNN graph, m = the two
-    smallest ids (entry-point frame), g0 = every query at its entry
-    node, then ``hops`` rounds of expand-out-edges / dedup / exact
-    rescore / keep-top-beam. Final beam CTE is ``g{hops}``."""
+    applied to graph ANN): ed = the exact kNN graph (or a caller-
+    supplied ``ed_sql`` CTE — the IVF-built approximate graph), m =
+    the two smallest ids (entry-point frame), g0 = every query at its
+    entry node, then ``hops`` rounds of expand-out-edges / dedup /
+    exact rescore / keep-top-beam. Final beam CTE is ``g{hops}``."""
     parts = [
-        f"""ed AS (
+        ed_sql
+        or f"""ed AS (
     SELECT src, dst FROM (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                row_number() OVER (PARTITION BY a.vec_id
@@ -8687,6 +8691,96 @@ def graph_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_vs_exact(exact, topk_graph(emb, q, k=_RECALL_K, hops=_GRAPH_HOPS))
 
 
+_SQL_GASSIGN = """gassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+    ) WHERE rn <= 2
+)"""
+
+_SQL_IVF_ED = """ed AS (
+    SELECT src, dst FROM (
+        SELECT ga.vec_id AS src, sb.vec_id AS dst,
+               row_number() OVER (PARTITION BY ga.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, sb.vec_id) AS rn
+        FROM gassign ga JOIN assign sb ON ga.cell = sb.cell AND ga.vec_id <> sb.vec_id
+        JOIN e a ON a.vec_id = ga.vec_id JOIN e b ON b.vec_id = sb.vec_id
+    ) WHERE rn <= 8
+)"""
+
+
+@register(
+    "knn_graph_ivf",
+    f"""
+WITH {_SQL_IVF},
+{_SQL_GASSIGN},
+scored AS (
+    SELECT ga.vec_id AS query_id, sb.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM gassign ga JOIN assign sb ON ga.cell = sb.cell AND ga.vec_id <> sb.vec_id
+    JOIN e a ON a.vec_id = ga.vec_id JOIN e b ON b.vec_id = sb.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 8
+""",
+)
+def knn_graph_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE kNN graph (similarity.knn_graph_ivf): each
+    node's exact top-8 among its top-2 IVF cells' members — the
+    100-TB build path for the graph-ANN family. Where knn_graph's
+    exact grid pays O(N^2) over the corpus, this pays
+    ~2 x sum(|cell|^2), sharded perfectly across cells by ONE cell
+    equi-join co-partitioned on both sides. Probe-2 is what keeps the
+    graph NAVIGABLE: in-cell-only edges partition into disconnected
+    per-cell islands a beam search cannot leave (measured: recall
+    0.06 vs 0.37) — boundary nodes' second-cell links reconnect it."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import knn_graph_ivf
+
+    return knn_graph_ivf(_emb(spark, sf_dir))
+
+
+@register(
+    "graph_ivf_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+{_SQL_GASSIGN},
+{_sql_graph_beam_chain(hops=_GRAPH_HOPS, ed_sql=_SQL_IVF_ED)},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, node AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
+        FROM g{_GRAPH_HOPS}
+    ) WHERE rank <= 10
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def graph_ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 3-hop beam search served from the CHEAP
+    (IVF-built) graph — the end-to-end number for the production
+    graph path: approximate build + beam serve, vs exact truth.
+    Compare graph_recall_at_10 (same search over the exact graph):
+    the gap is what the O(N^2)-to-sum(|cell|^2) build saving costs
+    in edge quality."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        knn_graph_ivf,
+        recall_vs_exact,
+        topk_graph,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    edges = knn_graph_ivf(emb)
+    return recall_vs_exact(
+        exact, topk_graph(emb, q, k=_RECALL_K, hops=_GRAPH_HOPS, edges=edges)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -8727,6 +8821,8 @@ _VERIFY_FIRST = [
     "tpch_q4",  # the last literal TPC-H query (correlated-EXISTS semi join)
     "sim_topk_graph",  # graph-ANN beam search (wave 21)
     "graph_recall_at_10",  # the graph family's recall-matrix row (wave 21)
+    "knn_graph_ivf",  # the cheap probe-2 graph build (wave 22)
+    "graph_ivf_recall_at_10",  # end-to-end cheap-build + beam-serve recall (wave 22)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

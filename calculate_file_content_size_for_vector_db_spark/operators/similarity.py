@@ -1927,3 +1927,67 @@ def topk_graph(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("node").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def knn_graph_ivf(
+    embeddings: DataFrame,
+    k_graph: int = 8,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): the APPROXIMATE kNN
+    graph — each node's exact top-``k_graph`` among the members of
+    its top-``probes`` IVF cells — the 100-TB build path for the
+    graph-ANN family: where the exact graph (topk_grid) pays O(N^2)
+    across the full corpus, this pays ~probes * sum(|cell|^2) sharded
+    perfectly across cells (the standard blocked approximate
+    kNN-graph construction; NN-Descent and friends refine exactly
+    this kind of seed graph).
+
+    ``probes`` >= 2 matters for more than edge quality: it is what
+    makes the graph NAVIGABLE. With probe-1 (in-cell-only) edges the
+    edge set is a disjoint union per cell, so a beam search can never
+    leave its entry point's cell — measured at sf0.001, recall@10
+    collapsed to 0.06 vs 0.37 on the exact graph. Probe-2 gives
+    boundary nodes cross-cell links, reconnecting the graph.
+
+    Plan: one probe-cell map (packed-centroid broadcast) on the
+    source side, the argmax assignment (or a stored table via
+    ``assign`` — the sim_topk_ivf_stored contract) on the candidate
+    side, ONE cell equi-join, one per-node window. Probe cells are
+    distinct and a candidate has one argmax cell, so each (src, dst)
+    pair meets at most once — no dedup. At scale the join is
+    co-partitioned by cell; no cell's block leaves its executor."""
+    if assign is None:
+        assign = ivf_assign(embeddings, id_col, vec_col).persist()
+    if probes > 1:
+        cents = (
+            centroids
+            if centroids is not None
+            else ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col)
+        )
+        v = embeddings.select(F.col(id_col), as_double(vec_col).alias("v"))
+        src_cells = _assign_topc(v, cents, id_col, probes)
+    else:
+        src_cells = assign.select(id_col, "cell")
+    a = embeddings.join(src_cells, id_col).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_av"), "cell"
+    )
+    b = spread(embeddings.join(assign.select(id_col, "cell"), id_col)).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_bv"), "cell"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_av"), F.col("_bv")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k_graph)
+    )

@@ -439,6 +439,8 @@ _BNLJ_ALLOWED = {
     "serving_pipeline",  # merge-fold 1-row broadcast + packed-centroid maps + 1-row n_train
     "sim_topk_graph",  # 1-row entry-point (two smallest ids) broadcast
     "graph_recall_at_10",  # same entry-point broadcast + exact baseline
+    "knn_graph_ivf",  # packed-centroid probe-cell broadcast
+    "graph_ivf_recall_at_10",  # probe-cell broadcast + entry-point + exact baseline
 }
 
 

@@ -713,3 +713,37 @@ def test_topk_graph_recall_monotone_in_hops_and_beam(spark):
     assert all(c <= 10 for c in per_q.values())
     exact.unpersist()
     edges.unpersist()
+
+
+def test_knn_graph_ivf_probe2_keeps_graph_navigable(spark):
+    """The pathology the probe-2 build exists for: in-cell-only
+    (probe-1) edges partition into per-cell islands, so the beam
+    search can never leave its entry point's cell and recall
+    collapses; probe-2's boundary links reconnect the graph and the
+    same search recovers most of the exact-graph recall."""
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        knn_graph_ivf,
+        recall_vs_exact,
+        topk_bruteforce,
+        topk_graph,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = topk_bruteforce(emb, q, k=10).persist()
+
+    def recall(probes):
+        edges = knn_graph_ivf(emb, probes=probes)
+        return recall_vs_exact(exact, topk_graph(emb, q, k=10, edges=edges)).first().recall
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 > r1  # the cross-cell links buy real recall
+    assert r2 >= 0.2  # and land near the exact-graph search's level
+    # build shape: <= 8 edges per node, no self-loops
+    rows = knn_graph_ivf(emb, probes=2).groupBy("query_id").count().collect()
+    assert all(r["count"] <= 8 for r in rows)
+    exact.unpersist()
