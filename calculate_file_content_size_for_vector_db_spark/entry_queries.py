@@ -8781,6 +8781,68 @@ def graph_ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quality_classifier_score_stored", None)  # oracle assigned below
+def quality_classifier_score_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier serving THROUGH the parquet store, under
+    quality_classifier_score's oracle verbatim — completing the
+    stored-artifact symmetry (index: sim_topk_ivf_stored; tokenizer:
+    bpe_apply_stored; classifier: this). The 17-row weight table is
+    trained, WRITTEN to parquet, read back, and scoring runs from the
+    stored table with zero training lineage in the plan — the hash
+    guards the store seam itself (schema drift, a lossy writer, or
+    rounding drift in the doubles would mismatch)."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="clf_store_")
+    quality_classifier_weights(docs, positive=F.col("lang") == "en").write.mode(
+        "overwrite"
+    ).parquet(store)
+    return quality_classifier_score(
+        docs,
+        positive=F.col("lang") == "en",
+        weights_df=spark.read.parquet(store),
+    )
+
+
+REGISTRY["quality_classifier_score_stored"].oracle = REGISTRY[
+    "quality_classifier_score"
+].oracle
+
+
+@register("bpe_apply_stored", None)  # oracle assigned below
+def bpe_apply_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer serving THROUGH the parquet store, under
+    bpe_apply_oov's oracle verbatim: the merge table is trained on the
+    %17 train split, WRITTEN to parquet, read back, and the held-out
+    batch is segmented by replaying the STORED merges — no training
+    lineage in the serving plan. The merge table is strings and ints
+    (rank, lhs, rhs, merged, pair_count), lossless in parquet, so the
+    hash pins the serialization seam exactly as sim_topk_ivf_stored
+    does for the index."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_apply_oov,
+        bpe_train_merges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="bpe_store_")
+    bpe_train_merges(docs.where(F.col("doc_id") % 17 != 0)).write.mode(
+        "overwrite"
+    ).parquet(store)
+    return bpe_apply_oov(docs, merges_df=spark.read.parquet(store))
+
+
+REGISTRY["bpe_apply_stored"].oracle = REGISTRY["bpe_apply_oov"].oracle
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -8823,6 +8885,8 @@ _VERIFY_FIRST = [
     "graph_recall_at_10",  # the graph family's recall-matrix row (wave 21)
     "knn_graph_ivf",  # the cheap probe-2 graph build (wave 22)
     "graph_ivf_recall_at_10",  # end-to-end cheap-build + beam-serve recall (wave 22)
+    "quality_classifier_score_stored",  # classifier store seam (wave 23)
+    "bpe_apply_stored",  # tokenizer store seam (wave 23)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

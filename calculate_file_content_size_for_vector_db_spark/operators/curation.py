@@ -590,6 +590,7 @@ def quality_classifier_score(
     rounds: int = LOGREG_ROUNDS,
     lr: float = LOGREG_LR,
     train_df: DataFrame | None = None,
+    weights_df: DataFrame | None = None,
 ) -> DataFrame:
     """(key, label, score): every document's trained-classifier quality
     probability (rounded sigmoid of w·x), next to its training label
@@ -598,15 +599,22 @@ def quality_classifier_score(
     ``train_df`` (default: ``df`` itself) is the labeled training
     frame — at 100 TB a small curated sample; scoring then touches the
     full corpus exactly once with the (n_buckets+1)-row weight table
-    broadcast."""
-    w = quality_classifier_weights(
-        train_df if train_df is not None else df,
-        positive,
-        text_col,
-        key,
-        n_buckets,
-        rounds,
-        lr,
+    broadcast. ``weights_df`` is the stored-model hook (the
+    sim_topk_ivf_stored contract): a (b, wgt) table — e.g. read back
+    from parquet — served directly, with NO training lineage in the
+    scoring plan at all."""
+    w = (
+        weights_df
+        if weights_df is not None
+        else quality_classifier_weights(
+            train_df if train_df is not None else df,
+            positive,
+            text_col,
+            key,
+            n_buckets,
+            rounds,
+            lr,
+        )
     )
     feat = _hashed_features(df, text_col, key, n_buckets)
     scores = (

@@ -743,6 +743,7 @@ def bpe_apply_oov(
     train_mod: int = 17,
     text_col: str = "text",
     key: str = "doc_id",
+    merges_df: DataFrame | None = None,
 ) -> DataFrame:
     """(key, n_tokens, n_bpe_tokens) for HELD-OUT documents (key %
     train_mod == 0) segmented by a tokenizer trained only on the REST —
@@ -750,10 +751,17 @@ def bpe_apply_oov(
     not, is segmented by replaying the stored merge table
     (bpe_segment_with_merges), exactly what a deployed tokenizer does
     to fresh crawl data. Distinct held-out words segment once
-    (vocab-sized fold), documents pay one broadcast join."""
+    (vocab-sized fold), documents pay one broadcast join.
+
+    ``merges_df`` is the stored-artifact hook (the sim_topk_ivf_stored
+    contract): a (rank, lhs, rhs, merged, pair_count) merge table —
+    e.g. read back from parquet — replayed directly, with no training
+    lineage in the serving plan."""
     train = df.where(F.pmod(F.col(key), F.lit(train_mod)) != 0)
     held = df.where(F.pmod(F.col(key), F.lit(train_mod)) == 0)
-    merges = bpe_train_merges(train, n_merges, text_col)
+    merges = (
+        merges_df if merges_df is not None else bpe_train_merges(train, n_merges, text_col)
+    )
     words = held.select(F.explode(tokens(text_col)).alias("word")).distinct()
     seg = bpe_segment_with_merges(words, merges)
     toks = held.select(F.col(key), F.explode(tokens(text_col)).alias("word"))

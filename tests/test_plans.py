@@ -441,6 +441,11 @@ _BNLJ_ALLOWED = {
     "graph_recall_at_10",  # same entry-point broadcast + exact baseline
     "knn_graph_ivf",  # packed-centroid probe-cell broadcast
     "graph_ivf_recall_at_10",  # probe-cell broadcast + entry-point + exact baseline
+    "bpe_apply_stored",  # 1-row STORED-merge-table broadcast (F.aggregate replay)
+    # NOTE deliberately absent: quality_classifier_score_stored — serving
+    # from the parquet store removes the training chain's 1-row
+    # broadcasts entirely, so the sweep pins its plan BNLJ-free; training
+    # lineage creeping back in would fail here.
 }
 
 
