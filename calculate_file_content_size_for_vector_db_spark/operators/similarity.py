@@ -1848,6 +1848,7 @@ def topk_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     edges: DataFrame | None = None,
+    scored_candidates: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): GRAPH-based ANN — greedy
     beam search over the exact kNN graph (the NSW/HNSW base-layer
@@ -1874,7 +1875,12 @@ def topk_graph(
     the edge key, one dedup, one embedding lookup join, one
     beam-window — every frame (queries x beam x k_graph) rows. Fixed
     small round count with single back-references keeps the lazy plan
-    linear (the kmeans-chain discipline; no checkpoint needed)."""
+    linear (the kmeans-chain discipline; no checkpoint needed).
+
+    ``scored_candidates=True`` returns, instead of the answer, the
+    lazy union of every (query_id, node) pair the search SCORES
+    (entry + each hop's candidate frame, duplicates across hops kept
+    — each is re-scored) — the frontier exhibit's work metric."""
     if edges is None:
         edges = topk_grid(embeddings, embeddings, k=k_graph, id_col=id_col, vec_col=vec_col)
     ed = edges.select(
@@ -1904,6 +1910,7 @@ def topk_graph(
         .join(e, F.col("node") == F.col("_nid"))
         .select("query_id", "_qv", "node", cosine(F.col("_qv"), F.col("_nv")).alias("cosine"))
     )
+    scored_frames = [b.select("query_id", "node")]
     for _ in range(hops):
         nbr = b.join(ed, b["node"] == ed["_src"]).select(
             "query_id", F.col("_dst").alias("node")
@@ -1914,6 +1921,7 @@ def topk_graph(
             .where(F.col("node") != F.col("query_id"))
             .dropDuplicates(["query_id", "node"])
         )
+        scored_frames.append(cand)
         b = (
             cand.join(qv, "query_id")
             .join(e, F.col("node") == F.col("_nid"))
@@ -1922,6 +1930,11 @@ def topk_graph(
             .where(F.col("_rn") <= beam)
             .drop("_rn")
         )
+    if scored_candidates:
+        out = scored_frames[0]
+        for f in scored_frames[1:]:
+            out = out.unionByName(f)
+        return out
     return (
         b.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)

@@ -95,6 +95,20 @@ def main() -> None:
         .count()
     )
 
+    # graph tiers (round 8): scored candidates counted by the search's
+    # own instrumentation hook — entry + every hop's candidate frame,
+    # re-scorings across hops included. Work is (hops x beam x degree)-
+    # bounded per query, the only tier whose cost is independent of
+    # corpus AND cell sizes.
+    g_edges = sim.topk_grid(emb, emb, k=8).persist()
+    graph_cand = sim.topk_graph(
+        emb, q, k=K, edges=g_edges, scored_candidates=True
+    ).count()
+    gi_edges = sim.knn_graph_ivf(emb).persist()
+    graph_ivf_cand = sim.topk_graph(
+        emb, q, k=K, edges=gi_edges, scored_candidates=True
+    ).count()
+
     tiers = [
         # tier, recall query, candidate rows, bytes/candidate, rerank rows
         ("bruteforce", None, full_scan, DIM * F32, 0),
@@ -108,6 +122,8 @@ def main() -> None:
         ("binary_rerank", "binary_recall_at_10", full_scan, 8, nq * RERANK * K),
         ("matryoshka_rerank", "matryoshka_recall_at_10", full_scan, 16 * F32, nq * RERANK * K),
         ("int8_rerank", "int8_recall_at_10", full_scan, DIM, nq * RERANK * K),
+        ("graph_beam3", "graph_recall_at_10", graph_cand, DIM * F32, 0),
+        ("graph_ivf_beam3", "graph_ivf_recall_at_10", graph_ivf_cand, DIM * F32, 0),
     ]
 
     rows = []
@@ -162,6 +178,15 @@ def main() -> None:
         "finding). At 100 TB the composed IVFxPQ row is the headline: cell",
         "pruning multiplied by 64x compression, with probe2 buying recall",
         "back at 2x its scan cost.",
+        "",
+        "The graph tiers (round 8) are the odd ones out: their candidate",
+        "count is (hops x beam x degree)-bounded per query — independent of",
+        "the corpus size AND of any cell's population — so their scan",
+        "fraction IMPROVES as the corpus grows, where every other tier's",
+        "candidate rows scale with N or with cell sizes. graph_ivf_beam3",
+        "serves from the cheap probe-2 build (knn_graph_ivf); the graph",
+        "BUILD cost is amortized once per corpus like every stored index",
+        "here.",
         "",
         f"Regenerate: `python tools/ann_frontier.py {SF_DIR}`.",
         "",
