@@ -8843,6 +8843,59 @@ def bpe_apply_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["bpe_apply_stored"].oracle = REGISTRY["bpe_apply_oov"].oracle
 
 
+@register(
+    "corpus_datacard",
+    f"""
+WITH m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+           CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+           CAST(sum(len({_SQL_TOKENS})) AS DOUBLE) AS total_tokens,
+           CAST(sum(length(text)) AS DOUBLE) AS total_chars,
+           CAST(sum(CASE WHEN len({_SQL_TOKENS}) = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty,
+           CAST(count(DISTINCT sha256(text)) AS DOUBLE) AS n_uniq
+    FROM documents
+),
+tl AS (
+    SELECT CAST(max(c) AS DOUBLE) AS top_lang_docs
+    FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+),
+r AS (
+    SELECT n_docs, n_sources, n_langs, total_tokens, total_chars, n_empty,
+           round(n_empty / n_docs, 6) AS empty_fraction,
+           round(1.0 - n_uniq / n_docs, 6) AS exact_dup_fraction,
+           round(total_tokens / n_docs, 6) AS mean_doc_tokens,
+           round(top_lang_docs / n_docs, 6) AS top_lang_share
+    FROM m, tl
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM r
+UNION ALL SELECT 'n_sources', n_sources FROM r
+UNION ALL SELECT 'n_langs', n_langs FROM r
+UNION ALL SELECT 'total_tokens', total_tokens FROM r
+UNION ALL SELECT 'total_chars', total_chars FROM r
+UNION ALL SELECT 'n_empty', n_empty FROM r
+UNION ALL SELECT 'empty_fraction', empty_fraction FROM r
+UNION ALL SELECT 'exact_dup_fraction', exact_dup_fraction FROM r
+UNION ALL SELECT 'mean_doc_tokens', mean_doc_tokens FROM r
+UNION ALL SELECT 'top_lang_share', top_lang_share FROM r
+""",
+)
+def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATA CARD (textstats.corpus_datacard): the one-frame
+    release summary every other QA query drills into — doc/source/
+    language counts, token and char mass, empty-doc and exact-dup
+    fractions, mean length, and the dominant language's share (the
+    skew number that decides whether mixing needs temperature at
+    all). ONE corpus scan into a multi-aggregate with map-side
+    partials + a |langs| mode agg + an unpivot; nothing after the
+    scan scales with rows."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard,
+    )
+
+    return corpus_datacard(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -8887,6 +8940,7 @@ _VERIFY_FIRST = [
     "graph_ivf_recall_at_10",  # end-to-end cheap-build + beam-serve recall (wave 22)
     "quality_classifier_score_stored",  # classifier store seam (wave 23)
     "bpe_apply_stored",  # tokenizer store seam (wave 23)
+    "corpus_datacard",  # one-frame release summary (wave 24)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

@@ -1335,3 +1335,55 @@ def bpe_fertility(
             ).alias("chars_per_token"),
         )
     )
+
+
+def corpus_datacard(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """(metric, value): the one-frame data card a corpus release ships
+    — the headline numbers every other QA query drills into, in a
+    single cheap plan: row/source/language counts, token and char
+    mass, empty-doc and exact-duplicate fractions, mean document
+    length, and the dominant language's share (the skew number that
+    decides whether mixing needs temperature at all).
+
+    Plan: ONE corpus scan into a 1-row multi-aggregate (count /
+    countDistinct / sums — all map-side partial), one |langs|-row agg
+    for the mode share, a 1-row cross join, and an unpivot (stack) of
+    the single row into (metric, value) — nothing after the scan
+    scales with the corpus. Values are doubles rounded to 6 so counts
+    and fractions share one column."""
+    t = F.size(tokens(text_col)).cast("long")
+    main = df.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.sum(t).cast("double").alias("total_tokens"),
+        F.sum(F.length(text_col)).cast("double").alias("total_chars"),
+        F.sum(F.when(t == 0, 1).otherwise(0)).cast("double").alias("n_empty"),
+        F.countDistinct(F.sha2(F.col(text_col), 256)).cast("double").alias("_n_uniq"),
+    )
+    top_lang = (
+        df.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .agg(F.max("_c").cast("double").alias("_top_lang_docs"))
+    )
+    row = main.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "total_chars",
+        "n_empty",
+        F.round(F.col("n_empty") / F.col("n_docs"), 6).alias("empty_fraction"),
+        F.round(F.lit(1.0) - F.col("_n_uniq") / F.col("n_docs"), 6).alias(
+            "exact_dup_fraction"
+        ),
+        F.round(F.col("total_tokens") / F.col("n_docs"), 6).alias("mean_doc_tokens"),
+        F.round(F.col("_top_lang_docs") / F.col("n_docs"), 6).alias("top_lang_share"),
+    )
+    cols = [
+        "n_docs", "n_sources", "n_langs", "total_tokens", "total_chars",
+        "n_empty", "empty_fraction", "exact_dup_fraction", "mean_doc_tokens",
+        "top_lang_share",
+    ]
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    return row.selectExpr(f"stack({len(cols)}, {stack}) AS (metric, value)")
