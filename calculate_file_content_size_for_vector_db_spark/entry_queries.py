@@ -8896,6 +8896,72 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_datacard(_docs(spark, sf_dir))
 
 
+@register(
+    "hll_merge_sources",
+    """
+WITH base AS (
+    SELECT source AS grp,
+           CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+rr AS (
+    SELECT grp, CAST(h % 256 AS INT) AS reg,
+           CAST(CASE WHEN h // 256 = 0 THEN 53
+                ELSE 53 - length(bin(h // 256)) END AS INT) AS rho
+    FROM base
+),
+per_src AS (SELECT grp, reg, max(rho) AS rho FROM rr GROUP BY grp, reg),
+merged AS (SELECT reg, max(rho) AS rho FROM per_src GROUP BY reg),
+direct AS (SELECT reg, max(rho) AS rho FROM rr GROUP BY reg),
+em AS (
+    SELECT round(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+                 ELSE raw END, 6) AS est_merged
+    FROM (SELECT CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256
+                     / (sum(pow(CAST(2.0 AS DOUBLE), -rho)) + (256 - count(*))) AS raw,
+                 CAST(256 - count(*) AS DOUBLE) AS zeros
+          FROM merged)
+),
+ed AS (
+    SELECT round(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+                 ELSE raw END, 6) AS est_direct
+    FROM (SELECT CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256
+                     / (sum(pow(CAST(2.0 AS DOUBLE), -rho)) + (256 - count(*))) AS raw,
+                 CAST(256 - count(*) AS DOUBLE) AS zeros
+          FROM direct)
+),
+dd AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_diff
+    FROM merged m FULL OUTER JOIN direct d USING (reg)
+    WHERE NOT (m.rho IS NOT DISTINCT FROM d.rho)
+),
+ex AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact
+       FROM documents WHERE text IS NOT NULL)
+SELECT CAST(256 AS INT) AS m, n_exact, est_merged, est_direct,
+       n_diff = 0 AS merged_equals_direct,
+       round(abs(est_direct - n_exact) / CAST(n_exact AS DOUBLE), 6) AS rel_error,
+       abs(est_direct - n_exact) / CAST(n_exact AS DOUBLE) <= 0.2 AS within_bound
+FROM ex, em, ed, dd
+""",
+)
+def hll_merge_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog MERGE algebra on a hand-built, engine-exact sketch
+    (textstats.hll_merge_sources): per-source register sketches
+    max-merged must equal the from-scratch global sketch — the
+    property that makes HLL the 100-TB distinct counter (per-
+    partition/day/source partial sketches union freely). The existing
+    approx_distinct_error row proves the built-in sketch's BOUND;
+    this row proves the ALGEBRA register-for-register, plus the
+    estimator itself (harmonic mean + linear-counting correction) in
+    portable arithmetic both engines reproduce bit-for-bit."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        hll_merge_sources,
+    )
+
+    return hll_merge_sources(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -8941,6 +9007,7 @@ _VERIFY_FIRST = [
     "quality_classifier_score_stored",  # classifier store seam (wave 23)
     "bpe_apply_stored",  # tokenizer store seam (wave 23)
     "corpus_datacard",  # one-frame release summary (wave 24)
+    "hll_merge_sources",  # hand-built HLL merge algebra, register-exact (wave 25)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

@@ -1387,3 +1387,102 @@ def corpus_datacard(df: DataFrame, text_col: str = "text", key: str = "doc_id") 
     ]
     stack = ", ".join(f"'{c}', {c}" for c in cols)
     return row.selectExpr(f"stack({len(cols)}, {stack}) AS (metric, value)")
+
+
+def hll_merge_sources(
+    df: DataFrame,
+    value_col: str = "text",
+    group_col: str = "source",
+    p: int = 8,
+) -> DataFrame:
+    """One row proving the HLL MERGE ALGEBRA on a hand-built,
+    engine-exact HyperLogLog (Flajolet et al. 2007): per-group
+    register sketches (max rho per register) merged by per-register
+    max must equal the from-scratch global sketch — max-of-maxes =
+    global max, the property that makes HLL the 100-TB distinct
+    counter (partial sketches per partition/day/source union freely;
+    Spark's built-in approx_count_distinct proves a BOUND, this
+    proves the ALGEBRA, register for register).
+
+    Columns: m, n_exact, est_merged, est_direct, merged_equals_direct
+    (register tables compared exactly — both estimates derive from
+    them so the doubles are bit-identical too), rel_error, within_
+    bound (|est-exact|/exact <= 0.2 ~ 3 sigma at m=256).
+
+    Construction is deterministic integer arithmetic end-to-end: the
+    60-bit md5 prefix (the Bloom-filter hash plumbing), register =
+    h mod m, rho = leading-zero rank of the remaining 52 bits via
+    length(bin(w)); the estimator (harmonic mean + linear-counting
+    small-range correction) is the only double math, written
+    identically in the oracle. Plan: one scan into a (groups x m)-row
+    hash-agg with map-side partials; everything after is
+    register-table-sized (m rows per group)."""
+    m = 1 << p
+    wbits = 60 - p  # h < 2^60 (15 hex digits), w = h div m
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("_h"),
+        )
+        .select(
+            "grp",
+            F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("reg"),
+            F.expr(f"_h div {m}").alias("_w"),
+        )
+        .select(
+            "grp",
+            "reg",
+            F.when(F.col("_w") == 0, F.lit(wbits + 1))
+            .otherwise(F.lit(wbits + 1) - F.length(F.bin("_w")))
+            .cast("int")
+            .alias("rho"),
+        )
+    )
+    per_src = base.groupBy("grp", "reg").agg(F.max("rho").alias("rho"))
+    merged = per_src.groupBy("reg").agg(F.max("rho").alias("rho"))
+    direct = base.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+    def estimate(regs: DataFrame, name: str) -> DataFrame:
+        s = regs.agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+            F.count("*").cast("long").alias("_nz"),
+        )
+        zeros = (F.lit(m) - F.col("_nz")).cast("double")
+        raw = F.lit(0.7213 / (1 + 1.079 / m)) * m * m / (F.col("_s") + zeros)
+        est = F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        ).otherwise(raw)
+        return s.select(F.round(est, 6).alias(name))
+
+    diff = (
+        merged.withColumnRenamed("rho", "_rm")
+        .join(direct.withColumnRenamed("rho", "_rd"), "reg", "full_outer")
+        .where(
+            ~(F.col("_rm").eqNullSafe(F.col("_rd")))
+        )
+        .agg(F.count("*").cast("long").alias("_n_diff"))
+    )
+    exact = df.where(F.col(value_col).isNotNull()).agg(
+        F.countDistinct(value_col).cast("long").alias("n_exact")
+    )
+    row = (
+        exact.crossJoin(F.broadcast(estimate(merged, "est_merged")))
+        .crossJoin(F.broadcast(estimate(direct, "est_direct")))
+        .crossJoin(F.broadcast(diff))
+    )
+    rel = F.abs(F.col("est_direct") - F.col("n_exact")) / F.col("n_exact").cast(
+        "double"
+    )
+    return row.select(
+        F.lit(m).cast("int").alias("m"),
+        "n_exact",
+        "est_merged",
+        "est_direct",
+        (F.col("_n_diff") == 0).alias("merged_equals_direct"),
+        F.round(rel, 6).alias("rel_error"),
+        (rel <= 0.2).alias("within_bound"),
+    )

@@ -443,6 +443,7 @@ _BNLJ_ALLOWED = {
     "graph_ivf_recall_at_10",  # probe-cell broadcast + entry-point + exact baseline
     "bpe_apply_stored",  # 1-row STORED-merge-table broadcast (F.aggregate replay)
     "corpus_datacard",  # 1-row top-language mode broadcast onto the 1-row main agg
+    "hll_merge_sources",  # three 1-row estimate/diff aggregates composed
     # NOTE deliberately absent: quality_classifier_score_stored — serving
     # from the parquet store removes the training chain's 1-row
     # broadcasts entirely, so the sweep pins its plan BNLJ-free; training
