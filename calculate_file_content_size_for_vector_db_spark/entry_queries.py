@@ -8962,6 +8962,35 @@ def hll_merge_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_merge_sources(_docs(spark, sf_dir))
 
 
+@register(
+    "dedup_canonical",
+    """
+WITH h AS (
+    SELECT doc_id,
+           sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                      '\\s+', ' ', 'g'))) AS content_hash,
+           sha256(text) AS raw_hash
+    FROM documents
+)
+SELECT content_hash, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(count(DISTINCT raw_hash) AS BIGINT) AS raw_distinct
+FROM h GROUP BY content_hash
+""",
+)
+def dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form exact dedup (dedup.canonical_dedup): lowercase +
+    strip punctuation + collapse whitespace, then the exact_dedup
+    hash-agg — the normalize-then-hash tier between byte-exact dedup
+    and MinHash that catches re-encoded/re-wrapped/case-mangled copies
+    at hash-agg cost. raw_distinct > 1 rows are the copies ONLY
+    canonicalization finds, pricing the tier against exact_dedup.
+    Narrow regex chain fused into the scan; one linear hash-agg."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import canonical_dedup
+
+    return canonical_dedup(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -9008,6 +9037,7 @@ _VERIFY_FIRST = [
     "bpe_apply_stored",  # tokenizer store seam (wave 23)
     "corpus_datacard",  # one-frame release summary (wave 24)
     "hll_merge_sources",  # hand-built HLL merge algebra, register-exact (wave 25)
+    "dedup_canonical",  # normalize-then-hash dedup tier (wave 26)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

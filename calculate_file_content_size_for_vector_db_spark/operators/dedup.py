@@ -1295,3 +1295,39 @@ def paragraph_dedup_rewrite(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def canonical_dedup(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(content_hash, keeper_id, dup_count, raw_distinct): exact dedup
+    over the CANONICAL text form — lowercase, punctuation stripped,
+    whitespace runs collapsed, edges trimmed — the normalize-then-hash
+    tier every production pipeline runs between byte-exact dedup and
+    MinHash: it catches the re-encoded / re-wrapped / case-mangled
+    copies byte hashing misses at a tiny fraction of near-dup cost.
+    ``raw_distinct`` counts the distinct RAW texts inside each
+    canonical group, so `dup_count > raw_distinct... > 1` rows are
+    exactly the copies ONLY canonicalization finds — the measurement
+    that prices this tier against exact_dedup.
+
+    Same plan as exact_dedup (the canonicalization is a narrow per-row
+    regex chain fused into the scan): one hash-agg shuffle on the
+    canonical hash, map-side partials, linear at any scale."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    hashed = df.select(
+        F.col(key),
+        F.sha2(canon, 256).alias("content_hash"),
+        F.sha2(F.col(text_col), 256).alias("_raw_hash"),
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.min(key).alias("keeper_id"),
+        F.count("*").cast("long").alias("dup_count"),
+        F.countDistinct("_raw_hash").cast("long").alias("raw_distinct"),
+    )

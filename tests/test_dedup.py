@@ -743,3 +743,28 @@ def test_paragraph_dedup_rewrite_cross_document_first_occurrence(spark):
     assert out[4].text_dedup == "p q r" and out[4].n_paras == 2
     # empty doc keeps its row with zero paragraphs
     assert out[5].text_dedup == "" and (out[5].n_paras, out[5].n_kept) == (0, 0)
+
+
+def test_canonical_dedup_catches_case_and_whitespace_mangling(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        canonical_dedup,
+        exact_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),   # same canonical form as doc 1
+            (3, "HELLO WORLD."),    # and again
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    # byte-exact dedup sees four distinct texts
+    assert exact_dedup(df).count() == 4
+    out = {r.keeper_id: r for r in canonical_dedup(df).collect()}
+    assert set(out) == {1, 4}
+    # the mangled trio collapses; raw_distinct prices what ONLY
+    # canonicalization found (3 raw forms in one canonical group)
+    assert out[1].dup_count == 3 and out[1].raw_distinct == 3
+    assert out[4].dup_count == 1 and out[4].raw_distinct == 1
