@@ -8991,6 +8991,85 @@ def dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_dedup(_docs(spark, sf_dir))
 
 
+def _sql_power_iteration_chain(rounds: int = 3) -> str:
+    """Unrolled power-iteration chain (the kmeans/GD/BPE discipline
+    applied to eigen-decomposition): v0 = normalized 6-rounded mean,
+    each round = per-row dot (index-order fold), 6-rounded per-dim
+    weighted sums, 6-rounded normalization."""
+    parts = [
+        "tot AS (SELECT sum(list_sum(list_transform(v, x -> x * x))) AS t2 FROM e)",
+        """m0 AS (
+    SELECT t.pos AS pos, round(avg(v[t.pos]), 6) AS w
+    FROM e, (SELECT CAST(unnest(range(1, 65)) AS INT) AS pos) t
+    GROUP BY t.pos
+)""",
+        "p0 AS (SELECT list(w ORDER BY pos) AS wv FROM m0)",
+        """v0 AS (
+    SELECT list_transform(wv,
+        x -> round(x / sqrt(list_sum(list_transform(wv, y -> y * y))), 6)) AS bv
+    FROM p0
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"""d{r} AS (
+    SELECT v, list_sum(list_transform(range(1, 65),
+        j -> v[CAST(j AS INT)] * bv[CAST(j AS INT)])) AS d
+    FROM e, v{r - 1}
+)""",
+            f"""ray{r} AS (
+    SELECT {r} AS rnd, round(sum(d * d) / (SELECT t2 FROM tot), 6) AS rayleigh_share
+    FROM d{r}
+)""",
+            f"""w{r} AS (
+    SELECT t.pos AS pos, round(sum(v[t.pos] * d), 6) AS w
+    FROM d{r}, (SELECT CAST(unnest(range(1, 65)) AS INT) AS pos) t
+    GROUP BY t.pos
+)""",
+            f"p{r} AS (SELECT list(w ORDER BY pos) AS wv FROM w{r})",
+            f"""v{r} AS (
+    SELECT list_transform(wv,
+        x -> round(x / sqrt(list_sum(list_transform(wv, y -> y * y))), 6)) AS bv
+    FROM p{r}
+)""",
+        ]
+    return ",\n".join(parts)
+
+
+@register(
+    "embedding_pca_power",
+    f"""
+WITH {_SQL_EMB},
+{_sql_power_iteration_chain(3)}
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST(rnd AS INT) AS round, rayleigh_share,
+       CAST(to_json(list_transform(bv, x -> CAST(round(x * 1000000.0) AS BIGINT))) AS VARCHAR)
+           AS component_fp
+FROM ray{r}, v{r}"""
+        for r in range(1, 4)
+    ),
+)
+def embedding_pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by matrix-free
+    POWER ITERATION (similarity.pca_power_iteration, 3 unrolled
+    rounds) — eigen-decomposition joins kmeans, gradient descent, BPE
+    and star-CC in the unrolled-iteration family. rayleigh_share
+    (evaluated at each round's input iterate; component_fp is the
+    round's output, fixed-point JSON like sim_ivf_centroids) is the
+    anisotropy QA: near 1.0 means the space has collapsed onto one
+    direction — the embedding-space analogue of a collapsed coarse
+    quantizer. Each round is ONE corpus scan (broadcast dot + 64-group
+    hash-agg, Gram matrix never materialized) + a 1-row normalize;
+    per-round 6-rounding makes the oracle chain bit-exact. At 100 TB
+    the iteration runs on a sample like every trainer here."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    return pca_power_iteration(_emb(spark, sf_dir), rounds=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -9038,6 +9117,7 @@ _VERIFY_FIRST = [
     "corpus_datacard",  # one-frame release summary (wave 24)
     "hll_merge_sources",  # hand-built HLL merge algebra, register-exact (wave 25)
     "dedup_canonical",  # normalize-then-hash dedup tier (wave 26)
+    "embedding_pca_power",  # matrix-free power iteration, anisotropy QA (wave 27)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

@@ -2004,3 +2004,98 @@ def knn_graph_ivf(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k_graph)
     )
+
+
+def pca_power_iteration(
+    embeddings: DataFrame,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """(round, rayleigh_share, component_fp): the corpus's top
+    principal direction (uncentered Gram matrix) by matrix-free POWER
+    ITERATION in pure DataFrame algebra — the embedding-space QA
+    behind whitening, dead-dimension detection and the matryoshka
+    prefix choice: rayleigh_share says how much of the total squared
+    mass one direction carries (near 1.0 = collapsed/anisotropic
+    embeddings, the degenerate-space analogue of ivf_list_stats'
+    collapsed quantizer).
+
+    Each round is matrix-free: w = sum_x x * (x . v) needs ONE corpus
+    scan (a broadcast dot product + a dim-keyed hash-agg with map-side
+    partials — the Gram matrix is never materialized), then a 1-row
+    normalization. Rounds are unrolled with 6-decimal rounding per
+    round (the kmeans/GD/BPE chain discipline), so the oracle
+    reproduces every iterate bit-for-bit. v0 = the normalized mean
+    vector (deterministic, generally well-aligned with the top
+    direction of uncentered data). The per-round Rayleigh quotient of
+    a PSD matrix is non-decreasing under power iteration —
+    property-pinned in tests; emitting one row per round makes the
+    convergence visible."""
+    e = embeddings.select(as_double(vec_col).alias("v"))
+    tot = e.agg(
+        F.sum(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+            )
+        ).alias("_t2")
+    )
+
+    def _normalize_packed(w64: DataFrame) -> DataFrame:
+        """(pos, w) 64-row frame -> 1-row packed unit vector, rounded."""
+        packed = w64.agg(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("_sw"),
+        ).select(F.transform("_sw", lambda s: s["w"]).alias("_w"))
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform("_w", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+            )
+        )
+        return packed.select(
+            F.transform("_w", lambda x: F.round(x / norm, 6)).alias("bv")
+        )
+
+    mean = (
+        e.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), 6).alias("w"))
+    )
+    v = _normalize_packed(mean)
+    rows = []
+    for r in range(1, rounds + 1):
+        scored = e.crossJoin(F.broadcast(v)).select(
+            "v",
+            F.aggregate(
+                F.zip_with("v", "bv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("_d"),
+        )
+        ray = (
+            scored.agg(F.sum(F.col("_d") * F.col("_d")).alias("_s2"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                F.round(F.col("_s2") / F.col("_t2"), 6).alias("rayleigh_share"),
+            )
+        )
+        w64 = (
+            scored.select(F.posexplode("v").alias("pos", "x"), "_d")
+            .groupBy("pos")
+            .agg(F.round(F.sum(F.col("x") * F.col("_d")), 6).alias("w"))
+        )
+        v = _normalize_packed(w64)
+        rows.append(
+            ray.crossJoin(F.broadcast(v)).select(
+                "round",
+                "rayleigh_share",
+                F.to_json(
+                    F.transform("bv", lambda x: F.round(x * F.lit(1000000.0)).cast("long"))
+                ).alias("component_fp"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -747,3 +747,33 @@ def test_knn_graph_ivf_probe2_keeps_graph_navigable(spark):
     rows = knn_graph_ivf(emb, probes=2).groupBy("query_id").count().collect()
     assert all(r["count"] <= 8 for r in rows)
     exact.unpersist()
+
+
+def test_pca_power_iteration_rayleigh_monotone_and_unit_norm(spark):
+    """Power iteration on a PSD (Gram) matrix: the Rayleigh quotient
+    is non-decreasing round over round — the convergence property the
+    per-round rows make visible. The emitted component is unit-norm
+    (to fixed-point rounding)."""
+    import json
+    import math
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        pca_power_iteration(read_table(spark, SF_DIR, "embeddings"), rounds=4).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == [1, 2, 3, 4]
+    shares = [r.rayleigh_share for r in rows]
+    assert all(0.0 < s <= 1.0 for s in shares)
+    # non-decreasing up to the 1e-6 rounding grid
+    assert all(b >= a - 1e-6 for a, b in zip(shares, shares[1:]))
+    for r in rows:
+        comp = json.loads(r.component_fp)
+        assert len(comp) == 64
+        norm = math.sqrt(sum((x / 1e6) ** 2 for x in comp))
+        assert abs(norm - 1.0) < 1e-3
