@@ -9070,6 +9070,27 @@ def embedding_pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_power_iteration(_emb(spark, sf_dir), rounds=3)
 
 
+@register("dedup_ngram_prefix", None)  # oracle assigned below — identical to dedup_ngram_jaccard
+def dedup_ngram_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (dedup.ngram_jaccard_prefix_pairs)
+    under dedup_ngram_jaccard's oracle VERBATIM — the SSJoin/PPJoin
+    candidate reducer's no-false-negatives theorem (two sets with
+    J >= t must share a rarity-ordered prefix token) as a per-round
+    hash check: if the prefix bound ever dropped a true pair, this
+    row would mismatch. The principled alternative to the
+    max_shingle_freq brute cap: prefixes hold each doc's RAREST
+    shingles, so the join keys are exactly the low-fanout ones, with
+    zero recall loss by construction."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    return ngram_jaccard_prefix_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+REGISTRY["dedup_ngram_prefix"].oracle = REGISTRY["dedup_ngram_jaccard"].oracle
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -9118,6 +9139,7 @@ _VERIFY_FIRST = [
     "hll_merge_sources",  # hand-built HLL merge algebra, register-exact (wave 25)
     "dedup_canonical",  # normalize-then-hash dedup tier (wave 26)
     "embedding_pca_power",  # matrix-free power iteration, anisotropy QA (wave 27)
+    "dedup_ngram_prefix",  # SSJoin prefix filter, shared-oracle no-FN proof (wave 28)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

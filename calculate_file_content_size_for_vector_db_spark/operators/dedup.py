@@ -1331,3 +1331,80 @@ def canonical_dedup(
         F.count("*").cast("long").alias("dup_count"),
         F.countDistinct("_raw_hash").cast("long").alias("raw_distinct"),
     )
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(a_id, b_id, jaccard): exact n-gram Jaccard pairs via PREFIX
+    FILTERING (Chaudhuri et al. SSJoin 2006 / Xiao et al. PPJoin
+    2008) — the classic set-similarity-join candidate reducer: order
+    every document's shingles by GLOBAL rarity (document frequency
+    asc, shingle asc — one total order shared by all docs), and index
+    only each doc's first |x| - ceil(t*|x|) + 1 shingles. Two
+    documents with Jaccard >= t MUST share a prefix shingle (if the
+    prefixes were disjoint, the overlap is at most the suffix
+    lengths, too small to reach t), so joining prefixes instead of
+    full shingle sets generates every true pair from a fraction of
+    the candidate fanout — and because the order puts RARE shingles
+    in prefixes, the join keys are exactly the low-fanout ones (the
+    principled version of what max_shingle_freq does by brute cap,
+    with NO recall loss).
+
+    Candidates are then verified by exact intersection over the FULL
+    shingle table, so the output equals dedup_ngram_jaccard verbatim
+    — registered under its oracle, turning the no-false-negatives
+    theorem into a per-round hash check.
+
+    Plan: one df-count agg on the shingle key, one per-doc rank
+    window (doc-keyed), the prefix self-join (rare-key equi-join),
+    then a candidate-bounded verify join. At 100 TB the prefix join
+    is the standard production form of exact set-similarity."""
+    sh = shingle_table(df, text_col, key).persist()
+    sizes = sh.groupBy(key).agg(F.count("*").alias("n_shingles"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(key).orderBy(F.asc("_df"), F.asc("shingle"))
+    pref = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, key)
+        .where(
+            F.col("_pos")
+            <= F.col("n_shingles")
+            - F.ceil(F.lit(threshold) * F.col("n_shingles"))
+            + 1
+        )
+        .select(F.col(key), F.col("shingle"))
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "shingle")
+        .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .select(F.col(f"a.{key}").alias("a_id"), F.col(f"b.{key}").alias("b_id"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col(key).alias("a_id"), "shingle")
+    sh_b = sh.select(F.col(key).alias("b_id"), "shingle")
+    inter = (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({key: "a_id", "n_shingles": "n_a"}), "a_id")
+        .join(sizes.withColumnsRenamed({key: "b_id", "n_shingles": "n_b"}), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
