@@ -9091,6 +9091,41 @@ def dedup_ngram_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["dedup_ngram_prefix"].oracle = REGISTRY["dedup_ngram_jaccard"].oracle
 
 
+@register("sim_topk_graph_stored", None)  # oracle assigned below
+def sim_topk_graph_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN serving THROUGH the parquet store, under
+    sim_topk_graph's oracle verbatim — the store-seam row for the
+    FOURTH artifact family (index: sim_topk_ivf_stored; classifier:
+    quality_classifier_score_stored; tokenizer: bpe_apply_stored;
+    graph: this). The exact kNN edge table is built once, WRITTEN to
+    parquet, read back, and the 3-hop beam search serves from the
+    stored edges with zero build lineage in the plan; edges are pure
+    int pairs, lossless in parquet, so the hash pins the
+    serialization seam."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        topk_graph,
+        topk_grid,
+    )
+
+    emb = _emb(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="graph_store_")
+    topk_grid(emb, emb, k=8).select("query_id", "neighbor_id").write.mode(
+        "overwrite"
+    ).parquet(store)
+    return topk_graph(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+        hops=_GRAPH_HOPS,
+        edges=spark.read.parquet(store),
+    )
+
+
+REGISTRY["sim_topk_graph_stored"].oracle = REGISTRY["sim_topk_graph"].oracle
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -9140,6 +9175,7 @@ _VERIFY_FIRST = [
     "dedup_canonical",  # normalize-then-hash dedup tier (wave 26)
     "embedding_pca_power",  # matrix-free power iteration, anisotropy QA (wave 27)
     "dedup_ngram_prefix",  # SSJoin prefix filter, shared-oracle no-FN proof (wave 28)
+    "sim_topk_graph_stored",  # graph-edge store seam, fourth artifact family (wave 29)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

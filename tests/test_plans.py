@@ -445,6 +445,7 @@ _BNLJ_ALLOWED = {
     "corpus_datacard",  # 1-row top-language mode broadcast onto the 1-row main agg
     "hll_merge_sources",  # three 1-row estimate/diff aggregates composed
     "embedding_pca_power",  # 1-row iterate broadcast per power-iteration round
+    "sim_topk_graph_stored",  # 1-row entry-point broadcast over stored edges
     # NOTE deliberately absent: quality_classifier_score_stored — serving
     # from the parquet store removes the training chain's 1-row
     # broadcasts entirely, so the sweep pins its plan BNLJ-free; training
