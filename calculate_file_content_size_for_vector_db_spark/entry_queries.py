@@ -9126,6 +9126,41 @@ def sim_topk_graph_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["sim_topk_graph_stored"].oracle = REGISTRY["sim_topk_graph"].oracle
 
 
+@register(
+    "weighted_sample_es",
+    """
+WITH keyed AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CASE WHEN n_chars > 0 THEN
+               pow((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        + CAST(1.0 AS DOUBLE))
+                   / CAST(1152921504606846977 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE))
+           ELSE CAST(0.0 AS DOUBLE) END AS es
+    FROM documents
+)
+SELECT doc_id, weight, round(es, 6) AS es_key,
+       CAST(row_number() OVER (ORDER BY es DESC, doc_id) AS INT) AS rank
+FROM keyed QUALIFY rank <= 100
+""",
+)
+def weighted_sample_es_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by the Efraimidis-
+    Spirakis A-ES reservoir (curation.weighted_sample_es): top-100
+    documents by u^(1/weight) with weight = n_chars — length-weighted
+    corpus subsetting, the one-pass distributed algorithm (per-
+    partition partial top-k via TakeOrdered, no sequential reservoir
+    state, no global sort). Randomness is the deterministic 60-bit
+    md5 draw (the Bloom/HLL hash plumbing), so the sample is
+    reproducible across runs, engines and partitionings — seeded
+    sampling as a hash-checked correctness property."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        weighted_sample_es,
+    )
+
+    return weighted_sample_es(_docs(spark, sf_dir), k=100)
+
+
 # ---------------------------------------------------------------------------
 # Registry iteration order. The round-1 driver verified only the first
 # 50 registered queries (CORRECTNESS_r01.json stops at entry 50), so
@@ -9176,6 +9211,7 @@ _VERIFY_FIRST = [
     "embedding_pca_power",  # matrix-free power iteration, anisotropy QA (wave 27)
     "dedup_ngram_prefix",  # SSJoin prefix filter, shared-oracle no-FN proof (wave 28)
     "sim_topk_graph_stored",  # graph-edge store seam, fourth artifact family (wave 29)
+    "weighted_sample_es",  # deterministic A-ES weighted reservoir (wave 30)
     # --- 2. the 15 r07 queries with no driver row yet ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE

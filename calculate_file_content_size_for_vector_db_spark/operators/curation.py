@@ -733,3 +733,51 @@ def contamination_score(
             ).alias("contamination"),
         )
     )
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, weight, es_key, rank): weighted sampling WITHOUT
+    replacement by the Efraimidis-Spirakis A-ES one-pass reservoir
+    (2006) — the standard distributed algorithm behind quality- or
+    length-weighted corpus subsetting: each row draws u in (0,1) and
+    keeps key u^(1/w); the global top-k by that key is EXACTLY a
+    weighted sample without replacement. Perfectly parallel (each
+    partition computes keys independently, top-k merges), one scan +
+    one bounded sort — no sequential reservoir state, which is why
+    A-ES and not Vitter's R is the cluster algorithm.
+
+    Randomness is DETERMINISTIC: u = (60-bit md5 prefix + 1) / (2^60
+    + 1) in (0, 1), the engine-portable hash plumbing the Bloom/HLL
+    rows use — so re-runs, both engines, and any partitioning draw
+    the same sample (seeded sampling as a correctness property, not
+    just a convenience). Zero/NULL weights can never enter the
+    sample (their key is 0, below any positive draw); ties break on
+    the doc key. es_key is 6-rounded for display; RANKING uses the
+    unrounded key so both engines agree at boundaries."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 60) + 1))
+    w = F.col(weight_col).cast("double")
+    es = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(0.0))
+    keyed = df.select(
+        F.col(key),
+        F.col(weight_col).cast("long").alias("weight"),
+        es.alias("_es"),
+    )
+    # distributed top-k (TakeOrdered: per-partition partial top-k, then
+    # merge) — NOT a global row_number window, which would sort the
+    # whole corpus on one task; the rank window then runs over k rows
+    top = keyed.orderBy(F.desc("_es"), F.asc(key)).limit(k)
+    win = Window.orderBy(F.desc("_es"), F.asc(key))
+    return (
+        top.withColumn("rank", F.row_number().over(win).cast("int"))
+        .select(key, "weight", F.round("_es", 6).alias("es_key"), "rank")
+    )

@@ -401,3 +401,28 @@ def test_contamination_score_graded_fractions(spark):
     assert (got[0].n_grams, got[0].n_hits, got[0].contamination) == (4, 2, 0.5)
     assert (got[1].n_grams, got[1].n_hits, got[1].contamination) == (2, 0, 0.0)
     assert (got[2].n_grams, got[2].n_hits, got[2].contamination) == (0, 0, None)
+
+
+def test_weighted_sample_es_prefers_heavy_weights_and_skips_zero(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        weighted_sample_es,
+    )
+
+    # 30 heavy docs (w=50000) vs 300 light (w=5) vs 5 zero-weight
+    df = spark.createDataFrame(
+        [(i, "x", 50_000) for i in range(30)]
+        + [(100 + i, "x", 5) for i in range(300)]
+        + [(10_000 + i, "", 0) for i in range(5)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = weighted_sample_es(df, k=30).collect()
+    assert len(out) == 30
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(range(1, 31))
+    # u^(1/w) -> 1 as w grows: heavy docs dominate the sample
+    heavy = sum(1 for r in out if r.weight == 50_000)
+    assert heavy >= 25
+    # zero weights can never be drawn
+    assert all(r.weight > 0 for r in out)
+    # deterministic: the same call reproduces the same sample
+    again = weighted_sample_es(df, k=30).collect()
+    assert {(r.doc_id, r.rank) for r in out} == {(r.doc_id, r.rank) for r in again}
