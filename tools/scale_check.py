@@ -270,28 +270,31 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
     # classifier + BPE-OOV + IVF-append, each measured above).
     t("paragraph_dedup_rewrite", dedup.paragraph_dedup_rewrite(docs))
     # round-8 waves 21-22: the graph-ANN family. The build is the
-    # corpus-sized stage: with a FIXED cell count the in-cell self-join
-    # is N^2/n_cells (expect ~x4 on x2 vectors — the honest quadratic,
-    # like neardup_grid); production sizes n_cells with N to hold
-    # |cell| constant, measured by the cells-scaled row (expect ~flat
-    # per the same total work at half the cell population). The SERVE
-    # row answers from a PREBUILT edge table — per-query cost is
-    # (hops x beam x degree), so it should be FLAT across corpus
-    # growth, the family's defining claim.
-    n_cells_scaled = max(8, n_vec // 6_250)  # |cell| held ~constant
-    t("knn_graph_ivf_build_fixed_cells", similarity.knn_graph_ivf(emb))
+    # corpus-sized stage: production sizes n_cells with N to hold
+    # |cell| ~constant, making total in-cell work ~2 * N * |cell| —
+    # LINEAR (the cells-scaled row, expect ~x2 on x2 vectors). The
+    # fixed-cell quadratic (N^2/n_cells) is deliberately NOT run at
+    # these tiers — measured separately at 10k/20k vectors (SCALE.md
+    # wave-21/22 table), where x2 N showed the expected ~x4. The
+    # SERVE row answers from a PREBUILT (stored) edge table —
+    # per-query cost is (hops x beam x degree), so it should be FLAT
+    # across corpus growth, the family's defining claim.
+    n_cells_scaled = max(8, n_vec // 500)  # |cell| ~ 500 held constant
+    scaled_cents = similarity.ivf_centroids(emb, k=n_cells_scaled)
     t(
         "knn_graph_ivf_build_scaled_cells",
         similarity.knn_graph_ivf(
             emb,
             assign=similarity.ivf_assign(emb, k=n_cells_scaled),
-            centroids=similarity.ivf_centroids(emb, k=n_cells_scaled),
+            centroids=scaled_cents,
         ),
     )
     with tempfile.TemporaryDirectory() as tmp:
-        similarity.knn_graph_ivf(emb).select(
-            "query_id", "neighbor_id"
-        ).write.parquet(f"{tmp}/edges")
+        similarity.knn_graph_ivf(
+            emb,
+            assign=similarity.ivf_assign(emb, k=n_cells_scaled),
+            centroids=scaled_cents,
+        ).select("query_id", "neighbor_id").write.parquet(f"{tmp}/edges")
         stored_edges = spark.read.parquet(f"{tmp}/edges").select(
             "query_id", "neighbor_id"
         )
