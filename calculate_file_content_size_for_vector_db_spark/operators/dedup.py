@@ -848,6 +848,96 @@ def star_components(
     )
 
 
+def cluster_append(
+    stored_labels: DataFrame,
+    new_edges: DataFrame,
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, cluster_id): incremental connected-components maintenance —
+    merge a batch of NEW near-dup edges into a STORED cluster labeling
+    without re-clustering the corpus. The daily-ingest half of the
+    cluster artifact, completing the store symmetry the incremental
+    pair table (incremental_neardup_pairs), the Bloom bitmap
+    (bloom_bitmap_append), and the stored IVF index already have.
+
+    Algorithm — contract, solve small, relabel:
+      1. Map each new edge's endpoints through the stored labeling
+         (endpoints absent from the store label themselves). Because a
+         stored cluster is connected, it can be CONTRACTED to its
+         label: any new edge touching a member merges the whole
+         cluster, so the supergraph over {stored labels} ∪ {new nodes}
+         has exactly the connectivity the merge needs.
+      2. Run star_components on the contracted edge set — batch-
+         neighborhood-sized, NOT corpus-sized (a day's edges touch a
+         day's clusters).
+      3. Relabel: stored rows map label→super-label (left join +
+         coalesce keeps untouched clusters verbatim); edge endpoints
+         not in the store get their super-label directly.
+
+    Labels stay component-MIN doc ids: a stored label is the min of
+    its members, a new node is itself, and star_components roots at
+    the supernode minimum — min of mins = global component min. So
+    the result is IDENTICAL to a from-scratch clustering over the
+    union pair graph, and the registered query pins exactly that
+    under dedup_clusters' transitive-closure oracle verbatim.
+
+    Cost at 100 TB: batch-sized edge mapping (AQE broadcasts the edge
+    side into the store join), a contracted-graph CC whose node count
+    is the touched-cluster count, and one broadcast map-join over the
+    store scan that any store rewrite pays anyway. A delta-only
+    variant (emit just changed + new rows) drops that last scan to
+    touched-rows; the full view is registered because it is the
+    hash-checkable contract.
+    """
+    lab = stored_labels.select(
+        F.col(key).alias("_n"), F.col("cluster_id").alias("_l")
+    )
+    e = (
+        new_edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mapped = (
+        e.join(lab.withColumnsRenamed({"_n": "src", "_l": "_ls"}), "src", "left")
+        .join(lab.withColumnsRenamed({"_n": "dst", "_l": "_ld"}), "dst", "left")
+        .select(
+            F.coalesce(F.col("_ls"), F.col("src")).alias("su"),
+            F.coalesce(F.col("_ld"), F.col("dst")).alias("sv"),
+        )
+    )
+    super_edges = (
+        mapped.where(F.col("su") != F.col("sv"))
+        .select(F.col("su").alias("src"), F.col("sv").alias("dst"))
+        .distinct()
+    )
+    supmap = star_components(super_edges).select(
+        F.col("node").alias("_sn"), F.col("cluster_id").alias("_sl")
+    )
+    out_store = (
+        stored_labels.join(
+            supmap, stored_labels["cluster_id"] == F.col("_sn"), "left"
+        )
+        .select(
+            F.col(key),
+            F.coalesce(F.col("_sl"), F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    new_nodes = (
+        e.select(F.col("src").alias("_n"))
+        .unionByName(e.select(F.col("dst").alias("_n")))
+        .distinct()
+        .join(lab.select("_n"), "_n", "left_anti")
+    )
+    out_new = (
+        new_nodes.join(supmap, new_nodes["_n"] == F.col("_sn"), "left")
+        .select(
+            F.col("_n").alias(key),
+            F.coalesce(F.col("_sl"), F.col("_n")).alias("cluster_id"),
+        )
+    )
+    return out_store.unionByName(out_new)
+
+
 def neardup_clusters(
     df: DataFrame,
     threshold: float = 0.5,

@@ -650,6 +650,60 @@ def test_star_components_two_components_and_pair(spark):
     assert got == {5: 2, 9: 2, 2: 2, 11: 11, 30: 11, 40: 40, 41: 40}
 
 
+def test_cluster_append_merges_touched_keeps_untouched(spark):
+    # stored: {10,20,30} labeled 10, {50,60} labeled 50, {70,80} labeled 70.
+    # batch edges: new node 5 bridges the two first clusters (5-20, 5-60)
+    # and new nodes 90-91 form their own pair. Cluster {70,80} is
+    # untouched and must keep its label verbatim; the merged component's
+    # label must drop to the new global min (5).
+    stored = spark.createDataFrame(
+        [(10, 10), (20, 10), (30, 10), (50, 50), (60, 50), (70, 70), (80, 70)],
+        "doc_id long, cluster_id long",
+    )
+    edges = spark.createDataFrame(
+        [(5, 20), (5, 60), (90, 91)], "src long, dst long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.cluster_append(stored, edges).collect()}
+    assert got == {
+        10: 5, 20: 5, 30: 5, 50: 5, 60: 5, 5: 5,
+        70: 70, 80: 70,
+        90: 90, 91: 90,
+    }
+
+
+def test_cluster_append_equals_full_recompute(spark):
+    # incremental-from-store == star CC over the union edge set, on a
+    # random-ish split of one synthetic pair graph.
+    all_edges = [(1, 2), (2, 3), (4, 5), (6, 7), (7, 8), (3, 9), (10, 11)]
+    corpus_edges = [(u, v) for u, v in all_edges if u % 3 != 0 and v % 3 != 0]
+    batch_edges = [e for e in all_edges if e not in corpus_edges]
+    ce = spark.createDataFrame(corpus_edges, "src long, dst long")
+    be = spark.createDataFrame(batch_edges, "src long, dst long")
+    stored = dedup.star_components(ce).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    inc = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_append(stored, be).collect()
+    }
+    full = {
+        (r.node, r.cluster_id)
+        for r in dedup.star_components(
+            spark.createDataFrame(all_edges, "src long, dst long")
+        ).collect()
+    }
+    assert inc == full
+
+
+def test_cluster_append_empty_batch_is_identity(spark):
+    stored = spark.createDataFrame(
+        [(10, 10), (20, 10), (50, 50)], "doc_id long, cluster_id long"
+    )
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {r.doc_id: r.cluster_id for r in dedup.cluster_append(stored, edges).collect()}
+    assert got == {10: 10, 20: 10, 50: 50}
+
+
 def test_neardup_clusters_star_equals_label_method(spark):
     rows = []
     for i in range(12):
