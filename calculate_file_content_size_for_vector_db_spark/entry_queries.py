@@ -9009,6 +9009,91 @@ def hll_merge_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_overlap_sources",
+    """
+WITH base AS (
+    SELECT source AS grp,
+           CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+rr AS (
+    SELECT grp, CAST(h % 256 AS INT) AS reg,
+           CAST(CASE WHEN h // 256 = 0 THEN 53
+                ELSE 53 - length(bin(h // 256)) END AS INT) AS rho
+    FROM base
+),
+per_src AS (SELECT grp, reg, max(rho) AS rho FROM rr GROUP BY grp, reg),
+grps AS (SELECT DISTINCT grp FROM base),
+dense AS (
+    SELECT g.grp, CAST(r.range AS INT) AS reg, coalesce(p.rho, 0) AS rho
+    FROM grps g CROSS JOIN range(256) r
+    LEFT JOIN per_src p ON p.grp = g.grp AND p.reg = r.range
+),
+e1 AS (
+    SELECT grp,
+           round(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+                 ELSE raw END, 6) AS est
+    FROM (SELECT grp,
+                 CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256
+                     / sum(pow(CAST(2.0 AS DOUBLE), -rho)) AS raw,
+                 CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS zeros
+          FROM dense GROUP BY grp)
+),
+pu AS (
+    SELECT a.grp AS src_a, b.grp AS src_b, a.reg, greatest(a.rho, b.rho) AS rho
+    FROM dense a JOIN dense b ON a.reg = b.reg AND a.grp < b.grp
+),
+eu AS (
+    SELECT src_a, src_b,
+           round(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+                 ELSE raw END, 6) AS est_union
+    FROM (SELECT src_a, src_b,
+                 CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256
+                     / sum(pow(CAST(2.0 AS DOUBLE), -rho)) AS raw,
+                 CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS zeros
+          FROM pu GROUP BY src_a, src_b)
+),
+dt AS (SELECT DISTINCT source AS grp, sha256(text) AS th
+       FROM documents WHERE text IS NOT NULL),
+ex AS (
+    SELECT x.grp AS src_a, y.grp AS src_b, count(*) AS nx
+    FROM dt x JOIN dt y ON x.th = y.th AND x.grp < y.grp
+    GROUP BY 1, 2
+)
+SELECT eu.src_a, eu.src_b, ea.est AS est_a, eb.est AS est_b, eu.est_union,
+       round(greatest(CAST(0.0 AS DOUBLE), ea.est + eb.est - eu.est_union), 6)
+           AS est_intersect,
+       CAST(coalesce(ex.nx, 0) AS BIGINT) AS n_exact_intersect,
+       abs(round(greatest(CAST(0.0 AS DOUBLE), ea.est + eb.est - eu.est_union), 6)
+           - coalesce(ex.nx, 0))
+           <= CAST(0.2 AS DOUBLE) * (ea.est + eb.est + eu.est_union) AS within_bound
+FROM eu
+JOIN e1 ea ON ea.grp = eu.src_a
+JOIN e1 eb ON eb.grp = eu.src_b
+LEFT JOIN ex ON ex.src_a = eu.src_a AND ex.src_b = eu.src_b
+""",
+)
+def hll_overlap_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus overlap between sources by HLL SET ALGEBRA
+    (textstats.hll_overlap_sources): union by per-register max merge,
+    intersection by inclusion-exclusion, both in the same portable
+    arithmetic both engines reproduce bit-for-bit. The 100-TB shape:
+    the pairwise stage touches only the m-register sketches each
+    source already keeps for its distinct count — |S|²·m rows, corpus-
+    independent — where the exact answer (carried here as the QA
+    baseline column, the hll_merge_sources n_exact pattern) is a full
+    distinct self-join of the corpus. within_bound pins the
+    inclusion-exclusion error against the exact intersection."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        hll_overlap_sources,
+    )
+
+    return hll_overlap_sources(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_canonical",
     """
 WITH h AS (
@@ -9233,6 +9318,7 @@ def weighted_sample_es_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST = [
     # --- 1. new in round 8 ---
     "dedup_clusters_append",  # incremental CC maintenance (wave 31)
+    "hll_overlap_sources",  # pairwise source overlap by HLL set algebra (wave 32)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)

@@ -1486,3 +1486,132 @@ def hll_merge_sources(
         F.round(rel, 6).alias("rel_error"),
         (rel <= 0.2).alias("within_bound"),
     )
+
+
+def hll_overlap_sources(
+    df: DataFrame,
+    value_col: str = "text",
+    group_col: str = "source",
+    p: int = 8,
+) -> DataFrame:
+    """(src_a, src_b, est_a, est_b, est_union, est_intersect,
+    n_exact_intersect, within_bound): pairwise corpus-overlap estimates
+    between sources by HLL SET ALGEBRA — union by per-register max
+    merge, intersection by inclusion-exclusion (|A∩B| ≈ Â + B̂ − Â∪B,
+    clamped at 0). The question this answers at 100 TB — "how much of
+    source A is already inside source B?" (mirror detection, crawl-
+    snapshot overlap, dataset-provenance audits) — needs only the m-
+    register sketches each source already maintains for its distinct
+    count: the pairwise stage is sketch-sized (|S|²·m rows), corpus-
+    independent, where the exact answer is a full distinct self-join
+    of the corpus. The exact intersection IS computed here as the QA
+    baseline column (the hll_merge_sources n_exact pattern — fixture-
+    affordable, dropped at deployment scale), with within_bound
+    pinning |est − exact| ≤ 0.2·(Â + B̂ + Â∪B), generous vs the
+    ~3·1.04/√m per-estimate error the inclusion-exclusion sums.
+
+    Same deterministic construction as hll_merge_sources (Flajolet et
+    al. 2007 registers off the 60-bit md5 prefix, harmonic-mean
+    estimator + linear-counting correction in portable arithmetic),
+    DENSIFIED (explode of a 0..m-1 sequence per source, absent
+    registers rho=0) so the pairwise merge is a plain m-key equi-join
+    with no per-pair outer-join bookkeeping."""
+    m = 1 << p
+    wbits = 60 - p
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("_h"),
+        )
+        .select(
+            "grp",
+            F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("reg"),
+            F.expr(f"_h div {m}").alias("_w"),
+        )
+        .select(
+            "grp",
+            "reg",
+            F.when(F.col("_w") == 0, F.lit(wbits + 1))
+            .otherwise(F.lit(wbits + 1) - F.length(F.bin("_w")))
+            .cast("int")
+            .alias("rho"),
+        )
+    )
+    per_src = base.groupBy("grp", "reg").agg(F.max("rho").alias("rho"))
+    dense = (
+        base.select("grp")
+        .distinct()
+        .select(
+            "grp", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("reg")
+        )
+        .join(per_src, ["grp", "reg"], "left")
+        .select("grp", "reg", F.coalesce(F.col("rho"), F.lit(0)).alias("rho"))
+    )
+
+    def _est(regs: DataFrame, keys: list[str], name: str) -> DataFrame:
+        agg = regs.groupBy(*keys).agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+            F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+            .cast("double")
+            .alias("_z"),
+        )
+        raw = F.lit(0.7213 / (1 + 1.079 / m)) * m * m / F.col("_s")
+        est = F.when(
+            (raw <= 2.5 * m) & (F.col("_z") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_z")),
+        ).otherwise(raw)
+        return agg.select(*keys, F.round(est, 6).alias(name))
+
+    a = dense.withColumnsRenamed({"grp": "src_a", "rho": "rho_a"})
+    b = dense.withColumnsRenamed({"grp": "src_b", "rho": "rho_b"})
+    pair_regs = (
+        a.join(b, "reg")
+        .where(F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", "reg", F.greatest("rho_a", "rho_b").alias("rho"))
+    )
+    eu = _est(pair_regs, ["src_a", "src_b"], "est_union")
+    ea = _est(dense, ["grp"], "est_a").withColumnRenamed("grp", "src_a")
+    eb = _est(dense, ["grp"], "est_b").withColumnRenamed("grp", "src_b")
+    dt = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.sha2(F.col(value_col), 256).alias("_th"),
+        )
+        .distinct()
+    )
+    ex = (
+        dt.withColumnsRenamed({"grp": "src_a"})
+        .join(dt.withColumnsRenamed({"grp": "src_b"}), "_th")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("_nx"))
+    )
+    est_int = F.round(
+        F.greatest(
+            F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+        ),
+        6,
+    )
+    return (
+        eu.join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .join(ex, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            est_int.alias("est_intersect"),
+            F.coalesce(F.col("_nx"), F.lit(0)).cast("long").alias("n_exact_intersect"),
+            (
+                F.abs(est_int - F.coalesce(F.col("_nx"), F.lit(0)))
+                <= F.lit(0.2)
+                * (F.col("est_a") + F.col("est_b") + F.col("est_union"))
+            ).alias("within_bound"),
+        )
+    )

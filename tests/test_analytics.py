@@ -924,3 +924,38 @@ def test_serving_pipeline_covers_batch_with_artifact_outputs(spark):
             assert -1.0 <= r.nn_cosine <= 1.0
         else:
             assert r.cell is None and r.nn_id is None
+
+
+def test_hll_overlap_subset_and_disjoint_sources(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        hll_overlap_sources,
+    )
+
+    # a ⊂ b (40 of b's 80 texts), c disjoint from both: the sketch
+    # intersection must land near 40 for (a,b) and near 0 for the
+    # c-pairs, every row inside the declared bound, and the exact
+    # baseline column must be literally correct.
+    rows = []
+    for i in range(40):
+        rows.append((f"shared text number {i} alpha beta", "a"))
+    for i in range(80):
+        t = (
+            f"shared text number {i} alpha beta"
+            if i < 40
+            else f"b only text number {i} gamma delta"
+        )
+        rows.append((t, "b"))
+    for i in range(50):
+        rows.append((f"c only text number {i} epsilon zeta", "c"))
+    df = spark.createDataFrame(rows, "text string, source string")
+    got = {(r.src_a, r.src_b): r for r in hll_overlap_sources(df).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert ab.n_exact_intersect == 40
+    assert abs(ab.est_intersect - 40) <= 0.2 * (ab.est_a + ab.est_b + ab.est_union)
+    for pair in (("a", "c"), ("b", "c")):
+        assert got[pair].n_exact_intersect == 0
+    assert all(r.within_bound for r in got.values())
+    # union of disjoint sketches ~ sum of parts (within per-estimate noise)
+    ac = got[("a", "c")]
+    assert ac.est_union >= max(ac.est_a, ac.est_b)
