@@ -8943,6 +8943,83 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_datacard_merge",
+    f"""
+WITH m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+           CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+           CAST(sum(len({_SQL_TOKENS})) AS DOUBLE) AS total_tokens,
+           CAST(sum(length(text)) AS DOUBLE) AS total_chars,
+           CAST(sum(CASE WHEN len({_SQL_TOKENS}) = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty
+    FROM documents
+),
+tl AS (
+    SELECT CAST(max(c) AS DOUBLE) AS top_lang_docs
+    FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+),
+hh AS (
+    SELECT CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+rr AS (
+    SELECT CAST(h % 256 AS INT) AS reg,
+           max(CAST(CASE WHEN h // 256 = 0 THEN 53
+               ELSE 53 - length(bin(h // 256)) END AS INT)) AS rho
+    FROM hh GROUP BY 1
+),
+uq AS (
+    SELECT round(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+                 ELSE raw END, 6) AS est_uniq_texts
+    FROM (SELECT CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256
+                     / (sum(pow(CAST(2.0 AS DOUBLE), -rho)) + (256 - count(*))) AS raw,
+                 CAST(256 - count(*) AS DOUBLE) AS zeros
+          FROM rr)
+),
+r AS (
+    SELECT n_docs, n_sources, n_langs, total_tokens, total_chars, n_empty,
+           round(n_empty / n_docs, 6) AS empty_fraction,
+           est_uniq_texts,
+           round(greatest(CAST(0.0 AS DOUBLE), 1.0 - est_uniq_texts / n_docs), 6)
+               AS approx_dup_fraction,
+           round(total_tokens / n_docs, 6) AS mean_doc_tokens,
+           round(top_lang_docs / n_docs, 6) AS top_lang_share
+    FROM m, tl, uq
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM r
+UNION ALL SELECT 'n_sources', n_sources FROM r
+UNION ALL SELECT 'n_langs', n_langs FROM r
+UNION ALL SELECT 'total_tokens', total_tokens FROM r
+UNION ALL SELECT 'total_chars', total_chars FROM r
+UNION ALL SELECT 'n_empty', n_empty FROM r
+UNION ALL SELECT 'empty_fraction', empty_fraction FROM r
+UNION ALL SELECT 'est_uniq_texts', est_uniq_texts FROM r
+UNION ALL SELECT 'approx_dup_fraction', approx_dup_fraction FROM r
+UNION ALL SELECT 'mean_doc_tokens', mean_doc_tokens FROM r
+UNION ALL SELECT 'top_lang_share', top_lang_share FROM r
+""",
+)
+def corpus_datacard_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE data card (textstats.corpus_datacard_merge): the
+    Spark side splits the corpus into 7 synthetic days, builds each
+    day's bounded partial state (scalar sums, per-lang/per-source
+    count tables, an m-register HLL over text hashes), and MERGES;
+    the oracle computes every metric DIRECT — the hash equality is
+    the mergeability proof metric-for-metric, which is what makes the
+    release summary maintainable per-ingest at 100 TB instead of a
+    nightly corpus re-scan. Unique texts are necessarily a sketch
+    here (exact distinct cannot merge in bounded state), so the card
+    ships est_uniq_texts/approx_dup_fraction next to
+    corpus_datacard's exact fraction."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard_merge,
+    )
+
+    return corpus_datacard_merge(_docs(spark, sf_dir))
+
+
+@register(
     "hll_merge_sources",
     """
 WITH base AS (
@@ -9319,6 +9396,7 @@ _VERIFY_FIRST = [
     # --- 1. new in round 8 ---
     "dedup_clusters_append",  # incremental CC maintenance (wave 31)
     "hll_overlap_sources",  # pairwise source overlap by HLL set algebra (wave 32)
+    "corpus_datacard_merge",  # mergeable release summary, merge==direct (wave 33)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)

@@ -1488,6 +1488,146 @@ def hll_merge_sources(
     )
 
 
+def corpus_datacard_merge(
+    df: DataFrame,
+    n_parts: int = 7,
+    text_col: str = "text",
+    key: str = "doc_id",
+    p: int = 8,
+) -> DataFrame:
+    """(metric, value): the MERGEABLE data card — corpus_datacard's
+    release summary rebuilt so every metric is maintainable from
+    per-ingest partial states, O(state + batch) per day instead of a
+    nightly corpus re-scan. The registered query computes the card by
+    actually SPLITTING the corpus into ``n_parts`` synthetic "days",
+    building each day's partial state, and merging; the oracle
+    computes every metric direct — so the hash equality IS the
+    mergeability proof, metric for metric (the hll_merge_sources
+    pattern generalized to the whole card).
+
+    The state per partial is bounded: 1 scalar row (counts + sums),
+    a |langs|-row and a |sources|-row count table (distinct-counts
+    over LOW-cardinality columns are mergeable as per-key sum tables;
+    n_langs/n_sources = merged-table row count, top_lang_share =
+    merged-table max), and an m-register HLL over text hashes —
+    which is where the card necessarily diverges from the exact
+    card: a mergeable unique-text count must be a sketch (exact
+    distinct over an unbounded column cannot merge in bounded state),
+    so this card ships est_uniq_texts + approx_dup_fraction instead
+    of corpus_datacard's exact exact_dup_fraction. Both cards are
+    registered; the delta between their dup fractions at fixture
+    scale is the sketch error the approx_distinct_error row already
+    bounds."""
+    m = 1 << p
+    wbits = 60 - p
+    t = F.size(tokens(text_col)).cast("long")
+    part = F.pmod(F.col(key), F.lit(n_parts)).alias("_p")
+    scal = (
+        df.groupBy(part)
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(t).alias("_tok"),
+            F.sum(F.length(text_col)).alias("_ch"),
+            F.sum(F.when(t == 0, 1).otherwise(0)).alias("_emp"),
+        )
+        .agg(
+            F.sum("_n").cast("double").alias("n_docs"),
+            F.sum("_tok").cast("double").alias("total_tokens"),
+            F.sum("_ch").cast("double").alias("total_chars"),
+            F.sum("_emp").cast("double").alias("n_empty"),
+        )
+    )
+    lang_merged = (
+        df.groupBy(part, "lang")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("lang")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    lang_stats = lang_merged.agg(
+        F.count("*").cast("double").alias("n_langs"),
+        F.max("_c").cast("double").alias("_top_lang_docs"),
+    )
+    source_stats = (
+        df.groupBy(part, "source")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("source")
+        .agg(F.sum("_c").alias("_c"))
+        .agg(F.count("*").cast("double").alias("n_sources"))
+    )
+    regs = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            part,
+            F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("_h"),
+        )
+        .select(
+            "_p",
+            F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("reg"),
+            F.expr(f"_h div {m}").alias("_w"),
+        )
+        .select(
+            "_p",
+            "reg",
+            F.when(F.col("_w") == 0, F.lit(wbits + 1))
+            .otherwise(F.lit(wbits + 1) - F.length(F.bin("_w")))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("_p", "reg")
+        .agg(F.max("rho").alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est_agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count("*").cast("long").alias("_nz"),
+    )
+    zeros = (F.lit(m) - F.col("_nz")).cast("double")
+    raw = F.lit(0.7213 / (1 + 1.079 / m)) * m * m / (F.col("_s") + zeros)
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    uniq = est_agg.select(F.round(est, 6).alias("est_uniq_texts"))
+    row = (
+        scal.crossJoin(F.broadcast(lang_stats))
+        .crossJoin(F.broadcast(source_stats))
+        .crossJoin(F.broadcast(uniq))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_tokens",
+            "total_chars",
+            "n_empty",
+            F.round(F.col("n_empty") / F.col("n_docs"), 6).alias("empty_fraction"),
+            "est_uniq_texts",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - F.col("est_uniq_texts") / F.col("n_docs"),
+                ),
+                6,
+            ).alias("approx_dup_fraction"),
+            F.round(F.col("total_tokens") / F.col("n_docs"), 6).alias(
+                "mean_doc_tokens"
+            ),
+            F.round(F.col("_top_lang_docs") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+        )
+    )
+    cols = [
+        "n_docs", "n_sources", "n_langs", "total_tokens", "total_chars",
+        "n_empty", "empty_fraction", "est_uniq_texts", "approx_dup_fraction",
+        "mean_doc_tokens", "top_lang_share",
+    ]
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    return row.selectExpr(f"stack({len(cols)}, {stack}) AS (metric, value)")
+
+
 def hll_overlap_sources(
     df: DataFrame,
     value_col: str = "text",

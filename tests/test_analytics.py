@@ -959,3 +959,35 @@ def test_hll_overlap_subset_and_disjoint_sources(spark):
     # union of disjoint sketches ~ sum of parts (within per-estimate noise)
     ac = got[("a", "c")]
     assert ac.est_union >= max(ac.est_a, ac.est_b)
+
+
+def test_corpus_datacard_merge_matches_direct_card_on_shared_metrics(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard,
+        corpus_datacard_merge,
+    )
+
+    rows = [
+        (0, "alpha beta gamma", "en", "s1"),
+        (1, "alpha beta gamma", "en", "s1"),  # exact dup of 0
+        (2, "", "en", "s2"),                  # empty
+        (3, None, "fr", "s2"),                # null text
+        (4, "delta epsilon", "fr", "s3"),
+        (5, "zeta eta theta iota", "en", "s1"),
+        (6, "kappa", "de", "s3"),
+        (7, "lambda mu nu xi omicron", "en", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    merged = {r.metric: r.value for r in corpus_datacard_merge(df).collect()}
+    direct = {r.metric: r.value for r in corpus_datacard(df).collect()}
+    # every metric both cards share must agree exactly — merge loses nothing
+    shared = [
+        "n_docs", "n_sources", "n_langs", "total_tokens", "total_chars",
+        "n_empty", "empty_fraction", "mean_doc_tokens", "top_lang_share",
+    ]
+    for k in shared:
+        assert merged[k] == direct[k], (k, merged[k], direct[k])
+    # the sketch columns exist and are sane: 7 distinct non-null texts,
+    # HLL at m=256 on 7 items is exact-ish (linear counting regime)
+    assert abs(merged["est_uniq_texts"] - 7) <= 1.0
+    assert 0.0 <= merged["approx_dup_fraction"] <= 1.0
