@@ -8943,6 +8943,67 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_hist_merge",
+    """
+WITH base AS (
+    SELECT CAST(doc_id % 7 AS INT) AS p,
+           CAST(least(floor(length(text) / 8), 255) AS INT) AS bin,
+           CAST(length(text) AS BIGINT) AS v
+    FROM documents WHERE text IS NOT NULL
+),
+hm AS (
+    SELECT bin, sum(c) AS c
+    FROM (SELECT p, bin, count(*) AS c FROM base GROUP BY p, bin)
+    GROUP BY bin
+),
+hd AS (SELECT bin, count(*) AS c FROM base GROUP BY bin),
+dd AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_diff
+    FROM hm FULL OUTER JOIN hd USING (bin)
+    WHERE NOT (hm.c IS NOT DISTINCT FROM hd.c)
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+cumh AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM hm),
+cumv AS (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum
+    FROM (SELECT v, count(*) AS c FROM base GROUP BY v)
+),
+e50 AS (SELECT CAST((min(bin) + 1) * 8 AS BIGINT) AS est_p50
+        FROM cumh, n WHERE cum >= ceil(0.5 * n_docs)),
+e90 AS (SELECT CAST((min(bin) + 1) * 8 AS BIGINT) AS est_p90
+        FROM cumh, n WHERE cum >= ceil(0.9 * n_docs)),
+e99 AS (SELECT CAST((min(bin) + 1) * 8 AS BIGINT) AS est_p99
+        FROM cumh, n WHERE cum >= ceil(0.99 * n_docs)),
+x50 AS (SELECT CAST(min(v) AS BIGINT) AS exact_p50
+        FROM cumv, n WHERE cum >= ceil(0.5 * n_docs)),
+x90 AS (SELECT CAST(min(v) AS BIGINT) AS exact_p90
+        FROM cumv, n WHERE cum >= ceil(0.9 * n_docs)),
+x99 AS (SELECT CAST(min(v) AS BIGINT) AS exact_p99
+        FROM cumv, n WHERE cum >= ceil(0.99 * n_docs))
+SELECT n_docs, est_p50, exact_p50, est_p90, exact_p90, est_p99, exact_p99,
+       n_diff = 0 AS merged_equals_direct,
+       greatest(abs(est_p50 - exact_p50), abs(est_p90 - exact_p90),
+                abs(est_p99 - exact_p99)) <= 8 AS within_bin_width
+FROM n, e50, e90, e99, x50, x90, x99, dd
+""",
+)
+def quantile_hist_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile MERGE algebra (textstats.quantile_hist_merge):
+    per-day partial equi-width histograms merged by per-bin sum must
+    equal the from-scratch histogram bin-for-bin, and the histogram's
+    p50/p90/p99 must land within one bin width of hand-written
+    percentile_disc exact values — the mergeable-percentile pattern a
+    100-TB dashboard uses (per-day histograms, query-time merge)
+    where approx_percentile_error only bounds the built-in sketch.
+    Everything after the one corpus scan is histogram-sized."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        quantile_hist_merge,
+    )
+
+    return quantile_hist_merge(_docs(spark, sf_dir))
+
+
+@register(
     "corpus_datacard_merge",
     f"""
 WITH m AS (
@@ -9397,6 +9458,7 @@ _VERIFY_FIRST = [
     "dedup_clusters_append",  # incremental CC maintenance (wave 31)
     "hll_overlap_sources",  # pairwise source overlap by HLL set algebra (wave 32)
     "corpus_datacard_merge",  # mergeable release summary, merge==direct (wave 33)
+    "quantile_hist_merge",  # mergeable histogram quantiles, est vs exact (wave 34)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)

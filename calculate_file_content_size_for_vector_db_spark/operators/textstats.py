@@ -1628,6 +1628,110 @@ def corpus_datacard_merge(
     return row.selectExpr(f"stack({len(cols)}, {stack}) AS (metric, value)")
 
 
+def quantile_hist_merge(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    n_parts: int = 7,
+    n_bins: int = 256,
+    bin_width: int = 8,
+) -> DataFrame:
+    """One row proving the MERGE ALGEBRA of histogram quantiles — the
+    quantile counterpart of hll_merge_sources. Spark's built-in
+    approx_percentile sketch is checked by the approx_percentile_error
+    row for its BOUND only; this row hand-builds the simplest mergeable
+    quantile structure (a fixed equi-width histogram: bin =
+    min(floor(v/w), n_bins-1) over text char lengths), builds it from
+    ``n_parts`` per-day PARTIAL histograms merged by per-bin sum, and
+    pins three properties in engine-exact integer arithmetic:
+
+      - merged_equals_direct: partial-sum merge == from-scratch
+        histogram, bin for bin (sum-of-counts is the trivial-but-
+        load-bearing algebra that lets 100-TB percentile dashboards
+        maintain per-day histograms and merge at query time);
+      - est vs exact at p50/p90/p99: histogram estimate = upper edge
+        of the first bin whose cumulative count reaches ceil(q·n);
+        exact = min value whose cumulative count reaches the same
+        target (percentile_disc semantics, hand-written identically
+        in both engines to dodge builtin quantile-definition drift);
+      - within_bin_width: |est − exact| ≤ w for every q — the
+        histogram quantile error bound, which holds whenever the
+        value lands below the clamp (values ≥ n_bins·w share the top
+        bin and void the bound; fixture lengths sit far below the
+        2048 cap).
+
+    Plan: one corpus scan into a ≤(n_parts·n_bins)-row hash-agg;
+    everything after is histogram-sized (two 256-row windows, 1-row
+    aggregates composed by broadcast)."""
+    from pyspark.sql import Window
+
+    v = F.length(F.col(text_col)).cast("long")
+    b = F.least(F.floor(v / bin_width), F.lit(n_bins - 1)).cast("int")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.pmod(F.col(key), F.lit(n_parts)).alias("_p"),
+        b.alias("bin"),
+        v.alias("v"),
+    )
+    merged = (
+        base.groupBy("_p", "bin")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("bin")
+        .agg(F.sum("_c").alias("c"))
+    )
+    direct = base.groupBy("bin").agg(F.count("*").alias("c"))
+    diff = (
+        merged.withColumnRenamed("c", "_cm")
+        .join(direct.withColumnRenamed("c", "_cd"), "bin", "full_outer")
+        .where(~F.col("_cm").eqNullSafe(F.col("_cd")))
+        .agg(F.count("*").cast("long").alias("_n_diff"))
+    )
+    n = base.agg(F.count("*").cast("long").alias("n_docs"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum_hist = merged.withColumn("cum", F.sum("c").over(wb)).crossJoin(
+        F.broadcast(n)
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_vals = (
+        base.groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .withColumn("cum", F.sum("c").over(wv))
+        .crossJoin(F.broadcast(n))
+    )
+    row = n
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        target = F.ceil(F.lit(q) * F.col("n_docs"))
+        est = (
+            cum_hist.where(F.col("cum") >= target)
+            .agg(
+                ((F.min("bin") + 1) * bin_width)
+                .cast("long")
+                .alias(f"est_{name}")
+            )
+        )
+        exact = cum_vals.where(F.col("cum") >= target).agg(
+            F.min("v").cast("long").alias(f"exact_{name}")
+        )
+        row = row.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(exact))
+    row = row.crossJoin(F.broadcast(diff))
+    err = F.greatest(
+        *[
+            F.abs(F.col(f"est_{nm}") - F.col(f"exact_{nm}"))
+            for nm in ("p50", "p90", "p99")
+        ]
+    )
+    return row.select(
+        "n_docs",
+        "est_p50",
+        "exact_p50",
+        "est_p90",
+        "exact_p90",
+        "est_p99",
+        "exact_p99",
+        (F.col("_n_diff") == 0).alias("merged_equals_direct"),
+        (err <= F.lit(bin_width)).alias("within_bin_width"),
+    )
+
+
 def hll_overlap_sources(
     df: DataFrame,
     value_col: str = "text",

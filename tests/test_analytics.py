@@ -991,3 +991,20 @@ def test_corpus_datacard_merge_matches_direct_card_on_shared_metrics(spark):
     # HLL at m=256 on 7 items is exact-ish (linear counting regime)
     assert abs(merged["est_uniq_texts"] - 7) <= 1.0
     assert 0.0 <= merged["approx_dup_fraction"] <= 1.0
+
+
+def test_quantile_hist_merge_properties(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        quantile_hist_merge,
+    )
+
+    # 100 docs with lengths 1..100: exact p50=50, p90=90, p99=99; the
+    # histogram (width 8) must estimate each at its bin's upper edge.
+    rows = [(i, "x" * i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = quantile_hist_merge(df).collect()[0]
+    assert r.n_docs == 100
+    assert (r.exact_p50, r.exact_p90, r.exact_p99) == (50, 90, 99)
+    # 50 -> bin 6 -> est 56; 90 -> bin 11 -> est 96; 99 -> bin 12 -> est 104
+    assert (r.est_p50, r.est_p90, r.est_p99) == (56, 96, 104)
+    assert r.merged_equals_direct and r.within_bin_width

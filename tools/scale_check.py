@@ -245,6 +245,39 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
                 spark.read.parquet(f"{tmp}/bands"),
             ),
         )
+        # wave 31: incremental CC maintenance. The stored labeling is
+        # built OUTSIDE the timer (offline, like the centroid store);
+        # the timed op is the daily merge — batch pair generation off
+        # the STORED band/shingle tables + star CC on the contracted
+        # supergraph + the broadcast relabel. Claim: the only corpus-
+        # sized stage is the store relabel scan, so the row should be
+        # flat-to-sublinear while the corpus grows 5x (vs
+        # leakage_safe_split_capped, which prices the FULL clustering
+        # at each tier).
+        corpus_pairs = dedup.minhash_lsh_pairs(corpus, max_bucket_size=64)
+        dedup.star_components(
+            corpus_pairs.select(
+                F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+            )
+        ).select(F.col("node").alias("doc_id"), "cluster_id").write.parquet(
+            f"{tmp}/labels"
+        )
+        def _cluster_append_1pct():
+            batch = docs.where(F.col("doc_id") % 100 == 0)
+            cross = dedup.incremental_neardup_pairs(
+                batch,
+                spark.read.parquet(f"{tmp}/bands"),
+                spark.read.parquet(f"{tmp}/sh"),
+                max_bucket_size=64,
+            )
+            within = dedup.minhash_lsh_pairs(batch, max_bucket_size=64)
+            edges = cross.select(
+                F.col("new_id").alias("src"), F.col("corpus_id").alias("dst")
+            ).unionByName(
+                within.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+            )
+            return dedup.cluster_append(spark.read.parquet(f"{tmp}/labels"), edges)
+        t("cluster_append_1pct", _cluster_append_1pct)
     # round-8 stored-index maintenance: the centroid store is built
     # OUTSIDE the timer (train-once/offline); the append row assigns a
     # FIXED 500-vector batch against the stored centroids — the
