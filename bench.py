@@ -66,6 +66,8 @@ HEADLINE = [
     "line_dedup_rewrite",  # round 7: within-page duplicate-line removal
     "serving_pipeline",  # round 8: composed three-artifact serving flagship
     "sim_topk_graph",  # round 8: graph-ANN beam search (build + 3-hop serve)
+    "dedup_clusters_append",  # round 8: incremental CC maintenance (contract + relabel)
+    "corpus_datacard_merge",  # round 8: mergeable release summary (partial-state merge)
 ]
 
 

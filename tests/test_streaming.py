@@ -620,3 +620,75 @@ def test_streaming_index_maintenance_face_matches_batch_artifacts(spark, tmp_pat
     assert set(metrics) == {0, 1, 2}
     assert all(m.n_vectors == 10 and m.n_bloom_delta_words > 0 for m in metrics.values())
     assert all(-1.0 <= m.mean_cc_batch <= 1.0 for m in metrics.values())
+
+
+def test_streaming_datacard_face_matches_batch_card(spark, tmp_path):
+    """The observability face (streaming/datacard.py): after three
+    triggers, the folded card store must equal corpus_datacard_merge
+    over every admitted document — same metrics, same estimator
+    arithmetic — and a replayed (re-appended, byte-identical) partial
+    must change the folded card NOWHERE (distinct-by-identity makes
+    the sum-fold replay-safe)."""
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard_merge,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.datacard import (
+        _hll_regs,
+        datacard_face,
+        read_datacard,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    batches = [
+        [
+            (
+                i + 10 * b,
+                (None if (i + 10 * b) == 13 else f"doc {i} of batch {b} word{i % 3} tail"),
+                ["en", "fr", "de"][(i + b) % 3],
+                f"s{(i + 2 * b) % 4}",
+            )
+            for i in range(10)
+        ]
+        for b in range(3)
+    ]
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stream_dir / f"f{b}"))
+
+    card_dir = str(tmp_path / "card")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = datacard_face(stream, card_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    all_rows = [r for rows in batches for r in rows]
+    all_docs = spark.createDataFrame(all_rows, schema)
+    want = {r.metric: r.value for r in corpus_datacard_merge(all_docs).collect()}
+    got = {r.metric: r.value for r in read_datacard(spark, card_dir).collect()}
+    assert got == want
+    assert got["n_docs"] == 30.0 and got["n_langs"] == 3.0
+
+    # replay shape: re-append batch 1's partials byte-identically — a no-op
+    b1 = spark.createDataFrame(batches[1], schema)
+    bid = F.lit(1).cast("long").alias("batch_id")
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import tokens
+    t = F.size(tokens("text")).cast("long")
+    b1.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(t).alias("_tok"),
+        F.sum(F.length("text")).alias("_ch"),
+        F.sum(F.when(t == 0, 1).otherwise(0)).alias("_emp"),
+    ).select(bid, "*").write.mode("append").parquet(f"{card_dir}/scalars")
+    b1.groupBy("lang").agg(F.count("*").alias("_c")).select(bid, "*").write.mode(
+        "append"
+    ).parquet(f"{card_dir}/langs")
+    replayed = {r.metric: r.value for r in read_datacard(spark, card_dir).collect()}
+    assert replayed == want
