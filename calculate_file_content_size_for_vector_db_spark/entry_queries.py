@@ -6778,6 +6778,70 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(_events(spark, sf_dir), "user_id")
 
 
+@register(
+    "join_size_cms",
+    """
+WITH a AS (SELECT user_id AS k FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL),
+b AS (SELECT user_id AS k FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+ca AS (
+    SELECT r.range AS row,
+           CAST(('0x' || substring(md5('cms' || CAST(r.range AS VARCHAR) || '|'
+               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS col,
+           count(*) AS cnt_a
+    FROM a CROSS JOIN range(4) r GROUP BY 1, 2
+),
+cb AS (
+    SELECT r.range AS row,
+           CAST(('0x' || substring(md5('cms' || CAST(r.range AS VARCHAR) || '|'
+               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS col,
+           count(*) AS cnt_b
+    FROM b CROSS JOIN range(4) r GROUP BY 1, 2
+),
+est AS (
+    SELECT CAST(min(s) AS BIGINT) AS est_join_rows
+    FROM (SELECT ca.row, sum(cnt_a * cnt_b) AS s
+          FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+          GROUP BY ca.row)
+),
+ka AS (SELECT k, count(*) AS c FROM a GROUP BY k),
+kb AS (SELECT k, count(*) AS c FROM b GROUP BY k),
+ex AS (SELECT CAST(coalesce(sum(ka.c * kb.c), 0) AS BIGINT) AS exact_join_rows
+       FROM ka JOIN kb USING (k)),
+ta AS (SELECT CAST(sum(c) AS BIGINT) AS n_a, CAST(count(*) AS BIGINT) AS n_keys_a FROM ka),
+tb AS (SELECT CAST(sum(c) AS BIGINT) AS n_b, CAST(count(*) AS BIGINT) AS n_keys_b FROM kb)
+SELECT n_a, n_b, n_keys_a, n_keys_b, exact_join_rows, est_join_rows,
+       CAST(est_join_rows - exact_join_rows AS BIGINT) AS overcount,
+       CAST(est_join_rows - exact_join_rows AS DOUBLE)
+           <= 3.0 * n_a * n_b / 1024.0 AS within_bound
+FROM ta, tb, ex, est
+""",
+)
+def join_size_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by Count-Min INNER PRODUCT
+    (maintenance.join_size_cms): |clicks ⋈ purchases on user_id|
+    estimated from two fixed-size grids — the planner sketch consulted
+    before choosing shuffle vs broadcast vs salting (key_skew_profile's
+    companion). est ≥ exact always (collisions only add, the CMS
+    theorem as a hash-checked column); the exact join size rides along
+    as the QA baseline. Grids are mergeable cell-wise per shard/day,
+    and the whole estimate is integer arithmetic off the md5 hash, so
+    both engines reproduce grids, products, and the min bit-for-bit."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        join_size_cms,
+    )
+
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k")
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k")
+    )
+    return join_size_cms(a, b)
+
+
 # ---------------------------------------------------------------------------
 # Round-6 extension surface (fourth wave): MinHash error contract,
 # cohort retention, RFM segmentation, cosine range search
@@ -9459,6 +9523,7 @@ _VERIFY_FIRST = [
     "hll_overlap_sources",  # pairwise source overlap by HLL set algebra (wave 32)
     "corpus_datacard_merge",  # mergeable release summary, merge==direct (wave 33)
     "quantile_hist_merge",  # mergeable histogram quantiles, est vs exact (wave 34)
+    "join_size_cms",  # CMS inner-product join-size estimate (wave 36)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)

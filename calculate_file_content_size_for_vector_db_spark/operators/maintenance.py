@@ -376,3 +376,105 @@ def zonemap_prune_stats(
             F.lit(1.0) - F.col("files_read") / F.col("files_total").cast("double"), 6
         ).alias("prune_fraction"),
     )
+
+
+def join_size_cms(
+    a_keys: DataFrame,
+    b_keys: DataFrame,
+    key: str = "k",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """One row estimating |A ⋈ B| on a key WITHOUT touching either
+    table's pair space: the Count-Min inner product (Cormode &
+    Muthukrishnan 2005, §4.2). Fill one depth×width CMS per side over
+    the join key, take S_r = Σ_col cmsA[r,col]·cmsB[r,col] per row and
+    est = min_r S_r. Every true match lands in the same cell on both
+    sides, so est ≥ exact ALWAYS (collisions only add); expected
+    overcount ≤ |A|·|B|/width per row, min over depth rows.
+
+    This is the join-size estimator a 100-TB planner consults before
+    choosing shuffle vs broadcast vs salting (the key_skew_profile
+    companion): the sketches are fixed-size grids maintainable per
+    ingest (CMS is linear — cell-wise sums merge shards/days, the
+    mergeability tests/test_streaming.py already pins for the token
+    sketch), so the estimate costs two grid scans where the exact
+    answer at planning time would BE the join being planned. The
+    exact join size is carried as the QA baseline column (one keyed
+    count-agg per side + one equi-join over the key dictionary —
+    fixture-affordable, and still far cheaper than the row-level
+    join). Construction is integer arithmetic end-to-end off the
+    md5-hex hash (the cms_cell plumbing), so the oracle reproduces
+    the grids, the products, and the min bit-for-bit.
+
+    Columns: n_a, n_b, n_keys_a, n_keys_b, exact_join_rows,
+    est_join_rows, overcount (≥ 0 by the theorem — hash-pinned),
+    within_bound (overcount ≤ 3·|A|·|B|/width, 3× the per-row
+    expectation; deterministic given the hash, so once green it is
+    pinned permanently)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        cms_cell,
+    )
+
+    def _sketch(df: DataFrame) -> DataFrame:
+        cells = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            cms_cell(F.col(key).cast("string"), r, width).alias(
+                                "col"
+                            ),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("c")
+        ).select("c.row", "c.col")
+        return cells.groupBy("row", "col").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+
+    sa = _sketch(a_keys).withColumnRenamed("cnt", "cnt_a")
+    sb = _sketch(b_keys).withColumnRenamed("cnt", "cnt_b")
+    est = (
+        sa.join(sb, ["row", "col"])  # absent cells are 0 -> product 0: inner join exact
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("_s"))
+        .agg(F.min("_s").cast("long").alias("est_join_rows"))
+    )
+    ka = a_keys.groupBy(key).agg(F.count("*").cast("long").alias("_ca"))
+    kb = b_keys.groupBy(key).agg(F.count("*").cast("long").alias("_cb"))
+    exact = (
+        ka.join(kb, key)
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("exact_join_rows"))
+        .select(F.coalesce(F.col("exact_join_rows"), F.lit(0)).alias("exact_join_rows"))
+    )
+    tot_a = ka.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.count("*").cast("long").alias("n_keys_a"),
+    )
+    tot_b = kb.agg(
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_keys_b"),
+    )
+    row = (
+        tot_a.crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+    )
+    over = F.col("est_join_rows") - F.col("exact_join_rows")
+    return row.select(
+        "n_a",
+        "n_b",
+        "n_keys_a",
+        "n_keys_b",
+        "exact_join_rows",
+        "est_join_rows",
+        over.cast("long").alias("overcount"),
+        (
+            over.cast("double")
+            <= F.lit(3.0) * F.col("n_a") * F.col("n_b") / F.lit(float(width))
+        ).alias("within_bound"),
+    )

@@ -1008,3 +1008,34 @@ def test_quantile_hist_merge_properties(spark):
     # 50 -> bin 6 -> est 56; 90 -> bin 11 -> est 96; 99 -> bin 12 -> est 104
     assert (r.est_p50, r.est_p90, r.est_p99) == (56, 96, 104)
     assert r.merged_equals_direct and r.within_bin_width
+
+
+def test_join_size_cms_overcount_only_and_exact_on_sparse_keys(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        join_size_cms,
+    )
+
+    # exact join size = sum over shared keys of count_a * count_b:
+    # key 1: 3*2, key 2: 1*4, key 3 only in A, key 9 only in B -> 10.
+    a = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(1,), (1,), (2,), (2,), (2,), (2,), (9,)], "k long")
+    r = join_size_cms(a, b).collect()[0]
+    assert (r.n_a, r.n_b, r.n_keys_a, r.n_keys_b) == (5, 7, 3, 3)
+    assert r.exact_join_rows == 10
+    assert r.est_join_rows >= 10  # CMS inner product never undercounts
+    assert r.overcount == r.est_join_rows - 10 and r.overcount >= 0
+    # 4 distinct keys across 1024 columns: collisions essentially
+    # impossible under the fixed md5 hash -> the estimate is exact
+    assert r.est_join_rows == 10 and r.within_bound
+
+
+def test_join_size_cms_disjoint_keys_estimates_small(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        join_size_cms,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    b = spark.createDataFrame([(i + 1000,) for i in range(20)], "k long")
+    r = join_size_cms(a, b).collect()[0]
+    assert r.exact_join_rows == 0
+    assert r.est_join_rows >= 0 and r.within_bound
