@@ -8629,6 +8629,120 @@ def serving_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_pipeline",
+    _SQL_MINHASH_BANDS
+    + f""",
+cand AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id % {_INCR_BATCH_MOD} = 0 AND b.doc_id % {_INCR_BATCH_MOD} <> 0
+),
+dups AS (
+    SELECT new_id, CAST(count(*) AS BIGINT) AS n_corpus_dups
+    FROM (
+        SELECT c.new_id, c.corpus_id,
+               len(list_intersect(sa.sh, sb.sh)) AS inter,
+               len(sa.sh) AS n_a, len(sb.sh) AS n_b
+        FROM cand c
+        JOIN sh_t sa ON sa.doc_id = c.new_id
+        JOIN sh_t sb ON sb.doc_id = c.corpus_id
+    )
+    WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+    GROUP BY new_id
+),
+{_SQL_EMB},
+e7 AS (SELECT * FROM e WHERE vec_id % {_INCR_BATCH_MOD} <> 0),
+{_sql_kmeans_chain(src="e7", tag="i")},
+centi AS (SELECT cell, cv FROM centi3),
+assign AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, centi c
+        WHERE a.vec_id % {_INCR_BATCH_MOD} = 0
+    ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_corpus_dups, 0) AS n_corpus_dups,
+       p.new_id IS NULL AS admitted,
+       CASE WHEN p.new_id IS NULL THEN CAST(a.cell AS INT) END AS cell,
+       CASE WHEN p.new_id IS NULL THEN a.cell_cosine END AS cell_cosine
+FROM documents d
+LEFT JOIN dups p ON p.new_id = d.doc_id
+LEFT JOIN assign a ON a.vec_id = d.doc_id
+WHERE d.doc_id % {_INCR_BATCH_MOD} = 0
+""",
+)
+def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-INGEST flagship, completing the composed-pipeline
+    triad (training_pipeline = offline curation, serving_pipeline =
+    artifact serving, this = the write path): one lazy plan pushes
+    the daily batch (doc_id % 7 == 0, the incremental family's split)
+    through the full admission chain — (1) the Bloom pre-gate probes
+    the corpus band bitmap (bounded broadcast; no-false-negatives
+    means the gate is invisible to the oracle, the
+    dedup_incremental_bloom equality exercised INSIDE a composition),
+    (2) gated docs pay the band join against the STORED corpus
+    artifacts and verify exact Jaccard, (3) survivors are admitted,
+    and (4) admitted docs' embeddings route to their frozen IVF cell
+    (ivf_append_assign — the packed-centroid broadcast map), ready to
+    append to the assignment store. One row per batch doc: doc_id,
+    n_corpus_dups, admitted, cell, cell_cosine (NULL cell for
+    rejected docs and docs without embeddings). Every stage is
+    batch-sized except the stored-artifact scans the corpus side
+    already paid for; at 100 TB the quantizer trains on a sample and
+    the bitmap/band/shingle/centroid tables are the parquet stores
+    the dedicated per-artifact queries pin."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bloom_neardup_prefilter,
+        incremental_neardup_pairs,
+        minhash_bands,
+        minhash_signature,
+        shingle_sets,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+        ivf_centroids,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+    corpus_bands = minhash_bands(minhash_signature(corpus))
+    gate = bloom_neardup_prefilter(batch, corpus_bands)
+    batch_flagged = batch.join(
+        gate.where(F.col("maybe_neardup")).select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = incremental_neardup_pairs(
+        batch_flagged, corpus_bands, shingle_sets(corpus)
+    )
+    dups = pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("_nd")
+    )
+    cents = ivf_centroids(emb.where(F.col("vec_id") % _INCR_BATCH_MOD != 0))
+    routed = ivf_append_assign(
+        emb.where(F.col("vec_id") % _INCR_BATCH_MOD == 0), cents
+    ).select(F.col("vec_id").alias("doc_id"), "cell", "cell_cosine")
+    admitted = F.col("_nd").isNull()
+    return (
+        batch.select("doc_id")
+        .join(dups, "doc_id", "left")
+        .join(routed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_nd"), F.lit(0)).cast("long").alias("n_corpus_dups"),
+            admitted.alias("admitted"),
+            F.when(admitted, F.col("cell")).cast("int").alias("cell"),
+            F.when(admitted, F.col("cell_cosine")).alias("cell_cosine"),
+        )
+    )
+
+
+@register(
     "paragraph_dedup_rewrite",
     """
 WITH w AS (
@@ -9524,6 +9638,7 @@ _VERIFY_FIRST = [
     "corpus_datacard_merge",  # mergeable release summary, merge==direct (wave 33)
     "quantile_hist_merge",  # mergeable histogram quantiles, est vs exact (wave 34)
     "join_size_cms",  # CMS inner-product join-size estimate (wave 36)
+    "ingest_pipeline",  # composed daily-ingest flagship (wave 37)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)

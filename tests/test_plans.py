@@ -446,6 +446,7 @@ _BNLJ_ALLOWED = {
     "corpus_datacard_merge",  # same shape: 1-row lang/source/HLL partial-merge broadcasts
     "quantile_hist_merge",  # 1-row est/exact quantile aggregates composed by broadcast
     "join_size_cms",  # 1-row sketch-product/exact/total aggregates composed by broadcast
+    "ingest_pipeline",  # bounded bloom-bitmap + packed-centroid 1-row broadcasts (gate + routing)
     "hll_merge_sources",  # three 1-row estimate/diff aggregates composed
     "embedding_pca_power",  # 1-row iterate broadcast per power-iteration round
     "sim_topk_graph_stored",  # 1-row entry-point broadcast over stored edges
