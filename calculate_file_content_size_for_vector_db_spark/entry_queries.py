@@ -5938,6 +5938,56 @@ def scd2_user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_temporal_join",
+    """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events WHERE event_type <> 'purchase'
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+),
+hist AS (
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to
+    FROM changes
+),
+facts AS (
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, h.state
+FROM facts f
+LEFT JOIN hist h ON h.user_id = f.user_id
+  AND f.ts >= h.valid_from AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+""",
+)
+def scd2_temporal_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (relational.scd2_temporal_join): every
+    purchase event picks up the SCD2 state the user was in AT THAT
+    MOMENT — the dimension built from the non-purchase change stream,
+    the fact stream joined on user_id with the validity range as a
+    residual condition on the equi-join (never a range BNLJ). The
+    as-was correctness op behind leakage-free feature joins: joining
+    today's dimension row to yesterday's fact is label leakage;
+    half-open intervals make the boundary deterministic in both
+    engines (lexical == temporal for the shared timestamp format)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        scd2_history,
+        scd2_temporal_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    dim = scd2_history(ev.where(F.col("event_type") != "purchase"))
+    facts = ev.where(F.col("event_type") == "purchase")
+    return scd2_temporal_join(facts, dim)
+
+
+@register(
     "training_shard_order",
     """
 WITH h AS (
@@ -9639,6 +9689,7 @@ _VERIFY_FIRST = [
     "quantile_hist_merge",  # mergeable histogram quantiles, est vs exact (wave 34)
     "join_size_cms",  # CMS inner-product join-size estimate (wave 36)
     "ingest_pipeline",  # composed daily-ingest flagship (wave 37)
+    "scd2_temporal_join",  # point-in-time dimension join (wave 38)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)

@@ -561,3 +561,40 @@ def snapshot_diff(
         j.select(F.col(key), status.alias("status"))
         .where(F.col("status") != "unchanged")
     )
+
+
+def scd2_temporal_join(facts: DataFrame, history: DataFrame) -> DataFrame:
+    """(event_id, user_id, ts, state): POINT-IN-TIME join — each fact
+    row picks up the dimension version that was valid AT ITS OWN
+    timestamp (ts in [valid_from, valid_to), half-open so a change at
+    exactly ts wins), the correctness op behind every as-was report
+    and leakage-free feature join (training a model on TODAY'S user
+    state for YESTERDAY'S purchase is label leakage — this join is
+    the remedy).
+
+    Plan shape: the validity range rides as a residual condition on a
+    plain user_id EQUI-join — Spark hashes on the equality and
+    filters the per-key version fanout, so cost is |facts| x
+    versions-per-key, never a range BNLJ. At 100 TB the fanout bound
+    is the per-key version count (SCD2 dims change slowly by
+    definition); a dimension with pathologically many versions per
+    key calls for validity-interval bucketing instead. Timestamps
+    compare as 'yyyy-MM-dd HH:mm:ss' strings (lexical == temporal for
+    this format, and both engines share it — the scd2_history
+    serialization). Facts before the key's first version (or with no
+    dimension key at all) keep their row with NULL state (left
+    join)."""
+    f = facts.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+    h = history.select(
+        F.col("user_id").alias("_u"), "state", "valid_from", "valid_to"
+    )
+    cond = (
+        (f["user_id"] == h["_u"])
+        & (f["ts"] >= h["valid_from"])
+        & (h["valid_to"].isNull() | (f["ts"] < h["valid_to"]))
+    )
+    return f.join(h, cond, "left").select("event_id", "user_id", "ts", "state")

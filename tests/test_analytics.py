@@ -1039,3 +1039,35 @@ def test_join_size_cms_disjoint_keys_estimates_small(spark):
     r = join_size_cms(a, b).collect()[0]
     assert r.exact_join_rows == 0
     assert r.est_join_rows >= 0 and r.within_bound
+
+
+def test_scd2_temporal_join_point_in_time_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        scd2_history,
+        scd2_temporal_join,
+    )
+
+    # dimension stream: user 1 is 'view' from t1, 'click' from t3;
+    # facts at t2 (-> view), t3 (boundary: change at exactly t3 wins
+    # -> click), t4 (-> click), and t0 (before any version -> NULL);
+    # user 2 has no dimension rows at all -> NULL.
+    dim_rows = [
+        (100, "2024-01-01 10:01:00", 1, "view"),
+        (101, "2024-01-01 10:03:00", 1, "click"),
+    ]
+    fact_rows = [
+        (200, "2024-01-01 10:00:00", 1, "purchase"),
+        (201, "2024-01-01 10:02:00", 1, "purchase"),
+        (202, "2024-01-01 10:03:00", 1, "purchase"),
+        (203, "2024-01-01 10:04:00", 1, "purchase"),
+        (204, "2024-01-01 10:02:00", 2, "purchase"),
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string"
+    mk = lambda rows: spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    hist = scd2_history(mk(dim_rows))
+    got = {r.event_id: r.state for r in scd2_temporal_join(mk(fact_rows), hist).collect()}
+    assert got == {200: None, 201: "view", 202: "click", 203: "click", 204: None}
