@@ -1982,7 +1982,13 @@ def ivf_staleness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sql_pq_chain(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _sql_pq_chain(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    train_filter: str | None = None,
+) -> str:
     d = dim // m
 
     def sq(a: str, b: str) -> str:
@@ -1991,17 +1997,32 @@ def _sql_pq_chain(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
             f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))), 6)"
         )
 
+    # train_filter restricts the TRAINING side (seed rows, Lloyd
+    # assignments and centroid updates) to a subset of e while the
+    # final `codes` assignment still covers every vector — the SQL
+    # mirror of pq_encode's train_df / stored-codebook path. None
+    # keeps the original full-corpus chain byte-for-byte.
+    tsrc = "tsv" if train_filter else "sv"
     parts = [
         f"""sv AS (
     SELECT vec_id, CAST(t.s AS INT) AS sub,
            list_slice(v, t.s * {d} + 1, t.s * {d} + {d}) AS sv
     FROM e, (SELECT unnest(range(0, {m})) AS s) t
 )""",
+    ]
+    if train_filter:
+        parts.append(f"tsv AS (SELECT * FROM sv WHERE {train_filter})")
+    first_src = (
+        f"(SELECT vec_id FROM e WHERE {train_filter} ORDER BY vec_id LIMIT {k})"
+        if train_filter
+        else f"(SELECT vec_id FROM e ORDER BY vec_id LIMIT {k})"
+    )
+    parts += [
         f"""firstk AS (
     SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-    FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k})
+    FROM {first_src}
 )""",
-        "cb0 AS (SELECT s.sub, f.code, s.sv AS cv FROM sv s JOIN firstk f USING (vec_id))",
+        f"cb0 AS (SELECT s.sub, f.code, s.sv AS cv FROM {tsrc} s JOIN firstk f USING (vec_id))",
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -2010,7 +2031,7 @@ def _sql_pq_chain(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
         SELECT s.vec_id, s.sub, c.code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                    ORDER BY {sq("s.sv", "c.cv")}, c.code) AS rn
-        FROM sv s JOIN cb{i - 1} c ON s.sub = c.sub
+        FROM {tsrc} s JOIN cb{i - 1} c ON s.sub = c.sub
     ) WHERE rn = 1
 )"""
         )
@@ -2018,7 +2039,7 @@ def _sql_pq_chain(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
             f"""cb{i} AS (
     SELECT sub, code, list(cx ORDER BY pos) AS cv FROM (
         SELECT a.sub, a.code, t.pos AS pos, round(avg(s.sv[t.pos]), 6) AS cx
-        FROM sv s JOIN asg{i} a ON s.vec_id = a.vec_id AND s.sub = a.sub,
+        FROM {tsrc} s JOIN asg{i} a ON s.vec_id = a.vec_id AND s.sub = a.sub,
              (SELECT unnest(range(1, {d + 1})) AS pos) t
         GROUP BY a.sub, a.code, t.pos
     ) GROUP BY sub, code
@@ -5938,6 +5959,58 @@ def scd2_user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_append",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain(train_filter="vec_id % 7 <> 0")},
+packed AS (
+    SELECT vec_id, list(code ORDER BY sub) AS codes FROM codes GROUP BY vec_id
+)
+SELECT b.vec_id AS new_id, c.vec_id AS corpus_id
+FROM packed b JOIN packed c ON b.codes = c.codes
+WHERE b.vec_id % 7 = 0 AND c.vec_id % 7 <> 0
+""",
+)
+def dedup_semantic_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup — the embedding-tier member of the
+    incremental family (pairs: dedup_incremental, bitmap:
+    dedup_bloom_append, clusters: dedup_clusters_append, index:
+    sim_ivf_append): PQ codebooks train ONCE on the base corpus and
+    freeze in parquet; the base corpus's code table persists as the
+    stored artifact; the daily batch encodes against the STORED
+    codebooks (pq_encode's codebooks= hook — a pure assignment map,
+    zero Lloyd lineage) and probes the stored code table with one
+    equi-join on the m-code key. Batch-sized cost at any corpus size:
+    the batch pays subvector split + assignment; the corpus appears
+    only as its stored code table (SemDeDup at ingest time). The
+    oracle trains its unrolled Lloyd chain on the base subset and
+    encodes everything from scratch, so the hash pins the frozen-
+    codebook equivalence AND both parquet seams (codebooks and code
+    table round-trip)."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % _INCR_BATCH_MOD != 0)
+    batch = emb.where(F.col("vec_id") % _INCR_BATCH_MOD == 0)
+    store = tempfile.mkdtemp(prefix="pq_append_")
+    pq_codebooks(base).write.mode("overwrite").parquet(f"{store}/cb")
+    cb = spark.read.parquet(f"{store}/cb")
+    pq_encode(base, codebooks=cb).write.mode("overwrite").parquet(f"{store}/codes")
+    stored = spark.read.parquet(f"{store}/codes")
+    return (
+        pq_encode(batch, codebooks=cb)
+        .withColumnRenamed("vec_id", "new_id")
+        .join(stored.withColumnRenamed("vec_id", "corpus_id"), "codes")
+        .select("new_id", "corpus_id")
+    )
+
+
+@register(
     "scd2_temporal_join",
     """
 WITH ordered AS (
@@ -9690,6 +9763,7 @@ _VERIFY_FIRST = [
     "join_size_cms",  # CMS inner-product join-size estimate (wave 36)
     "ingest_pipeline",  # composed daily-ingest flagship (wave 37)
     "scd2_temporal_join",  # point-in-time dimension join (wave 38)
+    "dedup_semantic_append",  # frozen-codebook semantic ingest dedup (wave 39)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)

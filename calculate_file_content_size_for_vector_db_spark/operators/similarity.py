@@ -935,10 +935,23 @@ def pq_encode(
     vec_col: str = "embedding",
     train_df: DataFrame | None = None,
     persist: bool = True,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """(id, codes): each vector as its array of m codebook codes —
-    the 16x-compressed ANN representation."""
-    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist)
+    the 16x-compressed ANN representation.
+
+    ``codebooks``: optional pre-trained (sub, code, cv) table — the
+    stored-artifact hook (the topk_ivf assign=/centroids= pattern):
+    pass the parquet-stored codebooks and the encode is a pure
+    assignment map with ZERO Lloyd lineage, which is how a daily
+    batch encodes against a frozen quantizer."""
+    if codebooks is not None:
+        sv = _maybe_persist(subvectors(embeddings, m, dim, id_col, vec_col), persist)
+        cb = codebooks
+    else:
+        sv, cb = _pq_train(
+            embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist
+        )
     asg = _pq_assign(sv, _maybe_persist(cb, persist), id_col)
     return asg.groupBy(id_col).agg(
         F.transform(

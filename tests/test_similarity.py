@@ -777,3 +777,25 @@ def test_pca_power_iteration_rayleigh_monotone_and_unit_norm(spark):
         assert len(comp) == 64
         norm = math.sqrt(sum((x / 1e6) ** 2 for x in comp))
         assert abs(norm - 1.0) < 1e-3
+
+
+def test_pq_encode_stored_codebooks_equals_trained(spark):
+    # the codebooks= hook: encoding against the trained codebooks
+    # passed back in must equal the encode produced by training — the
+    # frozen-quantizer equivalence that backs dedup_semantic_append.
+    import math
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = [
+        (i, [float(math.sin(0.1 * i * (d + 1)) % 1.0) for d in range(64)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebooks(emb)
+    trained = {(r.vec_id, tuple(r.codes)) for r in pq_encode(emb).collect()}
+    stored = {(r.vec_id, tuple(r.codes)) for r in pq_encode(emb, codebooks=cb).collect()}
+    assert stored == trained and len(stored) == 40
