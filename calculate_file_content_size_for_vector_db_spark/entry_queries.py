@@ -7320,6 +7320,53 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), _BM25_QUERIES)
 
 
+@register("bm25_search_stored", None)  # oracle assigned below — identical to bm25_search
+def bm25_search_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LEXICAL index under bm25_search's oracle VERBATIM —
+    retrieval joins the incremental-store family: the base corpus's
+    posting artifacts (per-(doc,term) tf, per-doc lengths, 1-row
+    n_docs meta) persist to parquet, the daily batch's artifacts are
+    computed batch-only and APPENDED (doc-keyed tables with disjoint
+    keys union by plain append; the meta row appends and sums on
+    read), and the search serves entirely from the merged store
+    through bm25_search's tf_df/dl_df/meta_df hooks — df/idf/avgdl
+    derive at query time, so no stored statistic ever goes stale.
+    The shared-oracle hash pins append == full rebuild AND the
+    parquet seam (tf/dl are ints — lossless)."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bm25_postings,
+        bm25_search,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+    store = tempfile.mkdtemp(prefix="bm25_store_")
+    tf_b, dl_b, meta_b = bm25_postings(base)
+    tf_b.write.mode("overwrite").parquet(f"{store}/tf")
+    dl_b.write.mode("overwrite").parquet(f"{store}/dl")
+    meta_b.write.mode("overwrite").parquet(f"{store}/meta")
+    tf_n, dl_n, meta_n = bm25_postings(batch)
+    tf_n.write.mode("append").parquet(f"{store}/tf")
+    dl_n.write.mode("append").parquet(f"{store}/dl")
+    meta_n.write.mode("append").parquet(f"{store}/meta")
+    meta = spark.read.parquet(f"{store}/meta").agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    return bm25_search(
+        None,
+        _BM25_QUERIES,
+        tf_df=spark.read.parquet(f"{store}/tf"),
+        dl_df=spark.read.parquet(f"{store}/dl"),
+        meta_df=meta,
+    )
+
+
+REGISTRY["bm25_search_stored"].oracle = REGISTRY["bm25_search"].oracle
+
+
 @register(
     "event_transitions",
     """
@@ -9764,6 +9811,7 @@ _VERIFY_FIRST = [
     "ingest_pipeline",  # composed daily-ingest flagship (wave 37)
     "scd2_temporal_join",  # point-in-time dimension join (wave 38)
     "dedup_semantic_append",  # frozen-codebook semantic ingest dedup (wave 39)
+    "bm25_search_stored",  # incremental lexical posting store (wave 40)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)

@@ -884,6 +884,25 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def bm25_postings(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, dl, meta): the three BM25 index artifacts for a corpus —
+    the per-(doc, term) frequency table, the per-doc length table,
+    and a 1-row (n_docs) frame. These are the STORED form of a
+    lexical index, and they are doc-keyed, so a batch's artifacts
+    UNION into a corpus's by plain append (disjoint keys); df/idf/
+    avgdl are derived from the merged tables at query time, which is
+    what makes the posting store incrementally maintainable
+    (bm25_search_stored pins append == rebuild under the search
+    oracle verbatim)."""
+    toks = df.select(F.col(key), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(key, "term").agg(F.count("*").cast("long").alias("tf"))
+    dl = toks.groupBy(key).agg(F.count("*").cast("long").alias("dl"))
+    meta = df.agg(F.count("*").cast("long").alias("n_docs"))
+    return tf, dl, meta
+
+
 def bm25_search(
     df: DataFrame,
     queries: list[tuple[int, str]],
@@ -892,6 +911,9 @@ def bm25_search(
     key: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    tf_df: DataFrame | None = None,
+    dl_df: DataFrame | None = None,
+    meta_df: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, key, score, rank): BM25 ranking of the corpus for a
     small set of keyword queries (Robertson/Sparck Jones; the Lucene
@@ -907,18 +929,25 @@ def bm25_search(
     The query-term list and the 1-row (N, avgdl) frame broadcast; the
     scoring join touches only rows whose term appears in a query —
     posting-list-sized, not corpus-sized. Top-n per query is a window
-    over queries x topn candidates."""
+    over queries x topn candidates.
+
+    ``tf_df``/``dl_df``/``meta_df``: optional STORED index artifacts
+    (bm25_postings) — pass all three and the corpus never appears in
+    the plan: df/idf/avgdl derive from the stored tables, scoring is
+    the same posting-list-sized join. This is the serving hook the
+    incremental posting store uses (append batch artifacts, search
+    the merged store)."""
     from pyspark.sql import Window
 
-    q = df.sparkSession.createDataFrame(queries, f"query_id int, q string")
+    session = (tf_df if tf_df is not None else df).sparkSession
+    q = session.createDataFrame(queries, f"query_id int, q string")
     qterms = q.select("query_id", F.explode(tokens("q")).alias("term")).distinct()
-    toks = df.select(F.col(key), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(key, "term").agg(F.count("*").cast("long").alias("tf"))
+    if tf_df is not None:
+        tf, dl, meta = tf_df, dl_df, meta_df
+    else:
+        tf, dl, meta = bm25_postings(df, text_col, key)
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    dl = toks.groupBy(key).agg(F.count("*").cast("long").alias("dl"))
-    stats = df.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
-        F.broadcast(dl.agg(F.avg("dl").alias("avgdl")))
-    )
+    stats = meta.crossJoin(F.broadcast(dl.agg(F.avg("dl").alias("avgdl"))))
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dft), "term")

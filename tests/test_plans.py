@@ -398,6 +398,7 @@ def test_calibrate_and_mix_bounded_one_row_broadcast(spark):
 _BNLJ_ALLOWED = {
     "approx_percentile_error", "binary_recall_at_10",
     "bm25_search",  # 1-row (N, avgdl) corpus-stats broadcast
+    "bm25_search_stored",  # same 1-row stats broadcast, derived from the merged store
     "bpe_apply_oov",  # 1-row collected-merge-table broadcast (F.aggregate replay)
     "fk_integrity_check",  # three 1-row audit-count broadcasts composed
     "hybrid_search_rrf",  # bm25 stats broadcast + exact vector baseline
