@@ -9291,6 +9291,79 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "drift_psi",
+    f"""
+WITH ha AS (
+    SELECT CAST(least(floor(length(text) / 8), 255) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS ca
+    FROM documents WHERE text IS NOT NULL AND doc_id % {_INCR_BATCH_MOD} <> 0
+    GROUP BY 1
+),
+hb AS (
+    SELECT CAST(least(floor(length(text) / 8), 255) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS cb
+    FROM documents WHERE text IS NOT NULL AND doc_id % {_INCR_BATCH_MOD} = 0
+    GROUP BY 1
+),
+hj AS (
+    SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+    FROM ha FULL OUTER JOIN hb USING (bin)
+),
+hn AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM hj),
+hp AS (
+    SELECT round(sum((p - q) * ln(p / q)), 6) AS psi_length
+    FROM (SELECT (ca + 1) / CAST(na + 256 AS DOUBLE) AS p,
+                 (cb + 1) / CAST(nb + 256 AS DOUBLE) AS q
+          FROM hj, hn)
+),
+la AS (SELECT lang, CAST(count(*) AS BIGINT) AS ca FROM documents
+       WHERE doc_id % {_INCR_BATCH_MOD} <> 0 GROUP BY lang),
+lb AS (SELECT lang, CAST(count(*) AS BIGINT) AS cb FROM documents
+       WHERE doc_id % {_INCR_BATCH_MOD} = 0 GROUP BY lang),
+lk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM
+       (SELECT lang FROM la UNION SELECT lang FROM lb)),
+lj AS (
+    SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+    FROM la FULL OUTER JOIN lb USING (lang)
+),
+ln_ AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM lj),
+lp AS (
+    SELECT round(sum((p - q) * ln(p / q)), 6) AS psi_lang
+    FROM (SELECT (ca + 1) / CAST(na + k AS DOUBLE) AS p,
+                 (cb + 1) / CAST(nb + k AS DOUBLE) AS q
+          FROM lj, ln_, lk)
+),
+nn AS (
+    SELECT CAST(sum(CASE WHEN doc_id % {_INCR_BATCH_MOD} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(sum(CASE WHEN doc_id % {_INCR_BATCH_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+    FROM documents
+)
+SELECT n_base, n_batch, psi_length, psi_lang,
+       psi_length > 0.2 OR psi_lang > 0.2 AS drift_flag
+FROM nn, hp, lp
+""",
+)
+def drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between the corpus and the
+    daily batch (textstats.drift_psi): psi_length over the equi-width
+    length histogram (the quantile_hist_merge binning — at 100 TB
+    both sides are the stored per-day histograms, so drift monitoring
+    never scans the corpus) and psi_lang over the language mix, with
+    Laplace smoothing and the conventional 0.2 action threshold as
+    drift_flag. The magnitude companion to split_drift_ks's
+    statistical test."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        drift_psi,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return drift_psi(
+        docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0),
+        docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0),
+    )
+
+
+@register(
     "quantile_hist_merge",
     """
 WITH base AS (
@@ -9812,6 +9885,7 @@ _VERIFY_FIRST = [
     "scd2_temporal_join",  # point-in-time dimension join (wave 38)
     "dedup_semantic_append",  # frozen-codebook semantic ingest dedup (wave 39)
     "bm25_search_stored",  # incremental lexical posting store (wave 40)
+    "drift_psi",  # PSI drift monitor over stored marginals (wave 41)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)

@@ -1761,6 +1761,89 @@ def quantile_hist_merge(
     )
 
 
+def drift_psi(
+    base: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    n_bins: int = 256,
+    bin_width: int = 8,
+) -> DataFrame:
+    """One row of POPULATION STABILITY INDEX drift between a reference
+    corpus and an ingest batch — the production monitoring number that
+    pages an operator when the crawl changes shape (split_drift_ks
+    answers "are these the same distribution?" statistically; PSI is
+    the industry drift MAGNITUDE with conventional thresholds: <0.1
+    stable, 0.1-0.2 watch, >0.2 act — drift_flag pins the 0.2 line).
+
+    Two PSI columns from two cheap marginals: psi_length over the
+    equi-width length histogram (the quantile_hist_merge binning, so
+    at 100 TB both sides are the per-day histograms the dashboard
+    already maintains — drift monitoring costs two stored-histogram
+    reads, no corpus scan), and psi_lang over the language mix (a
+    |langs|-row count table). Laplace smoothing ((c+1)/(n+K), K =
+    support size — the full bin range for lengths, the union language
+    set for langs) keeps every term finite and both engines on the
+    same arithmetic; PSI = Σ (p−q)·ln(p/q), rounded to 6, summed over
+    the UNION of occupied bins (a bin empty on both sides contributes
+    nothing by construction — the full-outer join never produces it;
+    the oracle mirrors the same support).
+
+    NULL-text docs are excluded from the length histogram (no
+    length) but keep their language row — mirrored in the oracle."""
+    v = F.length(F.col(text_col)).cast("long")
+    b = F.least(F.floor(v / bin_width), F.lit(n_bins - 1)).cast("int")
+
+    def _hist(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    def _psi_from(
+        pa: DataFrame, pb: DataFrame, keycol: str, support: int
+    ) -> DataFrame:
+        a = pa.withColumnRenamed("c", "_ca")
+        bb = pb.withColumnRenamed("c", "_cb")
+        j = a.join(bb, keycol, "full_outer").select(
+            F.coalesce(F.col("_ca"), F.lit(0)).alias("_ca"),
+            F.coalesce(F.col("_cb"), F.lit(0)).alias("_cb"),
+        )
+        na = j.agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+        j = j.crossJoin(F.broadcast(na))
+        p = (F.col("_ca") + 1) / (F.col("_na") + F.lit(support)).cast("double")
+        q = (F.col("_cb") + 1) / (F.col("_nb") + F.lit(support)).cast("double")
+        return j.agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+
+    hist_psi = _psi_from(_hist(base), _hist(batch), "bin", n_bins)
+    lang_a = base.groupBy("lang").agg(F.count("*").cast("long").alias("c"))
+    lang_b = batch.groupBy("lang").agg(F.count("*").cast("long").alias("c"))
+    n_langs = (
+        lang_a.select("lang")
+        .unionByName(lang_b.select("lang"))
+        .distinct()
+        .count()
+    )
+    lang_psi = _psi_from(lang_a, lang_b, "lang", n_langs)
+    counts = base.agg(F.count("*").cast("long").alias("n_base")).crossJoin(
+        F.broadcast(batch.agg(F.count("*").cast("long").alias("n_batch")))
+    )
+    return (
+        counts.crossJoin(F.broadcast(hist_psi.withColumnRenamed("psi", "psi_length")))
+        .crossJoin(F.broadcast(lang_psi.withColumnRenamed("psi", "psi_lang")))
+        .select(
+            "n_base",
+            "n_batch",
+            "psi_length",
+            "psi_lang",
+            (
+                (F.col("psi_length") > 0.2) | (F.col("psi_lang") > 0.2)
+            ).alias("drift_flag"),
+        )
+    )
+
+
 def hll_overlap_sources(
     df: DataFrame,
     value_col: str = "text",

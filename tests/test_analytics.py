@@ -1071,3 +1071,26 @@ def test_scd2_temporal_join_point_in_time_semantics(spark):
     hist = scd2_history(mk(dim_rows))
     got = {r.event_id: r.state for r in scd2_temporal_join(mk(fact_rows), hist).collect()}
     assert got == {200: None, 201: "view", 202: "click", 203: "click", 204: None}
+
+
+def test_drift_psi_identical_and_shifted_distributions(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        drift_psi,
+    )
+
+    schema = "doc_id long, text string, lang string"
+    same = [(i, "x" * (50 + (i % 5)), ["en", "fr"][i % 2]) for i in range(200)]
+    base = spark.createDataFrame(same, schema)
+    # identical distribution (same rows re-keyed): PSI ~ 0, no flag
+    batch_same = spark.createDataFrame(
+        [(i + 1000, t, l) for i, t, l in same], schema
+    )
+    r = drift_psi(base, batch_same).collect()[0]
+    assert abs(r.psi_length) < 0.01 and abs(r.psi_lang) < 0.01
+    assert not r.drift_flag
+    # shifted: batch docs 8x longer and all German -> both PSIs fire
+    batch_shift = spark.createDataFrame(
+        [(i + 2000, "y" * 400, "de") for i in range(200)], schema
+    )
+    r2 = drift_psi(base, batch_shift).collect()[0]
+    assert r2.psi_length > 0.2 and r2.psi_lang > 0.2 and r2.drift_flag

@@ -399,6 +399,7 @@ _BNLJ_ALLOWED = {
     "approx_percentile_error", "binary_recall_at_10",
     "bm25_search",  # 1-row (N, avgdl) corpus-stats broadcast
     "bm25_search_stored",  # same 1-row stats broadcast, derived from the merged store
+    "drift_psi",  # 1-row totals + psi aggregates composed by broadcast
     "bpe_apply_oov",  # 1-row collected-merge-table broadcast (F.aggregate replay)
     "fk_integrity_check",  # three 1-row audit-count broadcasts composed
     "hybrid_search_rrf",  # bm25 stats broadcast + exact vector baseline
