@@ -1925,6 +1925,70 @@ def sim_ivf_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_graph_append",
+    f"""
+WITH {_SQL_IVF_BASE_STORE},
+gb AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, centb c WHERE a.vec_id % 10 = 0
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT gb.vec_id AS query_id, sb.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM gb JOIN assignb sb ON gb.cell = sb.cell
+    JOIN e a ON a.vec_id = gb.vec_id JOIN e b ON b.vec_id = sb.vec_id
+    WHERE sb.vec_id % 10 <> 0
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 8
+""",
+)
+def knn_graph_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental GRAPH maintenance — the graph family joins the
+    store-append symmetry (IVF: sim_ivf_append, PQ codes:
+    dedup_semantic_append, postings: bm25_search_stored, bitmap,
+    clusters): a daily vector batch gets its edge lists by probing
+    its top-2 cells against the FROZEN stored centroids and taking
+    the exact top-8 among the STORED corpus members of those cells
+    (knn_graph_ivf's candidates= hook) — batch-sized cost, never a
+    graph rebuild. Append-only graph maintenance is deliberately
+    one-directional (old nodes' edge lists are not revisited; that
+    drift is what ivf_staleness-style QA catches at maintenance
+    cadence), and this row pins exactly the one-directional
+    semantics: new-node edges == exact in-probe-cell top-8 against
+    the base, through both parquet store seams (centroids +
+    assignment)."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+        ivf_centroids,
+        knn_graph_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    store = tempfile.mkdtemp(prefix="graph_append_")
+    ivf_centroids(base).write.mode("overwrite").parquet(f"{store}/cents")
+    cents = spark.read.parquet(f"{store}/cents")
+    ivf_append_assign(base, cents).write.mode("overwrite").parquet(f"{store}/assign")
+    return knn_graph_ivf(
+        batch,
+        assign=spark.read.parquet(f"{store}/assign"),
+        centroids=cents,
+        candidates=base,
+    )
+
+
+@register(
     "ivf_staleness",
     f"""
 WITH {_SQL_IVF_BASE_STORE},
@@ -9886,6 +9950,7 @@ _VERIFY_FIRST = [
     "dedup_semantic_append",  # frozen-codebook semantic ingest dedup (wave 39)
     "bm25_search_stored",  # incremental lexical posting store (wave 40)
     "drift_psi",  # PSI drift monitor over stored marginals (wave 41)
+    "knn_graph_append",  # batch edge lists against the stored graph corpus (wave 42)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)

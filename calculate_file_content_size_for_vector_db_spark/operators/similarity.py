@@ -1963,6 +1963,7 @@ def knn_graph_ivf(
     vec_col: str = "embedding",
     assign: DataFrame | None = None,
     centroids: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): the APPROXIMATE kNN
     graph — each node's exact top-``k_graph`` among the members of
@@ -1972,6 +1973,14 @@ def knn_graph_ivf(
     perfectly across cells (the standard blocked approximate
     kNN-graph construction; NN-Descent and friends refine exactly
     this kind of seed graph).
+
+    ``candidates``: optional separate candidate corpus — the
+    incremental-append hook (knn_graph_append): source nodes come
+    from ``embeddings`` (a daily batch), edges point into
+    ``candidates`` (the stored corpus, whose cells come from the
+    stored ``assign`` table), so a new node's edge list costs its
+    probe cells' members only, never a graph rebuild. None keeps the
+    self-graph semantics (candidates = embeddings).
 
     ``probes`` >= 2 matters for more than edge quality: it is what
     makes the graph NAVIGABLE. With probe-1 (in-cell-only) edges the
@@ -1988,7 +1997,11 @@ def knn_graph_ivf(
     pair meets at most once — no dedup. At scale the join is
     co-partitioned by cell; no cell's block leaves its executor."""
     if assign is None:
-        assign = ivf_assign(embeddings, id_col, vec_col).persist()
+        # the assignment must cover the CANDIDATE side (== embeddings
+        # for the self-graph; the stored corpus in append mode)
+        assign = ivf_assign(
+            candidates if candidates is not None else embeddings, id_col, vec_col
+        ).persist()
     if probes > 1:
         cents = (
             centroids
@@ -1999,10 +2012,11 @@ def knn_graph_ivf(
         src_cells = _assign_topc(v, cents, id_col, probes)
     else:
         src_cells = assign.select(id_col, "cell")
+    cand = candidates if candidates is not None else embeddings
     a = embeddings.join(src_cells, id_col).select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_av"), "cell"
     )
-    b = spread(embeddings.join(assign.select(id_col, "cell"), id_col)).select(
+    b = spread(cand.join(assign.select(id_col, "cell"), id_col)).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_bv"), "cell"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -442,6 +442,7 @@ _BNLJ_ALLOWED = {
     "sim_topk_graph",  # 1-row entry-point (two smallest ids) broadcast
     "graph_recall_at_10",  # same entry-point broadcast + exact baseline
     "knn_graph_ivf",  # packed-centroid probe-cell broadcast
+    "knn_graph_append",  # same probe-cell broadcast against the STORED centroids
     "graph_ivf_recall_at_10",  # probe-cell broadcast + entry-point + exact baseline
     "bpe_apply_stored",  # 1-row STORED-merge-table broadcast (F.aggregate replay)
     "corpus_datacard",  # 1-row top-language mode broadcast onto the 1-row main agg
