@@ -68,6 +68,7 @@ HEADLINE = [
     "sim_topk_graph",  # round 8: graph-ANN beam search (build + 3-hop serve)
     "dedup_clusters_append",  # round 8: incremental CC maintenance (contract + relabel)
     "corpus_datacard_merge",  # round 8: mergeable release summary (partial-state merge)
+    "ingest_pipeline",  # round 8: composed daily-ingest flagship (gate+dedup+admit+route)
 ]
 
 
