@@ -1761,6 +1761,90 @@ def quantile_hist_merge(
     )
 
 
+def psi_length_hist(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bins: int = 256,
+    bin_width: int = 8,
+) -> DataFrame:
+    """(bin, c): the equi-width text-length histogram marginal PSI
+    runs on — the quantile_hist_merge binning. NULL-text rows carry
+    no length and are excluded. This is the bounded (≤n_bins rows)
+    partial a per-day dashboard stores; drift monitoring then never
+    rescans the corpus (see streaming/drift.py)."""
+    v = F.length(F.col(text_col)).cast("long")
+    b = F.least(F.floor(v / bin_width), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def psi_lang_marginal(df: DataFrame) -> DataFrame:
+    """(lang, c): the language-mix marginal. Every row keeps its lang
+    row (NULL lang is its own group), so sum(c) == row count — the
+    scalar PSI needs rides inside this marginal for free."""
+    return df.groupBy("lang").agg(F.count("*").cast("long").alias("c"))
+
+
+def psi_from_marginals(
+    hist_base: DataFrame,
+    hist_batch: DataFrame,
+    lang_base: DataFrame,
+    lang_batch: DataFrame,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Compose the drift_psi output row from the four stored marginals
+    alone — the arithmetic drift_psi defines, factored so the batch
+    query (corpus inputs) and the streaming face (stored partial
+    folds) provably share it. n_base/n_batch are recovered as
+    sum(lang c) — exact because the lang marginal drops no row."""
+
+    def _psi_from(
+        pa: DataFrame, pb: DataFrame, keycol: str, support
+    ) -> DataFrame:
+        a = pa.withColumnRenamed("c", "_ca")
+        bb = pb.withColumnRenamed("c", "_cb")
+        j = a.join(bb, keycol, "full_outer").select(
+            F.coalesce(F.col("_ca"), F.lit(0)).alias("_ca"),
+            F.coalesce(F.col("_cb"), F.lit(0)).alias("_cb"),
+        )
+        na = j.agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+        j = j.crossJoin(F.broadcast(na))
+        p = (F.col("_ca") + 1) / (F.col("_na") + support).cast("double")
+        q = (F.col("_cb") + 1) / (F.col("_nb") + support).cast("double")
+        return j.agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+
+    n_langs = (
+        lang_base.select("lang")
+        .unionByName(lang_batch.select("lang"))
+        .distinct()
+        .count()
+    )
+    hist_psi = _psi_from(hist_base, hist_batch, "bin", F.lit(n_bins))
+    lang_psi = _psi_from(lang_base, lang_batch, "lang", F.lit(n_langs))
+    counts = lang_base.agg(
+        F.sum("c").cast("long").alias("n_base")
+    ).crossJoin(
+        F.broadcast(lang_batch.agg(F.sum("c").cast("long").alias("n_batch")))
+    )
+    return (
+        counts.crossJoin(F.broadcast(hist_psi.withColumnRenamed("psi", "psi_length")))
+        .crossJoin(F.broadcast(lang_psi.withColumnRenamed("psi", "psi_lang")))
+        .select(
+            "n_base",
+            "n_batch",
+            "psi_length",
+            "psi_lang",
+            (
+                (F.col("psi_length") > 0.2) | (F.col("psi_lang") > 0.2)
+            ).alias("drift_flag"),
+        )
+    )
+
+
 def drift_psi(
     base: DataFrame,
     batch: DataFrame,
@@ -1789,58 +1873,17 @@ def drift_psi(
     the oracle mirrors the same support).
 
     NULL-text docs are excluded from the length histogram (no
-    length) but keep their language row — mirrored in the oracle."""
-    v = F.length(F.col(text_col)).cast("long")
-    b = F.least(F.floor(v / bin_width), F.lit(n_bins - 1)).cast("int")
+    length) but keep their language row — mirrored in the oracle.
 
-    def _hist(df: DataFrame) -> DataFrame:
-        return (
-            df.where(F.col(text_col).isNotNull())
-            .select(b.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count("*").cast("long").alias("c"))
-        )
-
-    def _psi_from(
-        pa: DataFrame, pb: DataFrame, keycol: str, support: int
-    ) -> DataFrame:
-        a = pa.withColumnRenamed("c", "_ca")
-        bb = pb.withColumnRenamed("c", "_cb")
-        j = a.join(bb, keycol, "full_outer").select(
-            F.coalesce(F.col("_ca"), F.lit(0)).alias("_ca"),
-            F.coalesce(F.col("_cb"), F.lit(0)).alias("_cb"),
-        )
-        na = j.agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
-        j = j.crossJoin(F.broadcast(na))
-        p = (F.col("_ca") + 1) / (F.col("_na") + F.lit(support)).cast("double")
-        q = (F.col("_cb") + 1) / (F.col("_nb") + F.lit(support)).cast("double")
-        return j.agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
-
-    hist_psi = _psi_from(_hist(base), _hist(batch), "bin", n_bins)
-    lang_a = base.groupBy("lang").agg(F.count("*").cast("long").alias("c"))
-    lang_b = batch.groupBy("lang").agg(F.count("*").cast("long").alias("c"))
-    n_langs = (
-        lang_a.select("lang")
-        .unionByName(lang_b.select("lang"))
-        .distinct()
-        .count()
-    )
-    lang_psi = _psi_from(lang_a, lang_b, "lang", n_langs)
-    counts = base.agg(F.count("*").cast("long").alias("n_base")).crossJoin(
-        F.broadcast(batch.agg(F.count("*").cast("long").alias("n_batch")))
-    )
-    return (
-        counts.crossJoin(F.broadcast(hist_psi.withColumnRenamed("psi", "psi_length")))
-        .crossJoin(F.broadcast(lang_psi.withColumnRenamed("psi", "psi_lang")))
-        .select(
-            "n_base",
-            "n_batch",
-            "psi_length",
-            "psi_lang",
-            (
-                (F.col("psi_length") > 0.2) | (F.col("psi_lang") > 0.2)
-            ).alias("drift_flag"),
-        )
+    Factored through psi_from_marginals over psi_length_hist /
+    psi_lang_marginal so the streaming drift face (streaming/drift.py)
+    runs the IDENTICAL composition over its stored partial folds."""
+    return psi_from_marginals(
+        psi_length_hist(base, text_col, n_bins, bin_width),
+        psi_length_hist(batch, text_col, n_bins, bin_width),
+        psi_lang_marginal(base),
+        psi_lang_marginal(batch),
+        n_bins=n_bins,
     )
 
 

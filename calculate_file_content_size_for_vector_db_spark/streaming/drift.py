@@ -1,0 +1,125 @@
+"""Streaming drift-monitor face: the MONITORING counterpart of the
+face family (near-dup gate = quality, lake face = storage, index face
+= serving artifacts, datacard face = release summary, this = the
+pager). Each micro-batch appends its two BOUNDED distribution
+marginals — exactly the partials the batch `drift_psi` query is
+defined over (operators/textstats.py: psi_length_hist /
+psi_lang_marginal) — and the current drift reading is
+`psi_from_marginals` over the folded store vs the frozen reference
+marginals:
+
+- **hist/**: ≤n_bins rows per trigger (equi-width text-length
+  histogram, the quantile_hist_merge binning);
+- **langs/**: |batch langs| rows per trigger (language mix; sum(c)
+  doubles as the batch row count, so no separate scalar store).
+
+State model — identical to the other faces: ZERO executor/state-store
+bytes; foreachBatch holds nothing between triggers, the marginal
+store IS the cross-trigger memory. Per-trigger cost: one batch scan
+into two bounded aggregates + two bounded appends; the corpus appears
+in no plan, and the read-side fold input is ≤(n_bins + |langs|) rows
+per trigger ever written — metadata-scale at any corpus size. The
+reference side is FROZEN marginals (computed once from the last
+release, or read from the datacard-era store): at 100 TB the drift
+number costs two stored-marginal reads, never a corpus scan.
+
+Replay safety: the datacard face's pattern verbatim — sum-folds are
+not idempotent, so every appended row carries its batch_id and the
+read-side fold runs `distinct()` first; a checkpoint replay
+re-appends rows IDENTICAL to the originals (each batch's marginal is
+deterministic) and distinct-by-identity collapses them.
+
+Parity contract (pinned by tests/test_streaming.py): after any number
+of triggers, `read_drift(spark, base_docs, marginals_dir)` ==
+`drift_psi(base_docs, union-of-all-admitted-batches)` row-for-row —
+both sides are the same `psi_from_marginals` composition, so the test
+pins the store/fold seam, not a reimplementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+    psi_from_marginals,
+    psi_lang_marginal,
+    psi_length_hist,
+)
+
+
+def drift_face(
+    stream: DataFrame,
+    marginals_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    n_bins: int = 256,
+    bin_width: int = 8,
+) -> StreamingQuery:
+    """Start the face. ``stream`` rows carry (doc_id, text, lang, ...).
+    Marginal partials append under ``marginals_dir``: hist/, langs/ —
+    read the current drift number with `read_drift`."""
+
+    def _maintain(batch_df: DataFrame, batch_id: int) -> None:
+        bid = F.lit(batch_id).cast("long").alias("batch_id")
+        batch_df = batch_df.persist()
+        psi_length_hist(batch_df, text_col, n_bins, bin_width).select(
+            bid, "*"
+        ).write.mode("append").parquet(f"{marginals_dir}/hist")
+        psi_lang_marginal(batch_df).select(bid, "*").write.mode(
+            "append"
+        ).parquet(f"{marginals_dir}/langs")
+        batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ingest_marginals(
+    spark, marginals_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(hist, langs): the admitted-so-far marginals — the append-only
+    partial store folded by key-sum, distinct() first so a replayed
+    (re-appended, byte-identical) partial is a no-op."""
+    hist = (
+        spark.read.parquet(f"{marginals_dir}/hist")
+        .distinct()
+        .groupBy("bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    langs = (
+        spark.read.parquet(f"{marginals_dir}/langs")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return hist, langs
+
+
+def read_drift(
+    spark,
+    base: DataFrame,
+    marginals_dir: str,
+    text_col: str = "text",
+    n_bins: int = 256,
+    bin_width: int = 8,
+) -> DataFrame:
+    """The CURRENT drift row — `drift_psi(base, everything admitted)`
+    through the streaming store: psi_from_marginals over the frozen
+    reference marginals and the folded ingest marginals. ``base`` is
+    the reference corpus frame; a deployment that already stores the
+    reference's (bin,c)/(lang,c) tables passes them via
+    psi_from_marginals directly and never scans either corpus."""
+    hist_b, lang_b = read_ingest_marginals(spark, marginals_dir)
+    return psi_from_marginals(
+        psi_length_hist(base, text_col, n_bins, bin_width),
+        hist_b,
+        psi_lang_marginal(base),
+        lang_b,
+        n_bins=n_bins,
+    )

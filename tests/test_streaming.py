@@ -692,3 +692,91 @@ def test_streaming_datacard_face_matches_batch_card(spark, tmp_path):
     ).parquet(f"{card_dir}/langs")
     replayed = {r.metric: r.value for r in read_datacard(spark, card_dir).collect()}
     assert replayed == want
+
+
+def test_streaming_drift_face_matches_batch_psi(spark, tmp_path):
+    """The monitoring face (streaming/drift.py): after three triggers,
+    read_drift over the folded marginal store must equal drift_psi
+    (base, union of every admitted batch) row-for-row — both sides
+    are the same psi_from_marginals composition, so this pins the
+    store/fold seam. A replayed (re-appended, byte-identical) partial
+    must change the reading NOWHERE, and a skewed ingest (all-'zz'
+    langs, 100x lengths) must raise drift_flag."""
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        drift_psi,
+        psi_lang_marginal,
+        psi_length_hist,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.drift import (
+        drift_face,
+        read_drift,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    base_rows = [
+        (1000 + i, f"base doc {i} " + "w " * (i % 7), ["en", "fr", "de"][i % 3], "s0")
+        for i in range(30)
+    ]
+    base = spark.createDataFrame(base_rows, schema)
+    batches = [
+        [
+            (
+                i + 10 * b,
+                (None if (i + 10 * b) == 13 else f"doc {i} of batch {b} " + "x " * ((i + b) % 5)),
+                ["en", "fr", "de"][(i + b) % 3],
+                f"s{(i + 2 * b) % 4}",
+            )
+            for i in range(10)
+        ]
+        for b in range(3)
+    ]
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stream_dir / f"f{b}"))
+
+    marg_dir = str(tmp_path / "marginals")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = drift_face(stream, marg_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    all_docs = spark.createDataFrame([r for rows in batches for r in rows], schema)
+    want = drift_psi(base, all_docs).collect()[0].asDict()
+    got = read_drift(spark, base, marg_dir).collect()[0].asDict()
+    assert got == want
+    assert got["n_base"] == 30 and got["n_batch"] == 30
+
+    # replay shape: re-append batch 1's marginals byte-identically — a no-op
+    b1 = spark.createDataFrame(batches[1], schema)
+    bid = F.lit(1).cast("long").alias("batch_id")
+    psi_length_hist(b1).select(bid, "*").write.mode("append").parquet(
+        f"{marg_dir}/hist"
+    )
+    psi_lang_marginal(b1).select(bid, "*").write.mode("append").parquet(
+        f"{marg_dir}/langs"
+    )
+    replayed = read_drift(spark, base, marg_dir).collect()[0].asDict()
+    assert replayed == want
+
+    # a skewed trigger moves the needle: unseen lang, 100x lengths
+    skew = spark.createDataFrame(
+        [(900 + i, "y " * 400, "zz", "s9") for i in range(40)], schema
+    )
+    bid2 = F.lit(99).cast("long").alias("batch_id")
+    psi_length_hist(skew).select(bid2, "*").write.mode("append").parquet(
+        f"{marg_dir}/hist"
+    )
+    psi_lang_marginal(skew).select(bid2, "*").write.mode("append").parquet(
+        f"{marg_dir}/langs"
+    )
+    drifted = read_drift(spark, base, marg_dir).collect()[0].asDict()
+    assert drifted["drift_flag"] is True
+    assert drifted["psi_lang"] > want["psi_lang"]
