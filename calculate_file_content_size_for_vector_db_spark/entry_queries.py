@@ -9427,6 +9427,47 @@ def drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("drift_psi_stored")
+def drift_psi_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drift_psi served from STORED marginals (wave 43's premise made
+    a per-round hash check): both sides' (bin,c) length histograms and
+    (lang,c) mix tables — the bounded partials psi_length_hist /
+    psi_lang_marginal emit and the streaming drift face appends — are
+    written to parquet and the PSI row is psi_from_marginals over the
+    read-back tables alone; neither corpus appears in the serving
+    plan. Oracle = drift_psi's VERBATIM (assigned below), so the hash
+    guards the marginal serialization seam itself — counts are BIGINTs
+    (lossless in parquet) and bins/langs are exact keys, so the
+    round-trip must be exact. This is the *_stored family's fifth row
+    (IVF index, classifier, tokenizer, graph edges — now monitoring
+    marginals), the read half of the drift face's store."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        psi_from_marginals,
+        psi_lang_marginal,
+        psi_length_hist,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+    d = tempfile.mkdtemp(prefix="psi_marginals_")
+    psi_length_hist(base).write.mode("overwrite").parquet(f"{d}/hist_base")
+    psi_length_hist(batch).write.mode("overwrite").parquet(f"{d}/hist_batch")
+    psi_lang_marginal(base).write.mode("overwrite").parquet(f"{d}/langs_base")
+    psi_lang_marginal(batch).write.mode("overwrite").parquet(f"{d}/langs_batch")
+    return psi_from_marginals(
+        spark.read.parquet(f"{d}/hist_base"),
+        spark.read.parquet(f"{d}/hist_batch"),
+        spark.read.parquet(f"{d}/langs_base"),
+        spark.read.parquet(f"{d}/langs_batch"),
+    )
+
+
+REGISTRY["drift_psi_stored"].oracle = REGISTRY["drift_psi"].oracle
+
+
 @register(
     "quantile_hist_merge",
     """
@@ -9951,6 +9992,7 @@ _VERIFY_FIRST = [
     "bm25_search_stored",  # incremental lexical posting store (wave 40)
     "drift_psi",  # PSI drift monitor over stored marginals (wave 41)
     "knn_graph_append",  # batch edge lists against the stored graph corpus (wave 42)
+    "drift_psi_stored",  # PSI served from stored marginals, seam under the hash (wave 43)
     "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
     "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
     "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)
