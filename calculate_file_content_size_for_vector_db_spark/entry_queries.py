@@ -10012,14 +10012,13 @@ _VERIFY_FIRST = [
     "graph_ivf_recall_at_10",  # end-to-end cheap-build + beam-serve recall (wave 22)
     "quality_classifier_score_stored",  # classifier store seam (wave 23)
     "bpe_apply_stored",  # tokenizer store seam (wave 23)
-    "corpus_datacard",  # one-frame release summary (wave 24)
     "hll_merge_sources",  # hand-built HLL merge algebra, register-exact (wave 25)
-    "dedup_canonical",  # normalize-then-hash dedup tier (wave 26)
-    "embedding_pca_power",  # matrix-free power iteration, anisotropy QA (wave 27)
     "dedup_ngram_prefix",  # SSJoin prefix filter, shared-oracle no-FN proof (wave 28)
     "sim_topk_graph_stored",  # graph-edge store seam, fourth artifact family (wave 29)
-    "weighted_sample_es",  # deterministic A-ES weighted reservoir (wave 30)
-    # --- 2. the 15 r07 queries with no driver row yet ---
+    # --- 2. the 15 r07 queries with no driver row yet (VERDICT r07
+    # item 1 demands ALL 15 land inside the ~50-row driver window, so
+    # they sit ABOVE the four least-risk round-8 rows displaced to
+    # section 3) ---
     "bpe_train_merges",  # trained tokenizer artifact
     "bpe_apply_tokens",  # corpus token budget under the trained BPE
     "bpe_apply_oov",  # merge-replay serving path
@@ -10035,7 +10034,14 @@ _VERIFY_FIRST = [
     "contamination_score",  # graded benchmark-overlap fraction
     "ivf_probe2_recall_at_10",  # exact probe-monotone recall row
     "line_dedup_rewrite",  # within-page line cleanup
-    # --- 3. 32 oldest-stale rows (r04), whole families ---
+    # --- 3. round-8 rows displaced below the r07 block (still new,
+    # but single-oracle simple shapes: first candidates to slip to the
+    # r09 window if the driver checks fewer than 54) ---
+    "corpus_datacard",  # one-frame release summary (wave 24)
+    "dedup_canonical",  # normalize-then-hash dedup tier (wave 26)
+    "embedding_pca_power",  # matrix-free power iteration, anisotropy QA (wave 27)
+    "weighted_sample_es",  # deterministic A-ES weighted reservoir (wave 30)
+    # --- 4. 32 oldest-stale rows (r04), whole families ---
     "events_asof_join",
     "events_json",
     "events_lag_delta",
