@@ -1826,9 +1826,13 @@ def psi_from_marginals(
     hist_psi = _psi_from(hist_base, hist_batch, "bin", F.lit(n_bins))
     lang_psi = _psi_from(lang_base, lang_batch, "lang", F.lit(n_langs))
     counts = lang_base.agg(
-        F.sum("c").cast("long").alias("n_base")
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_base")
     ).crossJoin(
-        F.broadcast(lang_batch.agg(F.sum("c").cast("long").alias("n_batch")))
+        F.broadcast(
+            lang_batch.agg(
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_batch")
+            )
+        )
     )
     return (
         counts.crossJoin(F.broadcast(hist_psi.withColumnRenamed("psi", "psi_length")))

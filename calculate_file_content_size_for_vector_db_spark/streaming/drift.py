@@ -85,20 +85,34 @@ def read_ingest_marginals(
 ) -> tuple[DataFrame, DataFrame]:
     """(hist, langs): the admitted-so-far marginals — the append-only
     partial store folded by key-sum, distinct() first so a replayed
-    (re-appended, byte-identical) partial is a no-op."""
-    hist = (
-        spark.read.parquet(f"{marginals_dir}/hist")
-        .distinct()
-        .groupBy("bin")
-        .agg(F.sum("c").cast("long").alias("c"))
+    (re-appended, byte-identical) partial is a no-op.
+
+    Bootstrap: before the first trigger neither store dir exists, and
+    spark.read.parquet on a missing dir raises AnalysisException — a
+    cold read means ZERO admitted docs, so substitute empty marginals
+    (same contract as the near-dup gate's empty-corpus bootstrap).
+    PSI stays finite under Laplace smoothing but is NOT an alarm —
+    with zero counts the smoothed batch distribution is the uniform
+    prior, so the PSI reads near-prior divergence, not drift; the
+    operator-facing cold signal is n_batch == 0 in the output row."""
+
+    def _read(path: str, schema: str, key: str) -> DataFrame:
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            raw = spark.read.parquet(path)
+        except AnalysisException:
+            raw = spark.createDataFrame([], f"batch_id long, {schema}")
+        return (
+            raw.distinct()
+            .groupBy(key)
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    return (
+        _read(f"{marginals_dir}/hist", "bin int, c long", "bin"),
+        _read(f"{marginals_dir}/langs", "lang string, c long", "lang"),
     )
-    langs = (
-        spark.read.parquet(f"{marginals_dir}/langs")
-        .distinct()
-        .groupBy("lang")
-        .agg(F.sum("c").cast("long").alias("c"))
-    )
-    return hist, langs
 
 
 def read_drift(

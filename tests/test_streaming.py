@@ -780,3 +780,22 @@ def test_streaming_drift_face_matches_batch_psi(spark, tmp_path):
     drifted = read_drift(spark, base, marg_dir).collect()[0].asDict()
     assert drifted["drift_flag"] is True
     assert drifted["psi_lang"] > want["psi_lang"]
+
+
+def test_drift_face_cold_read_bootstraps_empty_store(spark, tmp_path):
+    """read_drift before any trigger (no marginal dirs on disk) must
+    not raise: an empty ingest folds to empty marginals, n_batch = 0
+    (the operator-facing cold signal), and both PSI terms stay finite
+    — NOT an alarm, because the smoothed empty batch is the uniform
+    prior (near-prior divergence, not drift)."""
+    from calculate_file_content_size_for_vector_db_spark.streaming.drift import read_drift
+
+    schema = "doc_id long, text string, lang string, source string"
+    base = spark.createDataFrame(
+        [(i, f"base doc {i}", ["en", "fr"][i % 2], "s0") for i in range(10)], schema
+    )
+    row = read_drift(spark, base, str(tmp_path / "never_written")).collect()[0]
+    assert row.n_base == 10 and row.n_batch == 0
+    assert row.psi_length is not None and row.psi_lang is not None
+    # smoothing makes the empty batch the uniform prior: finite, small
+    assert row.psi_lang == 0.0 and 0.0 <= row.psi_length < 0.2
