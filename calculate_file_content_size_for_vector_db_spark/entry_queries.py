@@ -9965,83 +9965,42 @@ def weighted_sample_es_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds even if the driver caps or timeboxes its sweep.
 # ---------------------------------------------------------------------------
 
-# Round-8 priority (the driver caps its per-round sweep at ~50 rows).
-# Freshness rotation, per VERDICT r07 item 1: the 9 brand-new round-8
-# queries lead (they would otherwise enter next round never-checked),
-# then the 15 r07 queries that have NEVER received a driver row (the
-# r07 flagships: trained tokenizer, Bloom gate, stored index, star CC,
-# snapshot diff), then the r04-stale rows that fit, oldest families
-# first (events_*, sim_*, text_*, multimodal_*, simhash_pairs, the
-# tpch completion set). The r04 rows past the ~50-row window
-# (tpch_q20..q22, the dedup_* production family, relational misc)
-# lead the r09 rotation. Everything else queues behind — each is
-# still re-verified at sf0.001 by every pytest run, and the full
-# registry sf0.01 sweep is committed per-round as ORACLES_r{N}.json
-# (tests/check_oracles.py), so window position is about the driver's
-# independent signal, not the only verification.
+# Round-9 priority (the driver caps its per-round sweep at ~50 rows).
+# VERDICT r08 item 1: registry growth is FROZEN this round (zero new
+# registrations) and the entire window is spent on verification debt —
+# first the 3 queries that have never received a driver row in any
+# round, then all 49 rows whose latest driver row is r04 (four rounds
+# stale). 3 + 49 = 52 against a 50-row cap, so two rows must sit at
+# positions 51-52; we chose the two building-block rows whose
+# semantics are exercised by in-window composites (`minhash_signature`
+# feeds `dedup_minhash_lsh`, `duplicated_spans` feeds the span/line/
+# paragraph dedup rewrites, all in-window or r07-green). Everything
+# else queues behind — each is still re-verified at sf0.001 by every
+# pytest run, and the full registry sf0.01 sweep is committed
+# per-round as ORACLES_r{N}.json (tests/check_oracles.py), so window
+# position is about the driver's independent signal, not the only
+# verification.
 _VERIFY_FIRST = [
-    # --- 1. new in round 8 ---
-    "dedup_clusters_append",  # incremental CC maintenance (wave 31)
-    "hll_overlap_sources",  # pairwise source overlap by HLL set algebra (wave 32)
-    "corpus_datacard_merge",  # mergeable release summary, merge==direct (wave 33)
-    "quantile_hist_merge",  # mergeable histogram quantiles, est vs exact (wave 34)
-    "join_size_cms",  # CMS inner-product join-size estimate (wave 36)
-    "ingest_pipeline",  # composed daily-ingest flagship (wave 37)
-    "scd2_temporal_join",  # point-in-time dimension join (wave 38)
-    "dedup_semantic_append",  # frozen-codebook semantic ingest dedup (wave 39)
-    "bm25_search_stored",  # incremental lexical posting store (wave 40)
-    "drift_psi",  # PSI drift monitor over stored marginals (wave 41)
-    "knn_graph_append",  # batch edge lists against the stored graph corpus (wave 42)
-    "drift_psi_stored",  # PSI served from stored marginals, seam under the hash (wave 43)
-    "sim_ivf_append",  # incremental stored-index maintenance (VERDICT r07 item 3)
-    "ivf_staleness",  # rebuild-decision QA row (VERDICT r07 item 4)
-    "quality_classifier_score_sampled",  # the 100-TB classifier shape (item 5)
-    "dedup_bloom_append",  # bitmap union-in == rebuild (item 3, bitmap half)
-    "bpe_vocab_coverage",  # tokenizer-staleness QA (the ivf_staleness symmetry)
-    "lake_vacuum_plan",  # dead-version GC planning (maintenance triad complete)
-    "zonemap_prune_stats",  # Z-order vs linear layout prunability (wave 17)
-    "retrieval_recall_families",  # lexical/hybrid recall vs exact truth (wave 17)
-    "mix_token_budget",  # token-denominated temperature recipe (wave 17)
-    "bpe_fertility_by_lang",  # tokenizer-equity QA (wave 18)
-    "serving_pipeline",  # composed artifact-serving flagship (wave 18)
-    "paragraph_dedup_rewrite",  # CCNet cross-doc paragraph dedup (wave 19)
-    "tpch_q4",  # the last literal TPC-H query (correlated-EXISTS semi join)
-    "sim_topk_graph",  # graph-ANN beam search (wave 21)
-    "graph_recall_at_10",  # the graph family's recall-matrix row (wave 21)
-    "knn_graph_ivf",  # the cheap probe-2 graph build (wave 22)
-    "graph_ivf_recall_at_10",  # end-to-end cheap-build + beam-serve recall (wave 22)
-    "quality_classifier_score_stored",  # classifier store seam (wave 23)
-    "bpe_apply_stored",  # tokenizer store seam (wave 23)
-    "hll_merge_sources",  # hand-built HLL merge algebra, register-exact (wave 25)
-    "dedup_ngram_prefix",  # SSJoin prefix filter, shared-oracle no-FN proof (wave 28)
-    "sim_topk_graph_stored",  # graph-edge store seam, fourth artifact family (wave 29)
-    # --- 2. the 15 r07 queries with no driver row yet (VERDICT r07
-    # item 1 demands ALL 15 land inside the ~50-row driver window, so
-    # they sit ABOVE the four least-risk round-8 rows displaced to
-    # section 3) ---
-    "bpe_train_merges",  # trained tokenizer artifact
-    "bpe_apply_tokens",  # corpus token budget under the trained BPE
-    "bpe_apply_oov",  # merge-replay serving path
-    "dedup_bloom_prefilter",  # Bloom-join pre-gate
-    "dedup_incremental_bloom",  # gated == ungated proof
-    "dedup_clusters_star",  # star CC vs closure oracle
-    "sim_topk_ivf_stored",  # parquet-backed index read path
-    "corpus_snapshot_diff",  # dataset-versioning diff
-    "compaction_plan",  # small-files compaction planning
-    "quality_classifier_weights",  # the trained model artifact
-    "repetition_filters",  # Gopher repetition rules
-    "ccnet_lm_buckets",  # CCNet head/middle/tail partition
-    "contamination_score",  # graded benchmark-overlap fraction
-    "ivf_probe2_recall_at_10",  # exact probe-monotone recall row
-    "line_dedup_rewrite",  # within-page line cleanup
-    # --- 3. round-8 rows displaced below the r07 block (still new,
-    # but single-oracle simple shapes: first candidates to slip to the
-    # r09 window if the driver checks fewer than 54) ---
-    "corpus_datacard",  # one-frame release summary (wave 24)
+    # --- 1. never driver-checked (registered r08, slipped the window) ---
     "dedup_canonical",  # normalize-then-hash dedup tier (wave 26)
     "embedding_pca_power",  # matrix-free power iteration, anisotropy QA (wave 27)
     "weighted_sample_es",  # deterministic A-ES weighted reservoir (wave 30)
-    # --- 4. 32 oldest-stale rows (r04), whole families ---
+    # --- 2. r04-stale: similarity family first (contains the one
+    # perf-weak row, sim_nearest_neighbor — VERDICT r08 item 4) ---
+    "sim_nearest_neighbor",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_ivf_assign",
+    "sim_lsh_buckets",
+    # --- 3. r04-stale: core dedup production family ---
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_simhash",
+    "dedup_embedding",
+    "simhash_pairs",
+    # --- 4. r04-stale: events / streaming-batch faces ---
     "events_asof_join",
     "events_json",
     "events_lag_delta",
@@ -10050,19 +10009,15 @@ _VERIFY_FIRST = [
     "events_sliding",
     "events_topk_per_user",
     "events_tumbling",
-    "sim_ivf_assign",
-    "sim_lsh_buckets",
-    "sim_nearest_neighbor",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
+    # --- 5. r04-stale: text analysis ---
     "text_fingerprint",
     "text_lang_id",
     "text_quality",
     "text_tokens",
+    # --- 6. r04-stale: multimodal plumbing ---
     "multimodal_frames",
     "multimodal_image_meta",
-    "simhash_pairs",
+    # --- 7. r04-stale: TPC-H completion set ---
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
@@ -10071,6 +10026,24 @@ _VERIFY_FIRST = [
     "tpch_q9",
     "tpch_q11",
     "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # --- 8. r04-stale: relational misc (set ops, cube, pivot, semi/anti) ---
+    "nation_set_ops",
+    "doc_cube",
+    "lang_pivot",
+    "langs_per_source",
+    "semi_join_customers",
+    "anti_join_customers",
+    # --- 9. the two documented slip candidates (positions 51-52):
+    # building blocks subsumed by in-window composites ---
+    "minhash_signature",  # subsumed by dedup_minhash_lsh (position 11)
+    "duplicated_spans",  # subsumed by line/paragraph dedup rewrites (r07/r08 green)
 ]
 
 REGISTRY = {name: REGISTRY[name] for name in _VERIFY_FIRST} | {
