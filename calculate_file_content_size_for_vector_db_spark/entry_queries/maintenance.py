@@ -1,0 +1,1332 @@
+"""Maintenance query family (split from the entry_queries monolith;
+see entry_queries/__init__.py for the assembled registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+
+from calculate_file_content_size_for_vector_db_spark.entry_queries._core import (
+    REGISTRY,
+    _INCR_BATCH_MOD,
+    _SQL_MINHASH_BANDS,
+    _SQL_TOKENS,
+    _docs,
+    _events,
+    register,
+)
+
+
+@register(
+    "approx_distinct_error",
+    """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       true AS within_bound
+FROM orders
+""",
+)
+def approx_distinct_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-error contract for the HLL sketch (VERDICT r05 item 6):
+    emits the exact distinct count plus a flag that the approx estimate
+    sits within 5x the configured rsd (0.02 -> 10% relative error, a
+    ~5-sigma bound HLL clears by construction). The sketch value itself
+    is engine-specific, but the BOUND is portable — the oracle asserts
+    within_bound = true, so any Spark-side sketch drift out of bound
+    becomes a driver hash mismatch instead of an unverifiable row."""
+    agg = read_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= 0.10
+        ).alias("within_bound"),
+    )
+
+
+@register(
+    "approx_percentile_error",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS within_rank_bound
+FROM lineitem
+""",
+)
+def approx_percentile_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error contract for the approx-percentile sketch (the
+    approx_distinct_error pattern applied to the second sketch family):
+    approx_percentile(x, 0.5, accuracy=100) guarantees the returned
+    value's RANK is within N/accuracy of the true median rank. The
+    query re-counts the returned value's actual rank relationally and
+    emits the bound check; the oracle asserts it holds, so sketch
+    drift out of contract becomes a hash mismatch. (The sketch VALUE
+    itself is engine-specific — that part stays unasserted, exactly as
+    with HLL.)"""
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    v = li.agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias("v"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    return (
+        li.crossJoin(F.broadcast(v))
+        .agg(
+            F.any_value("n_rows").alias("n_rows"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("v"), 1).otherwise(0)).alias(
+                "rank_of_v"
+            ),
+        )
+        .select(
+            "n_rows",
+            (
+                F.abs(F.col("rank_of_v") - F.col("n_rows") / F.lit(2.0))
+                <= F.col("n_rows") / F.lit(100.0) + F.lit(1.0)
+            ).alias("within_rank_bound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maintenance / robustness patterns (operators/maintenance.py) + SQL API
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_event_counts",
+    """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY event_type
+""",
+)
+def salted_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage agg — result identical to direct groupBy
+    (which is what the oracle expresses)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import salted_count
+
+    return salted_count(_events(spark, sf_dir), "event_type", "value")
+
+
+@register(
+    "cdc_upsert",
+    """
+WITH updates AS (
+    SELECT doc_id, 'UPDATED:' || lang AS lang FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT -1 AS doc_id, 'new' AS lang
+)
+SELECT doc_id, lang FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+UNION ALL
+SELECT doc_id, lang FROM updates
+""",
+)
+def cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import merge_upsert
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    updates = (
+        docs.where(F.col("doc_id") < 10)
+        .select("doc_id", F.concat(F.lit("UPDATED:"), F.col("lang")).alias("lang"))
+        .unionByName(
+            docs.sparkSession.createDataFrame([(-1, "new")], "doc_id long, lang string")
+        )
+    )
+    return merge_upsert(docs, updates, "doc_id")
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+WITH v_old AS (
+    SELECT doc_id, sha256(text) AS fp FROM documents WHERE doc_id % 53 <> 0
+),
+v_new AS (
+    SELECT doc_id,
+           sha256(CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END) AS fp
+    FROM documents WHERE doc_id % 47 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
+WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+           ELSE 'unchanged' END <> 'unchanged'
+""",
+)
+def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff (relational.snapshot_diff): two
+    deterministic corpus versions derived from the fixture — v_old
+    drops every 53rd doc (later ingests), v_new drops every 47th
+    (deletions) and revises every 31st text — then the added / removed /
+    changed delta by content fingerprint. Only 64-hex fingerprints
+    cross the full-outer shuffle, never text bytes."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    v_old = docs.where(F.col("doc_id") % 53 != 0)
+    v_new = docs.where(F.col("doc_id") % 47 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(v_old, v_new)
+
+
+@register(
+    "schema_evolution_read",
+    """
+SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source FROM documents
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, source FROM documents
+""",
+)
+def schema_evolution_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: two parquet batches written
+    with DIFFERENT schemas (an early pipeline wrote (doc_id, lang),
+    a later one (doc_id, source)) read back as ONE frame via
+    mergeSchema — each batch's missing columns surface as NULLs.
+    The oracle mirrors the union-with-NULL-fill semantics exactly."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="schema_evo_") + "/docs"
+    docs = _docs(spark, sf_dir)
+    docs.select("doc_id", "lang").write.mode("overwrite").parquet(out + "/batch=1")
+    docs.select("doc_id", "source").write.mode("append").parquet(out + "/batch=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "json_source",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def json_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip: write the documents metadata as
+    JSON, read it back with an explicit schema. The oracle compares
+    VALUES against the original table, so the round-trip must be
+    lossless — a stronger check than the rows-only csv_sink."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="json_source_") + "/docs"
+    _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).json(out)
+    return spark.read.schema(
+        "doc_id bigint, lang string, source string, n_chars bigint"
+    ).json(out)
+
+
+@register(
+    "partitioned_source_prune",
+    "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'",
+)
+def partitioned_source_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned scan: write documents
+    partitioned by lang, read back filtering one partition. At scale
+    the filter prunes directories before any file is opened
+    (PartitionFilters in the scan; pinned by tests/test_plans.py)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="part_source_") + "/docs"
+    _docs(spark, sf_dir).write.mode("overwrite").partitionBy("lang").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "scd2_user_state",
+    """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM changes
+""",
+)
+def scd2_user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from the event
+    change stream (operators/relational.py scd2_history): per-user
+    state with valid_from/valid_to, NULL valid_to = current."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import scd2_history
+
+    return scd2_history(_events(spark, sf_dir))
+
+
+@register(
+    "scd2_temporal_join",
+    """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events WHERE event_type <> 'purchase'
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+),
+hist AS (
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to
+    FROM changes
+),
+facts AS (
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, h.state
+FROM facts f
+LEFT JOIN hist h ON h.user_id = f.user_id
+  AND f.ts >= h.valid_from AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+""",
+)
+def scd2_temporal_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (relational.scd2_temporal_join): every
+    purchase event picks up the SCD2 state the user was in AT THAT
+    MOMENT — the dimension built from the non-purchase change stream,
+    the fact stream joined on user_id with the validity range as a
+    residual condition on the equi-join (never a range BNLJ). The
+    as-was correctness op behind leakage-free feature joins: joining
+    today's dimension row to yesterday's fact is label leakage;
+    half-open intervals make the boundary deterministic in both
+    engines (lexical == temporal for the shared timestamp format)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.relational import (
+        scd2_history,
+        scd2_temporal_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    dim = scd2_history(ev.where(F.col("event_type") != "purchase"))
+    facts = ev.where(F.col("event_type") == "purchase")
+    return scd2_temporal_join(facts, dim)
+
+
+@register(
+    "orc_source",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def orc_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip (columnar sibling of json_source): write
+    the documents metadata as ORC with Spark's native vectorized
+    writer, read it back. Value-compared against the original table,
+    so the round-trip must be lossless."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orc_source_") + "/docs"
+    _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).orc(out)
+    return spark.read.schema(
+        "doc_id bigint, lang string, source string, n_chars bigint"
+    ).orc(out)
+
+
+_CMS_SQL_CELL = (
+    "CAST(('0x' || substring(md5('cms' || {r} || '|' || {w}), 1, 8)) AS BIGINT) % 128"
+)
+
+
+@register(
+    "heavy_hitters_cms",
+    f"""
+WITH toks AS (SELECT unnest({_SQL_TOKENS}) AS word FROM documents),
+occ AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY 1),
+cells AS (
+    SELECT t.r AS row, {_CMS_SQL_CELL.format(r="t.r", w="word")} AS col
+    FROM toks CROSS JOIN range(0, 4) t(r)
+),
+sketch AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cell_count FROM cells GROUP BY 1, 2),
+probes AS (
+    SELECT o.word, o.exact_count, t.r AS row,
+           {_CMS_SQL_CELL.format(r="t.r", w="o.word")} AS col
+    FROM occ o CROSS JOIN range(0, 4) t(r)
+),
+est AS (
+    SELECT p.word, p.exact_count, CAST(min(s.cell_count) AS BIGINT) AS est_count
+    FROM probes p JOIN sketch s ON p.row = s.row AND p.col = s.col
+    GROUP BY 1, 2
+)
+SELECT word, est_count, exact_count,
+       CAST(est_count - exact_count AS BIGINT) AS overcount,
+       CAST(row_number() OVER (ORDER BY est_count DESC, word) AS INT) AS rank
+FROM est QUALIFY rank <= 10
+""",
+)
+def heavy_hitters_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters (third sketch family after HLL
+    and approx-percentile, same bounded-error-oracle pattern): top-10
+    tokens by CMS estimate with the exact count alongside — the CMS
+    one-sided guarantee (overcount >= 0) holds row for row, and the
+    sketch itself is a fixed 4x128 grid however large the vocabulary.
+    The sketch-build agg collapses map-side (fixed key space); the
+    filled sketch broadcasts."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        cms_heavy_hitters,
+    )
+
+    return cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+@register(
+    "zorder_layout",
+    """
+WITH span AS (
+    SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+           min(o_orderdate) AS dt_lo, max(o_orderdate) AS dt_hi
+    FROM orders
+),
+wz AS (
+    SELECT o_custkey, o_orderdate,
+           CAST((o_custkey - ck_lo) * 16 // (ck_hi - ck_lo + 1) AS BIGINT) AS x,
+           CAST(date_diff('day', dt_lo, o_orderdate) * 16
+                // (date_diff('day', dt_lo, dt_hi) + 1) AS BIGINT) AS y
+    FROM orders, span
+),
+z AS (
+    SELECT o_custkey, o_orderdate,
+           (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+         + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+         + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+         + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) AS zv
+    FROM wz
+)
+SELECT CAST(zv // 16 AS INT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+       CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS min_orderdate,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS max_orderdate
+FROM z GROUP BY 1
+""",
+)
+def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout statistics over orders on
+    (o_custkey, o_orderdate) — the clustering step behind parquet
+    row-group skipping / OPTIMIZE ZORDER BY: per-file min/max boxes
+    stay narrow in BOTH dimensions, so predicates on either column
+    prune most files. Integer bit arithmetic end-to-end (bit-exact);
+    one 1-row broadcast quantization frame + one 16-group hash-agg."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import zorder_layout
+
+    return zorder_layout(read_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "key_skew_profile",
+    """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       round(quantile_cont(c, 0.5), 6) AS p50,
+       round(quantile_cont(c, 0.9), 6) AS p90,
+       round(quantile_cont(c, 0.99), 6) AS p99,
+       CAST(max(c) AS BIGINT) AS max_count,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
+       round(CAST(max(c) AS DOUBLE) / round(quantile_cont(c, 0.5), 6), 6) AS skew_ratio
+FROM c
+""",
+)
+def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row skew diagnosis of events.user_id as a shuffle key:
+    per-key count percentiles, hottest-key share, skew_ratio =
+    max/median — the pre-flight number that decides between a plain
+    shuffle, salting, or AQE skew-split at 100 TB (pairs with
+    salted_event_counts, which demonstrates the remediation)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(_events(spark, sf_dir), "user_id")
+
+
+@register(
+    "join_size_cms",
+    """
+WITH a AS (SELECT user_id AS k FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL),
+b AS (SELECT user_id AS k FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+ca AS (
+    SELECT r.range AS row,
+           CAST(('0x' || substring(md5('cms' || CAST(r.range AS VARCHAR) || '|'
+               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS col,
+           count(*) AS cnt_a
+    FROM a CROSS JOIN range(4) r GROUP BY 1, 2
+),
+cb AS (
+    SELECT r.range AS row,
+           CAST(('0x' || substring(md5('cms' || CAST(r.range AS VARCHAR) || '|'
+               || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS col,
+           count(*) AS cnt_b
+    FROM b CROSS JOIN range(4) r GROUP BY 1, 2
+),
+est AS (
+    SELECT CAST(min(s) AS BIGINT) AS est_join_rows
+    FROM (SELECT ca.row, sum(cnt_a * cnt_b) AS s
+          FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+          GROUP BY ca.row)
+),
+ka AS (SELECT k, count(*) AS c FROM a GROUP BY k),
+kb AS (SELECT k, count(*) AS c FROM b GROUP BY k),
+ex AS (SELECT CAST(coalesce(sum(ka.c * kb.c), 0) AS BIGINT) AS exact_join_rows
+       FROM ka JOIN kb USING (k)),
+ta AS (SELECT CAST(sum(c) AS BIGINT) AS n_a, CAST(count(*) AS BIGINT) AS n_keys_a FROM ka),
+tb AS (SELECT CAST(sum(c) AS BIGINT) AS n_b, CAST(count(*) AS BIGINT) AS n_keys_b FROM kb)
+SELECT n_a, n_b, n_keys_a, n_keys_b, exact_join_rows, est_join_rows,
+       CAST(est_join_rows - exact_join_rows AS BIGINT) AS overcount,
+       CAST(est_join_rows - exact_join_rows AS DOUBLE)
+           <= 3.0 * n_a * n_b / 1024.0 AS within_bound
+FROM ta, tb, ex, est
+""",
+)
+def join_size_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by Count-Min INNER PRODUCT
+    (maintenance.join_size_cms): |clicks ⋈ purchases on user_id|
+    estimated from two fixed-size grids — the planner sketch consulted
+    before choosing shuffle vs broadcast vs salting (key_skew_profile's
+    companion). est ≥ exact always (collisions only add, the CMS
+    theorem as a hash-checked column); the exact join size rides along
+    as the QA baseline. Grids are mergeable cell-wise per shard/day,
+    and the whole estimate is integer arithmetic off the md5 hash, so
+    both engines reproduce grids, products, and the min bit-for-bit."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        join_size_cms,
+    )
+
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k")
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k")
+    )
+    return join_size_cms(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 extension surface (fourth wave): MinHash error contract,
+# cohort retention, RFM segmentation, cosine range search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_jaccard_estimate",
+    _SQL_MINHASH_BANDS
+    + """,
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.a_id, c.b_id,
+           round(len(list_filter(range(1, 9),
+               i -> sa.signature[CAST(i AS INT)] = sb.signature[CAST(i AS INT)])) / 8.0, 6)
+               AS jaccard_est,
+           round(len(list_intersect(ha.sh, hb.sh))
+                 / CAST(len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)) AS DOUBLE), 6)
+               AS jaccard_exact
+    FROM cand c
+    JOIN sig_t sa ON sa.doc_id = c.a_id
+    JOIN sig_t sb ON sb.doc_id = c.b_id
+    JOIN sh_t ha ON ha.doc_id = c.a_id
+    JOIN sh_t hb ON hb.doc_id = c.b_id
+)
+SELECT a_id, b_id, jaccard_est, jaccard_exact,
+       round(abs(jaccard_est - jaccard_exact), 6) AS abs_error
+FROM est
+""",
+)
+def minhash_jaccard_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-vs-exact error contract — the FOURTH sketch family
+    under the bounded-error-oracle pattern (after HLL, approx-
+    percentile, CMS): for every LSH candidate pair, the signature-
+    agreement estimate a production pipeline acts on, the exact
+    shingle Jaccard, and the absolute error. Fixture finding: the
+    textbook 3-sigma bound sqrt(J(1-J)/k) does NOT hold conditionally
+    — candidates exist BECAUSE a band agreed, so low-Jaccard
+    candidates err high by construction; the deterministic guarantees
+    (1/k quantization grid, >= 2-of-8 shared-band floor, exact 1 for
+    identical docs) are pinned in tests/test_dedup.py instead."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    return minhash_jaccard_estimate(_docs(spark, sf_dir))
+
+
+@register(
+    "salted_join_events",
+    """
+WITH d AS (SELECT user_id, min(ts) AS f FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id, round(e.value, 6) AS value,
+       strftime(d.f, '%Y-%m-%d %H:%M:%S') AS first_seen
+FROM events e JOIN d USING (user_id)
+""",
+)
+def salted_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-dim join: events (skewed user_id fact)
+    joined to the per-user first-seen dimension on (user_id, salt)
+    with an 8x-replicated dim — one hot user's rows spread over 8
+    partitions instead of one straggler. Output is row-for-row
+    IDENTICAL to the plain join, which is exactly what the oracle
+    checks (the join-side counterpart of salted_event_counts)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import salted_join
+
+    ev = _events(spark, sf_dir)
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("_f"))
+    return salted_join(ev, dim, "user_id", n_salts=8, salt_src="event_id").select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.date_format("_f", "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+    )
+
+
+@register(
+    "fk_integrity_check",
+    """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS orphan_orders,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS orphan_lineitems,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_totalprice <= 0)
+           AS nonpositive_totals
+""",
+)
+def fk_integrity_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row referential-integrity audit of the star schema: orphan
+    orders (no customer), orphan lineitems (no order), non-positive
+    order totals — the data-contract gate a lake runs before
+    publishing a snapshot. Each check is one LEFT ANTI join reduced to
+    a count (broadcastable key sides) or a pushed-down filter count;
+    a healthy snapshot reads all zeros."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    n_orders = orders.agg(F.count("*").cast("long").alias("n_orders"))
+    orphan_o = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("orphan_orders"))
+    )
+    orphan_l = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("orphan_lineitems"))
+    )
+    nonpos = orders.where(F.col("o_totalprice") <= 0).agg(
+        F.count("*").cast("long").alias("nonpositive_totals")
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(orphan_o))
+        .crossJoin(F.broadcast(orphan_l))
+        .crossJoin(F.broadcast(nonpos))
+    )
+
+
+@register(
+    "split_drift_ks",
+    """
+WITH s AS (
+    SELECT n_chars,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+),
+c AS (
+    SELECT n_chars AS v,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM s GROUP BY 1
+),
+t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+cdf AS (
+    SELECT v, t.n_a, t.n_b,
+           round(abs(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         / CAST(t.n_a AS DOUBLE)
+                   - sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         / CAST(t.n_b AS DOUBLE)), 6) AS gap
+    FROM c, t
+)
+SELECT n_a, n_b, gap AS ks_stat, CAST(v AS BIGINT) AS ks_at_value
+FROM cdf QUALIFY row_number() OVER (ORDER BY gap DESC, v) = 1
+""",
+)
+def split_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    hash-assigned train and test splits' n_chars distributions
+    (operators/curation.py ks_drift) — the standard distribution-
+    drift monitor; a hash split SHOULD read near zero, which is
+    exactly what makes it the null-hypothesis fixture for the
+    operator. Both samples compress to value histograms before the
+    single bounded CDF window."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import ks_drift
+
+    docs = _docs(spark, sf_dir)
+    split = F.when(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 10 < 8,
+        "train",
+    ).otherwise("test")
+    return ks_drift(docs.withColumn("split", split), value_col="n_chars")
+
+
+@register(
+    "compaction_plan",
+    """
+SELECT source,
+       doc_id,
+       CAST(length(text) AS BIGINT) AS size_bytes,
+       CAST(floor(COALESCE(sum(length(text)) OVER (
+           PARTITION BY source ORDER BY length(text) DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS INT)
+           AS compact_bin
+FROM documents
+""",
+)
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (maintenance.compaction_plan):
+    per source partition, greedy first-fit packing of files into
+    ~target-byte output bins via one exclusive-frame window sum over
+    the LISTING (metadata only, never contents). Exercised here on the
+    documents table as the file inventory (doc_id=path,
+    length(text)=size, 4 KB target at fixture scale); on a real lake
+    the input is the recursive file scan (SRC1/SRC2) and the target is
+    ~128 MB row groups."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        compaction_plan,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return compaction_plan(
+        docs.select("source", "doc_id", F.length("text").alias("size_bytes")),
+        target_bytes=4096,
+        partition_col="source",
+        size_col="size_bytes",
+        key="doc_id",
+    )
+
+
+@register(
+    "lake_vacuum_plan",
+    """
+WITH waves AS (
+    SELECT doc_id, source, 0 AS v FROM documents
+    UNION ALL SELECT doc_id, source, 1 FROM documents WHERE doc_id % 5 = 0
+    UNION ALL SELECT doc_id, source, 2 FROM documents WHERE doc_id % 5 = 0
+),
+latest AS (SELECT doc_id, max(v) AS maxv FROM waves GROUP BY doc_id),
+per_file AS (
+    SELECT w.source, w.v,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN w.v = l.maxv THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+    FROM waves w JOIN latest l USING (doc_id)
+    GROUP BY w.source, w.v
+)
+SELECT source, CAST(v AS INT) AS v, n_rows, n_live,
+       round(n_live / CAST(n_rows AS DOUBLE), 6) AS live_frac,
+       n_live / CAST(n_rows AS DOUBLE) < 0.5 AS vacuum_candidate
+FROM per_file
+""",
+)
+def lake_vacuum_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-version GC planning (maintenance.vacuum_plan), closing the
+    lake-maintenance triad: snapshot_diff = what changed,
+    compaction_plan = small files, vacuum_plan = superseded rows. A
+    three-wave versioned lake is physically WRITTEN to parquet (wave 0
+    = initial load of every doc; waves 1 and 2 re-crawl the doc_id %
+    5 == 0 set, so wave 1's file ends up fully dead), read back, and
+    every physical file is scored by its live-row fraction under
+    latest-version-wins — files below 50% live are vacuum candidates.
+    One file per (source, wave) by construction (single-task
+    partitioned writes), so the oracle reasons at (source, v)
+    granularity while the Spark side attributes rows to REAL files via
+    input_file_name — the hash covers the store round-trip and the
+    file-attribution seam."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        vacuum_plan,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lake = tempfile.mkdtemp(prefix="lake_vacuum_")
+    for v, pred in ((0, "1 = 1"), (1, "doc_id % 5 = 0"), (2, "doc_id % 5 = 0")):
+        (
+            docs.where(pred)
+            .select("doc_id", "source", F.lit(v).cast("long").alias("_v"))
+            .repartition(1)
+            .write.partitionBy("source")
+            .mode("append")
+            .parquet(lake)
+        )
+    read = spark.read.parquet(lake).withColumn("_file", F.input_file_name())
+    plan = vacuum_plan(read)
+    file_ident = read.select("_file", "source", "_v").distinct()
+    return plan.join(file_ident, "_file").select(
+        "source",
+        F.col("_v").cast("int").alias("v"),
+        "n_rows",
+        "n_live",
+        "live_frac",
+        "vacuum_candidate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave 17: layout-prune QA (the observable that justifies a
+# Z-order rewrite), retrieval-family recall (grading the lexical and
+# hybrid paths against the same exact-cosine truth the ANN tiers use),
+# and the token-denominated mixing recipe (the unit LLM budgets are
+# actually written in).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zonemap_prune_stats",
+    """
+WITH span AS (
+    SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+           min(o_orderdate) AS dt_lo, max(o_orderdate) AS dt_hi
+    FROM orders
+),
+wz AS (
+    SELECT CAST((o_custkey - ck_lo) * 16 // (ck_hi - ck_lo + 1) AS BIGINT) AS x,
+           CAST(date_diff('day', dt_lo, o_orderdate) * 16
+                // (date_diff('day', dt_lo, dt_hi) + 1) AS BIGINT) AS y
+    FROM orders, span
+),
+z AS (
+    SELECT x, y,
+           (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+         + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+         + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+         + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) AS zv
+    FROM wz
+),
+tagged AS (
+    SELECT 'zorder' AS layout, CAST(zv // 16 AS INT) AS file_id, x, y FROM z
+    UNION ALL
+    SELECT 'linear' AS layout, CAST(x AS INT) AS file_id, x, y FROM z
+),
+boxes AS (
+    SELECT layout, file_id, min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM tagged GROUP BY 1, 2
+),
+preds AS (
+    SELECT * FROM (VALUES
+        ('custkey_band', 6, 7, 0, 15),
+        ('date_band', 0, 15, 6, 7),
+        ('both_bands', 6, 7, 6, 7)) AS t(predicate, px_lo, px_hi, py_lo, py_hi)
+),
+hit AS (
+    SELECT layout, predicate,
+           CASE WHEN max_x >= px_lo AND min_x <= px_hi
+                 AND max_y >= py_lo AND min_y <= py_hi
+           THEN 1 ELSE 0 END AS must_read
+    FROM boxes CROSS JOIN preds
+)
+SELECT layout, predicate,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(must_read) AS BIGINT) AS files_read,
+       round(1.0 - sum(must_read) / CAST(count(*) AS DOUBLE), 6) AS prune_fraction
+FROM hit GROUP BY 1, 2
+""",
+)
+def zonemap_prune_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map prunability of Z-order vs linear layout
+    (maintenance.zonemap_prune_stats) — the 6-row observable that
+    justifies paying for an OPTIMIZE ZORDER rewrite: for the same 16
+    files, the custkey-sorted linear layout reads 2/16 files on a
+    custkey band but ALL files on a date band, while the Morton layout
+    reads a few files on either axis and fewest on the conjunction.
+    Faithful zone-map semantics (per-file min/max box intersection, so
+    false-positive files count as read, exactly like parquet row-group
+    skipping). One span broadcast + one narrow quantize/interleave
+    scan + a 32-group hash-agg; the 3-row predicate frame joins
+    broadcast."""
+    from calculate_file_content_size_for_vector_db_spark.operators.maintenance import (
+        zonemap_prune_stats,
+    )
+
+    return zonemap_prune_stats(read_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "corpus_datacard",
+    f"""
+WITH m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+           CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+           CAST(sum(len({_SQL_TOKENS})) AS DOUBLE) AS total_tokens,
+           CAST(sum(length(text)) AS DOUBLE) AS total_chars,
+           CAST(sum(CASE WHEN len({_SQL_TOKENS}) = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty,
+           CAST(count(DISTINCT sha256(text)) AS DOUBLE) AS n_uniq
+    FROM documents
+),
+tl AS (
+    SELECT CAST(max(c) AS DOUBLE) AS top_lang_docs
+    FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+),
+r AS (
+    SELECT n_docs, n_sources, n_langs, total_tokens, total_chars, n_empty,
+           round(n_empty / n_docs, 6) AS empty_fraction,
+           round(1.0 - n_uniq / n_docs, 6) AS exact_dup_fraction,
+           round(total_tokens / n_docs, 6) AS mean_doc_tokens,
+           round(top_lang_docs / n_docs, 6) AS top_lang_share
+    FROM m, tl
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM r
+UNION ALL SELECT 'n_sources', n_sources FROM r
+UNION ALL SELECT 'n_langs', n_langs FROM r
+UNION ALL SELECT 'total_tokens', total_tokens FROM r
+UNION ALL SELECT 'total_chars', total_chars FROM r
+UNION ALL SELECT 'n_empty', n_empty FROM r
+UNION ALL SELECT 'empty_fraction', empty_fraction FROM r
+UNION ALL SELECT 'exact_dup_fraction', exact_dup_fraction FROM r
+UNION ALL SELECT 'mean_doc_tokens', mean_doc_tokens FROM r
+UNION ALL SELECT 'top_lang_share', top_lang_share FROM r
+""",
+)
+def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATA CARD (textstats.corpus_datacard): the one-frame
+    release summary every other QA query drills into — doc/source/
+    language counts, token and char mass, empty-doc and exact-dup
+    fractions, mean length, and the dominant language's share (the
+    skew number that decides whether mixing needs temperature at
+    all). ONE corpus scan into a multi-aggregate with map-side
+    partials + a |langs| mode agg + an unpivot; nothing after the
+    scan scales with rows."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard,
+    )
+
+    return corpus_datacard(_docs(spark, sf_dir))
+
+
+@register(
+    "drift_psi",
+    f"""
+WITH ha AS (
+    SELECT CAST(least(floor(length(text) / 8), 255) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS ca
+    FROM documents WHERE text IS NOT NULL AND doc_id % {_INCR_BATCH_MOD} <> 0
+    GROUP BY 1
+),
+hb AS (
+    SELECT CAST(least(floor(length(text) / 8), 255) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS cb
+    FROM documents WHERE text IS NOT NULL AND doc_id % {_INCR_BATCH_MOD} = 0
+    GROUP BY 1
+),
+hj AS (
+    SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+    FROM ha FULL OUTER JOIN hb USING (bin)
+),
+hn AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM hj),
+hp AS (
+    SELECT round(sum((p - q) * ln(p / q)), 6) AS psi_length
+    FROM (SELECT (ca + 1) / CAST(na + 256 AS DOUBLE) AS p,
+                 (cb + 1) / CAST(nb + 256 AS DOUBLE) AS q
+          FROM hj, hn)
+),
+la AS (SELECT lang, CAST(count(*) AS BIGINT) AS ca FROM documents
+       WHERE doc_id % {_INCR_BATCH_MOD} <> 0 GROUP BY lang),
+lb AS (SELECT lang, CAST(count(*) AS BIGINT) AS cb FROM documents
+       WHERE doc_id % {_INCR_BATCH_MOD} = 0 GROUP BY lang),
+lk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM
+       (SELECT lang FROM la UNION SELECT lang FROM lb)),
+lj AS (
+    SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+    FROM la FULL OUTER JOIN lb USING (lang)
+),
+ln_ AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM lj),
+lp AS (
+    SELECT round(sum((p - q) * ln(p / q)), 6) AS psi_lang
+    FROM (SELECT (ca + 1) / CAST(na + k AS DOUBLE) AS p,
+                 (cb + 1) / CAST(nb + k AS DOUBLE) AS q
+          FROM lj, ln_, lk)
+),
+nn AS (
+    SELECT CAST(sum(CASE WHEN doc_id % {_INCR_BATCH_MOD} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(sum(CASE WHEN doc_id % {_INCR_BATCH_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+    FROM documents
+)
+SELECT n_base, n_batch, psi_length, psi_lang,
+       psi_length > 0.2 OR psi_lang > 0.2 AS drift_flag
+FROM nn, hp, lp
+""",
+)
+def drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between the corpus and the
+    daily batch (textstats.drift_psi): psi_length over the equi-width
+    length histogram (the quantile_hist_merge binning — at 100 TB
+    both sides are the stored per-day histograms, so drift monitoring
+    never scans the corpus) and psi_lang over the language mix, with
+    Laplace smoothing and the conventional 0.2 action threshold as
+    drift_flag. The magnitude companion to split_drift_ks's
+    statistical test."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        drift_psi,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return drift_psi(
+        docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0),
+        docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0),
+    )
+
+
+@register("drift_psi_stored")
+def drift_psi_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drift_psi served from STORED marginals (wave 43's premise made
+    a per-round hash check): both sides' (bin,c) length histograms and
+    (lang,c) mix tables — the bounded partials psi_length_hist /
+    psi_lang_marginal emit and the streaming drift face appends — are
+    written to parquet and the PSI row is psi_from_marginals over the
+    read-back tables alone; neither corpus appears in the serving
+    plan. Oracle = drift_psi's VERBATIM (assigned below), so the hash
+    guards the marginal serialization seam itself — counts are BIGINTs
+    (lossless in parquet) and bins/langs are exact keys, so the
+    round-trip must be exact. This is the *_stored family's fifth row
+    (IVF index, classifier, tokenizer, graph edges — now monitoring
+    marginals), the read half of the drift face's store."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        psi_from_marginals,
+        psi_lang_marginal,
+        psi_length_hist,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+    d = tempfile.mkdtemp(prefix="psi_marginals_")
+    psi_length_hist(base).write.mode("overwrite").parquet(f"{d}/hist_base")
+    psi_length_hist(batch).write.mode("overwrite").parquet(f"{d}/hist_batch")
+    psi_lang_marginal(base).write.mode("overwrite").parquet(f"{d}/langs_base")
+    psi_lang_marginal(batch).write.mode("overwrite").parquet(f"{d}/langs_batch")
+    return psi_from_marginals(
+        spark.read.parquet(f"{d}/hist_base"),
+        spark.read.parquet(f"{d}/hist_batch"),
+        spark.read.parquet(f"{d}/langs_base"),
+        spark.read.parquet(f"{d}/langs_batch"),
+    )
+
+
+REGISTRY["drift_psi_stored"].oracle = REGISTRY["drift_psi"].oracle
+
+
+@register(
+    "quantile_hist_merge",
+    """
+WITH base AS (
+    SELECT CAST(doc_id % 7 AS INT) AS p,
+           CAST(least(floor(length(text) / 8), 255) AS INT) AS bin,
+           CAST(length(text) AS BIGINT) AS v
+    FROM documents WHERE text IS NOT NULL
+),
+hm AS (
+    SELECT bin, sum(c) AS c
+    FROM (SELECT p, bin, count(*) AS c FROM base GROUP BY p, bin)
+    GROUP BY bin
+),
+hd AS (SELECT bin, count(*) AS c FROM base GROUP BY bin),
+dd AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_diff
+    FROM hm FULL OUTER JOIN hd USING (bin)
+    WHERE NOT (hm.c IS NOT DISTINCT FROM hd.c)
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+cumh AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM hm),
+cumv AS (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum
+    FROM (SELECT v, count(*) AS c FROM base GROUP BY v)
+),
+e50 AS (SELECT CAST((min(bin) + 1) * 8 AS BIGINT) AS est_p50
+        FROM cumh, n WHERE cum >= ceil(0.5 * n_docs)),
+e90 AS (SELECT CAST((min(bin) + 1) * 8 AS BIGINT) AS est_p90
+        FROM cumh, n WHERE cum >= ceil(0.9 * n_docs)),
+e99 AS (SELECT CAST((min(bin) + 1) * 8 AS BIGINT) AS est_p99
+        FROM cumh, n WHERE cum >= ceil(0.99 * n_docs)),
+x50 AS (SELECT CAST(min(v) AS BIGINT) AS exact_p50
+        FROM cumv, n WHERE cum >= ceil(0.5 * n_docs)),
+x90 AS (SELECT CAST(min(v) AS BIGINT) AS exact_p90
+        FROM cumv, n WHERE cum >= ceil(0.9 * n_docs)),
+x99 AS (SELECT CAST(min(v) AS BIGINT) AS exact_p99
+        FROM cumv, n WHERE cum >= ceil(0.99 * n_docs))
+SELECT n_docs, est_p50, exact_p50, est_p90, exact_p90, est_p99, exact_p99,
+       n_diff = 0 AS merged_equals_direct,
+       greatest(abs(est_p50 - exact_p50), abs(est_p90 - exact_p90),
+                abs(est_p99 - exact_p99)) <= 8 AS within_bin_width
+FROM n, e50, e90, e99, x50, x90, x99, dd
+""",
+)
+def quantile_hist_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile MERGE algebra (textstats.quantile_hist_merge):
+    per-day partial equi-width histograms merged by per-bin sum must
+    equal the from-scratch histogram bin-for-bin, and the histogram's
+    p50/p90/p99 must land within one bin width of hand-written
+    percentile_disc exact values — the mergeable-percentile pattern a
+    100-TB dashboard uses (per-day histograms, query-time merge)
+    where approx_percentile_error only bounds the built-in sketch.
+    Everything after the one corpus scan is histogram-sized."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        quantile_hist_merge,
+    )
+
+    return quantile_hist_merge(_docs(spark, sf_dir))
+
+
+@register(
+    "corpus_datacard_merge",
+    f"""
+WITH m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+           CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+           CAST(sum(len({_SQL_TOKENS})) AS DOUBLE) AS total_tokens,
+           CAST(sum(length(text)) AS DOUBLE) AS total_chars,
+           CAST(sum(CASE WHEN len({_SQL_TOKENS}) = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty
+    FROM documents
+),
+tl AS (
+    SELECT CAST(max(c) AS DOUBLE) AS top_lang_docs
+    FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+),
+hh AS (
+    SELECT CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+rr AS (
+    SELECT CAST(h % 256 AS INT) AS reg,
+           max(CAST(CASE WHEN h // 256 = 0 THEN 53
+               ELSE 53 - length(bin(h // 256)) END AS INT)) AS rho
+    FROM hh GROUP BY 1
+),
+uq AS (
+    SELECT round(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+                 ELSE raw END, 6) AS est_uniq_texts
+    FROM (SELECT CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256
+                     / (sum(pow(CAST(2.0 AS DOUBLE), -rho)) + (256 - count(*))) AS raw,
+                 CAST(256 - count(*) AS DOUBLE) AS zeros
+          FROM rr)
+),
+r AS (
+    SELECT n_docs, n_sources, n_langs, total_tokens, total_chars, n_empty,
+           round(n_empty / n_docs, 6) AS empty_fraction,
+           est_uniq_texts,
+           round(greatest(CAST(0.0 AS DOUBLE), 1.0 - est_uniq_texts / n_docs), 6)
+               AS approx_dup_fraction,
+           round(total_tokens / n_docs, 6) AS mean_doc_tokens,
+           round(top_lang_docs / n_docs, 6) AS top_lang_share
+    FROM m, tl, uq
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM r
+UNION ALL SELECT 'n_sources', n_sources FROM r
+UNION ALL SELECT 'n_langs', n_langs FROM r
+UNION ALL SELECT 'total_tokens', total_tokens FROM r
+UNION ALL SELECT 'total_chars', total_chars FROM r
+UNION ALL SELECT 'n_empty', n_empty FROM r
+UNION ALL SELECT 'empty_fraction', empty_fraction FROM r
+UNION ALL SELECT 'est_uniq_texts', est_uniq_texts FROM r
+UNION ALL SELECT 'approx_dup_fraction', approx_dup_fraction FROM r
+UNION ALL SELECT 'mean_doc_tokens', mean_doc_tokens FROM r
+UNION ALL SELECT 'top_lang_share', top_lang_share FROM r
+""",
+)
+def corpus_datacard_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE data card (textstats.corpus_datacard_merge): the
+    Spark side splits the corpus into 7 synthetic days, builds each
+    day's bounded partial state (scalar sums, per-lang/per-source
+    count tables, an m-register HLL over text hashes), and MERGES;
+    the oracle computes every metric DIRECT — the hash equality is
+    the mergeability proof metric-for-metric, which is what makes the
+    release summary maintainable per-ingest at 100 TB instead of a
+    nightly corpus re-scan. Unique texts are necessarily a sketch
+    here (exact distinct cannot merge in bounded state), so the card
+    ships est_uniq_texts/approx_dup_fraction next to
+    corpus_datacard's exact fraction."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard_merge,
+    )
+
+    return corpus_datacard_merge(_docs(spark, sf_dir))
+
+
+@register(
+    "hll_merge_sources",
+    """
+WITH base AS (
+    SELECT source AS grp,
+           CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+rr AS (
+    SELECT grp, CAST(h % 256 AS INT) AS reg,
+           CAST(CASE WHEN h // 256 = 0 THEN 53
+                ELSE 53 - length(bin(h // 256)) END AS INT) AS rho
+    FROM base
+),
+per_src AS (SELECT grp, reg, max(rho) AS rho FROM rr GROUP BY grp, reg),
+merged AS (SELECT reg, max(rho) AS rho FROM per_src GROUP BY reg),
+direct AS (SELECT reg, max(rho) AS rho FROM rr GROUP BY reg),
+em AS (
+    SELECT round(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+                 ELSE raw END, 6) AS est_merged
+    FROM (SELECT CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256
+                     / (sum(pow(CAST(2.0 AS DOUBLE), -rho)) + (256 - count(*))) AS raw,
+                 CAST(256 - count(*) AS DOUBLE) AS zeros
+          FROM merged)
+),
+ed AS (
+    SELECT round(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+                 ELSE raw END, 6) AS est_direct
+    FROM (SELECT CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256
+                     / (sum(pow(CAST(2.0 AS DOUBLE), -rho)) + (256 - count(*))) AS raw,
+                 CAST(256 - count(*) AS DOUBLE) AS zeros
+          FROM direct)
+),
+dd AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_diff
+    FROM merged m FULL OUTER JOIN direct d USING (reg)
+    WHERE NOT (m.rho IS NOT DISTINCT FROM d.rho)
+),
+ex AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact
+       FROM documents WHERE text IS NOT NULL)
+SELECT CAST(256 AS INT) AS m, n_exact, est_merged, est_direct,
+       n_diff = 0 AS merged_equals_direct,
+       round(abs(est_direct - n_exact) / CAST(n_exact AS DOUBLE), 6) AS rel_error,
+       abs(est_direct - n_exact) / CAST(n_exact AS DOUBLE) <= 0.2 AS within_bound
+FROM ex, em, ed, dd
+""",
+)
+def hll_merge_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog MERGE algebra on a hand-built, engine-exact sketch
+    (textstats.hll_merge_sources): per-source register sketches
+    max-merged must equal the from-scratch global sketch — the
+    property that makes HLL the 100-TB distinct counter (per-
+    partition/day/source partial sketches union freely). The existing
+    approx_distinct_error row proves the built-in sketch's BOUND;
+    this row proves the ALGEBRA register-for-register, plus the
+    estimator itself (harmonic mean + linear-counting correction) in
+    portable arithmetic both engines reproduce bit-for-bit."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        hll_merge_sources,
+    )
+
+    return hll_merge_sources(_docs(spark, sf_dir))
+
+
+@register(
+    "hll_overlap_sources",
+    """
+WITH base AS (
+    SELECT source AS grp,
+           CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+rr AS (
+    SELECT grp, CAST(h % 256 AS INT) AS reg,
+           CAST(CASE WHEN h // 256 = 0 THEN 53
+                ELSE 53 - length(bin(h // 256)) END AS INT) AS rho
+    FROM base
+),
+per_src AS (SELECT grp, reg, max(rho) AS rho FROM rr GROUP BY grp, reg),
+grps AS (SELECT DISTINCT grp FROM base),
+dense AS (
+    SELECT g.grp, CAST(r.range AS INT) AS reg, coalesce(p.rho, 0) AS rho
+    FROM grps g CROSS JOIN range(256) r
+    LEFT JOIN per_src p ON p.grp = g.grp AND p.reg = r.range
+),
+e1 AS (
+    SELECT grp,
+           round(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+                 ELSE raw END, 6) AS est
+    FROM (SELECT grp,
+                 CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256
+                     / sum(pow(CAST(2.0 AS DOUBLE), -rho)) AS raw,
+                 CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS zeros
+          FROM dense GROUP BY grp)
+),
+pu AS (
+    SELECT a.grp AS src_a, b.grp AS src_b, a.reg, greatest(a.rho, b.rho) AS rho
+    FROM dense a JOIN dense b ON a.reg = b.reg AND a.grp < b.grp
+),
+eu AS (
+    SELECT src_a, src_b,
+           round(CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / zeros)
+                 ELSE raw END, 6) AS est_union
+    FROM (SELECT src_a, src_b,
+                 CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256
+                     / sum(pow(CAST(2.0 AS DOUBLE), -rho)) AS raw,
+                 CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS zeros
+          FROM pu GROUP BY src_a, src_b)
+),
+dt AS (SELECT DISTINCT source AS grp, sha256(text) AS th
+       FROM documents WHERE text IS NOT NULL),
+ex AS (
+    SELECT x.grp AS src_a, y.grp AS src_b, count(*) AS nx
+    FROM dt x JOIN dt y ON x.th = y.th AND x.grp < y.grp
+    GROUP BY 1, 2
+)
+SELECT eu.src_a, eu.src_b, ea.est AS est_a, eb.est AS est_b, eu.est_union,
+       round(greatest(CAST(0.0 AS DOUBLE), ea.est + eb.est - eu.est_union), 6)
+           AS est_intersect,
+       CAST(coalesce(ex.nx, 0) AS BIGINT) AS n_exact_intersect,
+       abs(round(greatest(CAST(0.0 AS DOUBLE), ea.est + eb.est - eu.est_union), 6)
+           - coalesce(ex.nx, 0))
+           <= CAST(0.2 AS DOUBLE) * (ea.est + eb.est + eu.est_union) AS within_bound
+FROM eu
+JOIN e1 ea ON ea.grp = eu.src_a
+JOIN e1 eb ON eb.grp = eu.src_b
+LEFT JOIN ex ON ex.src_a = eu.src_a AND ex.src_b = eu.src_b
+""",
+)
+def hll_overlap_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus overlap between sources by HLL SET ALGEBRA
+    (textstats.hll_overlap_sources): union by per-register max merge,
+    intersection by inclusion-exclusion, both in the same portable
+    arithmetic both engines reproduce bit-for-bit. The 100-TB shape:
+    the pairwise stage touches only the m-register sketches each
+    source already keeps for its distinct count — |S|²·m rows, corpus-
+    independent — where the exact answer (carried here as the QA
+    baseline column, the hll_merge_sources n_exact pattern) is a full
+    distinct self-join of the corpus. within_bound pins the
+    inclusion-exclusion error against the exact intersection."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        hll_overlap_sources,
+    )
+
+    return hll_overlap_sources(_docs(spark, sf_dir))

@@ -1,0 +1,589 @@
+"""Pipelines query family (split from the entry_queries monolith;
+see entry_queries/__init__.py for the assembled registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calculate_file_content_size_for_vector_db_spark.entry_queries._core import (
+    FIXTURE_CHUNK_SIZE,
+    _BPE_N,
+    _INCR_BATCH_MOD,
+    _SQL_CHUNKS,
+    _SQL_EMB,
+    _SQL_MINHASH_BANDS,
+    _SQL_SHINGLES,
+    _SQL_TOKENS,
+    _docs,
+    _emb,
+    _pipe,
+    _sql_bpe_chain,
+    _sql_hashed_features,
+    _sql_kmeans_chain,
+    _sql_logreg_chain,
+    register,
+)
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end pipeline: the full training-data prep flow as ONE
+# lazy DataFrame graph — quality gate -> near-dup removal (MinHash LSH,
+# keep smallest doc_id of each dup pair) -> chunk -> corpus stats.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_pipeline",
+    "WITH "
+    + _SQL_SHINGLES
+    + """,
+sig_t AS (
+    SELECT doc_id,
+           list_transform(range(0, 8),
+               s -> list_min(list_transform(sh, g -> md5(CAST(s AS VARCHAR) || '|' || g)))) AS signature
+    FROM sh_t
+),
+band_t AS (
+    SELECT doc_id, signature, CAST(unnest(range(0, 4)) AS INT) AS band FROM sig_t
+),
+bands AS (
+    SELECT doc_id, band,
+           md5(signature[2*band + 1] || '|' || signature[2*band + 2]) AS band_hash
+    FROM band_t
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+dup_pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) >= 0.5
+),
+quality AS (
+    SELECT doc_id, text,
+           round(CASE WHEN length(text) = 0 THEN NULL
+                 ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) END, 6) AS punct_ratio
+    FROM documents
+),
+kept AS (
+    SELECT q.doc_id, q.text FROM quality q
+    WHERE COALESCE(q.punct_ratio, 1.0) <= 0.1
+      AND q.doc_id NOT IN (SELECT b_id FROM dup_pairs)
+),
+chunked AS (
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(ceil(length(text) / 100.0) AS INT))) AS INT) AS chunk_index,
+           text
+    FROM kept WHERE length(text) > 0
+)
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(SUM(length(substring(text, chunk_index * 100 + 1, 100))) AS BIGINT) AS total_chars
+FROM chunked
+""",
+)
+def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate -> MinHash-LSH dedup (drop the larger id of each
+    verified pair) -> fixed chunking -> one-row corpus stats. At scale:
+    two shuffles (signature agg, candidate join) + one final agg."""
+    from calculate_file_content_size_for_vector_db_spark.operators.chunk import chunk_fixed
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    dup_b = minhash_lsh_pairs(docs, threshold=0.5).select(
+        F.col("b_id").alias("doc_id")
+    ).distinct()
+    kept = (
+        quality_score(docs)
+        .where(F.coalesce(F.col("punct_ratio"), F.lit(1.0)) <= 0.1)
+        .join(dup_b, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    chunks = chunk_fixed(kept, chunk_size=FIXTURE_CHUNK_SIZE, keep_cols=["doc_id"])
+    return chunks.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("chunk_text")).cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "curation_pipeline",
+    _SQL_MINHASH_BANDS
+    + """,
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+dup_pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) >= 0.5
+),
+lang AS (
+    SELECT doc_id,
+           CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS INT) AS s_en,
+           CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','ein'))) AS INT) AS s_de,
+           CAST(len(list_filter(ws, w -> w IN ('el','la','de','que','y','un'))) AS INT) AS s_es,
+           CAST(len(list_filter(ws, w -> w IN ('le','la','et','les','des','un'))) AS INT) AS s_fr,
+           CAST(len(list_filter(ws, w -> w IN ('的','是','了','在'))) AS INT) AS s_zh
+    FROM ws_t
+),
+lang_en AS (
+    SELECT doc_id FROM lang
+    WHERE greatest(s_en, s_de, s_es, s_fr, s_zh) > 0
+      AND s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
+),
+qual AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               round(CASE WHEN length(text) = 0 THEN NULL
+                     ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                          / CAST(length(text) AS DOUBLE) END, 6) AS punct_ratio
+        FROM documents
+    ) WHERE COALESCE(punct_ratio, 1.0) <= 0.1
+),
+sh5 AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+    FROM ws_t WHERE len(ws) >= 5
+),
+contaminated AS (
+    SELECT DISTINCT t.doc_id
+    FROM sh5 t JOIN sh5 b ON t.g = b.g AND t.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+),
+kept AS (
+    SELECT d.doc_id, d.text
+    FROM documents d
+    JOIN lang_en USING (doc_id)
+    JOIN qual USING (doc_id)
+    WHERE d.doc_id % 5 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND d.doc_id NOT IN (SELECT b_id FROM dup_pairs)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(len(w.ws)), 0) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(length(k.text)), 0) AS BIGINT) AS total_chars
+FROM kept k JOIN ws_t w USING (doc_id)
+""",
+)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation stack composed as one lazy plan — the query
+    a training-data team actually ships: benchmark split held out
+    (doc_id % 5 == 0) -> language gate (detected 'en') -> quality gate
+    (punct_ratio <= 0.1) -> benchmark decontamination (shared 5-gram)
+    -> MinHash-LSH near-dup drop (larger id of each verified pair) ->
+    one-row corpus budget (docs / tokens / chars). Every stage is an
+    already-proven operator; composition stays gates + anti-joins on
+    doc_id plus the LSH chain's own bounded shuffles."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import decontaminate
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    lang_en = (
+        lang_id(docs)
+        .where(
+            (F.col("predicted_lang") == "en")
+        )
+        .select("doc_id")
+    )
+    qual = (
+        quality_score(docs)
+        .where(F.coalesce(F.col("punct_ratio"), F.lit(1.0)) <= 0.1)
+        .select("doc_id")
+    )
+    contaminated = decontaminate(train, bench, n=5).select("doc_id")
+    dup_b = minhash_lsh_pairs(docs, threshold=0.5).select(
+        F.col("b_id").alias("doc_id")
+    ).distinct()
+    kept = (
+        train.join(lang_en, "doc_id")
+        .join(qual, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(dup_b, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    return kept.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokens("text"))), F.lit(0)).cast("long").alias("total_tokens"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "rag_ingest",
+    f"""
+WITH {_SQL_CHUNKS},
+fp AS (
+    SELECT doc_id, chunk_index,
+           CASE WHEN content IS NULL OR length(content) = 0 THEN 0
+                ELSE list_reduce(
+                    list_transform(string_split(content, ''), c -> CAST(ord(c) AS BIGINT)),
+                    (a, b) -> (a * 31 + b) % 1000000007) END AS h
+    FROM chunk_sized
+),
+emb AS (
+    SELECT doc_id, chunk_index,
+           list_transform(range(0, 64),
+               j -> ((h + j * 40503) * 2654435761 % 1000003) / 1000003.0 - 0.5) AS v
+    FROM fp
+)
+SELECT doc_id, chunk_index,
+       CAST(list_sum(list_transform(range(0, 16), p ->
+           CASE WHEN list_dot_product(v, list_transform(range(0, 64), j ->
+               ((j + p * 64) * 2654435761 % 1000003) / 1000003.0 - 0.5)) > 0
+           THEN (1::BIGINT << CAST(p AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS bucket,
+       CAST(to_json(list_transform(v, x ->
+           CAST(round(round(x, 6) * 1000000.0) AS BIGINT))) AS VARCHAR) AS embedding_r
+FROM emb
+""",
+)
+def rag_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-db ingestion pipeline the reference sizes capacity
+    FOR (README.md:4-8), composed end-to-end as one lazy graph:
+    chunk -> preprocess -> embed (deterministic hash projection
+    standing in for a model encoder) -> LSH index bucket. Everything
+    is a narrow map after the chunk explode — zero joins, zero
+    Python, one shuffle-free scan at 100 TB."""
+    from calculate_file_content_size_for_vector_db_spark.operators.embed import (
+        rag_ingest_frame,
+    )
+
+    chunks = _pipe(spark).chunks(_docs(spark, sf_dir)).select(
+        "doc_id", "chunk_index", "content"
+    )
+    # Fixed-point-scale + JSON-serialize the embedding so the driver's
+    # pandas canonicalization compares a scalar string (embedding_quantize
+    # pattern); the streaming path keeps the raw array from the frame.
+    return rag_ingest_frame(chunks).select(
+        "doc_id",
+        "chunk_index",
+        "bucket",
+        F.to_json(
+            F.transform("embedding_r", lambda x: F.round(x * F.lit(1000000.0)).cast("long"))
+        ).alias("embedding_r"),
+    )
+
+
+_SQL_TRAIN17 = "(SELECT * FROM documents WHERE doc_id % 17 <> 0)"
+
+
+_SQL_SERVE17 = "(SELECT * FROM documents WHERE doc_id % 17 = 0)"
+
+
+@register(
+    "serving_pipeline",
+    _sql_bpe_chain(_BPE_N, train_where="WHERE doc_id % 17 <> 0")
+    + f""",
+nw AS (
+    SELECT DISTINCT t AS word
+    FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents WHERE doc_id % 17 = 0)
+),
+a0 AS (
+    SELECT word,
+           ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS repr
+    FROM nw
+),
+"""
+    + ",\n".join(
+        f"""a{i} AS (
+    SELECT word, replace(repr, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                         ' ' || b.merged || ' ') AS repr
+    FROM a{i - 1} CROSS JOIN b{i} b
+)"""
+        for i in range(1, _BPE_N + 1)
+    )
+    + f""",
+bvoc AS (
+    SELECT word,
+           CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_sym
+    FROM a{_BPE_N}
+),
+btk AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS word
+    FROM documents WHERE doc_id % 17 = 0
+),
+btok AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM btk JOIN bvoc USING (word) GROUP BY doc_id
+),
+{_sql_logreg_chain(train_src=_SQL_TRAIN17)},
+{_sql_hashed_features("f", _SQL_SERVE17)},
+zf AS (SELECT f.doc_id, round(sum(f.x * w.wgt), 6) AS z
+       FROM featf f JOIN wl2 w USING (b) GROUP BY f.doc_id),
+{_SQL_EMB},
+eb AS (SELECT * FROM e WHERE vec_id % 17 <> 0),
+es AS (SELECT * FROM e WHERE vec_id % 17 = 0),
+{_sql_kmeans_chain(src="eb", tag="v")},
+centx AS (SELECT cell, cv FROM centv3),
+routeb AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM eb a, centx c
+    ) WHERE rn = 1
+),
+routes AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM es a, centx c
+    ) WHERE rn = 1
+),
+nn AS (
+    SELECT query_id, neighbor_id, nn_cosine FROM (
+        SELECT s.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(sv.v, bv.v), 6) AS nn_cosine,
+               row_number() OVER (PARTITION BY s.vec_id
+                   ORDER BY round(list_cosine_similarity(sv.v, bv.v), 6) DESC, b.vec_id) AS rn
+        FROM routes s JOIN routeb b ON s.cell = b.cell
+        JOIN es sv ON sv.vec_id = s.vec_id
+        JOIN eb bv ON bv.vec_id = b.vec_id
+    ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS label,
+       round(1.0 / (1.0 + exp(-zf.z)), 6) AS score,
+       btok.n_tokens, btok.n_bpe_tokens,
+       CAST(routes.cell AS INT) AS cell, routes.cell_cosine,
+       nn.neighbor_id AS nn_id, nn.nn_cosine
+FROM {_SQL_SERVE17} d
+LEFT JOIN zf USING (doc_id)
+LEFT JOIN btok USING (doc_id)
+LEFT JOIN routes ON routes.vec_id = d.doc_id
+LEFT JOIN nn ON nn.query_id = d.doc_id
+""",
+)
+def serving_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact-SERVING flagship: one lazy plan pushes the same
+    held-out ingest batch (doc_id % 17 == 0 — the bpe_apply_oov
+    split) through all three trained-artifact families this engine
+    stores: (1) the quality classifier trained on the REST of the
+    corpus scores the batch via the 17-row weight broadcast, (2) the
+    BPE tokenizer trained on the rest segments every batch word by
+    replaying the stored merge table (the OOV fold), and (3) the IVF
+    index trained on the rest ROUTES each batch embedding to its
+    frozen cell and answers the in-cell exact top-1 neighbor. One row
+    per batch doc: doc_id, label, score, n_tokens, n_bpe_tokens,
+    cell, cell_cosine, nn_id, nn_cosine (NULLs where the doc has no
+    tokens or no embedding). This is the daily-ingest shape at 100
+    TB: every artifact is train-once (sampled) + broadcast; the only
+    batch-vs-corpus join is the cell-pruned neighbor probe, and every
+    stage's cost is batch-sized except the one corpus scan each
+    training consumes (sampled in production, exercised in full by
+    the dedicated per-artifact queries). The parquet store seams are
+    covered by sim_topk_ivf_stored / sim_ivf_append; this composition
+    pins that the three SERVING paths agree end-to-end in one plan."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        quality_classifier_score,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        as_double,
+        cosine,
+        ivf_append_assign,
+        ivf_centroids,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bpe_apply_oov,
+    )
+
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    serve_docs = docs.where(F.col("doc_id") % 17 == 0)
+    train_docs = docs.where(F.col("doc_id") % 17 != 0)
+    scored = quality_classifier_score(
+        serve_docs, positive=F.col("lang") == "en", train_df=train_docs
+    )
+    toks = bpe_apply_oov(docs)
+    base = emb.where(F.col("vec_id") % 17 != 0)
+    batch = emb.where(F.col("vec_id") % 17 == 0)
+    cents = ivf_centroids(base)
+    routed = ivf_append_assign(batch, cents)
+    base_assign = ivf_append_assign(base, cents)
+    qv = batch.select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    ).join(routed.select(F.col("vec_id").alias("query_id"), "cell"), "query_id")
+    cv = base.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    ).join(base_assign.select(F.col("vec_id").alias("neighbor_id"), "cell"), "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("nn_cosine"), F.asc("neighbor_id")
+    )
+    nn = (
+        cv.join(F.broadcast(qv), "cell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("nn_cosine"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("query_id").alias("doc_id"),
+            F.col("neighbor_id").alias("nn_id"),
+            "nn_cosine",
+        )
+    )
+    return (
+        scored.join(toks, "doc_id", "left")
+        .join(
+            routed.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("cell").cast("int").alias("cell"),
+                "cell_cosine",
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(nn, "doc_id", "left")
+        .select(
+            "doc_id",
+            "label",
+            "score",
+            "n_tokens",
+            "n_bpe_tokens",
+            "cell",
+            "cell_cosine",
+            "nn_id",
+            "nn_cosine",
+        )
+    )
+
+
+@register(
+    "ingest_pipeline",
+    _SQL_MINHASH_BANDS
+    + f""",
+cand AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id % {_INCR_BATCH_MOD} = 0 AND b.doc_id % {_INCR_BATCH_MOD} <> 0
+),
+dups AS (
+    SELECT new_id, CAST(count(*) AS BIGINT) AS n_corpus_dups
+    FROM (
+        SELECT c.new_id, c.corpus_id,
+               len(list_intersect(sa.sh, sb.sh)) AS inter,
+               len(sa.sh) AS n_a, len(sb.sh) AS n_b
+        FROM cand c
+        JOIN sh_t sa ON sa.doc_id = c.new_id
+        JOIN sh_t sb ON sb.doc_id = c.corpus_id
+    )
+    WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+    GROUP BY new_id
+),
+{_SQL_EMB},
+e7 AS (SELECT * FROM e WHERE vec_id % {_INCR_BATCH_MOD} <> 0),
+{_sql_kmeans_chain(src="e7", tag="i")},
+centi AS (SELECT cell, cv FROM centi3),
+assign AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, centi c
+        WHERE a.vec_id % {_INCR_BATCH_MOD} = 0
+    ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_corpus_dups, 0) AS n_corpus_dups,
+       p.new_id IS NULL AS admitted,
+       CASE WHEN p.new_id IS NULL THEN CAST(a.cell AS INT) END AS cell,
+       CASE WHEN p.new_id IS NULL THEN a.cell_cosine END AS cell_cosine
+FROM documents d
+LEFT JOIN dups p ON p.new_id = d.doc_id
+LEFT JOIN assign a ON a.vec_id = d.doc_id
+WHERE d.doc_id % {_INCR_BATCH_MOD} = 0
+""",
+)
+def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-INGEST flagship, completing the composed-pipeline
+    triad (training_pipeline = offline curation, serving_pipeline =
+    artifact serving, this = the write path): one lazy plan pushes
+    the daily batch (doc_id % 7 == 0, the incremental family's split)
+    through the full admission chain — (1) the Bloom pre-gate probes
+    the corpus band bitmap (bounded broadcast; no-false-negatives
+    means the gate is invisible to the oracle, the
+    dedup_incremental_bloom equality exercised INSIDE a composition),
+    (2) gated docs pay the band join against the STORED corpus
+    artifacts and verify exact Jaccard, (3) survivors are admitted,
+    and (4) admitted docs' embeddings route to their frozen IVF cell
+    (ivf_append_assign — the packed-centroid broadcast map), ready to
+    append to the assignment store. One row per batch doc: doc_id,
+    n_corpus_dups, admitted, cell, cell_cosine (NULL cell for
+    rejected docs and docs without embeddings). Every stage is
+    batch-sized except the stored-artifact scans the corpus side
+    already paid for; at 100 TB the quantizer trains on a sample and
+    the bitmap/band/shingle/centroid tables are the parquet stores
+    the dedicated per-artifact queries pin."""
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bloom_neardup_prefilter,
+        incremental_neardup_pairs,
+        minhash_bands,
+        minhash_signature,
+        shingle_sets,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+        ivf_centroids,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+    corpus_bands = minhash_bands(minhash_signature(corpus))
+    gate = bloom_neardup_prefilter(batch, corpus_bands)
+    batch_flagged = batch.join(
+        gate.where(F.col("maybe_neardup")).select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = incremental_neardup_pairs(
+        batch_flagged, corpus_bands, shingle_sets(corpus)
+    )
+    dups = pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("_nd")
+    )
+    cents = ivf_centroids(emb.where(F.col("vec_id") % _INCR_BATCH_MOD != 0))
+    routed = ivf_append_assign(
+        emb.where(F.col("vec_id") % _INCR_BATCH_MOD == 0), cents
+    ).select(F.col("vec_id").alias("doc_id"), "cell", "cell_cosine")
+    admitted = F.col("_nd").isNull()
+    return (
+        batch.select("doc_id")
+        .join(dups, "doc_id", "left")
+        .join(routed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_nd"), F.lit(0)).cast("long").alias("n_corpus_dups"),
+            admitted.alias("admitted"),
+            F.when(admitted, F.col("cell")).cast("int").alias("cell"),
+            F.when(admitted, F.col("cell_cosine")).alias("cell_cosine"),
+        )
+    )

@@ -1,0 +1,2086 @@
+"""Similarity query family (split from the entry_queries monolith;
+see entry_queries/__init__.py for the assembled registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+
+from calculate_file_content_size_for_vector_db_spark.entry_queries._core import (
+    REGISTRY,
+    _SQL_EMB,
+    _emb,
+    _sql_kmeans_chain,
+    _sql_pq_chain,
+    register,
+)
+
+
+_SQL_LSH_BUCKETS = (
+    "buck AS (SELECT vec_id, CAST(list_sum(list_transform(range(0, 16), p -> "
+    "CASE WHEN list_dot_product(v, list_transform(range(0, 64), j -> "
+    "((j + p * 64) * 2654435761 % 1000003) / 1000003.0 - 0.5)) > 0 "
+    "THEN (1::BIGINT << CAST(p AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS bucket FROM e)"
+)
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+WITH {_SQL_EMB},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a, e b
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_bruteforce
+
+    emb = _emb(spark, sf_dir)
+    return topk_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "sim_nearest_neighbor",
+    f"""
+WITH {_SQL_EMB},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a, e b WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+) WHERE rn = 1
+""",
+)
+def sim_nearest_neighbor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        nearest_neighbor_blocked,
+    )
+
+    return nearest_neighbor_blocked(_emb(spark, sf_dir))
+
+
+@register(
+    "sim_lsh_buckets",
+    f"WITH {_SQL_EMB},\n{_SQL_LSH_BUCKETS}\nSELECT vec_id, bucket FROM buck",
+)
+def sim_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import lsh_buckets
+
+    return lsh_buckets(_emb(spark, sf_dir))
+
+
+@register(
+    "sim_topk_lsh",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_LSH_BUCKETS},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a
+    JOIN buck ba ON a.vec_id = ba.vec_id
+    JOIN buck bb ON ba.bucket = bb.bucket
+    JOIN e b ON b.vec_id = bb.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_lsh
+
+    emb = _emb(spark, sf_dir)
+    return topk_lsh(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+_SQL_IVF = f"""
+{_SQL_EMB},
+{_sql_kmeans_chain()},
+cent AS (SELECT cell, cv FROM cent3),
+assign AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+    ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "sim_ivf_centroids",
+    f"""
+WITH {_SQL_IVF}
+SELECT CAST(cell AS INT) AS cell,
+       CAST(to_json(list_transform(cv, x -> CAST(round(x * 1000000.0) AS BIGINT))) AS VARCHAR)
+           AS centroid_r
+FROM cent
+""",
+)
+def sim_ivf_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid vectors are fixed-point-scaled to int64 and JSON-
+    serialized on both sides (the embedding_quantize pattern) so the
+    driver's pandas canonicalization sees a scalar string, not an
+    unhashable list, and the value compare is exact."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import ivf_centroids
+
+    return ivf_centroids(_emb(spark, sf_dir)).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.to_json(
+            F.transform("centroid", lambda x: F.round(x * F.lit(1000000.0)).cast("long"))
+        ).alias("centroid_r"),
+    )
+
+
+@register(
+    "sim_ivf_assign",
+    f"""
+WITH {_SQL_IVF}
+SELECT vec_id, CAST(cell AS INT) AS cell, cell_cosine FROM assign
+""",
+)
+def sim_ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import ivf_assign
+
+    return ivf_assign(_emb(spark, sf_dir)).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "cell_cosine"
+    )
+
+
+@register(
+    "sim_topk_ivf",
+    f"""
+WITH {_SQL_IVF},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a
+    JOIN assign sa ON a.vec_id = sa.vec_id
+    JOIN assign sb ON sa.cell = sb.cell
+    JOIN e b ON b.vec_id = sb.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    return topk_ivf(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "sim_topk_ivf_stored",
+    f"""
+WITH {_SQL_IVF},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a
+    JOIN assign sa ON a.vec_id = sa.vec_id
+    JOIN assign sb ON sa.cell = sb.cell
+    JOIN e b ON b.vec_id = sb.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_ivf_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parquet-backed index path: train the IVF quantizer ONCE,
+    persist (centroids, assignment) as parquet — the stored index a
+    100-TB deployment builds offline — then answer the query from the
+    STORE alone, so search pays no training lineage at all (the
+    incremental-dedup contract, applied to ANN). The oracle is
+    sim_topk_ivf's verbatim: the round-trip must be exact, because
+    cells are ints and centroid/assignment doubles are 6-decimal-
+    rounded values that parquet stores losslessly. What this query
+    guards is the serialization seam itself — schema drift, rounding
+    drift, or a lossy write in the index tables would hash-mismatch."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        topk_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    ivf_centroids(emb).write.mode("overwrite").parquet(f"{idx}/centroids")
+    ivf_assign(emb).write.mode("overwrite").parquet(f"{idx}/assign")
+    return topk_ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        assign=spark.read.parquet(f"{idx}/assign"),
+        centroids=spark.read.parquet(f"{idx}/centroids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: incremental maintenance of the stored ANN index (VERDICT
+# r07 items 3-4). sim_ivf_append is the write half of the stored path:
+# the store is trained on the BASE corpus (vec_id % 10 != 0), a new
+# ingest batch (vec_id % 10 == 0) is assigned against the FROZEN
+# stored centroids — no retrain — and appended to the stored
+# assignment table. The oracle trains its unrolled chain on the base
+# subset only and assigns ALL vectors, so the hash pins the
+# equivalence store+batch == assignment-from-stored-centroids (valid
+# because per-vector assignment depends only on the frozen centroids).
+# ivf_staleness is the paired QA row: the number that says when the
+# frozen quantizer has drifted far enough from the appended data to
+# warrant a rebuild.
+# ---------------------------------------------------------------------------
+
+_SQL_IVF_BASE_STORE = f"""
+{_SQL_EMB},
+eb AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+{_sql_kmeans_chain(src="eb", tag="b")},
+centb AS (SELECT cell, cv FROM centb3),
+assignb AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, centb c
+    ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "sim_ivf_append",
+    f"""
+WITH {_SQL_IVF_BASE_STORE}
+SELECT vec_id, CAST(cell AS INT) AS cell, cell_cosine FROM assignb
+""",
+)
+def sim_ivf_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest maintenance of the stored IVF index
+    (similarity.ivf_append_assign): centroids train ONCE on the base
+    corpus and persist; the new batch is assigned against the frozen
+    store and appended to the stored assignment table, at batch-sized
+    (never corpus-sized) cost. Result = the appended assignment table
+    read back from parquet, so the hash also guards the append seam
+    (schema drift or a lossy append would mismatch)."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+        ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    idx = tempfile.mkdtemp(prefix="ivf_append_")
+    ivf_centroids(base).write.mode("overwrite").parquet(f"{idx}/centroids")
+    cents = spark.read.parquet(f"{idx}/centroids")
+    ivf_append_assign(base, cents).write.mode("overwrite").parquet(f"{idx}/assign")
+    ivf_append_assign(batch, cents).write.mode("append").parquet(f"{idx}/assign")
+    return spark.read.parquet(f"{idx}/assign").select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "cell_cosine"
+    )
+
+
+@register(
+    "knn_graph_append",
+    f"""
+WITH {_SQL_IVF_BASE_STORE},
+gb AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, centb c WHERE a.vec_id % 10 = 0
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT gb.vec_id AS query_id, sb.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM gb JOIN assignb sb ON gb.cell = sb.cell
+    JOIN e a ON a.vec_id = gb.vec_id JOIN e b ON b.vec_id = sb.vec_id
+    WHERE sb.vec_id % 10 <> 0
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 8
+""",
+)
+def knn_graph_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental GRAPH maintenance — the graph family joins the
+    store-append symmetry (IVF: sim_ivf_append, PQ codes:
+    dedup_semantic_append, postings: bm25_search_stored, bitmap,
+    clusters): a daily vector batch gets its edge lists by probing
+    its top-2 cells against the FROZEN stored centroids and taking
+    the exact top-8 among the STORED corpus members of those cells
+    (knn_graph_ivf's candidates= hook) — batch-sized cost, never a
+    graph rebuild. Append-only graph maintenance is deliberately
+    one-directional (old nodes' edge lists are not revisited; that
+    drift is what ivf_staleness-style QA catches at maintenance
+    cadence), and this row pins exactly the one-directional
+    semantics: new-node edges == exact in-probe-cell top-8 against
+    the base, through both parquet store seams (centroids +
+    assignment)."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+        ivf_centroids,
+        knn_graph_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    store = tempfile.mkdtemp(prefix="graph_append_")
+    ivf_centroids(base).write.mode("overwrite").parquet(f"{store}/cents")
+    cents = spark.read.parquet(f"{store}/cents")
+    ivf_append_assign(base, cents).write.mode("overwrite").parquet(f"{store}/assign")
+    return knn_graph_ivf(
+        batch,
+        assign=spark.read.parquet(f"{store}/assign"),
+        centroids=cents,
+        candidates=base,
+    )
+
+
+@register(
+    "ivf_staleness",
+    f"""
+WITH {_SQL_IVF_BASE_STORE},
+{_sql_kmeans_chain()},
+centf AS (SELECT cell, cv FROM cent3),
+assignf AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, centf c
+    ) WHERE rn = 1
+),
+ss AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+              round(avg(cell_cosine), 6) AS mean_cc_stored FROM assignb),
+sbal AS (SELECT round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS max_share_stored
+         FROM (SELECT count(*) AS c FROM assignb GROUP BY cell)),
+fs AS (SELECT round(avg(cell_cosine), 6) AS mean_cc_fresh FROM assignf),
+fbal AS (SELECT round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS max_share_fresh
+         FROM (SELECT count(*) AS c FROM assignf GROUP BY cell))
+SELECT n_vectors, mean_cc_stored, mean_cc_fresh,
+       round(mean_cc_fresh - mean_cc_stored, 6) AS cc_drift,
+       max_share_stored, max_share_fresh
+FROM ss, fs, sbal, fbal
+""",
+)
+def ivf_staleness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness QA for the appended store
+    (similarity.ivf_staleness): after sim_ivf_append has grown the
+    corpus past the store's training set, recall decays silently —
+    this row quantifies the decay as quantization-quality drift
+    (mean nearest-centroid cosine, stored vs fresh retrain) plus list
+    balance (largest cell share, the probe-1 degeneracy signal).
+    Pinned property: zero appends => cc_drift == 0 exactly
+    (tests/test_similarity.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_staleness,
+    )
+
+    emb = _emb(spark, sf_dir)
+    stored = ivf_centroids(emb.where(F.col("vec_id") % 10 != 0))
+    return ivf_staleness(emb, stored)
+
+
+@register(
+    "pq_codebooks",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()}
+SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+       CAST(to_json(list_transform(cv, x -> CAST(round(x * 1000000.0) AS BIGINT))) AS VARCHAR)
+           AS codeword_r
+FROM cb2
+""",
+)
+def pq_codebooks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained per-subspace codebooks themselves (the IVF trio has
+    sim_ivf_centroids; this is PQ's counterpart). Codeword vectors are
+    fixed-point-scaled and JSON-serialized on both sides so the driver
+    compares scalar strings."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import pq_codebooks
+
+    return pq_codebooks(_emb(spark, sf_dir)).select(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("code").cast("int").alias("code"),
+        F.to_json(
+            F.transform("cv", lambda x: F.round(x * F.lit(1000000.0)).cast("long"))
+        ).alias("codeword_r"),
+    )
+
+
+@register(
+    "pq_codes",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()}
+SELECT vec_id, CAST(to_json(list(code ORDER BY sub)) AS VARCHAR) AS codes
+FROM codes GROUP BY vec_id
+""",
+)
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each vector as its m one-byte codes — the 16x-compressed corpus
+    representation. Codes JSON-serialize on both sides (the
+    sim_ivf_centroids pattern) so the driver compares scalar strings."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import pq_encode
+
+    return pq_encode(_emb(spark, sf_dir)).select(
+        "vec_id", F.to_json("codes").alias("codes")
+    )
+
+
+@register(
+    "pq_topk",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+    FROM adc
+) WHERE rank <= 5
+""",
+)
+def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_topk(emb, emb.where(F.col("vec_id") < 10), topk=5)
+
+
+@register(
+    "sim_topk_ivfpq",
+    f"""
+WITH {_SQL_IVF},
+{_sql_pq_chain()},
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co
+    JOIN assign ca ON co.vec_id = ca.vec_id
+    JOIN lut l ON co.sub = l.sub AND co.code = l.code
+    JOIN assign qa ON l.query_id = qa.vec_id AND ca.cell = qa.cell
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+    FROM adc
+) WHERE rank <= 5
+""",
+)
+def sim_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell pruning composed with PQ ADC scoring — the canonical
+    billion-scale layout (coarse quantizer prunes, codes score)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_ivfpq
+
+    emb = _emb(spark, sf_dir)
+    return topk_ivfpq(emb, emb.where(F.col("vec_id") < 10), topk=5)
+
+
+@register(
+    "sim_topk_ivfpq_probe2",
+    f"""
+WITH {_SQL_IVF},
+{_sql_pq_chain()},
+qassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+        WHERE a.vec_id < 10
+    ) WHERE rn <= 2
+),
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co
+    JOIN assign ca ON co.vec_id = ca.vec_id
+    JOIN qassign qa ON ca.cell = qa.cell
+    JOIN lut l ON co.sub = l.sub AND co.code = l.code AND l.query_id = qa.vec_id
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+    FROM adc
+) WHERE rank <= 5
+""",
+)
+def sim_topk_ivfpq_probe2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF×PQ: the query searches its top-2 cells — 2x the
+    scanned codes, materially better recall near cell boundaries (the
+    sim_topk_lsh_multiprobe pattern applied to the IVF coarse
+    quantizer)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_ivfpq
+
+    emb = _emb(spark, sf_dir)
+    return topk_ivfpq(emb, emb.where(F.col("vec_id") < 10), topk=5, probes=2)
+
+
+@register(
+    "sim_topk_binary",
+    f"""
+WITH {_SQL_EMB},
+sk AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(0, 32),
+               j -> CASE WHEN v[CAST(j AS INT) + 1] > 0
+                         THEN (1::BIGINT << CAST(j AS INT)) ELSE 0::BIGINT END)) AS BIGINT)
+               AS sk_lo,
+           CAST(list_sum(list_transform(range(32, 64),
+               j -> CASE WHEN v[CAST(j AS INT) + 1] > 0
+                         THEN (1::BIGINT << CAST(j - 32 AS INT)) ELSE 0::BIGINT END)) AS BIGINT)
+               AS sk_hi
+    FROM e
+),
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q.sk_lo, c.sk_lo)) + bit_count(xor(q.sk_hi, c.sk_hi)) AS INT) AS ham
+    FROM sk q JOIN sk c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+),
+top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY ham, neighbor_id) AS rn
+        FROM cand
+    ) WHERE rn <= 20
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT t.query_id, t.neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY t.query_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, t.neighbor_id)
+               AS INT) AS rank
+    FROM top t
+    JOIN e a ON a.vec_id = t.query_id
+    JOIN e b ON b.vec_id = t.neighbor_id
+) WHERE rank <= 5
+""",
+)
+def sim_topk_binary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized compressed scan (1 bit/dim, 64x smaller) with
+    exact-cosine rerank of the top 4k Hamming candidates."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_binary
+
+    emb = _emb(spark, sf_dir)
+    return topk_binary(emb, emb.where(F.col("vec_id") < 10), k=5, rerank=4)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@k: each approximate tier measured against the exact
+# brute-force top-k (VERDICT r05 "What's missing" #1). The recall value
+# is what picks probe counts / rerank multipliers at 100 TB; both sides
+# rank deterministically (id tie-breaks) so recall itself hash-verifies.
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+
+# Exact top-k CTE + the recall aggregate; `approx` must be a prior CTE
+# with (query_id, neighbor_id).
+_SQL_RECALL_TAIL = f"""
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a, e b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact ex
+LEFT JOIN approx ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+"""
+
+
+_SQL_PQ_ADC = """
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)"""
+
+
+_SQL_IVFPQ_ADC = """
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co
+    JOIN assign ca ON co.vec_id = ca.vec_id
+    JOIN lut l ON co.sub = l.sub AND co.code = l.code
+    JOIN assign qa ON l.query_id = qa.vec_id AND ca.cell = qa.cell
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)"""
+
+
+_SQL_ADC_TOPK = f"""
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {_RECALL_K}
+)"""
+
+
+def _recall_queries(spark: SparkSession, sf_dir: str):
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_bruteforce
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10)
+    return emb, q, topk_bruteforce(emb, q, k=_RECALL_K)
+
+
+@register(
+    "pq_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+{_SQL_PQ_ADC},
+{_SQL_ADC_TOPK},
+{_SQL_RECALL_TAIL}
+""",
+)
+def pq_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the full-corpus PQ-ADC scan vs exact cosine."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_topk,
+        recall_vs_exact,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, pq_topk(emb, q, topk=_RECALL_K))
+
+
+@register(
+    "ivfpq_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+{_sql_pq_chain()},
+{_SQL_IVFPQ_ADC},
+{_SQL_ADC_TOPK},
+{_SQL_RECALL_TAIL}
+""",
+)
+def ivfpq_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-probe IVF×PQ — what one probed cell costs in
+    accuracy relative to PQ's full-corpus scan."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_ivfpq,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_ivfpq(emb, q, topk=_RECALL_K))
+
+
+@register(
+    "ivfpq_probe2_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+{_sql_pq_chain()},
+qassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+        WHERE a.vec_id < 10
+    ) WHERE rn <= 2
+),
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co
+    JOIN assign ca ON co.vec_id = ca.vec_id
+    JOIN qassign qa ON ca.cell = qa.cell
+    JOIN lut l ON co.sub = l.sub AND co.code = l.code AND l.query_id = qa.vec_id
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+),
+{_SQL_ADC_TOPK},
+{_SQL_RECALL_TAIL}
+""",
+)
+def ivfpq_probe2_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of 2-probe IVF×PQ — the measured payoff of doubling the
+    probed cells (must sit at or above the single-probe number)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_ivfpq,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_ivfpq(emb, q, topk=_RECALL_K, probes=2))
+
+
+@register(
+    "binary_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+sk AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(0, 32),
+               j -> CASE WHEN v[CAST(j AS INT) + 1] > 0
+                         THEN (1::BIGINT << CAST(j AS INT)) ELSE 0::BIGINT END)) AS BIGINT)
+               AS sk_lo,
+           CAST(list_sum(list_transform(range(32, 64),
+               j -> CASE WHEN v[CAST(j AS INT) + 1] > 0
+                         THEN (1::BIGINT << CAST(j - 32 AS INT)) ELSE 0::BIGINT END)) AS BIGINT)
+               AS sk_hi
+    FROM e
+),
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q.sk_lo, c.sk_lo)) + bit_count(xor(q.sk_hi, c.sk_hi)) AS INT) AS ham
+    FROM sk q JOIN sk c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+),
+top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY ham, neighbor_id) AS rn
+        FROM cand
+    ) WHERE rn <= {4 * _RECALL_K}
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT t.query_id, t.neighbor_id,
+               CAST(row_number() OVER (PARTITION BY t.query_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, t.neighbor_id)
+                   AS INT) AS rank
+        FROM top t
+        JOIN e a ON a.vec_id = t.query_id
+        JOIN e b ON b.vec_id = t.neighbor_id
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def binary_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-bit Hamming scan + exact rerank (rerank=4,
+    i.e. 40 candidates per query) vs exact cosine."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_binary,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_binary(emb, q, k=_RECALL_K, rerank=4))
+
+
+@register(
+    "lsh_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_LSH_BUCKETS},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN buck ba ON a.vec_id = ba.vec_id
+        JOIN buck bb ON ba.bucket = bb.bucket
+        JOIN e b ON b.vec_id = bb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def lsh_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-bucket LSH (candidate-pruned exact cosine):
+    measures bucket coverage, the number a user tunes n_planes by."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_lsh,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_lsh(emb, q, k=_RECALL_K))
+
+
+@register(
+    "lsh_multiprobe_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_LSH_BUCKETS},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN buck ba ON a.vec_id = ba.vec_id
+        JOIN buck bb ON (ba.bucket = bb.bucket OR bit_count(xor(ba.bucket, bb.bucket)) = 1)
+        JOIN e b ON b.vec_id = bb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def lsh_multiprobe_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of multi-probe LSH (own + 1-bit-flip buckets). For
+    candidate-pruned EXACT search, more candidates can only help, so
+    this must sit at or above lsh_recall_at_10 — the guaranteed
+    monotonicity the ADC tiers lack (pinned in tests)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_lsh_multiprobe,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_lsh_multiprobe(emb, q, k=_RECALL_K))
+
+
+@register(
+    "ivf_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN assign sa ON a.vec_id = sa.vec_id
+        JOIN assign sb ON sa.cell = sb.cell
+        JOIN e b ON b.vec_id = sb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-probe IVF with exact in-cell scoring —
+    isolates the coarse quantizer's coverage from PQ's scoring error
+    (compare ivfpq_recall_at_10, which adds ADC approximation)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_ivf,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_ivf(emb, q, k=_RECALL_K))
+
+
+@register(
+    "ivf_probe2_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+qassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+        WHERE a.vec_id < 10
+    ) WHERE rn <= 2
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN qassign qa ON a.vec_id = qa.vec_id
+        JOIN assign sb ON qa.cell = sb.cell
+        JOIN e b ON b.vec_id = sb.vec_id
+        WHERE a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def ivf_probe2_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of 2-probe IVF with EXACT in-cell scoring — unlike
+    ivfpq_probe2 (ADC-scored, pinned non-monotone), this must sit at
+    or above ivf_recall_at_10: the probe1 candidate set is contained
+    in probe2's and exact cosine ranks both. Completes the exact-tier
+    probe story next to lsh -> lsh_multiprobe."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_ivf,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_ivf(emb, q, k=_RECALL_K, probes=2))
+
+
+@register(
+    "ann_frontier",
+    f"""
+WITH {_SQL_IVF},
+{_SQL_LSH_BUCKETS},
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a, e b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+lsh_app AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN buck ba ON a.vec_id = ba.vec_id
+        JOIN buck bb ON ba.bucket = bb.bucket
+        JOIN e b ON b.vec_id = bb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+mp_app AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN buck ba ON a.vec_id = ba.vec_id
+        JOIN buck bb ON (ba.bucket = bb.bucket OR bit_count(xor(ba.bucket, bb.bucket)) = 1)
+        JOIN e b ON b.vec_id = bb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+ivf_app AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN assign sa ON a.vec_id = sa.vec_id
+        JOIN assign sb ON sa.cell = sb.cell
+        JOIN e b ON b.vec_id = sb.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+qassign2 AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+        WHERE a.vec_id < 10
+    ) WHERE rn <= 2
+),
+ivf2_app AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN qassign2 qa ON a.vec_id = qa.vec_id
+        JOIN assign sb ON qa.cell = sb.cell
+        JOIN e b ON b.vec_id = sb.vec_id
+        WHERE a.vec_id <> b.vec_id
+    ) WHERE rank <= {_RECALL_K}
+),
+bf_cand AS (SELECT count(*) AS c FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 10),
+lsh_cand AS (SELECT count(*) AS c FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket
+             WHERE ba.vec_id < 10 AND ba.vec_id <> bb.vec_id),
+mp_cand AS (SELECT count(*) AS c FROM buck ba
+            JOIN buck bb ON (ba.bucket = bb.bucket OR bit_count(xor(ba.bucket, bb.bucket)) = 1)
+            WHERE ba.vec_id < 10 AND ba.vec_id <> bb.vec_id),
+ivf_cand AS (SELECT count(*) AS c FROM assign sa JOIN assign sb ON sa.cell = sb.cell
+             WHERE sa.vec_id < 10 AND sa.vec_id <> sb.vec_id),
+ivf2_cand AS (SELECT count(*) AS c FROM qassign2 qa JOIN assign sb ON qa.cell = sb.cell
+              WHERE qa.vec_id <> sb.vec_id)
+SELECT 'bruteforce' AS tier, CAST((SELECT c FROM bf_cand) AS BIGINT) AS candidate_rows,
+       CAST(count(*) AS BIGINT) AS n_exact, CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact ex LEFT JOIN exact ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+UNION ALL
+SELECT 'lsh', CAST((SELECT c FROM lsh_cand) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(count(ap.neighbor_id) AS BIGINT),
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+FROM exact ex LEFT JOIN lsh_app ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+UNION ALL
+SELECT 'lsh_multiprobe', CAST((SELECT c FROM mp_cand) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(count(ap.neighbor_id) AS BIGINT),
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+FROM exact ex LEFT JOIN mp_app ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+UNION ALL
+SELECT 'ivf', CAST((SELECT c FROM ivf_cand) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(count(ap.neighbor_id) AS BIGINT),
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+FROM exact ex LEFT JOIN ivf_app ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+UNION ALL
+SELECT 'ivf_probe2', CAST((SELECT c FROM ivf2_cand) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(count(ap.neighbor_id) AS BIGINT),
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+FROM exact ex LEFT JOIN ivf2_app ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+""",
+)
+def ann_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-work frontier (similarity.ann_frontier): one row
+    per exact-scoring ANN tier with its recall@10 AND the number of
+    candidate pairs it scores — tier selection at 100 TB becomes a
+    lookup (cheapest tier whose recall clears the bar) instead of a
+    synthesis across separate recall queries and SCALE.md slopes.
+    The ADC tiers (PQ/IVFxPQ) are excluded by design: compressed
+    scoring voids the candidates-superset => recall>= guarantee this
+    frame pins; their rows live in tools/ann_frontier.py."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import ann_frontier
+
+    emb = _emb(spark, sf_dir)
+    return ann_frontier(emb, emb.where(F.col("vec_id") < 10), k=_RECALL_K)
+
+
+@register(
+    "knn_graph",
+    f"""
+WITH {_SQL_EMB},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a, e b
+    WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 3
+""",
+)
+def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact k-NN graph (k=3) over EVERY vector — the edge list
+    that clustering, graph-based dedup, and label propagation build
+    on. Runs the distributed block GRID (packed blocks, one vectorized
+    matmul per cell, per-cell top-k, global rank): O(N^2) work spread
+    over n_blocks^2 tasks with block-sized memory, never a driver-side
+    corpus or a row-per-pair product. The oracle is the brute-force
+    window over all pairs."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
+
+    emb = _emb(spark, sf_dir)
+    return topk_grid(emb, emb, k=3)
+
+
+@register(
+    "triplet_mining",
+    f"""
+WITH {_SQL_EMB},
+lab AS (SELECT vec_id, label FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+           la.label = lb.label AS same,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN lab la ON a.vec_id = la.vec_id,
+         e b JOIN lab lb ON b.vec_id = lb.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+            ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT p.anchor_id,
+       p.cand_id AS positive_id, p.cosine AS pos_cosine,
+       n.cand_id AS negative_id, n.cosine AS neg_cosine
+FROM best p JOIN best n ON p.anchor_id = n.anchor_id
+WHERE p.same AND NOT n.same
+""",
+)
+def triplet_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplets for the first 10 anchors: nearest
+    same-label vector (positive) + nearest other-label vector (hard
+    negative) — the data-prep op behind contrastive embedding
+    training. Exact scan at fixture scale; at 100 TB the candidate set
+    comes from an ANN tier instead (same ranking, pruned input)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import mine_triplets
+
+    emb = _emb(spark, sf_dir)
+    return mine_triplets(emb, emb.where(F.col("vec_id") < 10))
+
+
+def _sql_pagerank_chain(iters: int = 3, damping_pct: int = 85) -> str:
+    """Unrolled PageRank CTEs over the `knn` edge CTE (src, dst) and
+    the `e` vector table — mirrors operators/graph.pagerank step for
+    step in FIXED-POINT integer arithmetic (micro-unit ranks, integer
+    division), so parity is bit-exact with no round-half boundaries."""
+    from calculate_file_content_size_for_vector_db_spark.operators.graph import PAGERANK_SCALE
+
+    teleport_num = (100 - damping_pct) * PAGERANK_SCALE // 100
+    parts = [
+        "nodes AS (SELECT vec_id AS node FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM knn GROUP BY src)",
+        f"pr0 AS (SELECT node, {PAGERANK_SCALE} // nn.n AS pr FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr{i} AS (
+    SELECT no.node,
+           {teleport_num} // (SELECT n FROM nn)
+               + ({damping_pct} * coalesce(s.c, 0)) // 100 AS pr
+    FROM nodes no LEFT JOIN (
+        SELECT k.dst AS node, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS c
+        FROM knn k JOIN deg d ON k.src = d.src JOIN pr{i - 1} p ON k.src = p.node
+        GROUP BY k.dst
+    ) s ON no.node = s.node
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "knn_pagerank",
+    f"""
+WITH {_SQL_EMB},
+knn AS (
+    SELECT query_id AS src, neighbor_id AS dst FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a, e b WHERE a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+),
+{_sql_pagerank_chain()}
+SELECT node AS vec_id, CAST(pr AS BIGINT) AS pagerank_micro FROM pr3
+""",
+)
+def knn_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the semantic k-NN graph (3 unrolled
+    power iterations, damping 0.85, fixed-point micro-unit ranks) —
+    the signal diversity-aware data selection ranks by: high-rank
+    vectors sit in dense semantic neighborhoods, low-rank ones are
+    outliers. Edges come from the distributed block grid; each
+    iteration is one edge-rank equi-join plus one keyed aggregation
+    (edges never move — the standard distributed PageRank layout),
+    all one lazy plan."""
+    from calculate_file_content_size_for_vector_db_spark.operators.graph import pagerank
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
+
+    emb = _emb(spark, sf_dir)
+    edges = topk_grid(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges, emb.select(F.col("vec_id").alias("node"))).select(
+        F.col("node").alias("vec_id"), "pagerank_micro"
+    )
+
+
+@register(
+    "sim_topk_lsh_multiprobe",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_LSH_BUCKETS},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a
+    JOIN buck ba ON a.vec_id = ba.vec_id
+    JOIN buck bb ON (ba.bucket = bb.bucket OR bit_count(xor(ba.bucket, bb.bucket)) = 1)
+    JOIN e b ON b.vec_id = bb.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN (own bucket + every 1-bit-flip bucket)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        topk_lsh_multiprobe,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return topk_lsh_multiprobe(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_quantize",
+    """
+WITH s AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+    FROM embeddings
+)
+SELECT vec_id, round(sc, 6) AS scale,
+       CASE WHEN sc > 0 THEN
+           CAST(to_json(list_transform(embedding, x -> CAST(round(127.0 * CAST(x AS DOUBLE) / sc) AS INT))) AS VARCHAR)
+       END AS q_embedding
+FROM s
+""",
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with a
+    per-vector scale (operators/curation.py). The int array is
+    JSON-serialized on both sides so the value compare is exact and
+    representation-independent."""
+    from calculate_file_content_size_for_vector_db_spark.operators.curation import (
+        quantize_embeddings,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select("vec_id", "scale", F.to_json("q_embedding").alias("q_embedding"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 extension surface (second wave): matryoshka prefix search,
+# label propagation over the kNN graph, Count-Min heavy hitters,
+# temperature mixing, readability, BPE pair mining, Z-order layout,
+# embedding dimension profiling
+# ---------------------------------------------------------------------------
+
+_MAT_PREFIX = 16
+
+
+_MAT_RERANK = 4
+
+
+def _sql_matryoshka(k: int) -> str:
+    """Prefix-dim shortlist + exact-rerank CTEs over `e`: `approx` is
+    the top-``k`` (query_id, neighbor_id, cosine, rank) per query —
+    mirrors operators/similarity.topk_matryoshka stage for stage."""
+    return f"""
+pshort AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v[1:{_MAT_PREFIX}], b.v[1:{_MAT_PREFIX}]), 6) DESC,
+                            b.vec_id) AS rn
+        FROM e a, e b
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rn <= {_MAT_RERANK * k}
+),
+approx AS (
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT t.query_id, t.neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+               CAST(row_number() OVER (PARTITION BY t.query_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, t.neighbor_id)
+                   AS INT) AS rank
+        FROM pshort t
+        JOIN e a ON a.vec_id = t.query_id
+        JOIN e b ON b.vec_id = t.neighbor_id
+    ) WHERE rank <= {k}
+)
+"""
+
+
+@register(
+    "sim_topk_matryoshka",
+    f"""
+WITH {_SQL_EMB},
+{_sql_matryoshka(5)}
+SELECT query_id, neighbor_id, cosine, rank FROM approx
+""",
+)
+def sim_topk_matryoshka_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) top-k: shortlist on the first 16
+    of 64 dims (4x less data scanned — MRL-style embeddings make every
+    prefix a usable embedding), exact rerank of the top-20 survivors.
+    The training-free compressed-scan tier next to PQ (codebooks) and
+    binary (sign bits)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_matryoshka
+
+    emb = _emb(spark, sf_dir)
+    return topk_matryoshka(
+        emb, emb.where(F.col("vec_id") < 10), k=5, prefix=_MAT_PREFIX, rerank=_MAT_RERANK
+    )
+
+
+@register(
+    "matryoshka_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_sql_matryoshka(_RECALL_K)},
+{_SQL_RECALL_TAIL}
+""",
+)
+def matryoshka_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the matryoshka prefix shortlist + exact rerank —
+    joins the recall matrix as the eighth approximate tier; like the
+    other candidate-pruned exact tiers it is monotone in the rerank
+    multiplier."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_matryoshka,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(
+        exact,
+        topk_matryoshka(emb, q, k=_RECALL_K, prefix=_MAT_PREFIX, rerank=_MAT_RERANK),
+    )
+
+
+_SQL_KNN_EDGES = """
+knn AS (
+    SELECT query_id AS src, neighbor_id AS dst FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a, e b WHERE a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+)
+"""
+
+
+def _sql_label_prop_chain(iters: int = 2) -> str:
+    """Unrolled label-propagation CTEs over `knn` + `seeds` + `nodes`
+    — mirrors operators/graph.label_propagation round for round
+    (majority vote over out-neighbors, ties -> smallest label, seeds
+    clamped, no-vote nodes keep their previous label)."""
+    parts = [
+        "seeds AS (SELECT vec_id AS node, label FROM embeddings WHERE vec_id % 5 = 0)",
+        "nodes AS (SELECT vec_id AS node FROM e)",
+        "lab0 AS (SELECT n.node, s.label AS lab FROM nodes n LEFT JOIN seeds s ON n.node = s.node)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""votes{i} AS (
+    SELECT k.src AS node, l.lab AS nl, CAST(count(*) AS BIGINT) AS v
+    FROM knn k JOIN lab{i - 1} l ON k.dst = l.node
+    WHERE l.lab IS NOT NULL GROUP BY 1, 2
+),
+win{i} AS (
+    SELECT node, nl FROM (
+        SELECT node, nl, row_number() OVER (PARTITION BY node ORDER BY v DESC, nl) AS rn
+        FROM votes{i}
+    ) WHERE rn = 1
+),
+lab{i} AS (
+    SELECT n.node, coalesce(s.label, w.nl, l.lab) AS lab
+    FROM nodes n
+    LEFT JOIN win{i} w ON n.node = w.node
+    LEFT JOIN seeds s ON n.node = s.node
+    LEFT JOIN lab{i - 1} l ON n.node = l.node
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "knn_label_propagation",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_KNN_EDGES},
+{_sql_label_prop_chain(2)}
+SELECT n.node AS vec_id, l.lab AS label, s.node IS NOT NULL AS is_seed
+FROM nodes n
+JOIN lab2 l ON n.node = l.node
+LEFT JOIN seeds s ON n.node = s.node
+""",
+)
+def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the semantic k-NN graph
+    (operators/graph.py label_propagation): every fifth vector keeps
+    its true label as a seed, the other 80% take the majority label of
+    their 3 nearest neighbors across 2 unrolled rounds — the standard
+    cheap way to extend a small labeled set over a 100-TB corpus
+    (Zhu & Ghahramani 2002). Each round is one edge-label equi-join +
+    one keyed vote count + a per-node argmax; edges never move."""
+    from calculate_file_content_size_for_vector_db_spark.operators.graph import label_propagation
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
+
+    emb = _emb(spark, sf_dir)
+    edges = topk_grid(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return label_propagation(edges, seeds, nodes, iters=2).select(
+        F.col("node").alias("vec_id"), "label", "is_seed"
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+    SELECT CAST(t.j AS INT) AS dim, v[CAST(t.j AS INT) + 1] AS x
+    FROM e CROSS JOIN range(0, 64) t(j)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       round(avg(x), 6) AS mean,
+       round(sqrt(avg(x * x) - avg(x) * avg(x)), 6) AS std,
+       round(min(x), 6) AS vmin,
+       round(max(x), 6) AS vmax
+FROM x GROUP BY dim
+""",
+)
+def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (mean/std/min/max over each of
+    the 64 dims) — the QA pass that catches dead dimensions,
+    un-normalized batches and fp spikes before vectors reach an index.
+    posexplode + ONE keyed hash-agg with 64 groups: partial aggregation
+    collapses everything map-side regardless of corpus size."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import dim_stats
+
+    return dim_stats(_emb(spark, sf_dir))
+
+
+@register(
+    "label_centroid_quality",
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (
+    SELECT label, CAST(j AS INT) AS dim, round(avg(v[CAST(j AS INT) + 1]), 6) AS m
+    FROM (SELECT label, v, unnest(range(0, 64)) AS j FROM e)
+    GROUP BY 1, 2
+),
+cent AS (SELECT label, list(m ORDER BY dim) AS cv FROM cd GROUP BY 1),
+sc AS (
+    SELECT e.label, round(list_cosine_similarity(e.v, c.cv), 6) AS c
+    FROM e JOIN cent c USING (label)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(c), 6) AS avg_cosine, round(min(c), 6) AS min_cosine
+FROM sc GROUP BY label
+""",
+)
+def label_centroid_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion (members' cosine to their label
+    mean vector) — the label-quality QA pass next to embedding_dim
+    _stats: low avg flags a heterogeneous label, a very low min flags
+    probable mislabels. One (label, dim) hash-agg builds centroids;
+    the labels-sized centroid table broadcasts back for one cosine
+    map + one keyed agg."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        label_centroid_quality,
+    )
+
+    return label_centroid_quality(_emb(spark, sf_dir))
+
+
+@register(
+    "sim_range_search",
+    f"""
+WITH {_SQL_EMB}
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a, e b
+WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+""",
+)
+def sim_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range (radius) search: every corpus vector within 0.25
+    of each query — the other half of the vector-db query API next to
+    top-k (no ranking window at all; nothing re-partitions by query).
+    At 100 TB the same threshold filter applies after an LSH/IVF
+    candidate tier instead of the full scan."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import range_search
+
+    emb = _emb(spark, sf_dir)
+    return range_search(emb, emb.where(F.col("vec_id") < 10), threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 extension surface (fifth wave): SQ8 int8 search tier + recall,
+# kNN clustering coefficients, salted skew join
+# ---------------------------------------------------------------------------
+
+_SQL_INT8 = """
+q8 AS (
+    SELECT vec_id, list_transform(v, x -> CAST(round(127.0 * x / s) AS BIGINT)) AS qv
+    FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM e)
+    WHERE s > 0
+)
+"""
+
+
+def _sql_int8_approx(k: int) -> str:
+    return f"""
+qshort AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])), 6) DESC,
+                            b.vec_id) AS rn
+        FROM q8 a, q8 b
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rn <= {4 * k}
+),
+approx AS (
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT t.query_id, t.neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+               CAST(row_number() OVER (PARTITION BY t.query_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, t.neighbor_id)
+                   AS INT) AS rank
+        FROM qshort t
+        JOIN e a ON a.vec_id = t.query_id
+        JOIN e b ON b.vec_id = t.neighbor_id
+    ) WHERE rank <= {k}
+)
+"""
+
+
+@register(
+    "sim_topk_int8",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_INT8},
+{_sql_int8_approx(5)}
+SELECT query_id, neighbor_id, cosine, rank FROM approx
+""",
+)
+def sim_topk_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 top-k: int8-quantized compressed scan (4x less vector data
+    than float32; the per-vector scale cancels out of cosine, so the
+    scan is exact integer arithmetic) + exact rerank of the top-20 —
+    the scalar-quantization tier every vector store ships next to PQ,
+    binary and matryoshka."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_int8
+
+    emb = _emb(spark, sf_dir)
+    return topk_int8(emb, emb.where(F.col("vec_id") < 10), k=5, rerank=4)
+
+
+@register(
+    "int8_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_INT8},
+{_sql_int8_approx(_RECALL_K)},
+{_SQL_RECALL_TAIL}
+""",
+)
+def int8_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SQ8 tier — the NINTH row of the recall matrix;
+    candidate-pruned exact rerank, so rerank-monotone like the other
+    non-ADC tiers. int8 preserves direction almost exactly at 64 dims,
+    so this tier's recall should sit at the top of the compressed
+    family (pinned relative to binary in tests)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_int8,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_int8(emb, q, k=_RECALL_K, rerank=4))
+
+
+@register(
+    "knn_clustering_coeff",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_KNN_EDGES},
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM knn WHERE src <> dst
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+),
+tri AS (
+    SELECT e1.a, e1.b, e2.c
+    FROM und e1
+    JOIN (SELECT a AS b, b AS c FROM und) e2 USING (b)
+    JOIN (SELECT a AS ta, b AS tc FROM und) e3 ON e1.a = e3.ta AND e2.c = e3.tc
+),
+corners AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+    GROUP BY 1
+)
+SELECT n.node AS vec_id,
+       coalesce(d.degree, 0) AS degree,
+       coalesce(t.triangles, 0) AS triangles,
+       CASE WHEN coalesce(d.degree, 0) >= 2
+            THEN round(2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1)), 6)
+       END AS clustering_coeff
+FROM (SELECT vec_id AS node FROM e) n
+LEFT JOIN deg d USING (node)
+LEFT JOIN corners t USING (node)
+""",
+)
+def knn_clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients over the semantic k-NN graph
+    (operators/graph.py clustering_coefficients): per-vector triangle
+    density — 2T/(deg(deg-1)) — separating hub-of-a-clique vectors
+    from bridge vectors, the third graph signal next to PageRank and
+    label propagation. Canonical a<b<c two-join triangle enumeration;
+    bounded-degree kNN keeps it linear."""
+    from calculate_file_content_size_for_vector_db_spark.operators.graph import (
+        clustering_coefficients,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
+
+    emb = _emb(spark, sf_dir)
+    edges = topk_grid(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return clustering_coefficients(edges, emb.select(F.col("vec_id").alias("node"))).select(
+        F.col("node").alias("vec_id"), "degree", "triangles", "clustering_coeff"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 8: index-build QA (the operational numbers an index BUILD emits
+# before anything is served from it — recall@k grades the serving path,
+# these grade the artifact) + DSIR importance weighting for
+# domain-targeted curation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivf_list_stats",
+    f"""
+WITH {_SQL_IVF},
+sizes AS (SELECT cell, count(*) AS ls FROM assign GROUP BY cell),
+tot AS (SELECT CAST(sum(ls) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS n_live FROM sizes)
+SELECT CAST(cell AS INT) AS cell, CAST(ls AS BIGINT) AS list_size,
+       round(ls / tot.n, 6) AS corpus_share,
+       round(ls * tot.n_live / tot.n, 6) AS balance_ratio,
+       CAST(8 - tot.n_live AS INT) AS dead_cells
+FROM sizes, tot
+""",
+)
+def ivf_list_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list size profile of the IVF index (similarity.
+    ivf_list_stats): per-cell size, corpus share, balance ratio vs a
+    uniform split, and the dead-cell count — the build-time QA that
+    catches BOTH degeneracies (one hot cell = task skew at 100 TB;
+    a collapsed quantizer whose few live cells look balanced) before
+    the index serves a single query. The SQL's literal 8 is
+    similarity.IVF_CELLS."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import ivf_list_stats
+
+    return ivf_list_stats(_emb(spark, sf_dir))
+
+
+@register(
+    "pq_reconstruction_error",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+err AS (
+    SELECT s.sub,
+           round(list_sum(list_transform(range(1, 17),
+               j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))), 6) AS d2
+    FROM sv s JOIN codes a ON s.vec_id = a.vec_id AND s.sub = a.sub
+         JOIN cb2 c ON a.sub = c.sub AND a.code = c.code
+)
+SELECT CAST(sub AS INT) AS sub, CAST(count(*) AS BIGINT) AS n_subvectors,
+       round(avg(d2), 6) AS avg_sq_error, round(max(d2), 6) AS max_sq_error
+FROM err GROUP BY sub
+""",
+)
+def pq_reconstruction_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion (similarity.
+    pq_reconstruction_error): avg/max squared L2 between each
+    subvector and its assigned codeword — the representation-quality
+    twin of pq_recall_at_10 (recall grades the served ranking; this
+    grades the compressed artifact, and sizes m and k before a
+    100-TB build). The oracle reuses _sql_pq_chain's trained cb2 and
+    final codes, so both engines measure the identical codebooks."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_reconstruction_error,
+    )
+
+    return pq_reconstruction_error(_emb(spark, sf_dir))
+
+
+def _sql_graph_beam_chain(
+    k_graph: int = 8, beam: int = 16, hops: int = 3, ed_sql: str | None = None
+) -> str:
+    """Unrolled NSW-style beam search (the kmeans-chain discipline
+    applied to graph ANN): ed = the exact kNN graph (or a caller-
+    supplied ``ed_sql`` CTE — the IVF-built approximate graph), m =
+    the two smallest ids (entry-point frame), g0 = every query at its
+    entry node, then ``hops`` rounds of expand-out-edges / dedup /
+    exact rescore / keep-top-beam. Final beam CTE is ``g{hops}``."""
+    parts = [
+        ed_sql
+        or f"""ed AS (
+    SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id) AS rn
+        FROM e a, e b WHERE a.vec_id <> b.vec_id
+    ) WHERE rn <= {k_graph}
+)""",
+        """m AS (
+    SELECT min(vec_id) AS m1, max(vec_id) AS m2
+    FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 2)
+)""",
+        """g0 AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS node,
+           round(list_cosine_similarity(q.v, n.v), 6) AS cosine
+    FROM e q CROSS JOIN m
+    JOIN e n ON n.vec_id = CASE WHEN q.vec_id = m.m1 THEN m.m2 ELSE m.m1 END
+    WHERE q.vec_id < 10
+)""",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"""c{i} AS (
+    SELECT DISTINCT query_id, node FROM (
+        SELECT query_id, node FROM g{i - 1}
+        UNION ALL
+        SELECT g.query_id, ed.dst AS node FROM g{i - 1} g JOIN ed ON g.node = ed.src
+    ) WHERE node <> query_id
+)"""
+        )
+        parts.append(
+            f"""g{i} AS (
+    SELECT query_id, node, cosine FROM (
+        SELECT c.query_id, c.node,
+               round(list_cosine_similarity(q.v, n.v), 6) AS cosine,
+               row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, c.node) AS rn
+        FROM c{i} c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.node
+    ) WHERE rn <= {beam}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_GRAPH_HOPS = 3
+
+
+@register(
+    "sim_topk_graph",
+    f"""
+WITH {_SQL_EMB},
+{_sql_graph_beam_chain(hops=_GRAPH_HOPS)}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, node AS neighbor_id, cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, node) AS INT) AS rank
+    FROM g{_GRAPH_HOPS}
+) WHERE rank <= 10
+""",
+)
+def sim_topk_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-based ANN (similarity.topk_graph): greedy beam search
+    over the exact kNN graph — the NSW/HNSW base-layer idea as a
+    fixed 3-hop unroll, completing the index-family matrix
+    (IVF / LSH / PQ / binary / SQ8 / matryoshka / GRAPH). Per-query
+    search cost is (hops x beam x k_graph) candidate scorings —
+    independent of corpus size and of any cell's population, the
+    property no partition-based tier has. The graph build is the
+    once-per-corpus stage (stored-table serving via the edges= hook,
+    the sim_topk_ivf_stored contract); the oracle unrolls the
+    identical beam rounds CTE-for-CTE."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_graph
+
+    emb = _emb(spark, sf_dir)
+    return topk_graph(emb, emb.where(F.col("vec_id") < 10), k=10, hops=_GRAPH_HOPS)
+
+
+@register(
+    "graph_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_sql_graph_beam_chain(hops=_GRAPH_HOPS)},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, node AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
+        FROM g{_GRAPH_HOPS}
+    ) WHERE rank <= 10
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def graph_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 3-hop graph beam search vs exact cosine — the
+    graph family's row in the recall matrix. Exact rescoring makes
+    recall monotone in BOTH beam width and hop count (a wider beam /
+    extra hop only grows the visited set), the same
+    candidates-superset guarantee the exact IVF probes carry."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_graph,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    return recall_vs_exact(exact, topk_graph(emb, q, k=_RECALL_K, hops=_GRAPH_HOPS))
+
+
+_SQL_GASSIGN = """gassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+    ) WHERE rn <= 2
+)"""
+
+
+_SQL_IVF_ED = """ed AS (
+    SELECT src, dst FROM (
+        SELECT ga.vec_id AS src, sb.vec_id AS dst,
+               row_number() OVER (PARTITION BY ga.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, sb.vec_id) AS rn
+        FROM gassign ga JOIN assign sb ON ga.cell = sb.cell AND ga.vec_id <> sb.vec_id
+        JOIN e a ON a.vec_id = ga.vec_id JOIN e b ON b.vec_id = sb.vec_id
+    ) WHERE rn <= 8
+)"""
+
+
+@register(
+    "knn_graph_ivf",
+    f"""
+WITH {_SQL_IVF},
+{_SQL_GASSIGN},
+scored AS (
+    SELECT ga.vec_id AS query_id, sb.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM gassign ga JOIN assign sb ON ga.cell = sb.cell AND ga.vec_id <> sb.vec_id
+    JOIN e a ON a.vec_id = ga.vec_id JOIN e b ON b.vec_id = sb.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 8
+""",
+)
+def knn_graph_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE kNN graph (similarity.knn_graph_ivf): each
+    node's exact top-8 among its top-2 IVF cells' members — the
+    100-TB build path for the graph-ANN family. Where knn_graph's
+    exact grid pays O(N^2) over the corpus, this pays
+    ~2 x sum(|cell|^2), sharded perfectly across cells by ONE cell
+    equi-join co-partitioned on both sides. Probe-2 is what keeps the
+    graph NAVIGABLE: in-cell-only edges partition into disconnected
+    per-cell islands a beam search cannot leave (measured: recall
+    0.06 vs 0.37) — boundary nodes' second-cell links reconnect it."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import knn_graph_ivf
+
+    return knn_graph_ivf(_emb(spark, sf_dir))
+
+
+@register(
+    "graph_ivf_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+{_SQL_GASSIGN},
+{_sql_graph_beam_chain(hops=_GRAPH_HOPS, ed_sql=_SQL_IVF_ED)},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, node AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, node) AS rank
+        FROM g{_GRAPH_HOPS}
+    ) WHERE rank <= 10
+),
+{_SQL_RECALL_TAIL}
+""",
+)
+def graph_ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 3-hop beam search served from the CHEAP
+    (IVF-built) graph — the end-to-end number for the production
+    graph path: approximate build + beam serve, vs exact truth.
+    Compare graph_recall_at_10 (same search over the exact graph):
+    the gap is what the O(N^2)-to-sum(|cell|^2) build saving costs
+    in edge quality."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        knn_graph_ivf,
+        recall_vs_exact,
+        topk_graph,
+    )
+
+    emb, q, exact = _recall_queries(spark, sf_dir)
+    edges = knn_graph_ivf(emb)
+    return recall_vs_exact(
+        exact, topk_graph(emb, q, k=_RECALL_K, hops=_GRAPH_HOPS, edges=edges)
+    )
+
+
+def _sql_power_iteration_chain(rounds: int = 3) -> str:
+    """Unrolled power-iteration chain (the kmeans/GD/BPE discipline
+    applied to eigen-decomposition): v0 = normalized 6-rounded mean,
+    each round = per-row dot (index-order fold), 6-rounded per-dim
+    weighted sums, 6-rounded normalization."""
+    parts = [
+        "tot AS (SELECT sum(list_sum(list_transform(v, x -> x * x))) AS t2 FROM e)",
+        """m0 AS (
+    SELECT t.pos AS pos, round(avg(v[t.pos]), 6) AS w
+    FROM e, (SELECT CAST(unnest(range(1, 65)) AS INT) AS pos) t
+    GROUP BY t.pos
+)""",
+        "p0 AS (SELECT list(w ORDER BY pos) AS wv FROM m0)",
+        """v0 AS (
+    SELECT list_transform(wv,
+        x -> round(x / sqrt(list_sum(list_transform(wv, y -> y * y))), 6)) AS bv
+    FROM p0
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"""d{r} AS (
+    SELECT v, list_sum(list_transform(range(1, 65),
+        j -> v[CAST(j AS INT)] * bv[CAST(j AS INT)])) AS d
+    FROM e, v{r - 1}
+)""",
+            f"""ray{r} AS (
+    SELECT {r} AS rnd, round(sum(d * d) / (SELECT t2 FROM tot), 6) AS rayleigh_share
+    FROM d{r}
+)""",
+            f"""w{r} AS (
+    SELECT t.pos AS pos, round(sum(v[t.pos] * d), 6) AS w
+    FROM d{r}, (SELECT CAST(unnest(range(1, 65)) AS INT) AS pos) t
+    GROUP BY t.pos
+)""",
+            f"p{r} AS (SELECT list(w ORDER BY pos) AS wv FROM w{r})",
+            f"""v{r} AS (
+    SELECT list_transform(wv,
+        x -> round(x / sqrt(list_sum(list_transform(wv, y -> y * y))), 6)) AS bv
+    FROM p{r}
+)""",
+        ]
+    return ",\n".join(parts)
+
+
+@register(
+    "embedding_pca_power",
+    f"""
+WITH {_SQL_EMB},
+{_sql_power_iteration_chain(3)}
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST(rnd AS INT) AS round, rayleigh_share,
+       CAST(to_json(list_transform(bv, x -> CAST(round(x * 1000000.0) AS BIGINT))) AS VARCHAR)
+           AS component_fp
+FROM ray{r}, v{r}"""
+        for r in range(1, 4)
+    ),
+)
+def embedding_pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by matrix-free
+    POWER ITERATION (similarity.pca_power_iteration, 3 unrolled
+    rounds) — eigen-decomposition joins kmeans, gradient descent, BPE
+    and star-CC in the unrolled-iteration family. rayleigh_share
+    (evaluated at each round's input iterate; component_fp is the
+    round's output, fixed-point JSON like sim_ivf_centroids) is the
+    anisotropy QA: near 1.0 means the space has collapsed onto one
+    direction — the embedding-space analogue of a collapsed coarse
+    quantizer. Each round is ONE corpus scan (broadcast dot + 64-group
+    hash-agg, Gram matrix never materialized) + a 1-row normalize;
+    per-round 6-rounding makes the oracle chain bit-exact. At 100 TB
+    the iteration runs on a sample like every trainer here."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    return pca_power_iteration(_emb(spark, sf_dir), rounds=3)
+
+
+@register("sim_topk_graph_stored", None)  # oracle assigned below
+def sim_topk_graph_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN serving THROUGH the parquet store, under
+    sim_topk_graph's oracle verbatim — the store-seam row for the
+    FOURTH artifact family (index: sim_topk_ivf_stored; classifier:
+    quality_classifier_score_stored; tokenizer: bpe_apply_stored;
+    graph: this). The exact kNN edge table is built once, WRITTEN to
+    parquet, read back, and the 3-hop beam search serves from the
+    stored edges with zero build lineage in the plan; edges are pure
+    int pairs, lossless in parquet, so the hash pins the
+    serialization seam."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        topk_graph,
+        topk_grid,
+    )
+
+    emb = _emb(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="graph_store_")
+    topk_grid(emb, emb, k=8).select("query_id", "neighbor_id").write.mode(
+        "overwrite"
+    ).parquet(store)
+    return topk_graph(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+        hops=_GRAPH_HOPS,
+        edges=spark.read.parquet(store),
+    )
+
+
+REGISTRY["sim_topk_graph_stored"].oracle = REGISTRY["sim_topk_graph"].oracle
