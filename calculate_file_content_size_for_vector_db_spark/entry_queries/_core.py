@@ -39,6 +39,12 @@ class Q:
     oracle: Optional[str]
 
 
+# Insertion-ordered accumulator only: family modules @register into this
+# dict, then the package __init__ rebinds its OWN `REGISTRY` attribute to
+# a copy pinned to the canonical (_VERIFY_FIRST + _REST_ORDER) order.
+# The package attribute is the one driver-facing dict; import from the
+# package, not from here — registrations made after package import are
+# invisible to the facade by design (the order lists gate them).
 REGISTRY: dict[str, Q] = {}
 
 
