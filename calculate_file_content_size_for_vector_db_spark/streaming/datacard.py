@@ -154,6 +154,37 @@ def read_datacard(spark, card_dir: str, p: int = _HLL_P) -> DataFrame:
     return row.selectExpr(f"stack({len(cols)}, {stack}) AS (metric, value)")
 
 
+def append_card_partials(
+    batch_df: DataFrame,
+    batch_id: int,
+    card_dir: str,
+    text_col: str = "text",
+    p: int = _HLL_P,
+) -> None:
+    """One trigger's worth of card maintenance, as a plain batch
+    function (the solo face and streaming/composed.py both call exactly
+    this): four bounded, batch_id-tagged partial appends."""
+    bid = F.lit(batch_id).cast("long").alias("batch_id")
+    batch_df = batch_df.persist()
+    t = F.size(tokens(text_col)).cast("long")
+    batch_df.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(t).alias("_tok"),
+        F.sum(F.length(text_col)).alias("_ch"),
+        F.sum(F.when(t == 0, 1).otherwise(0)).alias("_emp"),
+    ).select(bid, "*").write.mode("append").parquet(f"{card_dir}/scalars")
+    batch_df.groupBy("lang").agg(F.count("*").alias("_c")).select(
+        bid, "*"
+    ).write.mode("append").parquet(f"{card_dir}/langs")
+    batch_df.groupBy("source").agg(F.count("*").alias("_c")).select(
+        bid, "*"
+    ).write.mode("append").parquet(f"{card_dir}/sources")
+    _hll_regs(batch_df, text_col, p).select(bid, "*").write.mode(
+        "append"
+    ).parquet(f"{card_dir}/hll")
+    batch_df.unpersist()
+
+
 def datacard_face(
     stream: DataFrame,
     card_dir: str,
@@ -167,25 +198,7 @@ def datacard_face(
     `read_datacard`."""
 
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
-        bid = F.lit(batch_id).cast("long").alias("batch_id")
-        batch_df = batch_df.persist()
-        t = F.size(tokens(text_col)).cast("long")
-        batch_df.agg(
-            F.count("*").cast("long").alias("_n"),
-            F.sum(t).alias("_tok"),
-            F.sum(F.length(text_col)).alias("_ch"),
-            F.sum(F.when(t == 0, 1).otherwise(0)).alias("_emp"),
-        ).select(bid, "*").write.mode("append").parquet(f"{card_dir}/scalars")
-        batch_df.groupBy("lang").agg(F.count("*").alias("_c")).select(
-            bid, "*"
-        ).write.mode("append").parquet(f"{card_dir}/langs")
-        batch_df.groupBy("source").agg(F.count("*").alias("_c")).select(
-            bid, "*"
-        ).write.mode("append").parquet(f"{card_dir}/sources")
-        _hll_regs(batch_df, text_col, p).select(bid, "*").write.mode(
-            "append"
-        ).parquet(f"{card_dir}/hll")
-        batch_df.unpersist()
+        append_card_partials(batch_df, batch_id, card_dir, text_col, p)
 
     return (
         stream.writeStream.foreachBatch(_maintain)

@@ -49,6 +49,28 @@ from calculate_file_content_size_for_vector_db_spark.operators.textstats import 
 )
 
 
+def append_drift_marginals(
+    batch_df: DataFrame,
+    batch_id: int,
+    marginals_dir: str,
+    text_col: str = "text",
+    n_bins: int = 256,
+    bin_width: int = 8,
+) -> None:
+    """One trigger's worth of drift maintenance, as a plain batch
+    function (the solo face and streaming/composed.py both call exactly
+    this): two bounded, batch_id-tagged marginal appends."""
+    bid = F.lit(batch_id).cast("long").alias("batch_id")
+    batch_df = batch_df.persist()
+    psi_length_hist(batch_df, text_col, n_bins, bin_width).select(
+        bid, "*"
+    ).write.mode("append").parquet(f"{marginals_dir}/hist")
+    psi_lang_marginal(batch_df).select(bid, "*").write.mode(
+        "append"
+    ).parquet(f"{marginals_dir}/langs")
+    batch_df.unpersist()
+
+
 def drift_face(
     stream: DataFrame,
     marginals_dir: str,
@@ -62,15 +84,9 @@ def drift_face(
     read the current drift number with `read_drift`."""
 
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
-        bid = F.lit(batch_id).cast("long").alias("batch_id")
-        batch_df = batch_df.persist()
-        psi_length_hist(batch_df, text_col, n_bins, bin_width).select(
-            bid, "*"
-        ).write.mode("append").parquet(f"{marginals_dir}/hist")
-        psi_lang_marginal(batch_df).select(bid, "*").write.mode(
-            "append"
-        ).parquet(f"{marginals_dir}/langs")
-        batch_df.unpersist()
+        append_drift_marginals(
+            batch_df, batch_id, marginals_dir, text_col, n_bins, bin_width
+        )
 
     return (
         stream.writeStream.foreachBatch(_maintain)

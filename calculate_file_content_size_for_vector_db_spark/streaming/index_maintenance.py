@@ -65,6 +65,62 @@ def read_bloom_bitmap(spark, index_dir: str) -> DataFrame:
     )
 
 
+def maintain_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    key: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> None:
+    """One trigger's worth of index maintenance, as a plain batch
+    function (the solo face and streaming/composed.py both call exactly
+    this, so the composed test pins the composition seam, not a
+    reimplementation): frozen-centroid assignment append, Bloom delta
+    append, one metrics row."""
+    spark = batch_df.sparkSession
+
+    def _read_centroids() -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(f"{index_dir}/centroids")
+        except AnalysisException:
+            return None
+
+    batch_df = batch_df.persist()
+    vec = batch_df.select(F.col(key).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    cents = _read_centroids()
+    if cents is None:
+        # cold start: trigger 0's batch trains the quantizer, then
+        # it FREEZES — every later trigger serves the stored one
+        ivf_centroids(vec).write.parquet(f"{index_dir}/centroids")
+        cents = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = ivf_append_assign(vec, cents).persist()
+    assigned.write.mode("append").parquet(f"{index_dir}/assign")
+
+    bands = minhash_bands(minhash_signature(batch_df.select(key, text_col)))
+    delta = bloom_bitmap(bands, m_bits=m_bits, n_hashes=n_hashes).persist()
+    delta.write.mode("append").parquet(f"{index_dir}/bloom")
+
+    stats = assigned.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.avg("cell_cosine"), 6).alias("mean_cc_batch"),
+    ).crossJoin(
+        F.broadcast(
+            delta.agg(F.count("*").cast("long").alias("n_bloom_delta_words"))
+        )
+    )
+    stats.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/metrics")
+    assigned.unpersist()
+    delta.unpersist()
+    batch_df.unpersist()
+
+
 def index_maintenance_face(
     stream: DataFrame,
     index_dir: str,
@@ -81,45 +137,10 @@ def index_maintenance_face(
     delta bitmaps — read via `read_bloom_bitmap`), metrics/ (one row
     per trigger)."""
 
-    def _read_centroids(spark) -> DataFrame | None:
-        from pyspark.errors import AnalysisException
-
-        try:
-            return spark.read.parquet(f"{index_dir}/centroids")
-        except AnalysisException:
-            return None
-
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        vec = batch_df.select(F.col(key).alias("vec_id"), F.col(vec_col).alias("embedding"))
-        cents = _read_centroids(spark)
-        if cents is None:
-            # cold start: trigger 0's batch trains the quantizer, then
-            # it FREEZES — every later trigger serves the stored one
-            ivf_centroids(vec).write.parquet(f"{index_dir}/centroids")
-            cents = spark.read.parquet(f"{index_dir}/centroids")
-        assigned = ivf_append_assign(vec, cents).persist()
-        assigned.write.mode("append").parquet(f"{index_dir}/assign")
-
-        bands = minhash_bands(minhash_signature(batch_df.select(key, text_col)))
-        delta = bloom_bitmap(bands, m_bits=m_bits, n_hashes=n_hashes).persist()
-        delta.write.mode("append").parquet(f"{index_dir}/bloom")
-
-        stats = assigned.agg(
-            F.count("*").cast("long").alias("n_vectors"),
-            F.round(F.avg("cell_cosine"), 6).alias("mean_cc_batch"),
-        ).crossJoin(
-            F.broadcast(
-                delta.agg(F.count("*").cast("long").alias("n_bloom_delta_words"))
-            )
+        maintain_index_batch(
+            batch_df, batch_id, index_dir, key, text_col, vec_col, m_bits, n_hashes
         )
-        stats.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-            "append"
-        ).parquet(f"{index_dir}/metrics")
-        assigned.unpersist()
-        delta.unpersist()
-        batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_maintain)

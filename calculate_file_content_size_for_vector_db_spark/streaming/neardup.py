@@ -94,6 +94,78 @@ def admit_batch(
     )
 
 
+def gate_batch(
+    batch_df: DataFrame,
+    bands_dir: str,
+    shingles_dir: str,
+    admitted_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """One trigger's worth of the gate, as a plain batch function: admit
+    ``batch_df`` against the stored corpus (`admit_batch`), append the
+    admitted rows and their band/shingle artifacts to the store, and
+    return the admitted frame as an eager SNAPSHOT the caller can keep
+    evaluating (the solo face discards it; the composed face feeds it
+    to the downstream faces). Extracting this from the foreachBatch
+    closure is what lets streaming/composed.py run the IDENTICAL gate
+    body, so the composed test pins the composition seam rather than a
+    reimplementation.
+
+    The snapshot is a ``localCheckpoint(eager=True)``, not a persist(),
+    and the distinction is load-bearing: this trigger APPENDS to the
+    very band/shingle stores the lazy admitted plan READS, so any
+    re-evaluation after the append would gate the batch against a store
+    that already contains the batch itself — every admitted doc would
+    near-dup its own stored bands and the recomputed frame would come
+    back EMPTY. A persist() does not protect against that (unpersisting
+    the parent batch frame cascade-invalidates dependent cache entries,
+    silently triggering exactly that re-evaluation); truncating the
+    lineage before the first store write does. Batch-sized, so the
+    checkpoint cost is one materialization of the admitted rows.
+
+    Missing store dirs bootstrap as an empty corpus (admits everything);
+    the first trigger's appends create them."""
+
+    def _read_store(spark, path: str, empty_like: DataFrame) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return empty_like
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    empty = batch_df.limit(0)
+    admitted = admit_batch(
+        batch_df,
+        _read_store(
+            spark,
+            bands_dir,
+            minhash_bands(
+                minhash_signature(empty, text_col=text_col, key=key), key=key
+            ),
+        ),
+        _read_store(spark, shingles_dir, shingle_sets(empty, text_col, key)),
+        threshold,
+        text_col,
+        key,
+        max_bucket_size,
+    ).localCheckpoint(eager=True)  # snapshot BEFORE the store mutates
+    admitted.write.mode("append").parquet(admitted_dir)
+    minhash_bands(
+        minhash_signature(admitted, text_col=text_col, key=key), key=key
+    ).write.mode("append").parquet(bands_dir)
+    shingle_sets(admitted, text_col, key).write.mode("append").parquet(
+        shingles_dir
+    )
+    batch_df.unpersist()
+    return admitted
+
+
 def neardup_ingest_gate(
     stream: DataFrame,
     bands_dir: str,
@@ -116,49 +188,17 @@ def neardup_ingest_gate(
     ``shingles_dir`` are treated as an empty corpus (which admits
     everything), and the first trigger's appends create them."""
 
-    def _read_store(spark, path: str, empty_like: DataFrame) -> DataFrame:
-        """Corpus-store read with an empty-corpus bootstrap. On a
-        brand-new pipeline neither store dir exists until the first
-        trigger appends, and spark.read.parquet on a missing (or
-        file-less) dir raises AnalysisException. An empty corpus
-        admits everything under the greedy semantics, so substitute
-        an empty frame — schema derived from the SAME functions that
-        write the store, so the seam can't drift."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            return spark.read.parquet(path)
-        except AnalysisException:
-            return empty_like
-
     def _gate(batch_df: DataFrame, _batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        empty = batch_df.limit(0)
-        admitted = admit_batch(
+        gate_batch(
             batch_df,
-            _read_store(
-                spark,
-                bands_dir,
-                minhash_bands(
-                    minhash_signature(empty, text_col=text_col, key=key), key=key
-                ),
-            ),
-            _read_store(spark, shingles_dir, shingle_sets(empty, text_col, key)),
+            bands_dir,
+            shingles_dir,
+            admitted_dir,
             threshold,
             text_col,
             key,
             max_bucket_size,
-        ).persist()
-        admitted.write.mode("append").parquet(admitted_dir)
-        minhash_bands(
-            minhash_signature(admitted, text_col=text_col, key=key), key=key
-        ).write.mode("append").parquet(bands_dir)
-        shingle_sets(admitted, text_col, key).write.mode("append").parquet(
-            shingles_dir
         )
-        admitted.unpersist()
-        batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_gate)

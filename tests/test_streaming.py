@@ -799,3 +799,180 @@ def test_drift_face_cold_read_bootstraps_empty_store(spark, tmp_path):
     assert row.psi_length is not None and row.psi_lang is not None
     # smoothing makes the empty batch the uniform prior: finite, small
     assert row.psi_lang == 0.0 and 0.0 <= row.psi_length < 0.2
+
+
+def test_streaming_composed_faces_share_one_store(spark, tmp_path):
+    """VERDICT r09 item 5: the four per-trigger faces composed over ONE
+    shared store (streaming/composed.py) — one foreachBatch admitting
+    each batch through the near-dup gate, then maintaining the index,
+    datacard and drift stores from the ADMITTED docs only. Pins
+    (a) the admitted set (greedy gate semantics, cross- and
+    within-trigger rejections), (b) every downstream face's solo parity
+    contract THROUGH the composition (assign == batch assignment vs the
+    trigger-0 frozen centroids; folded bloom == from-scratch rebuild;
+    folded card == corpus_datacard_merge; read_drift == drift_psi —
+    each over admitted docs only), and (c) cross-face consistency: all
+    stores advance in lockstep, rejected docs appear in NO store."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bloom_bitmap,
+        minhash_bands,
+        minhash_signature,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+    )
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard_merge,
+        drift_psi,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.composed import (
+        composed_ingest_face,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.datacard import read_datacard
+    from calculate_file_content_size_for_vector_db_spark.streaming.drift import read_drift
+    from calculate_file_content_size_for_vector_db_spark.streaming.index_maintenance import (
+        read_bloom_bitmap,
+    )
+
+    words = [f"w{i:03d}" for i in range(450)]
+
+    def fresh(w):  # disjoint 30-word windows: J ~= 0 across windows
+        return " ".join(words[30 * w : 30 * w + 30])
+
+    def neardup(w):  # shifted window: J = 28/32 = 0.875 vs fresh(w)
+        return " ".join(words[30 * w + 2 : 30 * w + 32])
+
+    def vec(i):
+        return [float(math.sin(0.1 * i * (d + 1)) % 1.0) for d in range(32)]
+
+    def row(i, text):
+        return (i, text, ["en", "fr", "de"][i % 3], f"s{i % 4}", vec(i))
+
+    batches = [
+        # trigger 0: 8 fresh + 2 within-batch near-dups of ids 0 and 3
+        [row(i, fresh(i)) for i in range(8)]
+        + [row(8, neardup(0)), row(9, neardup(3))],
+        # trigger 1: fresh 10/12/14; 11 rejects vs STORED 5 (cross-
+        # trigger); 13 rejects vs smaller-id 10 of the SAME batch
+        [
+            row(10, fresh(8)),
+            row(11, neardup(5)),
+            row(12, fresh(9)),
+            row(13, neardup(8)),
+            row(14, fresh(10)),
+        ],
+        # trigger 2: 20 rejects vs stored 12 (= fresh window 9);
+        # 22 rejects vs smaller-id 21; 21 and 23 admitted
+        [
+            row(20, neardup(9)),
+            row(21, fresh(11)),
+            row(22, neardup(11)),
+            row(23, fresh(12)),
+        ],
+    ]
+    want_admitted = [0, 1, 2, 3, 4, 5, 6, 7, 10, 12, 14, 21, 23]
+
+    schema = (
+        "doc_id long, text string, lang string, source string, embedding array<float>"
+    )
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stream_dir / f"f{b}"))
+
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = composed_ingest_face(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    # (a) the gate's greedy admitted set, cross- and within-trigger
+    got_admitted = sorted(
+        r.doc_id for r in spark.read.parquet(f"{store}/admitted").collect()
+    )
+    assert got_admitted == want_admitted
+
+    all_rows = [r for rows in batches for r in rows]
+    adm_df = spark.createDataFrame(
+        [r for r in all_rows if r[0] in set(want_admitted)], schema
+    )
+
+    # (b1) index face through the composition: assignment store ==
+    # batch assignment of ADMITTED vectors vs the trigger-0 frozen
+    # centroids; rejected docs never reach the index
+    cents = spark.read.parquet(f"{store}/index/centroids")
+    want_assign = {
+        (r.vec_id, r.cell, r.cell_cosine)
+        for r in ivf_append_assign(
+            adm_df.select(F.col("doc_id").alias("vec_id"), "embedding"), cents
+        ).collect()
+    }
+    got_assign = {
+        (r.vec_id, r.cell, r.cell_cosine)
+        for r in spark.read.parquet(f"{store}/index/assign").collect()
+    }
+    assert got_assign == want_assign and len(got_assign) == len(want_admitted)
+
+    # (b2) folded bloom == from-scratch rebuild over ADMITTED bands
+    want_bloom = {
+        (r.word_id, r.word)
+        for r in bloom_bitmap(
+            minhash_bands(minhash_signature(adm_df.select("doc_id", "text")))
+        ).collect()
+    }
+    got_bloom = {
+        (r.word_id, r.word)
+        for r in read_bloom_bitmap(spark, f"{store}/index").collect()
+    }
+    assert got_bloom == want_bloom
+
+    # (b3) folded card == corpus_datacard_merge over admitted docs
+    want_card = {
+        r.metric: r.value
+        for r in corpus_datacard_merge(
+            adm_df.select("doc_id", "text", "lang", "source")
+        ).collect()
+    }
+    got_card = {
+        r.metric: r.value for r in read_datacard(spark, f"{store}/card").collect()
+    }
+    assert got_card == want_card
+    assert got_card["n_docs"] == float(len(want_admitted))
+
+    # (b4) read_drift == drift_psi(base, admitted docs)
+    base = spark.createDataFrame(
+        [
+            (1000 + i, f"base doc {i} " + "w " * (i % 7), ["en", "fr", "de"][i % 3], "s0")
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    want_drift = drift_psi(
+        base, adm_df.select("doc_id", "text", "lang", "source")
+    ).collect()[0].asDict()
+    got_drift = read_drift(spark, base, f"{store}/drift").collect()[0].asDict()
+    assert got_drift == want_drift
+    assert got_drift["n_batch"] == len(want_admitted)
+
+    # (c) lockstep: every store agrees on the admitted population, and
+    # rejected docs appear in NO store subtree
+    shingle_ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{store}/shingles").select("doc_id").distinct().collect()
+    )
+    assert shingle_ids == want_admitted
+    metrics = {
+        r.batch_id: r for r in spark.read.parquet(f"{store}/index/metrics").collect()
+    }
+    assert set(metrics) == {0, 1, 2}
+    assert sum(m.n_vectors for m in metrics.values()) == len(want_admitted)
+    assert [metrics[b].n_vectors for b in (0, 1, 2)] == [8, 3, 2]
