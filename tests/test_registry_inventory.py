@@ -32,3 +32,21 @@ def test_rows_only_queries_are_the_documented_six():
         "file_scan",
         "pdf_extract",
     ], f"rows-only set changed: {rows_only} — update SURVEY.md §8 and this list"
+
+
+def test_verify_window_follows_declared_policy():
+    """SURVEY.md §5.1: the driver verification window is REBUILT each
+    round from the committed CORRECTNESS history — never-checked rows
+    first, then cohorts oldest-round first, each cohort taken whole
+    (internal order free for spill management). tools/verify_window.py
+    is the builder; this pins _VERIFY_FIRST to its check so the window
+    can't silently drift from the history."""
+    import sys
+
+    sys.path.insert(0, str(SURVEY.parent / "tools"))
+    from verify_window import check_window, latest_driver_round
+
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import _VERIFY_FIRST
+
+    problems = check_window(_VERIFY_FIRST, list(REGISTRY), latest_driver_round())
+    assert not problems, problems
