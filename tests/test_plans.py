@@ -401,6 +401,7 @@ _BNLJ_ALLOWED = {
     "bm25_search_stored",  # same 1-row stats broadcast, derived from the merged store
     "drift_psi",  # 1-row totals + psi aggregates composed by broadcast
     "drift_psi_stored",  # same composition over the parquet-read marginals
+    "composed_faces_ledger",  # read_datacard/read_drift 1-row aggregate cross-joins (the drift_psi / corpus_datacard_merge compositions over the store folds)
     "bpe_apply_oov",  # 1-row collected-merge-table broadcast (F.aggregate replay)
     "fk_integrity_check",  # three 1-row audit-count broadcasts composed
     "hybrid_search_rrf",  # bm25 stats broadcast + exact vector baseline
