@@ -4,6 +4,7 @@ in-flight (no driver-side data, no fixture modification).
 
     python tools/scale_check.py [n_docs] [n_vectors]
     python tools/scale_check.py --ladder
+    python tools/scale_check.py --isolated op1,op2,...
 
 Prints one JSON line with per-operator wall times. This is evidence
 that the operator plans hold as data grows: generation is a narrow
@@ -15,6 +16,14 @@ factors, so "would survive 100x" claims ride a measured scaling slope
 (VERDICT r05 item 5; results recorded in SCALE.md). Linear-plan ops
 should track the data factor; the documented exact-quadratic baselines
 (nn_grid_full, neardup_grid) should track its square.
+
+--isolated re-measures a named op subset with ONE FRESH JVM PER TIER
+(subprocess per tier, unselected ops and their store setups skipped).
+This is the workflow that refuted the r08 in-ladder PQ ratios (SCALE.md
+"PQ-family isolated re-measures"): late rows in a long single-JVM
+ladder session overstate ratios via accumulated GC/session pressure, so
+any out-of-band ladder row gets this isolated re-measure before it is
+believed. --isolated-tier is the internal per-tier worker entry point.
 """
 
 from __future__ import annotations
@@ -81,7 +90,11 @@ def synth_embeddings(spark, n_vectors: int, dim: int = 64):
     )
 
 
-def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
+def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> dict[str, float]:
+    """Time the ladder ops at one tier. ``only`` restricts to a named
+    subset (the --isolated path): unselected ops AND their setup blocks
+    (stored band/shingle/centroid/edge tables) are skipped entirely, so
+    an isolated run's JVM does nothing but the ops under re-measure."""
     import tempfile
 
     docs = synth_documents(spark, n_docs)
@@ -94,7 +107,12 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
 
     timings: dict[str, float] = {}
 
+    def want(*names: str) -> bool:
+        return only is None or bool(set(names) & only)
+
     def t(name, df):
+        if only is not None and name not in only:
+            return
         # a callable means the op does EAGER work at construction time
         # (localCheckpoint rounds in star CC / BPE training): build it
         # INSIDE the timer or the heavy stages escape measurement (the
@@ -226,6 +244,7 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
     # its cost should stay flat-ish (batch-sized explode + broadcast
     # join against a bounded bitmap) while the corpus grows 5x.
     with tempfile.TemporaryDirectory() as tmp:
+      if want("dedup_incremental_1pct", "bloom_prefilter_1pct", "cluster_append_1pct"):
         corpus = docs.where(F.col("doc_id") % 100 != 0)
         dedup.minhash_bands(dedup.minhash_signature(corpus)).write.parquet(f"{tmp}/bands")
         dedup.shingle_sets(corpus).write.parquet(f"{tmp}/sh")
@@ -254,14 +273,15 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
         # flat-to-sublinear while the corpus grows 5x (vs
         # leakage_safe_split_capped, which prices the FULL clustering
         # at each tier).
-        corpus_pairs = dedup.minhash_lsh_pairs(corpus, max_bucket_size=64)
-        dedup.star_components(
-            corpus_pairs.select(
-                F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+        if want("cluster_append_1pct"):
+            corpus_pairs = dedup.minhash_lsh_pairs(corpus, max_bucket_size=64)
+            dedup.star_components(
+                corpus_pairs.select(
+                    F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+                )
+            ).select(F.col("node").alias("doc_id"), "cluster_id").write.parquet(
+                f"{tmp}/labels"
             )
-        ).select(F.col("node").alias("doc_id"), "cluster_id").write.parquet(
-            f"{tmp}/labels"
-        )
         def _cluster_append_1pct():
             batch = docs.where(F.col("doc_id") % 100 == 0)
             cross = dedup.incremental_neardup_pairs(
@@ -287,6 +307,7 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
     # retrain, so it should track the vector factor — it runs at
     # maintenance cadence, not per append.
     with tempfile.TemporaryDirectory() as tmp:
+      if want("ivf_append_fixed_batch", "ivf_staleness"):
         similarity.ivf_centroids(emb).write.parquet(f"{tmp}/cents")
         cents = spark.read.parquet(f"{tmp}/cents")
         batch = synth_embeddings(spark, 500).withColumn(
@@ -312,31 +333,33 @@ def run_tier(spark, n_docs: int, n_vec: int) -> dict[str, float]:
     # SERVE row answers from a PREBUILT (stored) edge table —
     # per-query cost is (hops x beam x degree), so it should be FLAT
     # across corpus growth, the family's defining claim.
-    n_cells_scaled = max(8, n_vec // 500)  # |cell| ~ 500 held constant
-    scaled_cents = similarity.ivf_centroids(emb, k=n_cells_scaled)
-    t(
-        "knn_graph_ivf_build_scaled_cells",
-        similarity.knn_graph_ivf(
-            emb,
-            assign=similarity.ivf_assign(emb, k=n_cells_scaled),
-            centroids=scaled_cents,
-        ),
-    )
-    with tempfile.TemporaryDirectory() as tmp:
-        similarity.knn_graph_ivf(
-            emb,
-            assign=similarity.ivf_assign(emb, k=n_cells_scaled),
-            centroids=scaled_cents,
-        ).select("query_id", "neighbor_id").write.parquet(f"{tmp}/edges")
-        stored_edges = spark.read.parquet(f"{tmp}/edges").select(
-            "query_id", "neighbor_id"
-        )
+    if want("knn_graph_ivf_build_scaled_cells", "topk_graph_serve_stored"):
+        n_cells_scaled = max(8, n_vec // 500)  # |cell| ~ 500 held constant
+        scaled_cents = similarity.ivf_centroids(emb, k=n_cells_scaled)
         t(
-            "topk_graph_serve_stored",
-            similarity.topk_graph(
-                emb, emb.where("vec_id < 10"), edges=stored_edges
+            "knn_graph_ivf_build_scaled_cells",
+            similarity.knn_graph_ivf(
+                emb,
+                assign=similarity.ivf_assign(emb, k=n_cells_scaled),
+                centroids=scaled_cents,
             ),
         )
+        with tempfile.TemporaryDirectory() as tmp:
+          if want("topk_graph_serve_stored"):
+            similarity.knn_graph_ivf(
+                emb,
+                assign=similarity.ivf_assign(emb, k=n_cells_scaled),
+                centroids=scaled_cents,
+            ).select("query_id", "neighbor_id").write.parquet(f"{tmp}/edges")
+            stored_edges = spark.read.parquet(f"{tmp}/edges").select(
+                "query_id", "neighbor_id"
+            )
+            t(
+                "topk_graph_serve_stored",
+                similarity.topk_graph(
+                    emb, emb.where("vec_id < 10"), edges=stored_edges
+                ),
+            )
     return timings
 
 
@@ -408,6 +431,54 @@ def run_tpch_tier(spark, sf_dir: str, factor: int) -> dict[str, float]:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolated":
+        # Parent mode: no SparkSession here — each tier runs in its own
+        # fresh JVM so no tier inherits the other's session pressure.
+        import subprocess
+
+        ops = [o for o in sys.argv[2].split(",") if o]
+        tiers = []
+        for n_docs, n_vec in LADDER_TIERS:
+            print(
+                f"# --- isolated tier {n_docs} docs / {n_vec} vectors: {ops} ---",
+                file=sys.stderr,
+            )
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--isolated-tier",
+                    str(n_docs),
+                    str(n_vec),
+                    ",".join(ops),
+                ],
+                stdout=subprocess.PIPE,
+                check=True,
+                text=True,
+            )
+            tiers.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        ratios = {
+            name: round(tiers[1]["timings"][name] / max(tiers[0]["timings"][name], 0.01), 2)
+            for name in tiers[0]["timings"]
+        }
+        (d0, v0), (d1, v1) = LADDER_TIERS
+        print(
+            json.dumps(
+                {"mode": "isolated", "ops": ops, "tiers": tiers, "time_ratios": ratios,
+                 "data_factors": {"docs": round(d1 / d0, 2), "vectors": round(v1 / v0, 2)}}
+            )
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolated-tier":
+        n_docs, n_vec = int(sys.argv[2]), int(sys.argv[3])
+        only = {o for o in sys.argv[4].split(",") if o}
+        spark = get_spark(app_name="scale-check-isolated")
+        timings = run_tier(spark, n_docs, n_vec, only=only)
+        missing = sorted(only - set(timings))
+        if missing:
+            raise SystemExit(f"unknown ladder op names: {missing}")
+        print(json.dumps({"n_docs": n_docs, "n_vectors": n_vec, "timings": timings}))
+        return
     spark = get_spark(app_name="scale-check")
     if len(sys.argv) > 1 and sys.argv[1] == "--tpch-ladder":
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
