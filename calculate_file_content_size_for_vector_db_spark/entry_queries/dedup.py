@@ -681,6 +681,90 @@ def dedup_clusters_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["dedup_clusters_append"].oracle = REGISTRY["dedup_clusters"].oracle
 
 
+# The right-to-be-forgotten set: every 13th doc (disjoint choice from
+# the incremental family's % 7 batch split, mirrored in the oracle's
+# pair predicate).
+_TAKEDOWN_MOD = 13
+
+
+@register(
+    "dedup_takedown_recluster",
+    _SQL_MINHASH_BANDS
+    + f""",
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    WHERE a.doc_id % {_TAKEDOWN_MOD} <> 0 AND b.doc_id % {_TAKEDOWN_MOD} <> 0
+),
+pairs AS (
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN sh_t sa ON sa.doc_id = c.a_id
+    JOIN sh_t sb ON sb.doc_id = c.b_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) >= 0.5
+),
+sym AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach AS (
+    WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+    )
+    SELECT * FROM r
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
+def dedup_takedown_recluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE path of the cluster store (dedup.cluster_takedown),
+    completing the artifact's lifecycle: build (dedup_clusters_star),
+    append (dedup_clusters_append), and now takedown. Every 13th doc
+    is forgotten; the stored labeling is repaired by keeping untouched
+    clusters VERBATIM from the parquet store and re-running star CC
+    only over the touched clusters' survivors, whose pairs regenerate
+    from the STORED band/shingle artifacts (semi-joins — nothing is
+    re-shingled). The oracle is dedup_clusters' transitive closure
+    with the takedown predicate pushed into the pair table, i.e. a
+    FULL REBUILD without the forgotten docs: the hash pins that
+    localized repair equals rebuild — including the hard cases where
+    the removed doc was a cluster's bridge (component splits) or its
+    minimum id (label changes). At 100 TB the takedown set is
+    request-sized, so every stage after the store semi-joins is
+    takedown-neighborhood-sized, vs a nightly corpus re-cluster."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        cluster_takedown,
+        minhash_bands,
+        minhash_signature,
+        neardup_clusters,
+        shingle_sets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="takedown_")
+    neardup_clusters(docs, threshold=0.5, method="star").write.parquet(
+        f"{store}/labels"
+    )
+    minhash_bands(minhash_signature(docs)).write.parquet(f"{store}/bands")
+    shingle_sets(docs).write.parquet(f"{store}/shingles")
+    takedown = docs.where(F.col("doc_id") % _TAKEDOWN_MOD == 0).select("doc_id")
+    return cluster_takedown(
+        spark.read.parquet(f"{store}/labels"),
+        takedown,
+        spark.read.parquet(f"{store}/bands"),
+        spark.read.parquet(f"{store}/shingles"),
+        threshold=0.5,
+    )
+
+
 @register(
     "duplicated_spans",
     f"""

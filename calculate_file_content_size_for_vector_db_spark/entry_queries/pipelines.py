@@ -828,6 +828,173 @@ def ingest_serve_handoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_replay_idempotent",
+    _SQL_MINHASH_BANDS
+    + f""",
+cand1 AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id % {_INCR_BATCH_MOD} = 0 AND b.doc_id % {_INCR_BATCH_MOD} <> 0
+),
+dups1 AS (
+    SELECT new_id, CAST(count(*) AS BIGINT) AS n
+    FROM ({_SQL_HANDOFF_VERIFY.format(cand="cand1")})
+    WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+    GROUP BY new_id
+),
+adm1 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % {_INCR_BATCH_MOD} = 0
+      AND doc_id NOT IN (SELECT new_id FROM dups1)
+),
+store2 AS (
+    SELECT doc_id FROM documents WHERE doc_id % {_INCR_BATCH_MOD} <> 0
+    UNION ALL SELECT doc_id FROM adm1
+),
+cand2 AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+    JOIN store2 s ON s.doc_id = b.doc_id
+    WHERE a.doc_id % {_INCR_BATCH_MOD} = 0
+),
+nd2 AS (
+    SELECT new_id, CAST(count(*) AS BIGINT) AS n
+    FROM ({_SQL_HANDOFF_VERIFY.format(cand="cand2")})
+    WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+    GROUP BY new_id
+),
+bands_cnt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS nb
+    FROM bands
+    WHERE doc_id IN (SELECT doc_id FROM adm1)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       du.new_id IS NULL AS admitted,
+       coalesce(du.n, 0) AS n_store_dups_d1,
+       coalesce(n2.n, 0) AS n_store_dups_replay,
+       n2.new_id IS NOT NULL AS replay_neardup,
+       ad.doc_id IS NOT NULL AS replay_ledger,
+       (n2.new_id IS NULL AND ad.doc_id IS NULL) AS replay_admitted,
+       coalesce(bc.nb, 0) AS bands_in_store
+FROM documents d
+LEFT JOIN dups1 du ON du.new_id = d.doc_id
+LEFT JOIN nd2 n2 ON n2.new_id = d.doc_id
+LEFT JOIN adm1 ad ON ad.doc_id = d.doc_id
+LEFT JOIN bands_cnt bc ON bc.doc_id = d.doc_id
+WHERE d.doc_id % {_INCR_BATCH_MOD} = 0
+""",
+)
+def ingest_replay_idempotent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion under AT-LEAST-ONCE delivery: the same
+    batch is delivered TWICE through the admission chain against one
+    real parquet store, and the hash pins that the replay is a no-op.
+    Two mechanisms, both exercised:
+
+    - **Near-dup self-match**: an admitted doc's bands/shingles are in
+      the store after delivery 1, so on replay it matches ITSELF at
+      Jaccard exactly 1.0 through the ordinary Bloom -> band join ->
+      verify chain — the store is its own replay memory for every doc
+      that carries a signature.
+    - **Admission ledger**: docs too short to shingle (< 3 tokens)
+      append nothing, so the self-match cannot reject them; the exact
+      doc_id ledger written with the admissions does. Replay gates on
+      BOTH; the pinned invariant is replay_admitted = false for every
+      doc, i.e. a redelivered batch admits nothing and appends nothing.
+
+    One row per batch doc: doc_id, admitted (delivery 1),
+    n_store_dups_d1 (verified near-dups vs the pre-append store),
+    n_store_dups_replay (vs the POST-append store — admitted docs count
+    their self-match plus any admitted near-dups; rejected docs keep
+    their corpus dups), replay_neardup / replay_ledger (which gate
+    caught the redelivery), replay_admitted (false everywhere), and
+    bands_in_store (this doc's band rows in the final store: its band
+    count if admitted, else 0 — a double-append would read 2x). The
+    oracle rebuilds both deliveries declaratively; the Bloom gate's
+    no-false-negatives property is load-bearing on the replay side
+    too (a dropped self-match would flip replay_neardup).
+
+    At 100 TB this is the idempotence contract that lets the ingest
+    run under Spark's at-least-once foreachBatch semantics without a
+    transactional store: every stage is batch-sized, the ledger is an
+    admitted-ids parquet the gate anti-joins (batch-sized probe), and
+    replay cost equals one ordinary gate pass."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bloom_neardup_prefilter,
+        incremental_neardup_pairs,
+        minhash_bands,
+        minhash_signature,
+        shingle_sets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    mod = _INCR_BATCH_MOD
+    batch = docs.where(F.col("doc_id") % mod == 0)
+    corpus = docs.where(F.col("doc_id") % mod != 0)
+    store = tempfile.mkdtemp(prefix="replay_")
+    minhash_bands(minhash_signature(corpus)).write.parquet(f"{store}/bands")
+    shingle_sets(corpus).write.parquet(f"{store}/shingles")
+
+    def _deliver(ledger: DataFrame | None) -> tuple[DataFrame, DataFrame]:
+        """One delivery of ``batch``: gate against the store as-of now
+        (near-dup chain + optional admission ledger), snapshot the
+        decisions (the plans read the store this function then
+        appends to), append the admissions' artifacts."""
+        bands_now = spark.read.parquet(f"{store}/bands")
+        sh_now = spark.read.parquet(f"{store}/shingles")
+        gate = bloom_neardup_prefilter(batch, bands_now)
+        flagged = batch.join(
+            gate.where(F.col("maybe_neardup")).select("doc_id"), "doc_id", "left_semi"
+        )
+        pairs = incremental_neardup_pairs(flagged, bands_now, sh_now)
+        nd = (
+            pairs.groupBy(F.col("new_id").alias("doc_id"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        admitted = batch.join(nd.select("doc_id"), "doc_id", "left_anti")
+        if ledger is not None:
+            admitted = admitted.join(ledger, "doc_id", "left_anti")
+        admitted = admitted.localCheckpoint(eager=True)
+        minhash_bands(minhash_signature(admitted)).write.mode("append").parquet(
+            f"{store}/bands"
+        )
+        shingle_sets(admitted).write.mode("append").parquet(f"{store}/shingles")
+        return admitted, nd
+
+    adm1, nd1 = _deliver(None)
+    adm1.select("doc_id").write.parquet(f"{store}/ledger")
+    ledger = spark.read.parquet(f"{store}/ledger")
+    adm2, nd2 = _deliver(ledger)
+    bands_final = spark.read.parquet(f"{store}/bands")
+    bcnt = bands_final.groupBy("doc_id").agg(F.count("*").cast("long").alias("_nb"))
+    return (
+        batch.select("doc_id")
+        .join(nd1.withColumnRenamed("n", "_n1"), "doc_id", "left")
+        .join(nd2.withColumnRenamed("n", "_n2"), "doc_id", "left")
+        .join(ledger.withColumn("_led", F.lit(1)), "doc_id", "left")
+        .join(adm2.select("doc_id").withColumn("_a2", F.lit(1)), "doc_id", "left")
+        .join(bcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_n1").isNull().alias("admitted"),
+            F.coalesce(F.col("_n1"), F.lit(0)).cast("long").alias("n_store_dups_d1"),
+            F.coalesce(F.col("_n2"), F.lit(0))
+            .cast("long")
+            .alias("n_store_dups_replay"),
+            F.col("_n2").isNotNull().alias("replay_neardup"),
+            F.col("_led").isNotNull().alias("replay_ledger"),
+            F.col("_a2").isNotNull().alias("replay_admitted"),
+            F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("bands_in_store"),
+        )
+    )
+
+
+@register(
     "composed_faces_ledger",
     # MATERIALIZED hints are load-bearing for oracle runtime: vpairs
     # (the verified near-dup pair table) feeds six admission

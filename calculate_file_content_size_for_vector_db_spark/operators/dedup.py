@@ -938,6 +938,86 @@ def cluster_append(
     return out_store.unionByName(out_new)
 
 
+def cluster_takedown(
+    stored_labels: DataFrame,
+    takedown: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    threshold: float = 0.5,
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, cluster_id): right-to-be-forgotten maintenance of the
+    stored cluster labeling — remove a takedown set's documents and
+    repair ONLY the clusters they belonged to, without re-clustering
+    the corpus. The delete-path counterpart of cluster_append: append
+    merges components (new edges only connect), takedown can SPLIT
+    them (a removed doc may be the bridge between two halves) and can
+    change a cluster's label (the removed doc may BE the component
+    minimum), so untouched-cluster reuse plus a localized re-CC is the
+    only safe shortcut — and it is safe, because near-dup edges never
+    cross component boundaries: removing nodes cannot connect
+    anything, so every post-takedown component lies entirely inside
+    one pre-takedown cluster.
+
+    Algorithm:
+      1. touched = stored clusters containing a takedown doc;
+         untouched rows are kept VERBATIM from the store.
+      2. Surviving members of touched clusters re-pair from the STORED
+         band/shingle artifacts (semi-join to survivors, band self-join,
+         exact-Jaccard verify) — no document is re-shingled.
+      3. star_components over those edges relabels the survivors;
+         survivors that lost all their edges drop out of the frame
+         (singletons carry no row, matching neardup_clusters).
+
+    Cost at 100 TB: the takedown set is tiny (legal/opt-out requests),
+    touched clusters are near-dup-cluster-sized, so every stage after
+    the two store semi-joins is takedown-neighborhood-sized. The
+    registered query pins the equality against a from-scratch
+    clustering of the corpus minus the takedown set (dedup_clusters'
+    transitive-closure oracle with the takedown predicate pushed into
+    the pair table).
+    """
+    td = takedown.select(key).distinct()
+    touched_cl = (
+        stored_labels.join(td, key, "left_semi").select("cluster_id").distinct()
+    )
+    untouched = stored_labels.join(touched_cl, "cluster_id", "left_anti").select(
+        key, "cluster_id"
+    )
+    survivors = (
+        stored_labels.join(touched_cl, "cluster_id", "left_semi")
+        .select(key)
+        .join(td, key, "left_anti")
+    )
+    b = corpus_bands.join(survivors, key, "left_semi")
+    a, b2 = b.alias("a"), b.alias("b")
+    candidates = (
+        a.join(b2, ["band", "band_hash"])
+        .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .select(F.col(f"a.{key}").alias("a_id"), F.col(f"b.{key}").alias("b_id"))
+        .distinct()
+    )
+    sh = corpus_shingles.join(survivors, key, "left_semi")
+    edges = (
+        candidates.join(sh.withColumnsRenamed({key: "a_id", "sh": "sh_a"}), "a_id")
+        .join(sh.withColumnsRenamed({key: "b_id", "sh": "sh_b"}), "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .where(
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    repaired = star_components(edges).select(
+        F.col("node").alias(key), "cluster_id"
+    )
+    return untouched.unionByName(repaired)
+
+
 def neardup_clusters(
     df: DataFrame,
     threshold: float = 0.5,

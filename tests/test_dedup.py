@@ -879,3 +879,99 @@ def test_prefix_filter_cuts_candidates_with_zero_recall_loss(spark):
     }
     assert got == want
     sh.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# cluster_takedown (right-to-be-forgotten repair of the stored labeling)
+# ---------------------------------------------------------------------------
+
+
+def _takedown_fixture(spark, rows, takedown_ids):
+    """Build (stored labels, takedown, bands, shingles) the way the
+    registered query does — from the corpus itself."""
+    docs = _docs(spark, rows)
+    stored = dedup.neardup_clusters(docs, threshold=0.5, method="star")
+    bands = dedup.minhash_bands(dedup.minhash_signature(docs))
+    sh = dedup.shingle_sets(docs)
+    td = spark.createDataFrame([(i,) for i in takedown_ids], "doc_id long")
+    return docs, stored, td, bands, sh
+
+
+def test_cluster_takedown_untouched_verbatim_relabel_and_singleton_drop(spark):
+    # exact-dup groups: {1,2,3} (label 1), {10,11} (label 10),
+    # {20,21,22} (label 20); 30 is a singleton (never labeled).
+    # takedown {1, 22}: cluster 1 loses its MINIMUM (relabel 2->2,3->2),
+    # cluster 20 loses a non-min member (label stays 20), cluster 10 is
+    # untouched and must come back verbatim.
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta epsilon"),
+        (10, "omega psi chi phi upsilon"),
+        (11, "omega psi chi phi upsilon"),
+        (20, "red green blue cyan magenta"),
+        (21, "red green blue cyan magenta"),
+        (22, "red green blue cyan magenta"),
+        (30, "lonely words with no duplicate here"),
+    ]
+    docs, stored, td, bands, sh = _takedown_fixture(spark, rows, [1, 22])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.cluster_takedown(stored, td, bands, sh).collect()
+    }
+    assert got == {2: 2, 3: 2, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_cluster_takedown_bridge_removal_splits_and_equals_rebuild(spark):
+    # chain A(100)~B(101)~C(102) via token-window overlap (A and C do
+    # not near-dup each other); removing the bridge B must SPLIT the
+    # cluster — both survivors lose their only edge and drop out of
+    # the labeling. Exact-dup pair {200,201} stays untouched.
+    t = [f"tok{i}" for i in range(20)]
+    rows = [
+        (100, " ".join(t[0:10])),
+        (101, " ".join(t[2:12])),
+        (102, " ".join(t[4:14])),
+        (200, "solid stable pair of documents here"),
+        (201, "solid stable pair of documents here"),
+    ]
+    docs, stored, td, bands, sh = _takedown_fixture(spark, rows, [101])
+    pre = {r.doc_id: r.cluster_id for r in stored.collect()}
+    # the fixture is only meaningful if the chain actually clustered
+    assert pre.get(100) == 100 and pre.get(101) == 100 and pre.get(102) == 100
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_takedown(stored, td, bands, sh).collect()
+    }
+    assert got == {(200, 200), (201, 200)}
+    # localized repair == full rebuild without the takedown docs
+    remaining = docs.where(F.col("doc_id") != 101)
+    rebuild = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.neardup_clusters(remaining, threshold=0.5, method="star").collect()
+    }
+    assert got == rebuild
+
+
+def test_cluster_takedown_equals_rebuild_on_mixed_corpus(spark):
+    # a larger mixed corpus: several dup groups + chains, takedown a
+    # scattering of members; the repaired labeling must equal a
+    # from-scratch clustering of the survivors.
+    rows = []
+    for g in range(4):
+        text = f"group{g} common words shared by all members {g}"
+        for m in range(3):
+            rows.append((g * 10 + m, text))
+    rows += [(90, "unique ninety document text body"), (91, "another unique text entirely")]
+    takedown_ids = [0, 11, 22]  # min of group 0, non-min of groups 1 and 2
+    docs, stored, td, bands, sh = _takedown_fixture(spark, rows, takedown_ids)
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_takedown(stored, td, bands, sh).collect()
+    }
+    remaining = docs.join(td, "doc_id", "left_anti")
+    rebuild = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.neardup_clusters(remaining, threshold=0.5, method="star").collect()
+    }
+    assert got == rebuild
