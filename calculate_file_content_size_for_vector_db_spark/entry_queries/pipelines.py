@@ -995,6 +995,186 @@ def ingest_replay_idempotent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_takedown_readmit",
+    _SQL_MINHASH_BANDS
+    + f""",
+cand1 AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id % {_INCR_BATCH_MOD} = 0 AND b.doc_id % {_INCR_BATCH_MOD} <> 0
+),
+dups1 AS (
+    SELECT new_id, CAST(count(*) AS BIGINT) AS n
+    FROM ({_SQL_HANDOFF_VERIFY.format(cand="cand1")})
+    WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+    GROUP BY new_id
+),
+adm1 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % {_INCR_BATCH_MOD} = 0
+      AND doc_id NOT IN (SELECT new_id FROM dups1)
+),
+kept AS (SELECT doc_id FROM adm1 WHERE doc_id % {2 * _INCR_BATCH_MOD} <> 0),
+store2 AS (
+    SELECT doc_id FROM documents WHERE doc_id % {_INCR_BATCH_MOD} <> 0
+    UNION ALL SELECT doc_id FROM kept
+),
+cand2 AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+    JOIN store2 s ON s.doc_id = b.doc_id
+    WHERE a.doc_id % {_INCR_BATCH_MOD} = 0
+),
+nd2 AS (
+    SELECT new_id, CAST(count(*) AS BIGINT) AS n
+    FROM ({_SQL_HANDOFF_VERIFY.format(cand="cand2")})
+    WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) >= 0.5
+    GROUP BY new_id
+),
+readmit AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % {_INCR_BATCH_MOD} = 0
+      AND doc_id NOT IN (SELECT new_id FROM nd2)
+      AND doc_id NOT IN (SELECT doc_id FROM kept)
+),
+in_store AS (SELECT doc_id FROM kept UNION SELECT doc_id FROM readmit),
+bands_cnt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS nb
+    FROM bands
+    WHERE doc_id IN (SELECT doc_id FROM in_store)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       du.new_id IS NULL AS admitted_d1,
+       (du.new_id IS NULL AND d.doc_id % {2 * _INCR_BATCH_MOD} = 0) AS taken_down,
+       coalesce(n2.n, 0) AS n_store_dups_resubmit,
+       r.doc_id IS NOT NULL AS readmitted,
+       coalesce(bc.nb, 0) AS bands_in_store
+FROM documents d
+LEFT JOIN dups1 du ON du.new_id = d.doc_id
+LEFT JOIN nd2 n2 ON n2.new_id = d.doc_id
+LEFT JOIN readmit r ON r.doc_id = d.doc_id
+LEFT JOIN bands_cnt bc ON bc.doc_id = d.doc_id
+WHERE d.doc_id % {_INCR_BATCH_MOD} = 0
+""",
+)
+def ingest_takedown_readmit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dual of ingest_replay_idempotent: takedown must ERASE
+    influence. Delivery 1 admits the batch and writes the
+    band/shingle/ledger stores; then every admitted doc with
+    doc_id % 14 == 0 is FORGOTTEN — all three stores are rewritten
+    with an anti-join purge (the per-doc-row stores where purge ==
+    rebuild structurally; the one store where it is not, the cluster
+    labeling, has its own row in dedup_takedown_recluster). The full
+    batch is then RE-SUBMITTED against the purged stores:
+
+    - still-kept admissions reject themselves (self-match + ledger —
+      the replay contract, unchanged by the purge around them);
+    - previously-rejected docs are still rejected (their corpus dups
+      were never purged);
+    - forgotten docs are treated as BRAND-NEW: readmitted, unless
+      they near-dup a REMAINING doc (e.g. an admitted twin that was
+      not taken down — forgetting one copy does not unlock the
+      other).
+
+    One row per batch doc: doc_id, admitted_d1, taken_down,
+    n_store_dups_resubmit, readmitted, bands_in_store (final store:
+    kept docs keep their 4 rows, readmitted docs re-append exactly 4
+    — a leaky purge or double-append would read 8, a ghost ledger row
+    would flip readmitted). The oracle rebuilds delivery, purge, and
+    resubmission declaratively; the hash therefore pins the purge
+    seam of all three stores at once. At 100 TB the purge is one
+    anti-join rewrite per store (request-sized broadcast against the
+    scan a compaction pays anyway) and resubmission costs one
+    ordinary gate pass."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bloom_neardup_prefilter,
+        incremental_neardup_pairs,
+        minhash_bands,
+        minhash_signature,
+        shingle_sets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    mod = _INCR_BATCH_MOD
+    batch = docs.where(F.col("doc_id") % mod == 0)
+    corpus = docs.where(F.col("doc_id") % mod != 0)
+    store = tempfile.mkdtemp(prefix="takedown_readmit_")
+    minhash_bands(minhash_signature(corpus)).write.parquet(f"{store}/bands")
+    shingle_sets(corpus).write.parquet(f"{store}/shingles")
+
+    def _gate(bands_now: DataFrame, sh_now: DataFrame, ledger: DataFrame | None):
+        gate = bloom_neardup_prefilter(batch, bands_now)
+        flagged = batch.join(
+            gate.where(F.col("maybe_neardup")).select("doc_id"), "doc_id", "left_semi"
+        )
+        pairs = incremental_neardup_pairs(flagged, bands_now, sh_now)
+        nd = (
+            pairs.groupBy(F.col("new_id").alias("doc_id"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        admitted = batch.join(nd.select("doc_id"), "doc_id", "left_anti")
+        if ledger is not None:
+            admitted = admitted.join(ledger, "doc_id", "left_anti")
+        return admitted.localCheckpoint(eager=True), nd
+
+    adm1, nd1 = _gate(
+        spark.read.parquet(f"{store}/bands"),
+        spark.read.parquet(f"{store}/shingles"),
+        None,
+    )
+    minhash_bands(minhash_signature(adm1)).write.mode("append").parquet(
+        f"{store}/bands"
+    )
+    shingle_sets(adm1).write.mode("append").parquet(f"{store}/shingles")
+    adm1.select("doc_id").write.parquet(f"{store}/ledger")
+
+    # takedown: purge-rewrite each store with an anti-join (new
+    # versioned paths — a parquet store cannot be overwritten from a
+    # plan that reads it)
+    td = adm1.where(F.col("doc_id") % (2 * mod) == 0).select("doc_id")
+    for t in ("bands", "shingles", "ledger"):
+        spark.read.parquet(f"{store}/{t}").join(td, "doc_id", "left_anti").write.parquet(
+            f"{store}/{t}_v2"
+        )
+
+    ledger2 = spark.read.parquet(f"{store}/ledger_v2")
+    readmit, nd2 = _gate(
+        spark.read.parquet(f"{store}/bands_v2"),
+        spark.read.parquet(f"{store}/shingles_v2"),
+        ledger2,
+    )
+    minhash_bands(minhash_signature(readmit)).write.mode("append").parquet(
+        f"{store}/bands_v2"
+    )
+    bands_final = spark.read.parquet(f"{store}/bands_v2")
+    bcnt = bands_final.groupBy("doc_id").agg(F.count("*").cast("long").alias("_nb"))
+    return (
+        batch.select("doc_id")
+        .join(nd1.withColumnRenamed("n", "_n1"), "doc_id", "left")
+        .join(td.withColumn("_td", F.lit(1)), "doc_id", "left")
+        .join(nd2.withColumnRenamed("n", "_n2"), "doc_id", "left")
+        .join(readmit.select("doc_id").withColumn("_re", F.lit(1)), "doc_id", "left")
+        .join(bcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_n1").isNull().alias("admitted_d1"),
+            F.col("_td").isNotNull().alias("taken_down"),
+            F.coalesce(F.col("_n2"), F.lit(0))
+            .cast("long")
+            .alias("n_store_dups_resubmit"),
+            F.col("_re").isNotNull().alias("readmitted"),
+            F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("bands_in_store"),
+        )
+    )
+
+
+@register(
     "composed_faces_ledger",
     # MATERIALIZED hints are load-bearing for oracle runtime: vpairs
     # (the verified near-dup pair table) feeds six admission

@@ -65,3 +65,36 @@ def test_replay_ledger_rejects_shingleless_doc(spark, tmp_path):
     assert r.loc[14, "n_store_dups_d1"] == 0
     assert r.loc[14, "n_store_dups_replay"] == 2  # self + admitted twin 21
     assert r.loc[21, "n_store_dups_replay"] == 2
+
+
+def test_takedown_readmit_twin_stays_rejected(spark, tmp_path):
+    """ingest_takedown_readmit on the same crafted corpus: doc 14
+    (taken down, % 14 == 0) must stay REJECTED on resubmission because
+    its admitted twin 21 survived the purge — forgetting one copy does
+    not unlock the other. Doc 0 (shingle-less, taken down) readmits
+    via the erased ledger; doc 21 (kept) self-rejects."""
+    sf_dir = _crafted_corpus(tmp_path)
+    q = REGISTRY["ingest_takedown_readmit"]
+    sdf = q.fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    assert not compare_frames(sdf, con.execute(q.oracle).fetchdf())
+
+    r = sdf.set_index("doc_id")
+    # twin: taken down but near-dups the surviving copy -> not readmitted
+    assert bool(r.loc[14, "taken_down"])
+    assert not bool(r.loc[14, "readmitted"])
+    assert r.loc[14, "n_store_dups_resubmit"] == 1  # the kept twin 21
+    assert r.loc[14, "bands_in_store"] == 0  # purged and NOT re-appended
+    # the kept twin self-rejects (replay contract unchanged by the purge)
+    assert not bool(r.loc[21, "taken_down"]) and not bool(r.loc[21, "readmitted"])
+    assert r.loc[21, "bands_in_store"] == 4
+    # shingle-less forgotten doc: ledger erased -> readmitted as new
+    assert bool(r.loc[0, "taken_down"]) and bool(r.loc[0, "readmitted"])
+    assert r.loc[0, "bands_in_store"] == 0
+    # rejected-d1 doc: never admitted, never taken down, still rejected
+    assert not bool(r.loc[7, "admitted_d1"]) and not bool(r.loc[7, "taken_down"])
+    assert not bool(r.loc[7, "readmitted"])
