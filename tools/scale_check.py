@@ -298,6 +298,35 @@ def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> di
             )
             return dedup.cluster_append(spark.read.parquet(f"{tmp}/labels"), edges)
         t("cluster_append_1pct", _cluster_append_1pct)
+    # round-10: the DELETE path. Stored labeling + full-corpus
+    # band/shingle stores built OUTSIDE the timer (they exist for the
+    # corpus anyway); the timed op forgets 1% of docs and repairs only
+    # the touched clusters — two store semi-joins (linear scans), then
+    # pair regen + star CC sized by the touched-cluster neighborhoods.
+    # On this low-entropy corpus the capped pair graph keeps
+    # neighborhoods bounded, so expect ~linear (the store scans) with
+    # a small constant.
+    with tempfile.TemporaryDirectory() as tmp:
+      if want("cluster_takedown_1pct"):
+        dedup.minhash_bands(dedup.minhash_signature(docs)).write.parquet(
+            f"{tmp}/bands_all"
+        )
+        dedup.shingle_sets(docs).write.parquet(f"{tmp}/sh_all")
+        all_pairs = dedup.minhash_lsh_pairs(docs, max_bucket_size=64)
+        dedup.star_components(
+            all_pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        ).select(F.col("node").alias("doc_id"), "cluster_id").write.parquet(
+            f"{tmp}/labels_all"
+        )
+        t(
+            "cluster_takedown_1pct",
+            dedup.cluster_takedown(
+                spark.read.parquet(f"{tmp}/labels_all"),
+                docs.where(F.col("doc_id") % 100 == 0).select("doc_id"),
+                spark.read.parquet(f"{tmp}/bands_all"),
+                spark.read.parquet(f"{tmp}/sh_all"),
+            ),
+        )
     # round-8 stored-index maintenance: the centroid store is built
     # OUTSIDE the timer (train-once/offline); the append row assigns a
     # FIXED 500-vector batch against the stored centroids — the
