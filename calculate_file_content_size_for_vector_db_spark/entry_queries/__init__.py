@@ -86,12 +86,13 @@ from calculate_file_content_size_for_vector_db_spark.entry_queries import (  # n
 # so window position is about the driver's independent signal, not
 # the only verification.
 _VERIFY_FIRST = [
-    # --- 0. registered this round (never driver-checked; budget 5/10) ---
+    # --- 0. registered this round (never driver-checked; budget 6/10) ---
     "ingest_serve_handoff",  # admit->append->serve flagship (r09 item 6)
     "composed_faces_ledger",  # gate->card->drift faces under one oracle (r09 item 7)
     "dedup_takedown_recluster",  # cluster-store delete path: localized repair == rebuild
     "ingest_replay_idempotent",  # at-least-once redelivery: replay admits 0, appends 0
     "ingest_takedown_readmit",  # purge erases influence: forgotten docs readmit as new
+    "sim_ivf_takedown_serve",  # serve-side ghost check: purged store returns no forgotten vec
     # --- 1. the two rows that spilled r09's window (close the r04 debt) ---
     "minhash_signature",
     "duplicated_spans",

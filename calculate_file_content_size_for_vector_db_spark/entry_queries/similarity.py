@@ -246,6 +246,80 @@ def sim_topk_ivf_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivf_takedown_serve",
+    f"""
+WITH {_SQL_IVF},
+surv AS (SELECT * FROM assign WHERE vec_id % 13 <> 0),
+qassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM e a, cent c
+        WHERE a.vec_id % 13 = 0
+    ) WHERE rn <= 2
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id) AS INT)
+               AS rank
+    FROM e a
+    JOIN qassign qa ON a.vec_id = qa.vec_id
+    JOIN surv sb ON qa.cell = sb.cell
+    JOIN e b ON b.vec_id = sb.vec_id
+    WHERE a.vec_id <> b.vec_id
+) WHERE rank <= 3
+""",
+)
+def sim_ivf_takedown_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serve-side ghost check for index takedown — the user-visible
+    half of right-to-be-forgotten ("the deleted doc still shows up in
+    retrieval" is THE classic leak). Every 13th vector (the takedown
+    family's split) is purged from the STORED assignment table with one
+    anti-join rewrite (centroids stay frozen — takedown does not
+    retrain; quantizer drift is ivf_staleness's separate concern), and
+    then the FORGOTTEN vectors themselves are served as queries via
+    2-probe routing against the frozen centroid store. The forgotten
+    vector is the sharpest possible probe: if the purge leaked its
+    assignment row, the query finds ITSELF at cosine exactly 1.0 at
+    rank 1 — maximally visible in the hash. The oracle assigns the full
+    corpus declaratively and filters the takedown set out of the
+    candidate side only, i.e. serve-from-purged-store == serve-over-
+    survivors. Candidate flow exercises the real store seam: query
+    cells from the centroid parquet (top-2, ties to the smaller cell),
+    candidates only from the purged assignment parquet. At 100 TB the
+    purge is a request-sized broadcast anti-join against the assignment
+    scan a compaction pays anyway; the serve is the ordinary cell-
+    pruned equi-join."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        topk_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="ivf_takedown_")
+    ivf_centroids(emb).write.parquet(f"{idx}/centroids")
+    ivf_assign(emb).write.parquet(f"{idx}/assign")
+    forgotten = emb.where(F.col("vec_id") % 13 == 0).select("vec_id")
+    spark.read.parquet(f"{idx}/assign").join(
+        forgotten, "vec_id", "left_anti"
+    ).write.parquet(f"{idx}/assign_v2")
+    return topk_ivf(
+        emb,
+        forgotten,
+        k=3,
+        assign=spark.read.parquet(f"{idx}/assign_v2"),
+        probes=2,
+        centroids=spark.read.parquet(f"{idx}/centroids"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 8: incremental maintenance of the stored ANN index (VERDICT
 # r07 items 3-4). sim_ivf_append is the write half of the stored path:

@@ -409,6 +409,7 @@ _BNLJ_ALLOWED = {
     "int8_recall_at_10",  # broadcast-queries x corpus int8 scan
     "ivfpq_probe2_recall_at_10", "ivfpq_recall_at_10", "knn_pagerank",
     "ivf_probe2_recall_at_10",  # packed-centroid broadcast for query top-2 cells
+    "sim_ivf_takedown_serve",  # same packed-centroid broadcast, routing the forgotten queries
     "sim_topk_int8",  # broadcast-queries x corpus int8 scan
     "lsh_multiprobe_recall_at_10", "lsh_recall_at_10",
     "matryoshka_recall_at_10",  # broadcast-queries x corpus prefix scan
