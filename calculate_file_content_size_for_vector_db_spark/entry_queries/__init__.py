@@ -71,16 +71,17 @@ from calculate_file_content_size_for_vector_db_spark.entry_queries import (  # n
 # driver-checked cohort, oldest rounds first, preserving canonical
 # order within a cohort. With 252 queries and a ~50-row window the
 # registry refreshes on a ~5-round cycle; rows that spill a full
-# window are placed last and lead the next round. This round: the one
-# r10 registration (`ingest_serve_handoff`), then the two r04 rows
+# window are placed last and lead the next round. This round: the six
+# r10 registrations (never driver-checked), then the two r04 rows
 # that spilled r09's window (closing the r04 debt entirely), then the
-# 50-row r05 cohort — 53 rows against a ~50-row cap, so ~three must
-# spill; we chose four PQ/IVF building-block rows whose chains are
-# exercised by in-window composites (`pq_codebooks`/`pq_codes` feed
-# `pq_topk`+`dedup_semantic_pq`, `sim_ivf_centroids` feeds
-# `sim_topk_ivfpq`(+probe2), `dedup_ngram_jaccard_capped` shares the
-# shingle chain with in-window `dedup_ngram_jaccard`) as the window
-# tail — whichever of them spill lead r11. Everything else queues behind — each is still re-verified at
+# 50-row r05 cohort — 58 rows against a ~50-row cap, so ~eight must
+# spill; the tail is ordered so the spill lands on building-block
+# rows whose chains are exercised by in-window composites
+# (`pq_codebooks`/`pq_codes` feed `pq_topk`+`dedup_semantic_pq`,
+# `sim_ivf_centroids` feeds `sim_topk_ivfpq`(+probe2),
+# `dedup_ngram_jaccard_capped` shares the shingle chain with
+# in-window `dedup_ngram_jaccard`) plus the r05-cohort rows
+# immediately above them — whichever spill lead r11. Everything else queues behind — each is still re-verified at
 # sf0.001 by every pytest run, and the full-registry sf0.01 sweep is
 # committed per-round as ORACLES_r{N}.json (tests/check_oracles.py),
 # so window position is about the driver's independent signal, not
