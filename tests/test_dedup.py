@@ -975,3 +975,45 @@ def test_cluster_takedown_equals_rebuild_on_mixed_corpus(spark):
         for r in dedup.neardup_clusters(remaining, threshold=0.5, method="star").collect()
     }
     assert got == rebuild
+
+
+def test_cluster_takedown_empty_and_unknown_ids_are_identity(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (10, "omega psi chi phi upsilon"),
+        (11, "omega psi chi phi upsilon"),
+        (30, "a singleton never clustered at all"),
+    ]
+    docs, stored, _, bands, sh = _takedown_fixture(spark, rows, [])
+    before = {(r.doc_id, r.cluster_id) for r in stored.collect()}
+    # empty takedown set
+    td_empty = spark.createDataFrame([], "doc_id long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_takedown(stored, td_empty, bands, sh).collect()
+    }
+    assert got == before
+    # takedown of a never-clustered singleton and an unknown id touches
+    # no cluster -> identity
+    td_miss = spark.createDataFrame([(30,), (999,)], "doc_id long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_takedown(stored, td_miss, bands, sh).collect()
+    }
+    assert got == before
+
+
+def test_cluster_takedown_whole_cluster_vanishes(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (10, "omega psi chi phi upsilon"),
+        (11, "omega psi chi phi upsilon"),
+    ]
+    docs, stored, td, bands, sh = _takedown_fixture(spark, rows, [1, 2])
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_takedown(stored, td, bands, sh).collect()
+    }
+    assert got == {(10, 10), (11, 10)}
