@@ -40,7 +40,15 @@ def test_verify_window_follows_declared_policy():
     first, then cohorts oldest-round first, each cohort taken whole
     (internal order free for spill management). tools/verify_window.py
     is the builder; this pins _VERIFY_FIRST to its check so the window
-    can't silently drift from the history."""
+    can't silently drift from the history.
+
+    Cross-round contract (ADVICE r10): the driver drops
+    CORRECTNESS_r{N}.json AFTER round N closes, which makes this test
+    red at the r{N} HEAD by design — the r{N}'s window was built from
+    r01..r{N-1} history. The r{N} CORRECTNESS commit and the r{N+1}
+    window rebuild must land atomically (they are the same first
+    commit of round N+1); the red test is the forcing function, not a
+    code defect."""
     import sys
 
     sys.path.insert(0, str(SURVEY.parent / "tools"))
