@@ -1837,14 +1837,23 @@ def pq_reconstruction_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_graph_beam_chain(
-    k_graph: int = 8, beam: int = 16, hops: int = 3, ed_sql: str | None = None
+    k_graph: int = 8,
+    beam: int = 16,
+    hops: int = 3,
+    ed_sql: str | None = None,
+    entry_where: str = "",
+    query_pred: str = "q.vec_id < 10",
 ) -> str:
     """Unrolled NSW-style beam search (the kmeans-chain discipline
     applied to graph ANN): ed = the exact kNN graph (or a caller-
-    supplied ``ed_sql`` CTE — the IVF-built approximate graph), m =
-    the two smallest ids (entry-point frame), g0 = every query at its
-    entry node, then ``hops`` rounds of expand-out-edges / dedup /
-    exact rescore / keep-top-beam. Final beam CTE is ``g{hops}``."""
+    supplied ``ed_sql`` CTE — the IVF-built approximate graph / the
+    takedown-purged graph), m = the two smallest ids (entry-point
+    frame; ``entry_where`` restricts the id universe — the takedown
+    row passes the survivor predicate so the oracle's entry matches
+    topk_graph's entry_ids hook), g0 = every query (``query_pred``)
+    at its entry node, then ``hops`` rounds of expand-out-edges /
+    dedup / exact rescore / keep-top-beam. Final beam CTE is
+    ``g{hops}``."""
     parts = [
         ed_sql
         or f"""ed AS (
@@ -1855,16 +1864,16 @@ def _sql_graph_beam_chain(
         FROM e a, e b WHERE a.vec_id <> b.vec_id
     ) WHERE rn <= {k_graph}
 )""",
-        """m AS (
+        f"""m AS (
     SELECT min(vec_id) AS m1, max(vec_id) AS m2
-    FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 2)
+    FROM (SELECT vec_id FROM e{entry_where} ORDER BY vec_id LIMIT 2)
 )""",
-        """g0 AS (
+        f"""g0 AS (
     SELECT q.vec_id AS query_id, n.vec_id AS node,
            round(list_cosine_similarity(q.v, n.v), 6) AS cosine
     FROM e q CROSS JOIN m
     JOIN e n ON n.vec_id = CASE WHEN q.vec_id = m.m1 THEN m.m2 ELSE m.m1 END
-    WHERE q.vec_id < 10
+    WHERE {query_pred}
 )""",
     ]
     for i in range(1, hops + 1):
@@ -2158,3 +2167,80 @@ def sim_topk_graph_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["sim_topk_graph_stored"].oracle = REGISTRY["sim_topk_graph"].oracle
+
+
+_SQL_GRAPH_TAKEDOWN_ED = """ed AS (
+    SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id) AS rn
+        FROM e a, e b WHERE a.vec_id <> b.vec_id
+    ) WHERE rn <= 8 AND src % 13 <> 0 AND dst % 13 <> 0
+)"""
+
+
+@register(
+    "sim_graph_takedown_serve",
+    f"""
+WITH {_SQL_EMB},
+{_sql_graph_beam_chain(
+        hops=_GRAPH_HOPS,
+        ed_sql=_SQL_GRAPH_TAKEDOWN_ED,
+        entry_where=" WHERE vec_id % 13 <> 0",
+        query_pred="q.vec_id % 13 = 0",
+    )}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, node AS neighbor_id, cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, node) AS INT) AS rank
+    FROM g{_GRAPH_HOPS}
+) WHERE rank <= 10
+""",
+)
+def sim_graph_takedown_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ghost-EDGE check for graph-index takedown (VERDICT r10 item
+    3) — the seam sim_ivf_takedown_serve cannot see: an IVF leak
+    surfaces as a self-hit, but a kNN edge store purged in only ONE
+    direction leaves other nodes' edges pointing AT the forgotten
+    node, and a beam search walks those ghost edges and serves the
+    forgotten node as a NEIGHBOR of other users' queries — the worse
+    leak. The stored exact-kNN edge table is purged with
+    similarity.graph_takedown (broadcast anti-joins on BOTH endpoint
+    directions, written as a v2 store), the entry frame is restricted
+    to survivors via topk_graph's entry_ids hook (edge deletion alone
+    can't stop a beam from STARTING at a forgotten node), and the
+    forgotten vectors themselves serve as queries. The oracle builds
+    the full graph declaratively and filters both endpoints in the ed
+    CTE, i.e. purge-the-store == never-built-those-edges; any
+    surviving ghost edge admits a % 13 node into some beam and shifts
+    that query's hash. No backfill is claimed: survivors keep
+    shortened adjacency lists (re-kNN of touched nodes is the
+    cluster_takedown-style repair, intentionally out of scope here).
+    At 100 TB the purge is a request-sized broadcast anti-join pair
+    over the edge scan a compaction pays anyway; the serve is the
+    ordinary (hops x beam x k_graph)-bounded unroll."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        graph_takedown,
+        topk_graph,
+        topk_grid,
+    )
+
+    emb = _emb(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="graph_takedown_")
+    topk_grid(emb, emb, k=8).select("query_id", "neighbor_id").write.parquet(
+        f"{store}/edges"
+    )
+    forgotten = emb.where(F.col("vec_id") % 13 == 0).select("vec_id")
+    graph_takedown(spark.read.parquet(f"{store}/edges"), forgotten).write.parquet(
+        f"{store}/edges_v2"
+    )
+    return topk_graph(
+        emb,
+        forgotten,
+        k=10,
+        hops=_GRAPH_HOPS,
+        edges=spark.read.parquet(f"{store}/edges_v2"),
+        entry_ids=emb.where(F.col("vec_id") % 13 != 0),
+    )

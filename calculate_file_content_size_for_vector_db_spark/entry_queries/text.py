@@ -547,6 +547,82 @@ def bm25_search_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["bm25_search_stored"].oracle = REGISTRY["bm25_search"].oracle
 
 
+# The takedown oracle is bm25_search's CTE chain verbatim, rebased
+# onto the survivor corpus: because df/idf/avgdl derive from tf/dl at
+# QUERY time (never stored), purging a doc's tf and dl rows plus a
+# compensating n_docs partial is EXACTLY a rebuild on survivors — the
+# strong equivalence the graph takedown intentionally does not claim.
+_SQL_BM25_SURV_CTES = (
+    "dsurv AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),\n"
+    + _SQL_BM25_CTES.replace("FROM documents", "FROM dsurv")
+)
+
+
+@register(
+    "bm25_takedown_search",
+    f"""
+WITH {_SQL_BM25_SURV_CTES}
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM sc QUALIFY rank <= 10
+""",
+)
+def bm25_takedown_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-store takedown (VERDICT r10 item 4) — right-to-be-
+    forgotten for the LEXICAL index, closing the lifecycle asymmetry:
+    a forgotten doc influences BM25 three ways (its own tf rows — the
+    direct "deleted doc still retrievable" leak; its dl row — avgdl
+    shifts for every doc; its +1 in n_docs — idf shifts for every
+    term), and this row pins all three. The full corpus's posting
+    artifacts persist to parquet, textstats.postings_takedown purges
+    the % 13 family (tf/dl by broadcast anti-join, written as v2
+    stores) and emits a compensating NEGATIVE n_docs partial that is
+    APPENDED to the meta store and sum-folded on read — the
+    subtractive direction of the same append-and-sum contract
+    bm25_search_stored's batch append exercises. Search serves
+    entirely from the purged store; the oracle is bm25_search's chain
+    on the survivor corpus, so the hash pins purge == rebuild (true
+    equivalence here because every global statistic derives at query
+    time). idf/avgdl move for EVERY query when n_docs drops, so a
+    stale meta row — the easiest takedown bug — shifts every score in
+    the hash. At 100 TB: two request-sized broadcast anti-joins over
+    posting scans a compaction pays anyway, one appended 1-row
+    partial, zero retraining."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bm25_postings,
+        bm25_search,
+        postings_takedown,
+    )
+
+    docs = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="bm25_takedown_")
+    tf, dl, meta = bm25_postings(docs)
+    tf.write.parquet(f"{store}/tf")
+    dl.write.parquet(f"{store}/dl")
+    meta.write.parquet(f"{store}/meta")
+    forgotten = docs.where(F.col("doc_id") % 13 == 0).select("doc_id")
+    tf2, dl2, meta_delta = postings_takedown(
+        spark.read.parquet(f"{store}/tf"),
+        spark.read.parquet(f"{store}/dl"),
+        forgotten,
+    )
+    tf2.write.parquet(f"{store}/tf_v2")
+    dl2.write.parquet(f"{store}/dl_v2")
+    meta_delta.write.mode("append").parquet(f"{store}/meta")
+    meta_merged = spark.read.parquet(f"{store}/meta").agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    return bm25_search(
+        None,
+        _BM25_QUERIES,
+        tf_df=spark.read.parquet(f"{store}/tf_v2"),
+        dl_df=spark.read.parquet(f"{store}/dl_v2"),
+        meta_df=meta_merged,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-6 extension surface (seventh wave): lang-ID confusion matrix,
 # KS distribution-drift monitor, weekday seasonality profile

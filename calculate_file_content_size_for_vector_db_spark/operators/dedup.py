@@ -945,6 +945,7 @@ def cluster_takedown(
     corpus_shingles: DataFrame,
     threshold: float = 0.5,
     key: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(key, cluster_id): right-to-be-forgotten maintenance of the
     stored cluster labeling — remove a takedown set's documents and
@@ -965,6 +966,9 @@ def cluster_takedown(
       2. Surviving members of touched clusters re-pair from the STORED
          band/shingle artifacts (semi-join to survivors, band self-join,
          exact-Jaccard verify) — no document is re-shingled.
+         ``max_bucket_size`` applies the minhash_lsh_pairs hub-bucket
+         cap to the survivor band table, for repairing a labeling that
+         was itself built from capped pairs.
       3. star_components over those edges relabels the survivors;
          survivors that lost all their edges drop out of the frame
          (singletons carry no row, matching neardup_clusters).
@@ -990,6 +994,18 @@ def cluster_takedown(
         .join(td, key, "left_anti")
     )
     b = corpus_bands.join(survivors, key, "left_semi")
+    if max_bucket_size is not None:
+        # Same hub-bucket guard as minhash_lsh_pairs (window count, not
+        # a groupBy+self-join), applied AFTER the survivor semi-join so
+        # a hub bucket a takedown touched cannot blow up pair
+        # regeneration (ADVICE r10). Counted over survivor rows, so a
+        # bucket the takedown shrank back under the cap re-pairs fully.
+        wcap = Window.partitionBy("band", "band_hash")
+        b = (
+            b.withColumn("_bn", F.count("*").over(wcap))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a, b2 = b.alias("a"), b.alias("b")
     candidates = (
         a.join(b2, ["band", "band_hash"])

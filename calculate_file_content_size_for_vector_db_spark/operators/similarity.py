@@ -1862,6 +1862,7 @@ def topk_graph(
     vec_col: str = "embedding",
     edges: DataFrame | None = None,
     scored_candidates: bool = False,
+    entry_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): GRAPH-based ANN — greedy
     beam search over the exact kNN graph (the NSW/HNSW base-layer
@@ -1904,8 +1905,14 @@ def topk_graph(
         embeddings.join(queries.select(id_col), id_col)
         .select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv"))
     )
+    # ``entry_ids``: the id universe the entry points come from —
+    # defaults to the corpus; a purged edge store passes the SURVIVOR
+    # ids so a beam can never START at a forgotten node (the one leak
+    # path edge deletion alone cannot close, since the entry frame
+    # never consults the edge table).
     mins = (
-        embeddings.select(id_col)
+        (entry_ids if entry_ids is not None else embeddings)
+        .select(id_col)
         .orderBy(id_col)
         .limit(2)
         .agg(F.min(id_col).alias("_m1"), F.max(id_col).alias("_m2"))
@@ -2031,6 +2038,36 @@ def knn_graph_ivf(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k_graph)
     )
+
+
+def graph_takedown(
+    edges: DataFrame,
+    forgotten: DataFrame,
+    src_col: str = "query_id",
+    dst_col: str = "neighbor_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The stored kNN edge table with every edge TOUCHING a forgotten
+    node removed — BOTH endpoint directions, which is the load-bearing
+    half of right-to-be-forgotten for a graph index: deleting only a
+    node's own out-edges (its ``src`` rows) still leaves other nodes'
+    edges pointing AT it, and a beam search happily walks those ghost
+    edges and serves the forgotten node as a NEIGHBOR (unlike the IVF
+    ghost, which surfaces as a self-hit, this one serves wrong results
+    for OTHER users' queries — the worse leak). No backfill: survivors
+    that lost an edge keep a shorter adjacency list (re-kNN of touched
+    nodes is a separate, optional repair — the cluster_takedown
+    analogue), so the contract this purge pins is "no path through a
+    forgotten node", not "equal to a survivor rebuild".
+
+    Plan shape: two broadcast LEFT ANTI joins against the
+    request-sized takedown set — at 100 TB this is a linear scan of
+    the edge store that a compaction pays anyway, with no shuffle of
+    the store itself."""
+    f = forgotten.select(id_col)
+    return edges.join(
+        F.broadcast(f.withColumnRenamed(id_col, src_col)), src_col, "left_anti"
+    ).join(F.broadcast(f.withColumnRenamed(id_col, dst_col)), dst_col, "left_anti")
 
 
 def pca_power_iteration(

@@ -903,6 +903,41 @@ def bm25_postings(
     return tf, dl, meta
 
 
+def postings_takedown(
+    tf: DataFrame,
+    dl: DataFrame,
+    forgotten: DataFrame,
+    key: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf', dl', meta_delta): the BM25 posting store with a takedown
+    set's rows purged — right-to-be-forgotten for the LEXICAL index.
+    A forgotten doc influences ranking three ways: its own tf rows
+    (it can be RETURNED — the direct leak), its dl row (it shifts
+    avgdl for every other doc), and its +1 in n_docs (it shifts idf
+    for every term). The first two purge by broadcast anti-join; the
+    third cannot be row-deleted from an append-only meta store, so it
+    returns a COMPENSATING NEGATIVE partial (n_docs = -|forgotten
+    docs actually in the store|, counted from dl so takedown ids that
+    never existed contribute 0) that the store appends and the reader
+    sum-folds — the same append-and-sum contract bm25_search_stored's
+    batch append uses, now exercised in the subtractive direction.
+    Because df/idf/avgdl derive from tf/dl at QUERY time (never
+    stored), purge == rebuild-on-survivors exactly — the equivalence
+    the shared oracle pins.
+
+    Plan shape: two broadcast anti-joins against the request-sized
+    takedown set + one broadcast semi-join count; the posting store
+    itself never shuffles."""
+    f = forgotten.select(key)
+    tf2 = tf.join(F.broadcast(f), key, "left_anti")
+    dl2 = dl.join(F.broadcast(f), key, "left_anti")
+    meta_delta = (
+        dl.join(F.broadcast(f), key, "left_semi")
+        .agg((-F.count("*")).cast("long").alias("n_docs"))
+    )
+    return tf2, dl2, meta_delta
+
+
 def bm25_search(
     df: DataFrame,
     queries: list[tuple[int, str]],

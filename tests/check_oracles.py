@@ -22,6 +22,14 @@ from tests.oracle_harness import duck_connection, run_one
 
 SF_DIR = "/root/testdata/sf0.01"
 
+# Per-row cost budget (VERDICT r10 item 6): the full-registry sweep
+# must keep fitting inside a round (ORACLES_r10 totaled 486s, with
+# composed store-writing flagships at 26s/16.8s the heaviest rows
+# ever). Any row above this at sf0.01 is printed as a SLOW outlier at
+# the end of the sweep — visible before flagship creep breaks the
+# per-round artifact, not after.
+SLOW_ROW_SEC = 30.0
+
 
 def main() -> int:
     argv = sys.argv[1:]
@@ -71,6 +79,9 @@ def main() -> int:
         with open(json_path, "w") as f:
             json.dump(summary, f, indent=1)
         print(f"wrote {json_path}")
+    slow = {n: r["sec"] for n, r in rows.items() if r["sec"] > SLOW_ROW_SEC}
+    for n, s in sorted(slow.items(), key=lambda kv: -kv[1]):
+        print(f"SLOW {n}: {s:.1f}s > {SLOW_ROW_SEC:.0f}s per-row budget (PLANS.md sweep-cost note)")
     print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

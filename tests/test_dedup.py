@@ -1004,6 +1004,37 @@ def test_cluster_takedown_empty_and_unknown_ids_are_identity(spark):
     assert got == before
 
 
+def test_cluster_takedown_bucket_cap_bounds_repair(spark):
+    """max_bucket_size passthrough (ADVICE r10): the hub-bucket cap
+    applies to the SURVIVOR band table of touched clusters. cap=1
+    forbids every repair pair (any surviving dup pair shares a >=2-row
+    bucket) so touched survivors drop to singletons, while untouched
+    clusters come back verbatim; a roomy cap reproduces the uncapped
+    repair exactly."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta epsilon"),
+        (10, "omega psi chi phi upsilon"),
+        (11, "omega psi chi phi upsilon"),
+    ]
+    docs, stored, td, bands, sh = _takedown_fixture(spark, rows, [1])
+    capped_out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.cluster_takedown(stored, td, bands, sh, max_bucket_size=1).collect()
+    }
+    assert capped_out == {10: 10, 11: 10}  # {2,3} repair suppressed by the cap
+    roomy = {
+        r.doc_id: r.cluster_id
+        for r in dedup.cluster_takedown(stored, td, bands, sh, max_bucket_size=64).collect()
+    }
+    uncapped = {
+        r.doc_id: r.cluster_id
+        for r in dedup.cluster_takedown(stored, td, bands, sh).collect()
+    }
+    assert roomy == uncapped == {2: 2, 3: 2, 10: 10, 11: 10}
+
+
 def test_cluster_takedown_whole_cluster_vanishes(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon"),

@@ -1,0 +1,199 @@
+"""Crafted-corpus tests for the r11 takedown seams (VERDICT r10 items
+3-4): graph-edge takedown where the purged node is a BRIDGE between
+two regions (the fixture corpus can't guarantee a bridge, so the
+geometry is hand-built), and posting-store takedown where every
+global statistic (idf via n_docs, avgdl via dl) must shift.
+
+The graph geometry: 2-d unit vectors on angles, so cosine(a, b) =
+cos(angle_a - angle_b) exactly and the kNN graph is readable by eye.
+
+    id 1 @ 0     id 2 @ 4    id 3 @ 30    | cluster A
+    id 0 @ 45                             | the BRIDGE (forgotten)
+    id 5 @ 80    id 6 @ 84   id 7 @ 88    | cluster B
+
+k_graph=2 edges: 1->{2,3}, 2->{1,3}, 3->{0,2}, 0->{3,5}, 5->{6,7},
+6->{5,7}, 7->{5,6} — every A<->B path runs through node 0, and node 0
+is also the GLOBAL MIN id, so it doubles as the entry-point leak
+probe (an unrestricted entry frame would start every beam AT the
+forgotten node)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+    graph_takedown,
+    topk_graph,
+    topk_grid,
+)
+from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+    bm25_postings,
+    bm25_search,
+    postings_takedown,
+)
+
+
+def _vec(deg: float) -> list[float]:
+    r = math.radians(deg)
+    return [math.cos(r), math.sin(r)]
+
+
+_ANGLES = {1: 0.0, 2: 4.0, 3: 30.0, 0: 45.0, 5: 80.0, 6: 84.0, 7: 88.0}
+
+
+@pytest.fixture(scope="module")
+def bridge_emb(spark):
+    return spark.createDataFrame(
+        [(i, _vec(a)) for i, a in sorted(_ANGLES.items())],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def bridge_edges(spark, bridge_emb):
+    return (
+        topk_grid(bridge_emb, bridge_emb, k=2)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+
+
+def _serve(emb, edges, query_id, entry_ids):
+    out = topk_graph(
+        emb,
+        emb.where(F.col("vec_id") == query_id),
+        k=10,
+        edges=edges,
+        entry_ids=entry_ids,
+    )
+    return {r.neighbor_id for r in out.collect()}
+
+
+def test_graph_takedown_removes_both_endpoint_directions(bridge_edges, spark):
+    forgotten = spark.createDataFrame([(0,)], "vec_id long")
+    purged = graph_takedown(bridge_edges, forgotten).collect()
+    assert purged, "purge emptied the store"
+    touched = [r for r in purged if r.query_id == 0 or r.neighbor_id == 0]
+    assert touched == []
+    # untouched edges survive verbatim
+    assert {(r.query_id, r.neighbor_id) for r in purged} == {
+        (q, n)
+        for q, n in (
+            (r.query_id, r.neighbor_id) for r in bridge_edges.collect()
+        )
+        if q != 0 and n != 0
+    }
+
+
+def test_purged_bridge_never_served_and_region_b_honestly_unreachable(
+    spark, bridge_emb, bridge_edges
+):
+    forgotten = spark.createDataFrame([(0,)], "vec_id long")
+    survivors = bridge_emb.where(F.col("vec_id") != 0)
+    got = _serve(
+        bridge_emb, graph_takedown(bridge_edges, forgotten), 7, survivors
+    )
+    # the forgotten bridge never appears, AND the beam honestly cannot
+    # cross into cluster B (no backfill is claimed): query 7 (itself a
+    # B node) is served only cluster A, reached from the survivor
+    # entry point 1
+    assert 0 not in got
+    assert got == {1, 2, 3}
+
+
+def test_src_only_purge_leaks_forgotten_node_as_neighbor(
+    spark, bridge_emb, bridge_edges
+):
+    """The falsifier that makes both-direction deletion load-bearing:
+    purging only the forgotten node's OWN out-edges (the naive
+    takedown) leaves 3 -> 0 in the store, the beam walks that ghost
+    edge, and node 0 is served as a top neighbor of query 7."""
+    naive = bridge_edges.join(
+        spark.createDataFrame([(0,)], "query_id long"), "query_id", "left_anti"
+    )
+    survivors = bridge_emb.where(F.col("vec_id") != 0)
+    got = _serve(bridge_emb, naive, 7, survivors)
+    assert 0 in got  # the ghost-edge leak this family of rows exists to catch
+
+
+def test_unrestricted_entry_would_start_at_forgotten_node(
+    spark, bridge_emb, bridge_edges
+):
+    """Edge deletion alone cannot close the entry-point path: node 0
+    is the global min id, so without the entry_ids hook every beam
+    STARTS at the forgotten node and g0 already contains it."""
+    forgotten = spark.createDataFrame([(0,)], "vec_id long")
+    purged = graph_takedown(bridge_edges, forgotten)
+    leaked = _serve(bridge_emb, purged, 7, entry_ids=None)  # default: full corpus
+    assert 0 in leaked
+    survivors = bridge_emb.where(F.col("vec_id") != 0)
+    assert 0 not in _serve(bridge_emb, purged, 7, survivors)
+
+
+# ---------------------------------------------------------------------------
+# posting-store takedown
+# ---------------------------------------------------------------------------
+
+_DOCS = [
+    (1, "spark join join join"),  # the doc takedown must make unretrievable
+    (2, "spark scan"),
+    (3, "sort merge batch"),
+    (4, "spark hash probe build side"),  # long doc: moves avgdl when purged
+]
+_QUERIES = [(0, "join"), (1, "spark scan")]
+
+
+def _search_from(parts, spark):
+    tf, dl, meta = parts
+    return {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_search(
+            None, _QUERIES, tf_df=tf, dl_df=dl, meta_df=meta
+        ).collect()
+    }
+
+
+def test_postings_takedown_equals_rebuild_on_survivors(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    forgotten = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    tf, dl, meta = bm25_postings(docs)
+    tf2, dl2, meta_delta = postings_takedown(tf, dl, forgotten)
+    merged_meta = meta.unionByName(meta_delta).agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    purged = _search_from((tf2, dl2, merged_meta), spark)
+    rebuilt = _search_from(
+        bm25_postings(docs.where(~F.col("doc_id").isin(1, 4))), spark
+    )
+    assert purged == rebuilt  # the true equivalence the oracle pins
+    assert not any(d in (1, 4) for _, d in purged)  # direct leak closed
+    # query 'join' still answers (docs 2/3 contain no 'join': BM25
+    # returns no rows for it — the honest empty posting list)
+    assert {q for q, _ in purged} == {1}
+
+
+def test_stale_meta_shifts_every_idf(spark):
+    """The easiest takedown bug — purge tf/dl but forget n_docs — must
+    be visible: with the stale 4-doc meta every surviving score
+    differs from the rebuilt store's."""
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    forgotten = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    tf, dl, meta = bm25_postings(docs)
+    tf2, dl2, _ = postings_takedown(tf, dl, forgotten)
+    stale = _search_from((tf2, dl2, meta), spark)  # meta NOT compensated
+    rebuilt = _search_from(
+        bm25_postings(docs.where(~F.col("doc_id").isin(1, 4))), spark
+    )
+    assert set(stale) == set(rebuilt)  # same rows ...
+    assert all(stale[k][0] != rebuilt[k][0] for k in rebuilt)  # ... all scores wrong
+
+
+def test_meta_delta_counts_only_docs_present_in_store(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    tf, dl, _ = bm25_postings(docs)
+    ghost_request = spark.createDataFrame(
+        [(1,), (999,), (1000,)], "doc_id long"
+    )  # 999/1000 were never ingested: must contribute 0
+    _, _, meta_delta = postings_takedown(tf, dl, ghost_request)
+    assert meta_delta.collect()[0].n_docs == -1

@@ -325,6 +325,11 @@ def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> di
                 docs.where(F.col("doc_id") % 100 == 0).select("doc_id"),
                 spark.read.parquet(f"{tmp}/bands_all"),
                 spark.read.parquet(f"{tmp}/sh_all"),
+                # match the capped store being repaired (the labeling
+                # above was built from max_bucket_size=64 pairs), so a
+                # hub bucket can't blow up repair on this low-entropy
+                # corpus (ADVICE r10)
+                max_bucket_size=64,
             ),
         )
     # round-8 stored-index maintenance: the centroid store is built
