@@ -1,0 +1,152 @@
+"""Streaming takedown face: right-to-be-forgotten as a first-class
+streaming citizen (VERDICT r10 item 9). The faces family covers
+ingest (gate), serving (index maintenance), storage (lake), and
+observability (datacard/drift); this face is the DELETE path — a
+stream of purge requests (doc ids: legal/opt-out traffic) whose every
+micro-batch drives the round-10/11 batch takedown operators against
+the SAME shared store the composed ingest face maintains:
+
+- ``admitted/``, ``bands/``, ``shingles/``: per-doc-row stores where
+  purge == rebuild-on-survivors exactly — one broadcast anti-join
+  rewrite each (the ingest_takedown_readmit purge, per trigger).
+- ``index/assign``: the IVF assignment store — anti-join on vec_id
+  (the sim_ivf_takedown_serve purge; centroids stay frozen, takedown
+  never retrains).
+- ``labels/`` (optional — present when a clustering job materializes
+  it): repaired with dedup.cluster_takedown — untouched clusters
+  verbatim, touched clusters re-paired from the PURGED band/shingle
+  stores and re-CC'd, the one store where delete is a graph problem.
+- ``takedowns/``: the audit ledger — one (batch_id, doc_id) row per
+  request, appended. Read with distinct() (a checkpoint replay
+  re-appends byte-identical rows).
+
+What this face deliberately does NOT touch:
+
+- ``index/bloom``: bit_or-folded registers are irreversible (the
+  sum-fold limitation, PLANS.md) — but the Bloom store is takedown-
+  safe BY SEMANTICS: it is a pre-filter whose positives are always
+  verified against the band/shingle stores, which ARE purged, so a
+  forgotten doc's stale bits cost at most one wasted verify probe and
+  can never surface the doc in any result. (A bitmap rebuild from the
+  purged band store is a bounded maintenance job, not a per-request
+  obligation.)
+- ``card/`` / ``drift/``: sum/HLL partial stores — takedown-incapable
+  by construction; the honest contract is re-fold from
+  admitted-minus-takedown (see PLANS.md "Sum-fold stores are
+  takedown-INCAPABLE").
+
+Idempotence (the replay contract every face carries): anti-join
+purges are no-ops on a second delivery (the rows are already gone),
+cluster_takedown degenerates to identity when the labels store no
+longer contains any takedown doc (touched-cluster set comes back
+empty), and the audit append is batch_id-tagged for distinct()-fold —
+so a checkpoint replay of a purge trigger changes nothing, pinned by
+tests/test_streaming.py.
+
+In-place store rewrite: a parquet store cannot be overwritten from a
+plan that reads it, so each rewrite materializes the purged frame as
+an eager localCheckpoint FIRST (lineage truncated — the same
+discipline gate_batch uses for its read-then-append hazard), then
+overwrites. A production deployment would swap in a table format with
+atomic commit (Delta/Iceberg) for crash-safety between the purge
+writes; the per-store purge SEMANTICS — and everything the tests pin
+— are format-independent.
+
+State model: like every face, ZERO executor/state-store bytes — the
+store is the cross-trigger memory. Per-trigger cost: one linear scan
+per purged store (a compaction pays the same scan) with the
+request-sized takedown set broadcast; the corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from calculate_file_content_size_for_vector_db_spark.operators.dedup import cluster_takedown
+
+
+def _exists(spark, path: str) -> bool:
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path)
+        return True
+    except AnalysisException:
+        return False
+
+
+def _purge_rewrite(spark, path: str, td: DataFrame, join_key: str) -> None:
+    """Anti-join rewrite of one per-doc-row store. Snapshot-then-
+    overwrite: the localCheckpoint materializes the survivors before
+    the path they came from is truncated."""
+    purged = (
+        spark.read.parquet(path)
+        .join(F.broadcast(td.withColumnRenamed("doc_id", join_key)), join_key, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    purged.write.mode("overwrite").parquet(path)
+
+
+def takedown_store_batch(
+    requests: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> None:
+    """One trigger of the takedown face (batch-callable, like every
+    face body — the stream test pins THIS function against the batch
+    operators). ``requests`` carries one column ``doc_id``."""
+    spark = requests.sparkSession
+    td = requests.select("doc_id").distinct().localCheckpoint(eager=True)
+    if td.count() == 0:
+        return
+    for sub, key in (
+        ("admitted", "doc_id"),
+        ("bands", "doc_id"),
+        ("shingles", "doc_id"),
+        ("index/assign", "vec_id"),
+    ):
+        if _exists(spark, f"{store_dir}/{sub}"):
+            _purge_rewrite(spark, f"{store_dir}/{sub}", td, key)
+    if _exists(spark, f"{store_dir}/labels"):
+        # repair AFTER the band/shingle purge: cluster_takedown
+        # semi-joins survivors internally, so purged and pre-purge
+        # stores give identical repairs — the purged ones are simply
+        # what exists now
+        repaired = cluster_takedown(
+            spark.read.parquet(f"{store_dir}/labels"),
+            td,
+            spark.read.parquet(f"{store_dir}/bands"),
+            spark.read.parquet(f"{store_dir}/shingles"),
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        ).localCheckpoint(eager=True)
+        repaired.write.mode("overwrite").parquet(f"{store_dir}/labels")
+    td.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+        "append"
+    ).parquet(f"{store_dir}/takedowns")
+
+
+def takedown_face(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> StreamingQuery:
+    """Start the takedown face. ``stream`` rows carry (doc_id)."""
+
+    def _purge(batch_df: DataFrame, batch_id: int) -> None:
+        takedown_store_batch(
+            batch_df, batch_id, store_dir, threshold, max_bucket_size
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_purge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
