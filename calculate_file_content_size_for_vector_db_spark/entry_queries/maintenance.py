@@ -1104,10 +1104,10 @@ def quantile_hist_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_hist_merge(_docs(spark, sf_dir))
 
 
-@register(
-    "corpus_datacard_merge",
-    f"""
-WITH m AS (
+# Shared by corpus_datacard_merge and datacard_takedown_refold (the
+# refold row rebases the identical direct-computation chain onto the
+# survivor corpus).
+_SQL_DATACARD_MERGE = f"""m AS (
     SELECT CAST(count(*) AS DOUBLE) AS n_docs,
            CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
            CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
@@ -1160,8 +1160,10 @@ UNION ALL SELECT 'est_uniq_texts', est_uniq_texts FROM r
 UNION ALL SELECT 'approx_dup_fraction', approx_dup_fraction FROM r
 UNION ALL SELECT 'mean_doc_tokens', mean_doc_tokens FROM r
 UNION ALL SELECT 'top_lang_share', top_lang_share FROM r
-""",
-)
+"""
+
+
+@register("corpus_datacard_merge", f"WITH {_SQL_DATACARD_MERGE}")
 def corpus_datacard_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MERGEABLE data card (textstats.corpus_datacard_merge): the
     Spark side splits the corpus into 7 synthetic days, builds each
@@ -1179,6 +1181,56 @@ def corpus_datacard_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return corpus_datacard_merge(_docs(spark, sf_dir))
+
+
+@register(
+    "datacard_takedown_refold",
+    "WITH dsurv AS (SELECT * FROM documents WHERE doc_id % 21 <> 0),\n"
+    + _SQL_DATACARD_MERGE.replace("FROM documents", "FROM dsurv"),
+)
+def datacard_takedown_refold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the SUM-FOLD card store — the honest
+    contract for the one store family where row-wise purge is
+    impossible by construction (PLANS.md "Sum-fold stores are
+    takedown-INCAPABLE"): a forgotten doc's contribution is blended
+    into its batch's partial (HLL registers max-fold irreversibly;
+    scalar sums lose the doc boundary), so the TOUCHED BATCH is the
+    blast radius. The card store is built as 7 per-day partial
+    appends (batch_id = doc_id % 7, append_card_partials — the
+    streaming face's exact writer), the takedown family is
+    doc_id % 21 == 0 (== day 0 only, so LOCALIZATION is load-bearing:
+    days 1-6's partial rows must come back byte-verbatim, which the
+    hash enforces through their fold), and
+    streaming.datacard.refold_card_takedown recomputes day 0's four
+    partials from its admitted-minus-takedown rows and rewrites the
+    store. The oracle computes every metric DIRECT over the survivor
+    corpus: refold == rebuild because per-key sum and per-register
+    max are associative. Dropping day 0's partials without
+    recomputing would lose day 0's SURVIVORS too (the naive purge the
+    stream test falsifies). At 100 TB: touched batch ids come from
+    one broadcast semi-join over the batch-tagged admitted ledger;
+    recomputation scans only those batches' rows; untouched partials
+    are kept by a metadata-scale anti-join."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.streaming.datacard import (
+        append_card_partials,
+        read_datacard,
+        refold_card_takedown,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "batch_id", (F.col("doc_id") % 7).cast("long")
+    )
+    store = tempfile.mkdtemp(prefix="card_refold_")
+    for day in range(7):
+        append_card_partials(
+            docs.where(F.col("batch_id") == day).drop("batch_id"), day, store
+        )
+    refold_card_takedown(
+        docs, docs.where(F.col("doc_id") % 21 == 0).select("doc_id"), store
+    )
+    return read_datacard(spark, store)
 
 
 @register(

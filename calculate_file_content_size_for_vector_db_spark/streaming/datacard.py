@@ -38,30 +38,38 @@ from calculate_file_content_size_for_vector_db_spark.operators.textstats import 
 _HLL_P = 8
 
 
-def _hll_regs(df: DataFrame, text_col: str, p: int = _HLL_P) -> DataFrame:
+def _hll_regs(
+    df: DataFrame, text_col: str, p: int = _HLL_P, group_cols: list[str] | None = None
+) -> DataFrame:
     """(reg, rho): the batch's partial HLL register table over text
-    md5 hashes — the corpus_datacard_merge register construction."""
+    md5 hashes — the corpus_datacard_merge register construction.
+    ``group_cols`` computes one register table PER GROUP (the refold
+    path recomputes several touched batches in one pass)."""
     m = 1 << p
     wbits = 60 - p
+    g = group_cols or []
     return (
         df.where(F.col(text_col).isNotNull())
         .select(
+            *g,
             F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
             .cast("bigint")
-            .alias("_h")
+            .alias("_h"),
         )
         .select(
+            *g,
             F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("reg"),
             F.expr(f"_h div {m}").alias("_w"),
         )
         .select(
+            *g,
             "reg",
             F.when(F.col("_w") == 0, F.lit(wbits + 1))
             .otherwise(F.lit(wbits + 1) - F.length(F.bin("_w")))
             .cast("int")
             .alias("rho"),
         )
-        .groupBy("reg")
+        .groupBy(*g, "reg")
         .agg(F.max("rho").alias("rho"))
     )
 
@@ -183,6 +191,68 @@ def append_card_partials(
         "append"
     ).parquet(f"{card_dir}/hll")
     batch_df.unpersist()
+
+
+def refold_card_takedown(
+    admitted: DataFrame,
+    takedown: DataFrame,
+    card_dir: str,
+    text_col: str = "text",
+    p: int = _HLL_P,
+) -> None:
+    """Right-to-be-forgotten for the SUM-FOLD card store — the honest
+    contract from PLANS.md ("Sum-fold stores are takedown-INCAPABLE"):
+    a forgotten doc's contribution is blended into its batch's partial
+    and cannot be subtracted row-wise (HLL registers are max-folded —
+    strictly irreversible; scalar sums lose the doc boundary), so the
+    batch is the blast radius — RE-FOLD every touched batch from its
+    admitted-minus-takedown source rows, keep every untouched batch's
+    partial rows byte-verbatim, and rewrite the four partial stores.
+    Because per-key sum and per-register max are associative, the
+    refolded store folds to exactly the card of the survivor corpus
+    (the equality datacard_takedown_refold's oracle hashes); dropping
+    a touched batch's partials WITHOUT recomputing loses that batch's
+    SURVIVORS too (the naive-purge falsifier the test pins).
+
+    ``admitted`` carries the batch-tagged admitted ledger
+    (batch_id, doc_id, text, lang, source) — the raw rows a
+    production ingest already keeps per trigger. Cost at 100 TB: the
+    takedown set broadcast-semi-joins the ledger once to find touched
+    batch ids; recomputation scans ONLY those batches' rows; each
+    store rewrite keeps untouched partials via a metadata-scale
+    anti-join on batch_id."""
+    spark = admitted.sparkSession
+    td = takedown.select("doc_id").distinct()
+    touched = (
+        admitted.join(F.broadcast(td), "doc_id", "left_semi")
+        .select("batch_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    surv = (
+        admitted.join(F.broadcast(touched), "batch_id", "left_semi")
+        .join(F.broadcast(td), "doc_id", "left_anti")
+        .persist()
+    )
+    t = F.size(tokens(text_col)).cast("long")
+    recomputed = {
+        "scalars": surv.groupBy("batch_id").agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(t).alias("_tok"),
+            F.sum(F.length(text_col)).alias("_ch"),
+            F.sum(F.when(t == 0, 1).otherwise(0)).alias("_emp"),
+        ),
+        "langs": surv.groupBy("batch_id", "lang").agg(F.count("*").alias("_c")),
+        "sources": surv.groupBy("batch_id", "source").agg(F.count("*").alias("_c")),
+        "hll": _hll_regs(surv, text_col, p, group_cols=["batch_id"]),
+    }
+    for sub, fresh in recomputed.items():
+        kept = spark.read.parquet(f"{card_dir}/{sub}").join(
+            F.broadcast(touched), "batch_id", "left_anti"
+        )
+        merged = kept.unionByName(fresh).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(f"{card_dir}/{sub}")
+    surv.unpersist()
 
 
 def datacard_face(

@@ -197,3 +197,68 @@ def test_meta_delta_counts_only_docs_present_in_store(spark):
     )  # 999/1000 were never ingested: must contribute 0
     _, _, meta_delta = postings_takedown(tf, dl, ghost_request)
     assert meta_delta.collect()[0].n_docs == -1
+
+
+# ---------------------------------------------------------------------------
+# sum-fold card store takedown (re-fold the touched batch)
+# ---------------------------------------------------------------------------
+
+
+def test_refold_card_takedown_equals_rebuild_and_naive_drop_does_not(spark, tmp_path):
+    """PLANS.md "Sum-fold stores are takedown-INCAPABLE": the honest
+    takedown is a re-fold of the TOUCHED batch from its survivors —
+    untouched batches' partial rows come back byte-verbatim — and the
+    folded card equals the survivor rebuild. The naive purge (drop the
+    touched batch's partials without recomputing) loses that batch's
+    survivors and must NOT equal the rebuild."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard_merge,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.datacard import (
+        append_card_partials,
+        read_datacard,
+        refold_card_takedown,
+    )
+
+    rows = [
+        (b * 10 + i, f"doc {b} {i} " + "tok " * (3 + i), ["en", "fr"][i % 2], f"s{b}", b)
+        for b in range(3)
+        for i in range(4)
+    ]
+    schema = "doc_id long, text string, lang string, source string, batch_id long"
+    admitted = spark.createDataFrame(rows, schema)
+    store = str(tmp_path / "card")
+    for b in range(3):
+        append_card_partials(
+            admitted.where(F.col("batch_id") == b).drop("batch_id"), b, store
+        )
+    pre = {
+        sub: {tuple(r) for r in spark.read.parquet(f"{store}/{sub}").collect()}
+        for sub in ("scalars", "langs", "sources", "hll")
+    }
+
+    td = spark.createDataFrame([(11,), (12,)], "doc_id long")  # batch 1 only
+    refold_card_takedown(admitted, td, store)
+
+    # untouched batches' partial rows byte-verbatim; batch 1 recomputed
+    for sub in ("scalars", "langs", "sources", "hll"):
+        got = {tuple(r) for r in spark.read.parquet(f"{store}/{sub}").collect()}
+        assert {t for t in got if t[0] != 1} == {t for t in pre[sub] if t[0] != 1}, sub
+        assert {t for t in got if t[0] == 1} != {t for t in pre[sub] if t[0] == 1}, sub
+
+    survivors = admitted.where(~F.col("doc_id").isin(11, 12)).drop("batch_id")
+    want = {r.metric: r.value for r in corpus_datacard_merge(survivors).collect()}
+    got = {r.metric: r.value for r in read_datacard(spark, store).collect()}
+    assert got == want
+    assert got["n_docs"] == 10.0
+
+    # the naive purge: drop batch 1's partials entirely — the fold now
+    # reports 8 docs (batch 1's two SURVIVORS vanished with it)
+    naive = str(tmp_path / "naive")
+    for sub in ("scalars", "langs", "sources", "hll"):
+        spark.read.parquet(f"{store}/{sub}").where(
+            F.col("batch_id") != 1
+        ).write.parquet(f"{naive}/{sub}")
+    naive_card = {r.metric: r.value for r in read_datacard(spark, naive).collect()}
+    assert naive_card != want
+    assert naive_card["n_docs"] == 8.0
