@@ -2244,3 +2244,52 @@ def sim_graph_takedown_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges=spark.read.parquet(f"{store}/edges_v2"),
         entry_ids=emb.where(F.col("vec_id") % 13 != 0),
     )
+
+
+@register(
+    "sim_graph_takedown_repair",
+    f"""
+WITH {_SQL_EMB},
+es AS (SELECT * FROM e WHERE vec_id % 13 <> 0)
+SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id) AS rn
+    FROM es a, es b WHERE a.vec_id <> b.vec_id
+) WHERE rn <= 8
+""",
+)
+def sim_graph_takedown_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BACKFILL graph_takedown leaves optional, made exact
+    (similarity.graph_takedown_repair) — cluster_takedown's shape on
+    the edge store: survivors whose adjacency lists held a forgotten
+    node (one broadcast semi-join on the dst direction finds them) get
+    their exact top-k_graph recomputed over the survivor corpus;
+    every other node's stored list is kept VERBATIM. The oracle is a
+    FROM-SCRATCH survivor rebuild of the whole graph, so the hash is
+    the localization theorem itself: a node's survivor top-k differs
+    from its stored full-corpus top-k only if a forgotten node was in
+    the stored list (ties included — a forgotten node that lost a
+    rank-boundary tie was never in the list), hence
+    repair(touched only) == rebuild(survivors) edge-for-edge. At
+    100 TB the recompute frame is request-sized (|touched| ~ k_graph
+    x |requests| rows against the survivor corpus, blocked — or the
+    IVF-candidate builder, exactly as knn_graph_append); the verbatim
+    keep is one anti-join over the store scan."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        graph_takedown_repair,
+        topk_grid,
+    )
+
+    emb = _emb(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="graph_repair_")
+    topk_grid(emb, emb, k=8).select("query_id", "neighbor_id").write.parquet(
+        f"{store}/edges"
+    )
+    return graph_takedown_repair(
+        spark.read.parquet(f"{store}/edges"),
+        emb.where(F.col("vec_id") % 13 == 0).select("vec_id"),
+        emb,
+    )

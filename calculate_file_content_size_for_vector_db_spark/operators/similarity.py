@@ -2070,6 +2070,63 @@ def graph_takedown(
     ).join(F.broadcast(f.withColumnRenamed(id_col, dst_col)), dst_col, "left_anti")
 
 
+def graph_takedown_repair(
+    edges: DataFrame,
+    forgotten: DataFrame,
+    embeddings: DataFrame,
+    k_graph: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_col: str = "query_id",
+    dst_col: str = "neighbor_id",
+) -> DataFrame:
+    """(src, dst): the purged kNN edge table with the touched
+    survivors' adjacency lists BACKFILLED — the repair graph_takedown
+    leaves optional, made exact. The localization theorem that makes
+    this cheap: a node's top-``k_graph`` over the survivor corpus
+    differs from its stored (full-corpus) list ONLY IF a forgotten
+    node was IN that list — i.e. only nodes holding a src->forgotten
+    edge need recomputation (ties included: a forgotten node that
+    lost a boundary tie was never in the list). So
+
+        repair(touched nodes only)  ==  full rebuild on survivors
+
+    exactly — the cluster_takedown shape (untouched rows verbatim,
+    touched neighborhood recomputed), which is what the registered
+    query's oracle (a from-scratch survivor rebuild) hashes.
+
+    Plan shape: touched = one broadcast semi-join of the edge store
+    against the takedown set (dst direction) minus the set itself;
+    recomputation is exact kNN of |touched| query rows against the
+    survivor corpus (topk_grid — blocked, |touched| x N_surv work, not
+    N^2; at 100 TB swap in the IVF-candidate builder exactly as
+    knn_graph_append does); untouched lists are kept by one anti-join.
+    Takedown requests are rare and touch ~k_graph x |requests| nodes,
+    so the recompute frame is request-sized, never corpus-sized."""
+    f = forgotten.select(id_col)
+    purged = graph_takedown(edges, f, src_col, dst_col, id_col)
+    touched = (
+        edges.join(
+            F.broadcast(f.withColumnRenamed(id_col, dst_col)), dst_col, "left_semi"
+        )
+        .select(F.col(src_col).alias(id_col))
+        .distinct()
+        .join(F.broadcast(f), id_col, "left_anti")
+    )
+    surv_emb = embeddings.join(F.broadcast(f), id_col, "left_anti")
+    recomputed = topk_grid(
+        surv_emb,
+        surv_emb.join(F.broadcast(touched), id_col),
+        k=k_graph,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col("query_id").alias(src_col), F.col("neighbor_id").alias(dst_col))
+    kept = purged.join(
+        F.broadcast(touched.withColumnRenamed(id_col, src_col)), src_col, "left_anti"
+    ).select(src_col, dst_col)
+    return kept.unionByName(recomputed)
+
+
 def pca_power_iteration(
     embeddings: DataFrame,
     rounds: int = 3,

@@ -450,6 +450,7 @@ _BNLJ_ALLOWED = {
     "bpe_apply_stored",  # 1-row STORED-merge-table broadcast (F.aggregate replay)
     "corpus_datacard",  # 1-row top-language mode broadcast onto the 1-row main agg
     "corpus_datacard_merge",  # same shape: 1-row lang/source/HLL partial-merge broadcasts
+    "datacard_takedown_refold",  # read_datacard's same 1-row fold broadcasts over the refolded store
     "quantile_hist_merge",  # 1-row est/exact quantile aggregates composed by broadcast
     "join_size_cms",  # 1-row sketch-product/exact/total aggregates composed by broadcast
     "ingest_pipeline",  # bounded bloom-bitmap + packed-centroid 1-row broadcasts (gate + routing)

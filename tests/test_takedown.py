@@ -262,3 +262,34 @@ def test_refold_card_takedown_equals_rebuild_and_naive_drop_does_not(spark, tmp_
     naive_card = {r.metric: r.value for r in read_datacard(spark, naive).collect()}
     assert naive_card != want
     assert naive_card["n_docs"] == 8.0
+
+
+def test_graph_takedown_repair_equals_survivor_rebuild(spark, bridge_emb, bridge_edges):
+    """The localization theorem behind sim_graph_takedown_repair: only
+    node 3 holds an edge into the forgotten bridge 0, so repair must
+    recompute EXACTLY node 3's list (backfilling 3 -> {2, 1} over the
+    survivors) and keep every other node's stored list verbatim — and
+    the result must equal a from-scratch kNN rebuild on survivors."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        graph_takedown_repair,
+    )
+
+    forgotten = spark.createDataFrame([(0,)], "vec_id long")
+    repaired = {
+        (r.query_id, r.neighbor_id)
+        for r in graph_takedown_repair(bridge_edges, forgotten, bridge_emb, k_graph=2).collect()
+    }
+    survivors = bridge_emb.where(F.col("vec_id") != 0)
+    rebuilt = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_grid(survivors, survivors, k=2)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    assert repaired == rebuilt
+    # the backfill itself: 3 lost 3->0 and gained 3->1 next to 3->2
+    assert {(3, 2), (3, 1)} <= repaired
+    # untouched lists verbatim (e.g. cluster B never saw the bridge)
+    stored = {(r.query_id, r.neighbor_id) for r in bridge_edges.collect()}
+    for u in (1, 2, 5, 6, 7):
+        assert {p for p in repaired if p[0] == u} == {p for p in stored if p[0] == u}

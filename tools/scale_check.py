@@ -394,6 +394,95 @@ def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> di
                     emb, emb.where("vec_id < 10"), edges=stored_edges
                 ),
             )
+    # round-11 takedown rows: each purge is a LINEAR scan of its store
+    # with the request-sized takedown set broadcast, so every row here
+    # should track the data factor (the scan a compaction pays anyway)
+    # — with card_refold additionally bounded by the touched batch.
+    with tempfile.TemporaryDirectory() as tmp:
+      if want("graph_takedown_1pct"):
+        # store built OUTSIDE the timer (it exists for serving anyway):
+        # the IVF-built kNN graph at |cell| ~ 500, same as the serve row
+        n_cells_scaled = max(8, n_vec // 500)
+        similarity.knn_graph_ivf(
+            emb,
+            assign=similarity.ivf_assign(emb, k=n_cells_scaled),
+            centroids=similarity.ivf_centroids(emb, k=n_cells_scaled),
+        ).select("query_id", "neighbor_id").write.parquet(f"{tmp}/edges")
+        t(
+            "graph_takedown_1pct",
+            similarity.graph_takedown(
+                spark.read.parquet(f"{tmp}/edges"),
+                emb.where(F.col("vec_id") % 100 == 0).select("vec_id"),
+            ),
+        )
+    with tempfile.TemporaryDirectory() as tmp:
+      if want("postings_takedown_1pct"):
+        from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+            bm25_postings,
+            postings_takedown,
+        )
+
+        tf, dl, _meta = bm25_postings(docs)
+        tf.write.parquet(f"{tmp}/tf")
+        dl.write.parquet(f"{tmp}/dl")
+
+        def _postings_purge():
+            tf2, dl2, mdelta = postings_takedown(
+                spark.read.parquet(f"{tmp}/tf"),
+                spark.read.parquet(f"{tmp}/dl"),
+                docs.where(F.col("doc_id") % 100 == 0).select("doc_id"),
+            )
+            return tf2.unionByName(
+                dl2.select("doc_id", F.lit(None).cast("string").alias("term"), F.col("dl").alias("tf"))
+            ).unionByName(
+                mdelta.select(F.lit(-1).alias("doc_id"), F.lit(None).cast("string").alias("term"), F.col("n_docs").alias("tf"))
+            )
+
+        t("postings_takedown_1pct", _postings_purge)
+    with tempfile.TemporaryDirectory() as tmp:
+      if want("card_refold_1pct"):
+        from calculate_file_content_size_for_vector_db_spark.streaming.datacard import (
+            _hll_regs,
+            refold_card_takedown,
+        )
+        from calculate_file_content_size_for_vector_db_spark.operators.textstats import tokens
+
+        # 10-batch partial store built OUTSIDE the timer via the same
+        # grouped computation refold uses (4 writes, not 40 appends)
+        tagged = docs.withColumn("batch_id", (F.col("doc_id") % 10).cast("long")).select(
+            "batch_id", "doc_id", "text",
+            (F.col("doc_id") % 3).cast("string").alias("lang"),
+            (F.col("doc_id") % 5).cast("string").alias("source"),
+        )
+        tl = F.size(tokens("text")).cast("long")
+        tagged.groupBy("batch_id").agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(tl).alias("_tok"),
+            F.sum(F.length("text")).alias("_ch"),
+            F.sum(F.when(tl == 0, 1).otherwise(0)).alias("_emp"),
+        ).write.parquet(f"{tmp}/card/scalars")
+        tagged.groupBy("batch_id", "lang").agg(F.count("*").alias("_c")).write.parquet(
+            f"{tmp}/card/langs"
+        )
+        tagged.groupBy("batch_id", "source").agg(F.count("*").alias("_c")).write.parquet(
+            f"{tmp}/card/sources"
+        )
+        _hll_regs(tagged, "text", group_cols=["batch_id"]).write.parquet(
+            f"{tmp}/card/hll"
+        )
+
+        def _refold():
+            # takedown = doc_id % 100 == 0 (1% of docs), every one in
+            # batch 0 (doc_id % 10 == 0 follows), so exactly ONE of the
+            # ten batches is recomputed — the localization claim
+            refold_card_takedown(
+                tagged,
+                docs.where(F.col("doc_id") % 100 == 0).select("doc_id"),
+                f"{tmp}/card",
+            )
+            return spark.read.parquet(f"{tmp}/card/scalars")
+
+        t("card_refold_1pct", _refold)
     return timings
 
 
