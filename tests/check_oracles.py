@@ -1,6 +1,8 @@
 """Fast standalone oracle check: python -m tests.check_oracles [names...]
 
-Mirrors the driver's t2 gate over every registered query at sf0.01.
+Mirrors the driver's t2 gate over every registered query at sf0.01
+(SPARK_GRAFT_ORACLE_SF_DIR overrides the fixture dir — the sf0.1
+float-determinism spot-checks run through this).
 
 `--json PATH` additionally writes one row per checked query, so each
 round can commit the FULL-registry sweep as ORACLES_r{N}.json next to
@@ -13,6 +15,7 @@ artifact instead of builder prose.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -20,7 +23,7 @@ from calculate_file_content_size_for_vector_db_spark.entry_queries import REGIST
 from calculate_file_content_size_for_vector_db_spark.session import get_spark
 from tests.oracle_harness import duck_connection, run_one
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 # Per-row cost budget (VERDICT r10 item 6): the full-registry sweep
 # must keep fitting inside a round (ORACLES_r10 totaled 486s, with
