@@ -1094,3 +1094,63 @@ def test_streaming_takedown_face_purges_all_stores_and_is_idempotent(spark, tmp_
         assert rows_of(f"{store}/{sub}") == want, f"replay mutated {sub}"
     audit2 = {(r.batch_id, r.doc_id) for r in spark.read.parquet(f"{store}/takedowns").distinct().collect()}
     assert audit2 == {(0, 1), (1, 22)}
+
+
+def test_takedown_face_over_composed_ingest_store(spark, tmp_path):
+    """Integration of the two lifecycle faces over ONE store: the
+    composed ingest face (gate -> index -> card -> drift) builds the
+    store with its real layout and schemas, then the takedown face
+    purges a doc — pinning that the two faces agree on store layout
+    (admitted rows carry the full ingest schema; assign is keyed
+    vec_id) and that serve-side stores drop the doc while the
+    sum-fold card/drift subtrees are (by documented contract) left
+    for refold_card_takedown."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.streaming.composed import (
+        composed_ingest_batch,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.takedown import (
+        takedown_store_batch,
+    )
+
+    words = [f"w{i:03d}" for i in range(200)]
+
+    def row(i):
+        return (
+            i,
+            " ".join(words[20 * i : 20 * i + 20]),
+            ["en", "fr"][i % 2],
+            f"s{i % 3}",
+            [float(math.sin(0.1 * i * (d + 1)) % 1.0) for d in range(16)],
+        )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, embedding array<float>"
+    )
+    store = str(tmp_path / "store")
+    composed_ingest_batch(
+        spark.createDataFrame([row(i) for i in range(8)], schema), 0, store
+    )
+
+    takedown_store_batch(spark.createDataFrame([(3,)], "doc_id long"), 1, store)
+
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{store}/admitted").collect()
+    ) == [0, 1, 2, 4, 5, 6, 7]
+    # the full ingest schema survived the rewrite
+    assert set(spark.read.parquet(f"{store}/admitted").columns) == {
+        "doc_id", "text", "lang", "source", "embedding",
+    }
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(f"{store}/index/assign").collect()
+    ) == [0, 1, 2, 4, 5, 6, 7]
+    for sub in ("bands", "shingles"):
+        assert 3 not in {
+            r.doc_id for r in spark.read.parquet(f"{store}/{sub}").collect()
+        }
+    # card subtree untouched (refold is the separate, documented op)
+    assert spark.read.parquet(f"{store}/card/scalars").collect()[0]._n == 8
+    assert {(r.batch_id, r.doc_id) for r in spark.read.parquet(f"{store}/takedowns").collect()} == {(1, 3)}

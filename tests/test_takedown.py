@@ -293,3 +293,49 @@ def test_graph_takedown_repair_equals_survivor_rebuild(spark, bridge_emb, bridge
     stored = {(r.query_id, r.neighbor_id) for r in bridge_edges.collect()}
     for u in (1, 2, 5, 6, 7):
         assert {p for p in repaired if p[0] == u} == {p for p in stored if p[0] == u}
+
+
+def test_graph_takedown_repair_edge_cases(spark, bridge_emb, bridge_edges):
+    """Identity and degenerate shapes, mirroring cluster_takedown's
+    edge tests: empty takedown = byte-identical store; forgetting a
+    node NO list points at (every node's edges survive untouched and
+    nothing is recomputed); forgetting everything = empty graph."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        graph_takedown_repair,
+    )
+
+    stored = {(r.query_id, r.neighbor_id) for r in bridge_edges.collect()}
+
+    # empty takedown -> identity
+    td_empty = spark.createDataFrame([], "vec_id long")
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in graph_takedown_repair(bridge_edges, td_empty, bridge_emb, k_graph=2).collect()
+    }
+    assert got == stored
+
+    # unknown id (no node, no edges) -> identity
+    td_miss = spark.createDataFrame([(999,)], "vec_id long")
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in graph_takedown_repair(bridge_edges, td_miss, bridge_emb, k_graph=2).collect()
+    }
+    assert got == stored
+
+    # node 6: in-edges exist (5->6, 7->6), so 5 and 7 are touched and
+    # recompute over survivors; clusters stay internally consistent
+    td6 = spark.createDataFrame([(6,)], "vec_id long")
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in graph_takedown_repair(bridge_edges, td6, bridge_emb, k_graph=2).collect()
+    }
+    surv = bridge_emb.where(F.col("vec_id") != 6)
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_grid(surv, surv, k=2).select("query_id", "neighbor_id").collect()
+    }
+    assert got == want and not any(6 in p for p in got)
+
+    # forget the whole corpus -> empty edge table
+    td_all = bridge_emb.select("vec_id")
+    assert graph_takedown_repair(bridge_edges, td_all, bridge_emb, k_graph=2).count() == 0
