@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "bm25_takedown_search",  # postings purge + negative meta partial == rebuild on survivors
     "datacard_takedown_refold",  # sum-fold store: re-fold the touched batch == rebuild on survivors
     "sim_graph_takedown_repair",  # backfill: repair(touched only) == survivor rebuild edge-for-edge
+    "sim_topk_ivf_filtered",  # filtered ANN: metadata pre-filter on the candidate scan
     # --- 1. r05 cohort (8 rows — the r10 window's spill) ---
     "doc_repetition",
     "stratified_sample",

@@ -195,6 +195,54 @@ def sim_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_topk_ivf_filtered",
+    f"""
+WITH {_SQL_IVF},
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a
+    JOIN assign sa ON a.vec_id = sa.vec_id
+    JOIN assign sb ON sa.cell = sb.cell
+    JOIN e b ON b.vec_id = sb.vec_id
+    JOIN embeddings be ON be.vec_id = b.vec_id
+    WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id AND be.label IN (2, 5)
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def sim_topk_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the standard vector-DB feature
+    (metadata predicate + ANN in one query: 'nearest en-language docs
+    only') the tier matrix lacked. PRE-filter semantics, the
+    production-correct form: topk_ivf's candidate_filter restricts
+    the candidate scan BEFORE ranking, so the result is the true
+    top-k of the filtered corpus — post-filtering an unfiltered top-k
+    starves (selectivity s leaves ~s*k rows and re-probing pays the
+    search twice). Queries themselves are never filtered (a query
+    needn't satisfy its own predicate). The oracle mirrors the filter
+    as a join against the raw embeddings table on the candidate side
+    only. Spark-first at 100 TB: the predicate is declarative, so
+    Catalyst pushes it into the stored corpus parquet scan
+    (PushedFilters) where it composes with IVF cell pruning — the
+    scan reads only the probed cells' row groups AND prunes them by
+    the label predicate; no operator code paths fork on the filter."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    return topk_ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        candidate_filter=F.col("label").isin(2, 5),
+    )
+
+
+@register(
     "sim_topk_ivf_stored",
     f"""
 WITH {_SQL_IVF},

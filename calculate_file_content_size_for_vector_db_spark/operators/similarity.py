@@ -482,10 +482,21 @@ def topk_ivf(
     assign: DataFrame | None = None,
     probes: int = 1,
     centroids: DataFrame | None = None,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """ANN top-k with exact in-cell scoring over the query's top
     ``probes`` IVF cells (single-probe by default). Join shape:
     equi-join on cell id — candidate count ~ probes * N / n_cells.
+
+    ``candidate_filter``: optional metadata predicate applied to the
+    CANDIDATE side only (queries are never filtered) — filtered
+    vector search, the standard vector-DB feature. This is the
+    PRE-filter form: the predicate restricts the candidate scan
+    before ranking, so the top-k is the true top-k of the filtered
+    corpus (post-filtering an unfiltered top-k instead starves —
+    selectivity s leaves ~s*k survivors). Declarative by design:
+    Catalyst pushes the predicate into the (stored) corpus scan
+    (PushedFilters) where it composes with cell pruning for free.
 
     Because candidates are scored by EXACT cosine, probes=2's
     candidate set contains probes=1's (top-1 cell is in the top-2),
@@ -523,7 +534,8 @@ def topk_ivf(
         q = emb_c.join(queries.select(id_col), id_col).select(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "cell"
         )
-    c = spread(emb_c).select(
+    c_src = emb_c if candidate_filter is None else emb_c.where(candidate_filter)
+    c = spread(c_src).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
     )
     scored = (

@@ -26,6 +26,19 @@ def test_q1_filter_pushed_to_scan(spark):
     assert "l_orderkey" not in read and "l_partkey" not in read
 
 
+def test_filtered_ann_predicate_pushed_to_candidate_scan(spark):
+    """sim_topk_ivf_filtered's whole design claim: the metadata
+    predicate is declarative, so it reaches the CANDIDATE side's
+    parquet scan as a pushed filter (composing with cell pruning),
+    and no Python/product sneaks in."""
+    plan = _physical(spark, "sim_topk_ivf_filtered")
+    assert "In(label, [2,5])" in plan  # PushedFilters on the corpus scan
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    # exactly one scan is label-filtered (candidates) — queries and the
+    # training lineage read unfiltered
+    assert plan.count("In(label, [2,5])") <= 2  # DataFilters + PushedFilters lines
+
+
 def test_q5_broadcasts_dims_single_shuffle(spark):
     plan = _physical(spark, "tpch_q5")
     assert plan.count("BroadcastHashJoin") == 5
