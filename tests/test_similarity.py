@@ -799,3 +799,56 @@ def test_pq_encode_stored_codebooks_equals_trained(spark):
     trained = {(r.vec_id, tuple(r.codes)) for r in pq_encode(emb).collect()}
     stored = {(r.vec_id, tuple(r.codes)) for r in pq_encode(emb, codebooks=cb).collect()}
     assert stored == trained and len(stored) == 40
+
+
+# ---------------------------------------------------------------------------
+# filtered ANN (candidate_filter — pre-filter semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_topk_ivf_candidate_filter_prefilter_semantics(spark):
+    """Pre-filter returns the true top-k OF THE FILTERED corpus: the
+    unfiltered nearest neighbor (same label as nothing in the filter)
+    must be replaced by the best matching-label candidate, not merely
+    dropped — the starvation difference vs post-filtering. Queries
+    themselves never need to satisfy the predicate."""
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    def vec(deg):
+        r = m.radians(deg)
+        return [m.cos(r), m.sin(r)]
+
+    # query 0 at 0deg (label 9 — outside the filter); nearest overall
+    # is 1 (5deg, label 1), nearest with label 2 is 3 (40deg)
+    emb = spark.createDataFrame(
+        [
+            (0, vec(0.0), 9),
+            (1, vec(5.0), 1),
+            (2, vec(20.0), 1),
+            (3, vec(40.0), 2),
+            (4, vec(60.0), 2),
+            (5, vec(90.0), 2),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = emb.where(F.col("vec_id") == 0)
+    # one cell: with 6 vectors the default cell count would isolate
+    # every vector (empty candidate sets); a single cell makes the
+    # filter, not the routing, the thing under test
+    assign = sim.ivf_assign(emb, k=1)
+    unfiltered = sim.topk_ivf(emb, q, k=2, assign=assign)
+    filtered = sim.topk_ivf(
+        emb, q, k=2, assign=assign, candidate_filter=F.col("label") == 2
+    )
+    got_u = [r.neighbor_id for r in unfiltered.orderBy("rank").collect()]
+    got_f = [r.neighbor_id for r in filtered.orderBy("rank").collect()]
+    assert got_u[0] == 1  # unfiltered nearest
+    assert got_f and all(
+        r.neighbor_id in (3, 4, 5) for r in filtered.collect()
+    )  # only matching labels served
+    # pre-filter found the BEST label-2 candidates reachable in the
+    # query's cell — post-filtering got_u (k=2: {1, 2}) would return
+    # NOTHING with label 2; pre-filter returns real rows
+    assert len(got_f) >= 1 and 1 not in got_f and 2 not in got_f
