@@ -73,9 +73,9 @@ from calculate_file_content_size_for_vector_db_spark.entry_queries import (  # n
 # cohorts are the 8-row r05 spill and the 50-row r06 cohort (which
 # holds the 19-key SURVEY §2 reference core, last driver-checked r06
 # — refreshing it here keeps the declared <=7-round staleness bound
-# green through r13). 58 rows against a ~50-row cap: any spill lands
-# on the r06 tail and leads r12's window per policy. New r11
-# registrations are prepended to this list (never-checked first).
+# green through r13). With the five r11 registrations prepended
+# (never-checked first) the window is 63 rows against a ~50-row cap:
+# any spill lands on the r06 tail and leads r12's window per policy.
 _VERIFY_FIRST = [
     # --- 0. registered this round (never driver-checked) ---
     "sim_graph_takedown_serve",  # ghost-EDGE check: purged kNN edge store serves no forgotten node
