@@ -472,6 +472,7 @@ _BNLJ_ALLOWED = {
     "sim_topk_graph_stored",  # 1-row entry-point broadcast over stored edges
     "sim_graph_takedown_serve",  # same 1-row SURVIVOR entry-point broadcast over the purged store
     "bm25_takedown_search",  # 1-row (N, avgdl) stats broadcast from the sum-folded purged meta
+    "sim_topk_ivf_filtered",  # packed-centroid 1-row broadcast in the assignment map (the knn_graph_ivf pattern)
     # NOTE deliberately absent: quality_classifier_score_stored — serving
     # from the parquet store removes the training chain's 1-row
     # broadcasts entirely, so the sweep pins its plan BNLJ-free; training
