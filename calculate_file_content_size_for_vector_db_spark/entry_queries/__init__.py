@@ -4,9 +4,10 @@ The former 10k-line entry_queries.py monolith is split into
 per-family modules (VERDICT r08 item 7). Importing this package
 imports every family module (each @register call adds to the
 shared REGISTRY in _core), then pins the public REGISTRY to the
-canonical order: _VERIFY_FIRST (the driver-window priority list)
-followed by _REST_ORDER (the original monolith registration
-order, preserved byte-for-byte across the split).
+canonical order: _VERIFY_FIRST (the driver-window priority list,
+rebuilt per-round from the CORRECTNESS history — SURVEY §5.1)
+followed by _REST_ORDER (every already-verified query, cohort order
+preserved within rounds).
 """
 
 from __future__ import annotations
