@@ -607,6 +607,7 @@ def bm25_takedown_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{store}/tf"),
         spark.read.parquet(f"{store}/dl"),
         forgotten,
+        admitted=docs,  # the ingested universe: exact n_docs even for zero-token docs
     )
     tf2.write.parquet(f"{store}/tf_v2")
     dl2.write.parquet(f"{store}/dl_v2")

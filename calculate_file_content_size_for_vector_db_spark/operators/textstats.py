@@ -908,6 +908,7 @@ def postings_takedown(
     dl: DataFrame,
     forgotten: DataFrame,
     key: str = "doc_id",
+    admitted: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(tf', dl', meta_delta): the BM25 posting store with a takedown
     set's rows purged — right-to-be-forgotten for the LEXICAL index.
@@ -917,13 +918,21 @@ def postings_takedown(
     for every term). The first two purge by broadcast anti-join; the
     third cannot be row-deleted from an append-only meta store, so it
     returns a COMPENSATING NEGATIVE partial (n_docs = -|forgotten
-    docs actually in the store|, counted from dl so takedown ids that
-    never existed contribute 0) that the store appends and the reader
-    sum-folds — the same append-and-sum contract bm25_search_stored's
-    batch append uses, now exercised in the subtractive direction.
-    Because df/idf/avgdl derive from tf/dl at QUERY time (never
-    stored), purge == rebuild-on-survivors exactly — the equivalence
-    the shared oracle pins.
+    docs actually in the store|, so takedown ids that never existed
+    contribute 0) that the store appends and the reader sum-folds —
+    the same append-and-sum contract bm25_search_stored's batch
+    append uses, now exercised in the subtractive direction. Because
+    df/idf/avgdl derive from tf/dl at QUERY time (never stored),
+    purge == rebuild-on-survivors exactly — the equivalence the
+    shared oracle pins.
+
+    ``admitted``: the ingested-doc universe (the admitted ledger a
+    production store keeps) — the membership source for the n_docs
+    count. REQUIRED for exactness when zero-token docs can be
+    ingested: n_docs counts every ingested doc but dl only has rows
+    for docs with >=1 token, so the dl fallback (admitted=None) would
+    fail to subtract a forgotten EMPTY doc and leave every idf
+    slightly wrong (caught by the randomized takedown test).
 
     Plan shape: two broadcast anti-joins against the request-sized
     takedown set + one broadcast semi-join count; the posting store
@@ -931,8 +940,9 @@ def postings_takedown(
     f = forgotten.select(key)
     tf2 = tf.join(F.broadcast(f), key, "left_anti")
     dl2 = dl.join(F.broadcast(f), key, "left_anti")
+    universe = admitted.select(key) if admitted is not None else dl
     meta_delta = (
-        dl.join(F.broadcast(f), key, "left_semi")
+        universe.join(F.broadcast(f), key, "left_semi")
         .agg((-F.count("*")).cast("long").alias("n_docs"))
     )
     return tf2, dl2, meta_delta

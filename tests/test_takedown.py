@@ -158,7 +158,7 @@ def test_postings_takedown_equals_rebuild_on_survivors(spark):
     docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
     forgotten = spark.createDataFrame([(1,), (4,)], "doc_id long")
     tf, dl, meta = bm25_postings(docs)
-    tf2, dl2, meta_delta = postings_takedown(tf, dl, forgotten)
+    tf2, dl2, meta_delta = postings_takedown(tf, dl, forgotten, admitted=docs)
     merged_meta = meta.unionByName(meta_delta).agg(
         F.sum("n_docs").cast("long").alias("n_docs")
     )
@@ -339,3 +339,92 @@ def test_graph_takedown_repair_edge_cases(spark, bridge_emb, bridge_edges):
     # forget the whole corpus -> empty edge table
     td_all = bridge_emb.select("vec_id")
     assert graph_takedown_repair(bridge_edges, td_all, bridge_emb, k_graph=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# randomized equivalence sweeps — the crafted geometries above pin the
+# named failure modes; these pin the same contracts on seeded random
+# corpora (tie patterns, hub tokens, empty-survivor slices the hand
+# geometry can't reach)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [7, 19, 43])
+def test_postings_takedown_randomized_equals_rebuild(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]  # small vocab -> heavy term overlap
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(0, 9))))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    td_ids = rng.sample(range(30), 11)
+    forgotten = spark.createDataFrame([(i,) for i in td_ids], "doc_id long")
+    tf, dl, meta = bm25_postings(docs)
+    tf2, dl2, meta_delta = postings_takedown(tf, dl, forgotten, admitted=docs)
+    merged = meta.unionByName(meta_delta).agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    queries = [(0, "t0 t3"), (1, "t7"), (2, "t1 t2 t11")]
+    purged = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_search(None, queries, tf_df=tf2, dl_df=dl2, meta_df=merged).collect()
+    }
+    surv = docs.where(~F.col("doc_id").isin(*td_ids))
+    rebuilt = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_search(surv, queries).collect()
+    }
+    assert purged == rebuilt
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_graph_takedown_repair_randomized_equals_rebuild(spark, seed):
+    import random
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        graph_takedown_repair,
+    )
+
+    rng = random.Random(seed)
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(25)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    td_ids = rng.sample(range(25), 4)
+    forgotten = spark.createDataFrame([(i,) for i in td_ids], "vec_id long")
+    edges = topk_grid(emb, emb, k=4).select("query_id", "neighbor_id")
+    repaired = {
+        (r.query_id, r.neighbor_id)
+        for r in graph_takedown_repair(edges, forgotten, emb, k_graph=4).collect()
+    }
+    surv = emb.where(~F.col("vec_id").isin(*td_ids))
+    rebuilt = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_grid(surv, surv, k=4).select("query_id", "neighbor_id").collect()
+    }
+    assert repaired == rebuilt
+    assert not any(a in td_ids or b in td_ids for a, b in repaired)
+
+
+def test_postings_takedown_empty_doc_counts_in_meta(spark):
+    """The bug the randomized sweep caught: a forgotten ZERO-TOKEN doc
+    has no dl row, but it IS in n_docs — with the admitted universe it
+    must contribute -1; the dl fallback (documented as requiring
+    no-empty-docs) silently counts 0 for it."""
+    docs = spark.createDataFrame(
+        [(1, "spark join"), (2, ""), (3, "sort merge")], "doc_id long, text string"
+    )
+    tf, dl, _ = bm25_postings(docs)
+    forgotten = spark.createDataFrame([(2,)], "doc_id long")
+    _, _, delta_exact = postings_takedown(tf, dl, forgotten, admitted=docs)
+    assert delta_exact.collect()[0].n_docs == -1
+    _, _, delta_fallback = postings_takedown(tf, dl, forgotten)
+    assert delta_fallback.collect()[0].n_docs == 0  # the documented caveat
