@@ -428,3 +428,52 @@ def test_postings_takedown_empty_doc_counts_in_meta(spark):
     assert delta_exact.collect()[0].n_docs == -1
     _, _, delta_fallback = postings_takedown(tf, dl, forgotten)
     assert delta_fallback.collect()[0].n_docs == 0  # the documented caveat
+
+
+@pytest.mark.parametrize("seed", [11, 31])
+def test_refold_card_takedown_randomized_multibatch(spark, tmp_path, seed):
+    """The registered refold row confines the takedown to one batch;
+    this sweeps a random takedown spanning SEVERAL batches (including
+    zero-token docs) and pins refold == rebuild-on-survivors."""
+    import random
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard_merge,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.datacard import (
+        append_card_partials,
+        read_datacard,
+        refold_card_takedown,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"v{i}" for i in range(15)]
+    rows = [
+        (
+            i,
+            " ".join(rng.choices(vocab, k=rng.randint(0, 6))),  # some empty
+            rng.choice(["en", "fr", "de"]),
+            rng.choice(["s0", "s1"]),
+            i % 4,
+        )
+        for i in range(24)
+    ]
+    schema = "doc_id long, text string, lang string, source string, batch_id long"
+    admitted = spark.createDataFrame(rows, schema)
+    store = str(tmp_path / f"card{seed}")
+    for b in range(4):
+        append_card_partials(
+            admitted.where(F.col("batch_id") == b).drop("batch_id"), b, store
+        )
+    td_ids = rng.sample(range(24), 7)  # spans multiple batches w.h.p.
+    refold_card_takedown(
+        admitted, spark.createDataFrame([(i,) for i in td_ids], "doc_id long"), store
+    )
+    got = {r.metric: r.value for r in read_datacard(spark, store).collect()}
+    want = {
+        r.metric: r.value
+        for r in corpus_datacard_merge(
+            admitted.where(~F.col("doc_id").isin(*td_ids)).drop("batch_id")
+        ).collect()
+    }
+    assert got == want
