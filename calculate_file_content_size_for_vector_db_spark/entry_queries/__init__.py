@@ -65,72 +65,25 @@ from calculate_file_content_size_for_vector_db_spark.entry_queries import (  # n
 # rounds even if the driver caps or timeboxes its sweep.
 # ---------------------------------------------------------------------------
 
-# Round-11 window. Steady-state policy (SURVEY.md §5.1, declared r10,
+# Round-12 window. Steady-state policy (SURVEY.md §5.1, declared r10,
 # rebuilt per-round by tools/verify_window.py from the committed
-# CORRECTNESS_r*.json history): (1) queries never driver-checked —
-# this round's registrations, budget <=10/round — then (2) the
+# CORRECTNESS_r*.json history): (1) queries never driver-checked --
+# this round's registrations, budget <=10/round -- then (2) the
 # driver-checked cohorts, OLDEST latest-round first, whole cohorts
-# only. After r10 every registered query has a driver row; the oldest
-# cohorts are the 8-row r05 spill and the 50-row r06 cohort (which
-# holds the 19-key SURVEY §2 reference core, last driver-checked r06
-# — refreshing it here keeps the declared <=7-round staleness bound
-# green through r13). With the five r11 registrations prepended
-# (never-checked first) the window is 63 rows against a ~50-row cap:
-# any spill lands on the r06 tail and leads r12's window per policy.
+# only. After r11 the oldest cohorts are the 13-row r06 spill and the
+# 50-row r07 cohort: 63 rows against a ~50-row driver cap, so any
+# spill lands on the r07 tail and leads r13's window per policy.
+# Round-12 registrations are prepended to section 0 as they land.
+
+# The round this window was built FOR: the lists below were rebuilt
+# from the r01..r{N-1} CORRECTNESS history at the start of round N.
+# tests/test_registry_inventory.py uses this to SKIP (not fail) the
+# policy check once the driver drops CORRECTNESS_r{N}.json — the
+# skip message is the r{N+1} rebuild reminder (ADVICE r11 item 4).
+_WINDOW_BUILT_FOR_ROUND = 12
+
 _VERIFY_FIRST = [
-    # --- 0. registered this round (never driver-checked) ---
-    "sim_graph_takedown_serve",  # ghost-EDGE check: purged kNN edge store serves no forgotten node
-    "bm25_takedown_search",  # postings purge + negative meta partial == rebuild on survivors
-    "datacard_takedown_refold",  # sum-fold store: re-fold the touched batch == rebuild on survivors
-    "sim_graph_takedown_repair",  # backfill: repair(touched only) == survivor rebuild edge-for-edge
-    "sim_topk_ivf_filtered",  # filtered ANN: metadata pre-filter on the candidate scan
-    # --- 1. r05 cohort (8 rows — the r10 window's spill) ---
-    "doc_repetition",
-    "stratified_sample",
-    "embedding_quantize",
-    "scd2_user_state",
-    "pq_codebooks",
-    "pq_codes",
-    "sim_ivf_centroids",
-    "dedup_ngram_jaccard_capped",
-    # --- 2. r06 cohort (50 rows — contains the SURVEY §2 core) ---
-    "per_file_metrics",
-    "corpus_totals",
-    "rollup_summary",
-    "preprocess_text",
-    "chunk_stats",
-    "running_offset",
-    "chunk_enumerate",
-    "file_chunk_join",
-    "sort_by_size",
-    "extrapolate_estimate",
-    "project_basename",
-    "filter_extension",
-    "format_summary",
-    "record_to_json",
-    "chunk_split",
-    "chunk_split_overlap",
-    "file_scan",
-    "pdf_extract",
-    "csv_sink",
-    "quality_calibrate",
-    "mix_balanced_recipe",
-    "dedup_incremental",
-    "pq_recall_at_10",
-    "ivfpq_recall_at_10",
-    "ivfpq_probe2_recall_at_10",
-    "binary_recall_at_10",
-    "lsh_recall_at_10",
-    "lsh_multiprobe_recall_at_10",
-    "ivf_recall_at_10",
-    "knn_graph",
-    "triplet_mining",
-    "knn_pagerank",
-    "approx_distinct_error",
-    "monthly_activity_full_outer",
-    "approx_percentile_error",
-    "curation_pipeline",
-    "dedup_span_rewrite",
+    # --- 1. r06 cohort (13 rows -- the r11 window's spill) ---
     "multimodal_phash_dedup",
     "multimodal_resize",
     "sim_topk_matryoshka",
@@ -144,61 +97,114 @@ _VERIFY_FIRST = [
     "int8_recall_at_10",
     "bm25_search",
     "hybrid_search_rrf",
+    # --- 2. r07 cohort (50 rows) ---
+    "ann_frontier",
+    "part_unpivot",
+    "salted_event_counts",
+    "cdc_upsert",
+    "grouping_sets_lang_source",
+    "events_json_struct",
+    "fuzzy_source_match",
+    "orders_moving_avg",
+    "tpch_q6",
+    "late_shipment_orders",
+    "above_avg_customers",
+    "vocabulary",
+    "tfidf_top_terms",
+    "train_test_split",
+    "events_props_map",
+    "orders_window_stats",
+    "lineitem_stats",
+    "grouped_percentiles",
+    "value_histogram",
+    "richest_customer_per_nation",
+    "zscore_by_lang",
+    "char_entropy",
+    "training_shard_order",
+    "orc_source",
+    "mix_temperature_recipe",
+    "text_readability",
+    "bpe_top_pairs",
+    "zorder_layout",
+    "embedding_dim_stats",
+    "label_centroid_quality",
+    "events_anomaly",
+    "key_skew_profile",
+    "cohort_retention",
+    "orders_rfm_segments",
+    "sim_range_search",
+    "knn_clustering_coeff",
+    "salted_join_events",
+    "event_transitions",
+    "fk_integrity_check",
+    "lang_confusion",
+    "split_drift_ks",
+    "orders_weekday_seasonality",
+    "ivf_list_stats",
+    "pq_reconstruction_error",
+    "dsir_importance",
+    "source_cap_sample",
+    "dedup_rate_by_source",
+    "quality_classifier_score",
+    "leakage_safe_split",
+    "dedup_pair_quality",
 ]
 
-# Everything beyond the verification window, in the canonical order
-# carried since the monolith (cohort order preserved within rounds).
+# Everything beyond the verification window: the r08..r11 cohorts,
+# oldest first, canonical registry order within each cohort.
 _REST_ORDER = [
-    "ingest_serve_handoff",
-    "composed_faces_ledger",
-    "dedup_takedown_recluster",
-    "ingest_replay_idempotent",
-    "ingest_takedown_readmit",
-    "sim_ivf_takedown_serve",
-    "minhash_signature",
-    "duplicated_spans",
-    "text_lm_score",
-    "source_reputation",
-    "dedup_ngram_jaccard",
-    "simhash_pairs_wide",
-    "pq_topk",
-    "dedup_semantic_pq",
-    "sim_topk_ivfpq",
-    "sim_topk_ivfpq_probe2",
-    "sim_topk_binary",
-    "orders_monthly_revenue",
-    "customer_balance_ntile",
-    "lineitem_percentiles",
-    "distinct_customers_ordering",
-    "approx_distinct_customers",
-    "training_pipeline",
-    "dedup_clusters",
-    "dedup_survivors",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q19",
-    "events_multi_rollup",
-    "tpch_q7",
-    "tpch_q18",
-    "schema_evolution_read",
-    "winsorize_chars",
-    "quality_quarantine",
-    "orders_price_band_join",
-    "event_type_islands",
-    "funnel_conversion",
-    "column_profile_orders",
-    "bucketed_join_revenue",
-    "multimodal_audio_windows",
-    "rag_ingest",
-    "events_interval_join",
-    "sim_topk_lsh_multiprobe",
-    "json_source",
-    "partitioned_source_prune",
-    "pii_redact",
-    "gopher_quality",
-    "pack_sequences",
-    "pack_sequences_salted",
-    "decontaminate",
+    # --- r08 cohort (50 rows) ---
+    "dedup_bloom_prefilter",
+    "dedup_bloom_append",
+    "sim_topk_ivf_stored",
+    "sim_ivf_append",
+    "knn_graph_append",
+    "ivf_staleness",
+    "ivf_probe2_recall_at_10",
+    "corpus_snapshot_diff",
+    "dedup_clusters_star",
+    "dedup_incremental_bloom",
+    "dedup_clusters_append",
+    "tpch_q4",
+    "dedup_semantic_append",
+    "scd2_temporal_join",
+    "bpe_train_merges",
+    "bpe_apply_tokens",
+    "bpe_apply_oov",
+    "bpe_vocab_coverage",
+    "line_dedup_rewrite",
+    "join_size_cms",
+    "bm25_search_stored",
+    "quality_classifier_weights",
+    "quality_classifier_score_sampled",
+    "contamination_score",
+    "ccnet_lm_buckets",
+    "repetition_filters",
+    "compaction_plan",
+    "lake_vacuum_plan",
+    "zonemap_prune_stats",
+    "retrieval_recall_families",
+    "mix_token_budget",
+    "bpe_fertility_by_lang",
+    "serving_pipeline",
+    "ingest_pipeline",
+    "paragraph_dedup_rewrite",
+    "sim_topk_graph",
+    "graph_recall_at_10",
+    "knn_graph_ivf",
+    "graph_ivf_recall_at_10",
+    "quality_classifier_score_stored",
+    "bpe_apply_stored",
+    "corpus_datacard",
+    "drift_psi",
+    "drift_psi_stored",
+    "quantile_hist_merge",
+    "corpus_datacard_merge",
+    "hll_merge_sources",
+    "hll_overlap_sources",
+    "dedup_ngram_prefix",
+    "sim_topk_graph_stored",
+    # --- r09 cohort (50 rows) ---
     "dedup_canonical",
     "embedding_pca_power",
     "weighted_sample_es",
@@ -249,106 +255,108 @@ _REST_ORDER = [
     "langs_per_source",
     "semi_join_customers",
     "anti_join_customers",
-    "dedup_bloom_prefilter",
-    "dedup_bloom_append",
-    "sim_topk_ivf_stored",
-    "sim_ivf_append",
-    "knn_graph_append",
-    "ivf_staleness",
-    "ivf_probe2_recall_at_10",
-    "ann_frontier",
-    "part_unpivot",
-    "salted_event_counts",
-    "cdc_upsert",
-    "corpus_snapshot_diff",
-    "grouping_sets_lang_source",
-    "events_json_struct",
-    "fuzzy_source_match",
-    "orders_moving_avg",
-    "tpch_q6",
-    "late_shipment_orders",
-    "above_avg_customers",
-    "vocabulary",
-    "tfidf_top_terms",
-    "train_test_split",
-    "events_props_map",
-    "orders_window_stats",
-    "lineitem_stats",
-    "grouped_percentiles",
-    "value_histogram",
-    "richest_customer_per_nation",
-    "zscore_by_lang",
-    "dedup_clusters_star",
-    "dedup_incremental_bloom",
-    "dedup_clusters_append",
-    "tpch_q4",
-    "char_entropy",
-    "dedup_semantic_append",
-    "scd2_temporal_join",
-    "training_shard_order",
-    "orc_source",
-    "mix_temperature_recipe",
-    "text_readability",
-    "bpe_top_pairs",
-    "bpe_train_merges",
-    "bpe_apply_tokens",
-    "bpe_apply_oov",
-    "bpe_vocab_coverage",
-    "line_dedup_rewrite",
-    "zorder_layout",
-    "embedding_dim_stats",
-    "label_centroid_quality",
-    "events_anomaly",
-    "key_skew_profile",
-    "join_size_cms",
-    "cohort_retention",
-    "orders_rfm_segments",
-    "sim_range_search",
-    "knn_clustering_coeff",
-    "salted_join_events",
-    "bm25_search_stored",
-    "event_transitions",
-    "fk_integrity_check",
-    "lang_confusion",
-    "split_drift_ks",
-    "orders_weekday_seasonality",
-    "ivf_list_stats",
-    "pq_reconstruction_error",
-    "dsir_importance",
-    "source_cap_sample",
-    "dedup_rate_by_source",
-    "quality_classifier_weights",
-    "quality_classifier_score",
-    "quality_classifier_score_sampled",
-    "contamination_score",
-    "leakage_safe_split",
-    "ccnet_lm_buckets",
-    "dedup_pair_quality",
-    "repetition_filters",
-    "compaction_plan",
-    "lake_vacuum_plan",
-    "zonemap_prune_stats",
-    "retrieval_recall_families",
-    "mix_token_budget",
-    "bpe_fertility_by_lang",
-    "serving_pipeline",
-    "ingest_pipeline",
-    "paragraph_dedup_rewrite",
-    "sim_topk_graph",
-    "graph_recall_at_10",
-    "knn_graph_ivf",
-    "graph_ivf_recall_at_10",
-    "quality_classifier_score_stored",
-    "bpe_apply_stored",
-    "corpus_datacard",
-    "drift_psi",
-    "drift_psi_stored",
-    "quantile_hist_merge",
-    "corpus_datacard_merge",
-    "hll_merge_sources",
-    "hll_overlap_sources",
-    "dedup_ngram_prefix",
-    "sim_topk_graph_stored",
+    # --- r10 cohort (50 rows) ---
+    "ingest_serve_handoff",
+    "composed_faces_ledger",
+    "dedup_takedown_recluster",
+    "ingest_replay_idempotent",
+    "ingest_takedown_readmit",
+    "sim_ivf_takedown_serve",
+    "minhash_signature",
+    "duplicated_spans",
+    "text_lm_score",
+    "source_reputation",
+    "dedup_ngram_jaccard",
+    "simhash_pairs_wide",
+    "pq_topk",
+    "dedup_semantic_pq",
+    "sim_topk_ivfpq",
+    "sim_topk_ivfpq_probe2",
+    "sim_topk_binary",
+    "orders_monthly_revenue",
+    "customer_balance_ntile",
+    "lineitem_percentiles",
+    "distinct_customers_ordering",
+    "approx_distinct_customers",
+    "training_pipeline",
+    "dedup_clusters",
+    "dedup_survivors",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q19",
+    "events_multi_rollup",
+    "tpch_q7",
+    "tpch_q18",
+    "schema_evolution_read",
+    "winsorize_chars",
+    "quality_quarantine",
+    "orders_price_band_join",
+    "event_type_islands",
+    "funnel_conversion",
+    "column_profile_orders",
+    "bucketed_join_revenue",
+    "multimodal_audio_windows",
+    "rag_ingest",
+    "events_interval_join",
+    "sim_topk_lsh_multiprobe",
+    "json_source",
+    "partitioned_source_prune",
+    "pii_redact",
+    "gopher_quality",
+    "pack_sequences",
+    "pack_sequences_salted",
+    "decontaminate",
+    # --- r11 cohort (50 rows) ---
+    "sim_graph_takedown_serve",
+    "bm25_takedown_search",
+    "datacard_takedown_refold",
+    "sim_graph_takedown_repair",
+    "sim_topk_ivf_filtered",
+    "doc_repetition",
+    "stratified_sample",
+    "embedding_quantize",
+    "scd2_user_state",
+    "pq_codebooks",
+    "pq_codes",
+    "sim_ivf_centroids",
+    "dedup_ngram_jaccard_capped",
+    "per_file_metrics",
+    "corpus_totals",
+    "rollup_summary",
+    "preprocess_text",
+    "chunk_stats",
+    "running_offset",
+    "chunk_enumerate",
+    "file_chunk_join",
+    "sort_by_size",
+    "extrapolate_estimate",
+    "project_basename",
+    "filter_extension",
+    "format_summary",
+    "record_to_json",
+    "chunk_split",
+    "chunk_split_overlap",
+    "file_scan",
+    "pdf_extract",
+    "csv_sink",
+    "quality_calibrate",
+    "mix_balanced_recipe",
+    "dedup_incremental",
+    "pq_recall_at_10",
+    "ivfpq_recall_at_10",
+    "ivfpq_probe2_recall_at_10",
+    "binary_recall_at_10",
+    "lsh_recall_at_10",
+    "lsh_multiprobe_recall_at_10",
+    "ivf_recall_at_10",
+    "knn_graph",
+    "triplet_mining",
+    "knn_pagerank",
+    "approx_distinct_error",
+    "monthly_activity_full_outer",
+    "approx_percentile_error",
+    "curation_pipeline",
+    "dedup_span_rewrite",
 ]
 
 # Unconditional (not `assert` — must survive `python -O`): a query

@@ -42,19 +42,35 @@ def test_verify_window_follows_declared_policy():
     is the builder; this pins _VERIFY_FIRST to its check so the window
     can't silently drift from the history.
 
-    Cross-round contract (ADVICE r10): the driver drops
-    CORRECTNESS_r{N}.json AFTER round N closes, which makes this test
-    red at the r{N} HEAD by design — the r{N}'s window was built from
-    r01..r{N-1} history. The r{N} CORRECTNESS commit and the r{N+1}
-    window rebuild must land atomically (they are the same first
-    commit of round N+1); the red test is the forcing function, not a
-    code defect."""
+    Cross-round contract (ADVICE r10, softened per ADVICE r11 item
+    4): the driver drops CORRECTNESS_r{N}.json AFTER round N closes,
+    at which point the committed window (built from r01..r{N-1}
+    history, round recorded in _WINDOW_BUILT_FOR_ROUND) is stale by
+    design. Instead of a hard red that could mask real window drift,
+    the test SKIPS with the atomic-rebuild message — the r{N}
+    CORRECTNESS commit and the r{N+1} window rebuild are still the
+    same mandatory first commit of round N+1."""
     import sys
+
+    import pytest
 
     sys.path.insert(0, str(SURVEY.parent / "tools"))
     from verify_window import check_window, latest_driver_round
 
-    from calculate_file_content_size_for_vector_db_spark.entry_queries import _VERIFY_FIRST
+    from calculate_file_content_size_for_vector_db_spark.entry_queries import (
+        _VERIFY_FIRST,
+        _WINDOW_BUILT_FOR_ROUND,
+    )
 
-    problems = check_window(_VERIFY_FIRST, list(REGISTRY), latest_driver_round())
+    latest = latest_driver_round()
+    max_round = max(latest.values(), default=0)
+    if max_round >= _WINDOW_BUILT_FOR_ROUND:
+        pytest.skip(
+            f"CORRECTNESS_r{max_round:02d}.json present but the committed "
+            f"window was built for round {_WINDOW_BUILT_FOR_ROUND} from "
+            f"r01..r{_WINDOW_BUILT_FOR_ROUND - 1} history — rebuild "
+            "_VERIFY_FIRST with tools/verify_window.py as the atomic "
+            f"first commit of round {max_round + 1}"
+        )
+    problems = check_window(_VERIFY_FIRST, list(REGISTRY), latest)
     assert not problems, problems
