@@ -83,6 +83,10 @@ from calculate_file_content_size_for_vector_db_spark.entry_queries import (  # n
 _WINDOW_BUILT_FOR_ROUND = 12
 
 _VERIFY_FIRST = [
+    # --- 0. registered this round (never driver-checked) ---
+    "sim_topk_graph_filtered",  # ACORN-style expand-then-filter on the graph beam
+    "sim_topk_sq8_filtered",  # pre-filter semi-join on the int8 code table
+    "sim_ivf_upsert",  # takedown+append composed == rebuild; replayed twice in-row
     # --- 1. r06 cohort (13 rows -- the r11 window's spill) ---
     "multimodal_phash_dedup",
     "multimodal_resize",

@@ -436,6 +436,67 @@ def sim_ivf_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_upsert",
+    f"""
+WITH {_SQL_IVF},
+cur AS (
+    SELECT vec_id, v FROM e WHERE vec_id % 13 <> 0
+    UNION ALL
+    SELECT vec_id, list_reverse(v) AS v FROM e WHERE vec_id % 13 = 0
+),
+up AS (
+    SELECT vec_id, cell, cell_cosine FROM (
+        SELECT a.vec_id, c.cell,
+               round(list_cosine_similarity(a.v, c.cv), 6) AS cell_cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM cur a, cent c
+    ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, cell_cosine FROM up
+""",
+)
+def sim_ivf_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT — the last lifecycle verb (VERDICT r11 item 3): every
+    store had append (new ids) and takedown (forgotten ids); a
+    production ingest also re-ingests CHANGED documents daily. Every
+    13th vector is 're-embedded' (deterministically: the reversed
+    vector — a changed doc whose new embedding both engines can
+    derive), and similarity.ivf_upsert replaces its rows in the
+    STORED assignment table as takedown + append in one plan:
+    broadcast anti-join purge + frozen-centroid re-assignment, both
+    batch-sized. The upsert is applied TWICE to the store (each write
+    to a versioned sibling path, the crash-safe pattern), so the hash
+    pins BOTH contracts at once: replay-safety (upsert twice == once)
+    and upsert == rebuild — the oracle assigns the CURRENT corpus
+    (survivors + changed vectors) from scratch against the same
+    frozen centroids. Centroids never retrain on upsert (quantizer
+    drift is ivf_staleness's concern, same as append)."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_upsert,
+    )
+
+    emb = _emb(spark, sf_dir)
+    changed = emb.where(F.col("vec_id") % 13 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    idx = tempfile.mkdtemp(prefix="ivf_upsert_")
+    ivf_centroids(emb).write.parquet(f"{idx}/centroids")
+    ivf_assign(emb).write.parquet(f"{idx}/assign_v1")
+    cents = spark.read.parquet(f"{idx}/centroids")
+    for v in (1, 2):
+        store = spark.read.parquet(f"{idx}/assign_v{v}")
+        ivf_upsert(store, changed, cents).write.parquet(f"{idx}/assign_v{v + 1}")
+    return spark.read.parquet(f"{idx}/assign_v3").select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "cell_cosine"
+    )
+
+
+@register(
     "knn_graph_append",
     f"""
 WITH {_SQL_IVF_BASE_STORE},
@@ -1690,7 +1751,10 @@ q8 AS (
 """
 
 
-def _sql_int8_approx(k: int) -> str:
+def _sql_int8_approx(k: int, cand_pred: str = "") -> str:
+    """``cand_pred``: extra SQL predicate on the shortlist's candidate
+    side (alias ``b``) — the PRE-filter hook mirroring topk_int8's
+    candidate_filter (filtered SQ8 search)."""
     return f"""
 qshort AS (
     SELECT query_id, neighbor_id FROM (
@@ -1699,7 +1763,7 @@ qshort AS (
                    ORDER BY round(list_cosine_similarity(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])), 6) DESC,
                             b.vec_id) AS rn
         FROM q8 a, q8 b
-        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id{cand_pred}
     ) WHERE rn <= {4 * k}
 ),
 approx AS (
@@ -1736,6 +1800,40 @@ def sim_topk_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return topk_int8(emb, emb.where(F.col("vec_id") < 10), k=5, rerank=4)
+
+
+@register(
+    "sim_topk_sq8_filtered",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_INT8},
+{_sql_int8_approx(5, cand_pred=" AND b.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))")}
+SELECT query_id, neighbor_id, cosine, rank FROM approx
+""",
+)
+def sim_topk_sq8_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED SQ8 search — the compressed-tier filtered row
+    (VERDICT r11 item 2): topk_int8's candidate_filter applies the
+    metadata predicate BEFORE the int8 shortlist (a semi-join on the
+    code table), so both stages — compressed shortlist and exact
+    rerank — rank the true filtered corpus; post-filtering the
+    unfiltered shortlist would leave ~s*rerank*k survivors before
+    rerank even sees them. The oracle applies the identical predicate
+    on the shortlist candidate side (the cand_pred hook). Spark-first
+    at 100 TB: on a STORED int8 code table the predicate is
+    declarative and pushes into the parquet scan next to the code
+    column read — the compressed scan reads only matching row
+    groups."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_int8
+
+    emb = _emb(spark, sf_dir)
+    return topk_int8(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        rerank=4,
+        candidate_filter=F.col("label").isin(2, 5),
+    )
 
 
 @register(
@@ -2010,6 +2108,71 @@ def graph_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, q, exact = _recall_queries(spark, sf_dir)
     return recall_vs_exact(exact, topk_graph(emb, q, k=_RECALL_K, hops=_GRAPH_HOPS))
+
+
+_SQL_GRAPH_VISITED = (
+    "visited AS (\n    SELECT DISTINCT query_id, node FROM (\n"
+    "        SELECT query_id, node FROM g0\n"
+    + "".join(
+        f"        UNION ALL SELECT query_id, node FROM c{i}\n"
+        for i in range(1, _GRAPH_HOPS + 1)
+    )
+    + "    )\n)"
+)
+
+
+@register(
+    "sim_topk_graph_filtered",
+    f"""
+WITH {_SQL_EMB},
+{_sql_graph_beam_chain(hops=_GRAPH_HOPS)},
+{_SQL_GRAPH_VISITED},
+fscored AS (
+    SELECT v.query_id, v.node,
+           round(list_cosine_similarity(q.v, n.v), 6) AS cosine
+    FROM visited v
+    JOIN embeddings be ON be.vec_id = v.node
+    JOIN e q ON q.vec_id = v.query_id
+    JOIN e n ON n.vec_id = v.node
+    WHERE be.label IN (2, 5)
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, node AS neighbor_id, cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, node) AS INT) AS rank
+    FROM fscored
+) WHERE rank <= 10
+""",
+)
+def sim_topk_graph_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED graph ANN — the genuinely hard filtered-search tier
+    (VERDICT r11 item 2): a predicate applied DURING beam navigation
+    breaks navigability (filtered out-degree ~ s*k_graph strands the
+    beam), and post-filtering an unfiltered top-k starves (~s*k
+    survivors). topk_graph's candidate_filter implements the public
+    ACORN-style answer (Patel et al. 2024): walk UNFILTERED —
+    non-matching nodes stay routing waypoints — then rank the exact
+    cosine over the VISITED set restricted to the predicate, so the
+    result is the true top-k of (visited ∩ filter). The oracle unrolls
+    the identical beam rounds, unions the identical visited frames
+    (entry + each hop's candidate frame), and applies the identical
+    label predicate. Starvation is pinned separately by a crafted
+    corpus test (tests/test_similarity_graph.py) where in-walk
+    filtering provably returns fewer matches. Spark-first at 100 TB:
+    the walk cost is unchanged (hops x beam x k_graph, corpus-
+    independent) and the filter is one semi-join of the bounded
+    (queries x visited) frame against the metadata scan, where the
+    predicate pushes down."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_graph
+
+    emb = _emb(spark, sf_dir)
+    return topk_graph(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+        hops=_GRAPH_HOPS,
+        candidate_filter=F.col("label").isin(2, 5),
+    )
 
 
 _SQL_GASSIGN = """gassign AS (

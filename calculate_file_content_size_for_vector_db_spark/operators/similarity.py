@@ -396,6 +396,40 @@ def ivf_append_assign(
     return _assign_to(v, stored_centroids, id_col)
 
 
+def ivf_upsert(
+    stored_assign: DataFrame,
+    batch: DataFrame,
+    stored_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """UPSERT into the stored IVF assignment table — the lifecycle
+    verb between append (new ids) and takedown (forgotten ids): a
+    re-ingested CHANGED document replaces its own index rows. One
+    plan, takedown + append composed:
+
+        purge  = stored_assign ANTI-JOIN batch ids   (request-sized)
+        append = assign(batch, frozen centroids)     (batch-sized)
+        upsert = purge UNION append
+
+    Equivalences this buys (both hash-pinned by sim_ivf_upsert):
+    - upsert == rebuild-on-current-corpus: per-vector assignment
+      depends only on the frozen centroids, so replacing a vector's
+      row with its re-assignment is exactly what a from-scratch
+      assignment over (survivors + changed vectors) produces.
+    - replay-safe: upserting the same batch twice == once — the
+      second purge removes exactly the rows the first append wrote
+      and the second append rewrites them verbatim.
+
+    Handles new ids for free (anti-join drops nothing, append adds
+    them) — upsert subsumes append. At 100 TB both legs are
+    batch-sized against a store scan; the caller persists the result
+    to a VERSIONED sibling path and swaps last (the crash-safe
+    pattern — never overwrite the live store in place)."""
+    purged = stored_assign.join(batch.select(id_col), id_col, "left_anti")
+    return purged.unionByName(ivf_append_assign(batch, stored_centroids, id_col, vec_col))
+
+
 def ivf_staleness(
     embeddings: DataFrame,
     stored_centroids: DataFrame,
@@ -1530,6 +1564,7 @@ def topk_int8(
     rerank: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """SQ8 (scalar-quantized) top-k: shortlist the corpus per query by
     int8 cosine (4x less vector data through the scan than float32,
@@ -1540,14 +1575,26 @@ def topk_int8(
 
     Plan shape: identical to topk_binary/topk_matryoshka — broadcast
     queries x corpus compressed scan, bounded exact-rerank equi-join;
-    ties (rounded cosine, id) deterministic at both stages."""
+    ties (rounded cosine, id) deterministic at both stages.
+
+    ``candidate_filter``: optional metadata predicate on the CANDIDATE
+    side only — PRE-filter semantics, applied before the compressed
+    shortlist so the shortlist (and therefore the exact rerank) ranks
+    the true filtered corpus. On a compressed tier the filter is a
+    semi-join on the code table before scanning codes: the int8 scan
+    reads only matching rows, which at 100 TB composes with parquet
+    predicate pushdown on the stored code table (post-filtering the
+    unfiltered shortlist instead starves — selectivity s leaves
+    ~s*rerank*k survivors before rerank)."""
+    c_base = embeddings if candidate_filter is None else embeddings.where(candidate_filter)
     q8 = int8_vectors(embeddings, id_col, vec_col)
+    q8c = q8 if candidate_filter is None else int8_vectors(c_base, id_col, vec_col)
     q = q8.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
     )
     shortlist = (
         F.broadcast(q)
-        .crossJoin(q8.select(F.col(id_col).alias("neighbor_id"), F.col("qv").alias("qc")))
+        .crossJoin(q8c.select(F.col(id_col).alias("neighbor_id"), F.col("qv").alias("qc")))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -1875,6 +1922,7 @@ def topk_graph(
     edges: DataFrame | None = None,
     scored_candidates: bool = False,
     entry_ids: DataFrame | None = None,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): GRAPH-based ANN — greedy
     beam search over the exact kNN graph (the NSW/HNSW base-layer
@@ -1906,7 +1954,23 @@ def topk_graph(
     ``scored_candidates=True`` returns, instead of the answer, the
     lazy union of every (query_id, node) pair the search SCORES
     (entry + each hop's candidate frame, duplicates across hops kept
-    — each is re-scored) — the frontier exhibit's work metric."""
+    — each is re-scored) — the frontier exhibit's work metric.
+
+    ``candidate_filter``: FILTERED graph search, ACORN-style
+    expand-then-filter (Patel et al. 2024, the public pattern for
+    predicate + graph ANN). A filter applied DURING navigation breaks
+    navigability — at selectivity s the filtered out-degree drops to
+    ~s*k_graph and the beam strands in components with no matching
+    nodes, which is why naive in-walk filtering (and post-filtering
+    an unfiltered top-k, which leaves ~s*k survivors) both starve.
+    Here the beam walks the graph UNFILTERED (non-matching nodes
+    remain routing waypoints), and the answer is the exact-cosine
+    top-k over the VISITED set restricted to the predicate — every
+    node the search scored is a candidate, so filtered recall decays
+    with selectivity only through visit coverage, never through
+    navigation loss. Cost: identical walk + one semi-join of the
+    (queries x visited) frame against the filtered id set — the
+    predicate stays declarative, so it pushes into the metadata scan."""
     if edges is None:
         edges = topk_grid(embeddings, embeddings, k=k_graph, id_col=id_col, vec_col=vec_col)
     ed = edges.select(
@@ -1967,6 +2031,20 @@ def topk_graph(
         for f in scored_frames[1:]:
             out = out.unionByName(f)
         return out
+    if candidate_filter is not None:
+        visited = scored_frames[0]
+        for f in scored_frames[1:]:
+            visited = visited.unionByName(f)
+        allowed = embeddings.where(candidate_filter).select(F.col(id_col).alias("node"))
+        b = (
+            visited.dropDuplicates(["query_id", "node"])
+            .join(allowed, "node", "left_semi")
+            .join(qv, "query_id")
+            .join(e, F.col("node") == F.col("_nid"))
+            .select(
+                "query_id", "node", cosine(F.col("_qv"), F.col("_nv")).alias("cosine")
+            )
+        )
     return (
         b.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)

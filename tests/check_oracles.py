@@ -33,6 +33,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 # per-round artifact, not after.
 SLOW_ROW_SEC = 30.0
 
+# Sweep TOTAL budget (VERDICT r11 item 4): the full-registry sweep
+# crept 486s (r10) -> 560s (r11), +15%/round — doubling in ~5 rounds
+# if untracked. The total (full sweeps only — subset runs are
+# development probes) is recorded in the JSON artifact and compared
+# against this declared ceiling; an over-budget sweep prints a
+# TOTAL-BUDGET line so the creep is a tracked number each round, not
+# verdict archaeology. Raise the ceiling only with a PLANS.md note
+# naming the flagships that justify it.
+TOTAL_BUDGET_SEC = 900.0
+
 
 def main() -> int:
     argv = sys.argv[1:]
@@ -68,6 +78,8 @@ def main() -> int:
                 print(f"     {p}")
         else:
             print(f"ok   {name} [{tag}] ({dt:.1f}s)")
+    total_sec = round(sum(r["sec"] for r in rows.values()), 1)
+    full_sweep = not only
     if json_path:
         summary = {
             "sf_dir": SF_DIR,
@@ -77,6 +89,9 @@ def main() -> int:
                 r["status"] == "green_rows_only" for r in rows.values()
             ),
             "n_fail": failures,
+            "total_sec": total_sec,
+            "total_budget_sec": TOTAL_BUDGET_SEC if full_sweep else None,
+            "over_total_budget": (full_sweep and total_sec > TOTAL_BUDGET_SEC),
             "queries": rows,
         }
         with open(json_path, "w") as f:
@@ -85,6 +100,12 @@ def main() -> int:
     slow = {n: r["sec"] for n, r in rows.items() if r["sec"] > SLOW_ROW_SEC}
     for n, s in sorted(slow.items(), key=lambda kv: -kv[1]):
         print(f"SLOW {n}: {s:.1f}s > {SLOW_ROW_SEC:.0f}s per-row budget (PLANS.md sweep-cost note)")
+    if full_sweep:
+        status = "over" if total_sec > TOTAL_BUDGET_SEC else "within"
+        print(
+            f"TOTAL {total_sec:.1f}s {status} the {TOTAL_BUDGET_SEC:.0f}s sweep budget"
+            + (" — trim flagships or raise with a PLANS.md note" if status == "over" else "")
+        )
     print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

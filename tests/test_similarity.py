@@ -852,3 +852,81 @@ def test_topk_ivf_candidate_filter_prefilter_semantics(spark):
     # query's cell — post-filtering got_u (k=2: {1, 2}) would return
     # NOTHING with label 2; pre-filter returns real rows
     assert len(got_f) >= 1 and 1 not in got_f and 2 not in got_f
+
+
+def _starvation_corpus(spark):
+    """30 unit vectors on a circle; query 0 at 0 deg. Only nodes 28/29
+    (170/178 deg — the FARTHEST from the query) carry label 2, so
+    selectivity (2/30) < k/corpus for any k > 2: the unfiltered top-k
+    is all label-1 and post-filtering it demonstrably starves (0
+    survivors). Reaching the matches requires walking THROUGH
+    non-matching nodes — the navigability case in-walk filtering
+    loses."""
+    import math as m
+
+    def vec(deg):
+        r = m.radians(deg)
+        return [m.cos(r), m.sin(r)]
+
+    rows = [(i, vec(i * 6.0), 1) for i in range(28)]
+    rows += [(28, vec(170.0), 2), (29, vec(178.0), 2)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_topk_graph_candidate_filter_expand_then_filter(spark):
+    """ACORN-style filtered graph search: the beam navigates the
+    UNFILTERED graph (non-matching nodes stay routing waypoints) and
+    the answer ranks the visited set restricted to the predicate.
+    Corpus: 30 nodes at 6-degree steps on a circle, query at node 0;
+    only nodes 8/9 (48/54 deg) match the filter, every node between
+    them and the query does not — so (a) post-filtering the
+    unfiltered top-5 starves (selectivity 2/30 < k/corpus, 0
+    survivors), and (b) the matches are reachable ONLY by hopping
+    through non-matching waypoints (the kNN graph at k=4 links i to
+    i±1, i±2), which an in-walk filter — whose filtered out-degree at
+    nodes 1..7 is zero — could never do."""
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, [m.cos(m.radians(i * 6.0)), m.sin(m.radians(i * 6.0))], 2 if i in (8, 9) else 1)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.where(F.col("vec_id") == 0)
+    edges = sim.topk_grid(emb, emb, k=4).persist()
+    edges.count()
+    unfiltered = sim.topk_graph(emb, q, k=5, edges=edges, hops=6, beam=16)
+    post = [r.neighbor_id for r in unfiltered.collect() if r.neighbor_id in (8, 9)]
+    assert post == []  # post-filtering the unfiltered top-5 starves
+    filtered = sim.topk_graph(
+        emb, q, k=5, edges=edges, hops=6, beam=16,
+        candidate_filter=F.col("label") == 2,
+    ).orderBy("rank")
+    got = [(r.neighbor_id, r.rank) for r in filtered.collect()]
+    # expand-then-filter serves BOTH matching nodes, true-cosine order:
+    # 48 deg (node 8) is nearer the query than 54 deg (node 9)
+    assert got == [(8, 1), (9, 2)]
+    edges.unpersist()
+
+
+def test_topk_int8_candidate_filter_prefilter_semantics(spark):
+    """Filtered SQ8: the predicate applies BEFORE the compressed
+    shortlist, so the int8 scan + exact rerank rank the true filtered
+    corpus. With 2 matching nodes farthest from the query and
+    rerank*k = 8 nearer non-matching nodes, post-filtering the
+    unfiltered shortlist starves (0 survivors); pre-filter returns
+    both matches in true cosine order."""
+    from pyspark.sql import functions as F
+
+    emb = _starvation_corpus(spark)
+    q = emb.where(F.col("vec_id") == 0)
+    unfiltered = sim.topk_int8(emb, q, k=2, rerank=4)
+    assert [r for r in unfiltered.collect() if r.neighbor_id in (28, 29)] == []
+    filtered = sim.topk_int8(
+        emb, q, k=2, rerank=4, candidate_filter=F.col("label") == 2
+    ).orderBy("rank")
+    assert [(r.neighbor_id, r.rank) for r in filtered.collect()] == [(28, 1), (29, 2)]
