@@ -1043,6 +1043,59 @@ def drift_psi_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["drift_psi_stored"].oracle = REGISTRY["drift_psi"].oracle
 
 
+# drift_takedown_refold's oracle = drift_psi's chain with the batch
+# side rebased onto the SURVIVOR ingest (takedown family doc_id % 21
+# == 0, a strict subset of the % 7 ingest side) — refold == rebuild.
+_SQL_DRIFT_REFOLD = REGISTRY["drift_psi"].oracle.replace(
+    f"doc_id % {_INCR_BATCH_MOD} = 0",
+    f"doc_id % {_INCR_BATCH_MOD} = 0 AND doc_id % 21 <> 0",
+)
+
+
+@register("drift_takedown_refold", _SQL_DRIFT_REFOLD)
+def drift_takedown_refold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the DRIFT marginal store (VERDICT
+    r11 item 7 — the last sum-fold store without a takedown row; a
+    forgotten doc's length/lang contributions otherwise persist in
+    the ingest marginals the pager reads): the ingest side (doc_id %
+    7 == 0) is appended as 5 trigger batches by the streaming face's
+    exact writer, the takedown family is doc_id % 21 == 0 (multiples
+    of 21 are ingest docs — every third one — and land in a strict
+    subset of the 5 batches, so LOCALIZATION is load-bearing:
+    untouched batches' marginal rows must come back byte-verbatim
+    through the fold), and streaming.drift.refold_drift_takedown
+    recomputes only the touched batches' (bin,c)/(lang,c) partials
+    from their admitted-minus-takedown rows, rewriting both stores
+    through the crash-safe swap. Result = read_drift over the
+    refolded store vs the frozen base — the oracle runs drift_psi's
+    chain direct with the batch side = survivor ingest, so the hash
+    pins refold == rebuild through the serving fold itself. Cost at
+    100 TB: touched batch ids from one broadcast semi-join over the
+    batch-tagged ledger; recomputation scans only touched batches."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.streaming.drift import (
+        append_drift_marginals,
+        read_drift,
+        refold_drift_takedown,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+    ingest = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0).withColumn(
+        "batch_id", (F.floor(F.col("doc_id") / _INCR_BATCH_MOD) % 5).cast("long")
+    )
+    store = tempfile.mkdtemp(prefix="drift_refold_")
+    for b in range(5):
+        append_drift_marginals(
+            ingest.where(F.col("batch_id") == b).drop("batch_id"), b, store
+        )
+    refold_drift_takedown(
+        ingest, docs.where(F.col("doc_id") % 21 == 0).select("doc_id"), store
+    )
+    return read_drift(spark, base, store)
+
+
 @register(
     "quantile_hist_merge",
     """

@@ -967,8 +967,13 @@ def cluster_takedown(
          band/shingle artifacts (semi-join to survivors, band self-join,
          exact-Jaccard verify) — no document is re-shingled.
          ``max_bucket_size`` applies the minhash_lsh_pairs hub-bucket
-         cap to the survivor band table, for repairing a labeling that
-         was itself built from capped pairs.
+         cap with the capped-REBUILD counting universe: bucket sizes
+         are counted over ALL survivor rows corpus-wide (restricted to
+         buckets present in the touched slice, so the count stays
+         takedown-neighborhood-sized), so repairing a labeling built
+         from capped pairs equals a capped from-scratch rebuild on the
+         survivors — a corpus-wide hub bucket stays suppressed even
+         where the touched slice alone would fall under the cap.
       3. star_components over those edges relabels the survivors;
          survivors that lost all their edges drop out of the frame
          (singletons carry no row, matching neardup_clusters).
@@ -995,17 +1000,27 @@ def cluster_takedown(
     )
     b = corpus_bands.join(survivors, key, "left_semi")
     if max_bucket_size is not None:
-        # Same hub-bucket guard as minhash_lsh_pairs (window count, not
-        # a groupBy+self-join), applied AFTER the survivor semi-join so
-        # a hub bucket a takedown touched cannot blow up pair
-        # regeneration (ADVICE r10). Counted over survivor rows, so a
-        # bucket the takedown shrank back under the cap re-pairs fully.
-        wcap = Window.partitionBy("band", "band_hash")
-        b = (
-            b.withColumn("_bn", F.count("*").over(wcap))
+        # Same hub-bucket guard as minhash_lsh_pairs, with the SAME
+        # counting universe a capped from-scratch rebuild on survivors
+        # would use: ALL survivor rows of the bucket corpus-wide, not
+        # just the touched-cluster slice (ADVICE r11 item 1 — counting
+        # the slice lets a corpus-wide hub bucket fall under the cap
+        # locally and emit pairs the capped build suppressed, merging
+        # clusters the stored labeling kept apart). Cost stays
+        # takedown-neighborhood-sized: only buckets PRESENT in the
+        # touched slice are counted (semi-join on the bucket key),
+        # so the corpus band table is scanned once, filtered to a
+        # request-sized bucket set, before the count.
+        touched_buckets = b.select("band", "band_hash").distinct()
+        ok_buckets = (
+            corpus_bands.join(td, key, "left_anti")
+            .join(touched_buckets, ["band", "band_hash"], "left_semi")
+            .groupBy("band", "band_hash")
+            .agg(F.count("*").alias("_bn"))
             .where(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
+            .select("band", "band_hash")
         )
+        b = b.join(ok_buckets, ["band", "band_hash"], "left_semi")
     a, b2 = b.alias("a"), b.alias("b")
     candidates = (
         a.join(b2, ["band", "band_hash"])

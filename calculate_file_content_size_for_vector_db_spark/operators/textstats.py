@@ -1811,27 +1811,32 @@ def psi_length_hist(
     text_col: str = "text",
     n_bins: int = 256,
     bin_width: int = 8,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """(bin, c): the equi-width text-length histogram marginal PSI
     runs on — the quantile_hist_merge binning. NULL-text rows carry
     no length and are excluded. This is the bounded (≤n_bins rows)
     partial a per-day dashboard stores; drift monitoring then never
-    rescans the corpus (see streaming/drift.py)."""
+    rescans the corpus (see streaming/drift.py). ``group_cols``
+    prepends grouping keys (the refold path recomputes several
+    batches' marginals in one grouped pass)."""
     v = F.length(F.col(text_col)).cast("long")
     b = F.least(F.floor(v / bin_width), F.lit(n_bins - 1)).cast("int")
+    g = list(group_cols or [])
     return (
         df.where(F.col(text_col).isNotNull())
-        .select(b.alias("bin"))
-        .groupBy("bin")
+        .select(*g, b.alias("bin"))
+        .groupBy(*g, "bin")
         .agg(F.count("*").cast("long").alias("c"))
     )
 
 
-def psi_lang_marginal(df: DataFrame) -> DataFrame:
+def psi_lang_marginal(df: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
     """(lang, c): the language-mix marginal. Every row keeps its lang
     row (NULL lang is its own group), so sum(c) == row count — the
     scalar PSI needs rides inside this marginal for free."""
-    return df.groupBy("lang").agg(F.count("*").cast("long").alias("c"))
+    g = list(group_cols or [])
+    return df.groupBy(*g, "lang").agg(F.count("*").cast("long").alias("c"))
 
 
 def psi_from_marginals(

@@ -220,8 +220,17 @@ def refold_card_takedown(
     takedown set broadcast-semi-joins the ledger once to find touched
     batch ids; recomputation scans ONLY those batches' rows; each
     store rewrite keeps untouched partials via a metadata-scale
-    anti-join on batch_id."""
+    anti-join on batch_id. Rewrites go through store_swap.swap_rewrite
+    (heal first), so a crash mid-rewrite never destroys untouched
+    partials (ADVICE r11 item 2)."""
+    from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
+        heal_store,
+        swap_rewrite,
+    )
+
     spark = admitted.sparkSession
+    for sub in ("scalars", "langs", "sources", "hll"):
+        heal_store(spark, f"{card_dir}/{sub}")
     td = takedown.select("doc_id").distinct()
     touched = (
         admitted.join(F.broadcast(td), "doc_id", "left_semi")
@@ -250,8 +259,7 @@ def refold_card_takedown(
         kept = spark.read.parquet(f"{card_dir}/{sub}").join(
             F.broadcast(touched), "batch_id", "left_anti"
         )
-        merged = kept.unionByName(fresh).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(f"{card_dir}/{sub}")
+        swap_rewrite(spark, f"{card_dir}/{sub}", kept.unionByName(fresh))
     surv.unpersist()
 
 

@@ -43,14 +43,17 @@ empty), and the audit append is batch_id-tagged for distinct()-fold —
 so a checkpoint replay of a purge trigger changes nothing, pinned by
 tests/test_streaming.py.
 
-In-place store rewrite: a parquet store cannot be overwritten from a
-plan that reads it, so each rewrite materializes the purged frame as
-an eager localCheckpoint FIRST (lineage truncated — the same
-discipline gate_batch uses for its read-then-append hazard), then
-overwrites. A production deployment would swap in a table format with
-atomic commit (Delta/Iceberg) for crash-safety between the purge
-writes; the per-store purge SEMANTICS — and everything the tests pin
-— are format-independent.
+In-place store rewrite (crash-safe since r12 — ADVICE r11 item 2):
+each rewrite goes through store_swap.swap_rewrite — survivors are
+written to a committed {path}__swap sibling FIRST, the live path is
+overwritten from the swap files (no lineage on the live path), and
+the swap is dropped last; heal_store at trigger start completes any
+rewrite a crash interrupted. Survivor rows therefore exist committed
+on disk at every instant, even on plain parquet, and a checkpoint
+replay self-heals instead of compounding. A production deployment
+would still swap in a table format with atomic commit
+(Delta/Iceberg); the per-store purge SEMANTICS — and everything the
+tests pin — are format-independent.
 
 State model: like every face, ZERO executor/state-store bytes — the
 store is the cross-trigger memory. Per-trigger cost: one linear scan
@@ -65,6 +68,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from calculate_file_content_size_for_vector_db_spark.operators.dedup import cluster_takedown
+from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
+    heal_store,
+    swap_rewrite,
+)
 
 
 def _exists(spark, path: str) -> bool:
@@ -78,15 +85,13 @@ def _exists(spark, path: str) -> bool:
 
 
 def _purge_rewrite(spark, path: str, td: DataFrame, join_key: str) -> None:
-    """Anti-join rewrite of one per-doc-row store. Snapshot-then-
-    overwrite: the localCheckpoint materializes the survivors before
-    the path they came from is truncated."""
-    purged = (
-        spark.read.parquet(path)
-        .join(F.broadcast(td.withColumnRenamed("doc_id", join_key)), join_key, "left_anti")
-        .localCheckpoint(eager=True)
+    """Anti-join rewrite of one per-doc-row store through the
+    crash-safe swap (survivors committed to {path}__swap before the
+    live path is touched — store_swap module docstring)."""
+    purged = spark.read.parquet(path).join(
+        F.broadcast(td.withColumnRenamed("doc_id", join_key)), join_key, "left_anti"
     )
-    purged.write.mode("overwrite").parquet(path)
+    swap_rewrite(spark, path, purged)
 
 
 def takedown_store_batch(
@@ -103,6 +108,10 @@ def takedown_store_batch(
     td = requests.select("doc_id").distinct().localCheckpoint(eager=True)
     if td.count() == 0:
         return
+    # self-heal any swap a crashed prior trigger left behind BEFORE
+    # reading the stores (a replayed trigger enters here first)
+    for sub in ("admitted", "bands", "shingles", "index/assign", "labels"):
+        heal_store(spark, f"{store_dir}/{sub}")
     for sub, key in (
         ("admitted", "doc_id"),
         ("bands", "doc_id"),
@@ -123,8 +132,8 @@ def takedown_store_batch(
             spark.read.parquet(f"{store_dir}/shingles"),
             threshold=threshold,
             max_bucket_size=max_bucket_size,
-        ).localCheckpoint(eager=True)
-        repaired.write.mode("overwrite").parquet(f"{store_dir}/labels")
+        )
+        swap_rewrite(spark, f"{store_dir}/labels", repaired)
     td.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
         "append"
     ).parquet(f"{store_dir}/takedowns")

@@ -1035,6 +1035,45 @@ def test_cluster_takedown_bucket_cap_bounds_repair(spark):
     assert roomy == uncapped == {2: 2, 3: 2, 10: 10, 11: 10}
 
 
+def test_cluster_takedown_cap_counts_corpus_wide_survivors(spark):
+    """ADVICE r11 item 1: the hub-bucket cap must count a bucket over
+    ALL survivor rows corpus-wide — the capped-REBUILD universe — not
+    just the touched-cluster slice. Hand-crafted artifacts: cluster
+    {1,2,3} exists via two small bridge buckets through doc 1; a hub
+    bucket {2,3,20,21,30} (5 rows > cap 4) was suppressed at build
+    time, which is why 20/21 were never clustered. Takedown of bridge
+    doc 1: a capped rebuild on the survivors still suppresses the hub
+    (5 survivor rows corpus-wide) and the small buckets are single-row
+    after the purge, so the correct repaired labeling is EMPTY.
+    Slice-counting (the pre-fix bug) would see only hub rows {2,3}
+    (2 <= 4), emit the (2,3) pair the capped build suppressed, and
+    merge a cluster the stored labeling kept apart."""
+    sa, sb, sc = ["a", "b", "c", "d"], ["x", "y", "z", "w"], ["p", "q", "r", "s"]
+    sh = spark.createDataFrame(
+        [(1, sa), (2, sa), (3, sa), (20, sb), (21, sb), (30, sc)],
+        "doc_id long, sh array<string>",
+    )
+    bands = spark.createDataFrame(
+        [
+            (1, 1, 100), (2, 1, 100),            # bridge bucket S1: {1,2}
+            (1, 2, 200), (3, 2, 200),            # bridge bucket S2: {1,3}
+            (2, 0, 777), (3, 0, 777), (20, 0, 777), (21, 0, 777), (30, 0, 777),
+        ],
+        "doc_id long, band int, band_hash long",
+    )
+    stored = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    td = spark.createDataFrame([(1,)], "doc_id long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_takedown(
+            stored, td, bands, sh, max_bucket_size=4
+        ).collect()
+    }
+    assert got == set()  # == capped rebuild on survivors; slice-count gave {(2,2),(3,2)}
+
+
 def test_cluster_takedown_whole_cluster_vanishes(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon"),

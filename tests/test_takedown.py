@@ -477,3 +477,46 @@ def test_refold_card_takedown_randomized_multibatch(spark, tmp_path, seed):
         ).collect()
     }
     assert got == want
+
+
+def test_swap_rewrite_and_heal_crash_safety(spark, tmp_path):
+    """store_swap (ADVICE r11 item 2): the survivor rows exist
+    committed on disk at every instant of a rewrite. Three crash
+    points simulated: (a) normal swap_rewrite leaves live = new rows
+    and no swap dir; (b) a crash AFTER the swap committed but before
+    the live overwrite (committed swap present) heals by restoring
+    live from swap; (c) a crash DURING the swap write (no _SUCCESS)
+    heals by discarding the garbage swap and leaving live untouched."""
+    from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
+        heal_store,
+        swap_rewrite,
+    )
+
+    live = str(tmp_path / "store")
+    spark.createDataFrame([(1,), (2,), (3,)], "id long").write.parquet(live)
+
+    # (a) normal rewrite: plan reads the live path it rewrites
+    purged = spark.read.parquet(live).where("id <> 2")
+    swap_rewrite(spark, live, purged)
+    assert sorted(r.id for r in spark.read.parquet(live).collect()) == [1, 3]
+    import os
+
+    assert not os.path.exists(live + "__swap")
+
+    # (b) crash between swap commit and live overwrite: committed swap
+    # holds the TRUTH ({1}); live still holds the pre-crash rows
+    spark.createDataFrame([(1,)], "id long").write.parquet(live + "__swap")
+    assert heal_store(spark, live)  # restore happened
+    assert sorted(r.id for r in spark.read.parquet(live).collect()) == [1]
+    assert not os.path.exists(live + "__swap")
+
+    # (c) crash during the swap write: an UNCOMMITTED swap (_SUCCESS
+    # missing) is garbage; live is intact and must stay untouched
+    os.makedirs(live + "__swap")
+    with open(live + "__swap/part-00000.parquet", "w") as f:
+        f.write("garbage")
+    assert not heal_store(spark, live)
+    assert sorted(r.id for r in spark.read.parquet(live).collect()) == [1]
+    assert not os.path.exists(live + "__swap")
+    # idempotent: healing with no swap present is a no-op
+    assert not heal_store(spark, live)

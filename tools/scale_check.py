@@ -427,10 +427,16 @@ def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> di
         dl.write.parquet(f"{tmp}/dl")
 
         def _postings_purge():
+            # admitted=docs so the benched plan is the EXACT registered
+            # form (the n_docs membership semi-join against the real
+            # ingested universe rides the dl scan; without it the
+            # benched op is the inexact zero-token-doc-skipping
+            # variant — ADVICE r11 item 3)
             tf2, dl2, mdelta = postings_takedown(
                 spark.read.parquet(f"{tmp}/tf"),
                 spark.read.parquet(f"{tmp}/dl"),
                 docs.where(F.col("doc_id") % 100 == 0).select("doc_id"),
+                admitted=docs.select("doc_id"),
             )
             return tf2.unionByName(
                 dl2.select("doc_id", F.lit(None).cast("string").alias("term"), F.col("dl").alias("tf"))
