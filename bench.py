@@ -69,6 +69,15 @@ HEADLINE = [
     "dedup_clusters_append",  # round 8: incremental CC maintenance (contract + relabel)
     "corpus_datacard_merge",  # round 8: mergeable release summary (partial-state merge)
     "ingest_pipeline",  # round 8: composed daily-ingest flagship (gate+dedup+admit+route)
+    # Round 12 (VERDICT r11 item 6): the headline was frozen at r08
+    # composition, leaving every r10/r11 lifecycle flagship unbenched
+    # round-over-round — a perf regression in the newest, most complex
+    # plans was invisible until a ladder run. The three heaviest
+    # lifecycle rows join (PLANS.md notes the total-seconds step
+    # change; r12 is their baseline round).
+    "ingest_serve_handoff",  # round 10: the heaviest composed flagship (train+store+serve handoff)
+    "sim_graph_takedown_repair",  # round 11: graph purge + localized repair (the hard takedown)
+    "dedup_takedown_recluster",  # round 10: stored-labeling takedown + localized re-CC
 ]
 
 

@@ -88,6 +88,7 @@ _VERIFY_FIRST = [
     "sim_topk_sq8_filtered",  # pre-filter semi-join on the int8 code table
     "sim_ivf_upsert",  # takedown+append composed == rebuild; replayed twice in-row
     "drift_takedown_refold",  # sum-fold refold for the drift marginal store
+    "sim_topk_maxsim",  # ColBERT-style late-interaction MaxSim over token bags
     # --- 1. r06 cohort (13 rows -- the r11 window's spill) ---
     "multimodal_phash_dedup",
     "multimodal_resize",

@@ -1837,6 +1837,70 @@ def sim_topk_sq8_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_topk_maxsim",
+    f"""
+WITH {_SQL_EMB},
+dt AS (
+    SELECT vec_id, t.tok AS tok, v[16 * t.tok + 1 : 16 * t.tok + 16] AS tv
+    FROM e, (SELECT unnest(range(0, 4)) AS tok) t
+),
+m AS (
+    SELECT q.vec_id AS query_id, d.vec_id AS doc_id, q.tok AS qtok,
+           max(round(list_cosine_similarity(q.tv, d.tv), 6)) AS mx
+    FROM dt q JOIN dt d ON q.vec_id <> d.vec_id
+    WHERE q.vec_id < 10
+    GROUP BY 1, 2, 3
+),
+pair AS (
+    SELECT query_id, doc_id, round(sum(mx), 6) AS maxsim
+    FROM m GROUP BY 1, 2
+)
+SELECT query_id, doc_id, maxsim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS INT) AS rank
+    FROM pair
+) WHERE rank <= 5
+""",
+)
+def sim_topk_maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VECTOR (late-interaction) retrieval — MaxSim, the
+    ColBERT scoring (VERDICT r11 item 8, the one modern vector-DB
+    query shape the registry lacked): each doc is a BAG of token
+    vectors and score(q,d) = sum over query tokens of the max token
+    cosine — term-level interaction a pooled single vector averages
+    away. The token fixture derives deterministically from the
+    embeddings table on BOTH sides: each 64-dim vector splits into
+    four 16-dim token vectors (contiguous slices), so no new test
+    data is needed and the oracle mirrors the derivation with DuckDB
+    list slicing. Plan (similarity.topk_maxsim): bounded query-token
+    broadcast x one doc-token scan, two map-side-combinable aggs
+    (per-query-token max, per-pair sum) — the exact brute baseline;
+    at 100 TB candidates first shrink through IVF over doc tokens
+    (the PLAID layout), leaving these scoring stages unchanged."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_maxsim
+
+    emb = _emb(spark, sf_dir)
+    tok = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
+                    for t in range(4)
+                ]
+            )
+        ).alias("tok", "tv"),
+    )
+    return topk_maxsim(
+        tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv"),
+        tok.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "tok", "tv"
+        ),
+        k=5,
+    )
+
+
+@register(
     "int8_recall_at_10",
     f"""
 WITH {_SQL_EMB},

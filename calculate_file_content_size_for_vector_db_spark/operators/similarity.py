@@ -1623,6 +1623,60 @@ def topk_int8(
     )
 
 
+def topk_maxsim(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, doc_id, maxsim, rank): MULTI-VECTOR (late-
+    interaction) retrieval — ColBERT's MaxSim (Khattab & Zaharia
+    2020): a doc is a BAG of token-level vectors, a query likewise,
+    and
+
+        score(q, d) = sum over query tokens t of
+                      max over doc tokens u of cos(t, u)
+
+    — the one modern vector-DB query shape a single-vector top-k
+    cannot express (it preserves term-level interaction that pooled
+    embeddings average away). Inputs: ``doc_tokens`` (doc_id, tok,
+    tv) and ``query_tokens`` (query_id, tok, tv).
+
+    Plan shape: the bounded query-token table broadcasts (n_queries x
+    tokens rows) against ONE pass over the doc-token scan; the
+    per-(query, doc, query-token) max and the per-(query, doc) sum
+    are both map-side-combinable hash aggs, so the only shuffled
+    frame is (n_queries x n_docs x q_tokens) score partials — never a
+    doc-token x doc-token blowup. This is the exact brute baseline
+    (the sim_topk_bruteforce contract applied to bags); at 100 TB the
+    candidate set first shrinks through the existing IVF machinery
+    over doc tokens (the PLAID/ColBERTv2 layout: probe cells per
+    QUERY token, union the hit docs, then exact-MaxSim only those) —
+    the scoring stages here are unchanged by that swap. Determinism:
+    token cosine rounded to 6 before the max, the sum of maxes
+    rounded to 6, ties (maxsim desc, doc_id asc)."""
+    q = query_tokens.select(
+        F.col("query_id"), F.col("tok").alias("_qtok"), as_double("tv").alias("_qv")
+    )
+    d = doc_tokens.select(
+        F.col("doc_id"), as_double("tv").alias("_dv")
+    )
+    per_qtok = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id", "_qtok")
+        .agg(F.max(cosine(F.col("_qv"), F.col("_dv"))).alias("_m"))
+    )
+    pair = per_qtok.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_m"), 6).alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        pair.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "maxsim", "rank")
+    )
+
+
 def rrf_fuse(
     lexical: DataFrame,
     vector: DataFrame,

@@ -913,6 +913,33 @@ def test_topk_graph_candidate_filter_expand_then_filter(spark):
     edges.unpersist()
 
 
+def test_topk_maxsim_term_interaction_and_scores(spark):
+    """MaxSim preserves term-level interaction a pooled vector loses:
+    the query has two orthogonal tokens A and B; doc 1 covers BOTH
+    (one token each — maxsim 2.0), doc 2 repeats A twice (its best
+    match for query token B is 0 — maxsim 1.0), doc 3 is orthogonal
+    to both (maxsim 0.0). A POOLED single-vector cosine would score
+    doc 2 (pool = A) equal to its A-alignment and could not see the
+    missing B coverage as a separate term. Exact expected scores and
+    ranks; self-pair excluded."""
+    A, B, C = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]
+    toks = spark.createDataFrame(
+        [
+            (0, 0, A), (0, 1, B),        # the query doc
+            (1, 0, A), (1, 1, B),        # full coverage
+            (2, 0, A), (2, 1, A),        # repeats A, misses B
+            (3, 0, C), (3, 1, C),        # orthogonal
+        ],
+        "doc_id long, tok int, tv array<double>",
+    )
+    q = toks.where("doc_id = 0").withColumnRenamed("doc_id", "query_id")
+    got = {
+        r.doc_id: (r.maxsim, r.rank)
+        for r in sim.topk_maxsim(toks, q, k=3).collect()
+    }
+    assert got == {1: (2.0, 1), 2: (1.0, 2), 3: (0.0, 3)}
+
+
 def test_topk_int8_candidate_filter_prefilter_semantics(spark):
     """Filtered SQ8: the predicate applies BEFORE the compressed
     shortlist, so the int8 scan + exact rerank rank the true filtered
