@@ -948,6 +948,37 @@ def postings_takedown(
     return tf2, dl2, meta_delta
 
 
+def postings_upsert(
+    tf: DataFrame,
+    dl: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    admitted: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf', dl', meta_delta): UPSERT into the BM25 posting store —
+    re-ingest of CHANGED documents as takedown + append composed (the
+    lexical twin of similarity.ivf_upsert): purge the batch ids' tf/dl
+    rows (broadcast anti-joins), tokenize ONLY the batch into fresh
+    postings, and union them in; the meta delta nets the compensating
+    negative partial (−|batch ∩ store universe|, via ``admitted`` for
+    zero-token-doc exactness — postings_takedown's contract) against
+    the batch's +|batch| partial, so the append-and-sum meta store
+    stays exact. Because df/idf/avgdl derive from tf/dl at query time,
+    upsert == rebuild-on-current-corpus exactly, and replaying the
+    same batch is idempotent (the second purge removes exactly what
+    the first append wrote) — both pinned by
+    tests/test_takedown.py::test_postings_upsert_equals_rebuild_and_replay.
+    New ids are handled for free (anti-join drops nothing; the
+    positive partial counts them) — upsert subsumes append. Cost:
+    batch-sized tokenize + request-sized anti-joins; the store never
+    shuffles."""
+    tf2, dl2, mdelta = postings_takedown(tf, dl, batch.select(key), key, admitted)
+    btf, bdl, bmeta = bm25_postings(batch, text_col, key)
+    meta_delta = mdelta.unionByName(bmeta)
+    return tf2.unionByName(btf), dl2.unionByName(bdl), meta_delta
+
+
 def bm25_search(
     df: DataFrame,
     queries: list[tuple[int, str]],

@@ -39,6 +39,19 @@ def test_filtered_ann_predicate_pushed_to_candidate_scan(spark):
     assert plan.count("In(label, [2,5])") <= 2  # DataFilters + PushedFilters lines
 
 
+def test_filtered_sq8_and_graph_predicate_pushed(spark):
+    """The round-12 filtered tiers carry the same declarative-
+    predicate claim as sim_topk_ivf_filtered: the label predicate
+    reaches a parquet scan as a pushed filter — the int8 code-table
+    semi-join's input scan (SQ8) and the allowed-id metadata scan the
+    visited set semi-joins (graph) — and no Python or cartesian
+    product sneaks in."""
+    for name in ("sim_topk_sq8_filtered", "sim_topk_graph_filtered"):
+        plan = _physical(spark, name)
+        assert "In(label, [2,5])" in plan, name
+        assert "EvalPython" not in plan and "CartesianProduct" not in plan, name
+
+
 def test_q5_broadcasts_dims_single_shuffle(spark):
     plan = _physical(spark, "tpch_q5")
     assert plan.count("BroadcastHashJoin") == 5

@@ -520,3 +520,48 @@ def test_swap_rewrite_and_heal_crash_safety(spark, tmp_path):
     assert not os.path.exists(live + "__swap")
     # idempotent: healing with no swap present is a no-op
     assert not heal_store(spark, live)
+
+
+def test_postings_upsert_equals_rebuild_and_replay(spark):
+    """postings_upsert (the lexical upsert verb, twin of ivf_upsert):
+    re-ingest CHANGED docs 1 and 4 with new text, plus a brand-NEW doc
+    5 in the same batch (upsert subsumes append). The merged store
+    must serve exactly what a from-scratch index over the CURRENT
+    corpus serves, the changed doc must be retrievable by its NEW
+    terms and unretrievable by its old ones, and applying the same
+    upsert twice must equal once (replay safety)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        postings_upsert,
+    )
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (1, "shuffle exchange partition"),  # 'join' terms gone
+            (4, "spark broadcast"),
+            (5, "entirely new ingest doc"),
+        ],
+        "doc_id long, text string",
+    )
+    current = docs.where(~F.col("doc_id").isin(1, 4)).unionByName(batch)
+    tf, dl, meta = bm25_postings(docs)
+    admitted = docs.select("doc_id")
+
+    def apply_upsert(tf_in, dl_in, meta_in, adm):
+        tf2, dl2, mdelta = postings_upsert(tf_in, dl_in, batch, admitted=adm)
+        merged_meta = meta_in.unionByName(mdelta).agg(
+            F.sum("n_docs").cast("long").alias("n_docs")
+        )
+        return tf2, dl2, merged_meta
+
+    once = apply_upsert(tf, dl, meta, admitted)
+    got = _search_from(once, spark)
+    rebuilt = _search_from(bm25_postings(current), spark)
+    assert got == rebuilt  # upsert == rebuild-on-current-corpus
+    # old terms of doc 1 no longer retrieve it ('join' now matches
+    # nothing); its replacement text never contains a query term
+    assert not any(d == 1 for _, d in got)
+    # replay: the second upsert's admitted universe is the CURRENT one
+    # (docs 1/4/5 all present in the store now)
+    twice = apply_upsert(*once, current.select("doc_id"))
+    assert _search_from(twice, spark) == got
