@@ -489,6 +489,52 @@ def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> di
             return spark.read.parquet(f"{tmp}/card/scalars")
 
         t("card_refold_1pct", _refold)
+    # round-12 upsert rows: takedown + append composed — each leg is
+    # batch-/request-sized against one linear store scan, so both rows
+    # should track the data factor like the takedown rows they compose.
+    with tempfile.TemporaryDirectory() as tmp:
+      if want("ivf_upsert_1pct"):
+        similarity.ivf_centroids(emb).write.parquet(f"{tmp}/cents")
+        similarity.ivf_assign(emb).write.parquet(f"{tmp}/assign")
+        changed = emb.where(F.col("vec_id") % 100 == 0).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        )
+        t(
+            "ivf_upsert_1pct",
+            lambda: similarity.ivf_upsert(
+                spark.read.parquet(f"{tmp}/assign"),
+                changed,
+                spark.read.parquet(f"{tmp}/cents"),
+            ),
+        )
+    with tempfile.TemporaryDirectory() as tmp:
+      if want("postings_upsert_1pct"):
+        from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+            bm25_postings,
+            postings_upsert,
+        )
+
+        tf, dl, _meta = bm25_postings(docs)
+        tf.write.parquet(f"{tmp}/tf")
+        dl.write.parquet(f"{tmp}/dl")
+        changed_docs = docs.where(F.col("doc_id") % 100 == 0).select(
+            "doc_id", F.reverse("text").alias("text")
+        )
+
+        def _postings_up():
+            tf2, dl2, mdelta = postings_upsert(
+                spark.read.parquet(f"{tmp}/tf"),
+                spark.read.parquet(f"{tmp}/dl"),
+                changed_docs,
+                admitted=docs.select("doc_id"),
+            )
+            return tf2.unionByName(
+                dl2.select("doc_id", F.lit(None).cast("string").alias("term"), F.col("dl").alias("tf"))
+            ).unionByName(
+                mdelta.select(F.lit(-1).alias("doc_id"), F.lit(None).cast("string").alias("term"), F.col("n_docs").alias("tf"))
+            )
+
+        t("postings_upsert_1pct", _postings_up)
     return timings
 
 
