@@ -89,6 +89,7 @@ _VERIFY_FIRST = [
     "sim_ivf_upsert",  # takedown+append composed == rebuild; replayed twice in-row
     "drift_takedown_refold",  # sum-fold refold for the drift marginal store
     "sim_topk_maxsim",  # ColBERT-style late-interaction MaxSim over token bags
+    "graph_filtered_recall_at_10",  # filtered-beam recall vs exact filtered top-k
     # --- 1. r06 cohort (13 rows -- the r11 window's spill) ---
     "multimodal_phash_dedup",
     "multimodal_resize",

@@ -2239,6 +2239,73 @@ def sim_topk_graph_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_filtered_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_sql_graph_beam_chain(hops=_GRAPH_HOPS)},
+{_SQL_GRAPH_VISITED},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT v.query_id, v.node AS neighbor_id,
+               row_number() OVER (PARTITION BY v.query_id
+                   ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC, v.node)
+                   AS rank
+        FROM visited v
+        JOIN embeddings be ON be.vec_id = v.node
+        JOIN e q ON q.vec_id = v.query_id
+        JOIN e n ON n.vec_id = v.node
+        WHERE be.label IN (2, 5)
+    ) WHERE rank <= {_RECALL_K}
+),
+fexact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN e b ON a.vec_id <> b.vec_id
+        JOIN embeddings be ON be.vec_id = b.vec_id
+        WHERE a.vec_id < 10 AND be.label IN (2, 5)
+    ) WHERE rank <= {_RECALL_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM fexact ex
+LEFT JOIN approx ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+""",
+)
+def graph_filtered_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the FILTERED graph beam vs the exact FILTERED
+    top-10 (topk_bruteforce's candidate_filter defines the ground
+    truth — true top-k of the filtered corpus) — the QA row that
+    quantifies the one honest cost of expand-then-filter: filtered
+    recall decays only through VISIT coverage (how much of the
+    matching corpus the unfiltered walk scored), never through
+    navigation loss, so it lower-bounds at the unfiltered tier's
+    recall times the filter's hit rate in the visited set and recovers
+    by widening beam/hops exactly like the unfiltered row
+    (candidates-superset monotonicity is inherited — the visited set
+    nests as either knob grows)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_bruteforce,
+        topk_graph,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10)
+    flt = F.col("label").isin(2, 5)
+    exact = topk_bruteforce(emb, q, k=_RECALL_K, candidate_filter=flt)
+    approx = topk_graph(
+        emb, q, k=_RECALL_K, hops=_GRAPH_HOPS, candidate_filter=flt
+    )
+    return recall_vs_exact(exact, approx)
+
+
 _SQL_GASSIGN = """gassign AS (
     SELECT vec_id, cell FROM (
         SELECT a.vec_id, c.cell,

@@ -65,16 +65,22 @@ def topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Plan shape: broadcast-worthy query side x corpus scan -> one pass;
     rank with a window partitioned by query id.
-    """
+
+    ``candidate_filter``: optional metadata predicate on the candidate
+    side only — this is the DEFINITION of exact filtered top-k (the
+    ground truth the filtered ANN tiers' recall rows measure against);
+    queries are never filtered."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
-    c = spread(embeddings).select(
+    c_src = embeddings if candidate_filter is None else embeddings.where(candidate_filter)
+    c = spread(c_src).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     )
     scored = (
