@@ -565,3 +565,88 @@ def test_postings_upsert_equals_rebuild_and_replay(spark):
     # (docs 1/4/5 all present in the store now)
     twice = apply_upsert(*once, current.select("doc_id"))
     assert _search_from(twice, spark) == got
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_postings_upsert_randomized_equals_rebuild(spark, seed):
+    """Randomized upsert sweep (the takedown sweep's re-ingest twin):
+    a random batch mixing CHANGED existing docs (new random text,
+    possibly empty — the zero-token edge the takedown sweep caught)
+    and brand-new ids must leave the store serving exactly what a
+    from-scratch index over the current corpus serves."""
+    import random
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        postings_upsert,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]
+
+    def text():
+        return " ".join(rng.choices(vocab, k=rng.randint(0, 9)))
+
+    docs = spark.createDataFrame(
+        [(i, text()) for i in range(30)], "doc_id long, text string"
+    )
+    changed_ids = rng.sample(range(30), 7)
+    new_ids = [100, 101]
+    batch = spark.createDataFrame(
+        [(i, text()) for i in changed_ids + new_ids], "doc_id long, text string"
+    )
+    tf, dl, meta = bm25_postings(docs)
+    tf2, dl2, mdelta = postings_upsert(tf, dl, batch, admitted=docs.select("doc_id"))
+    merged = meta.unionByName(mdelta).agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    queries = [(0, "t0 t3"), (1, "t7"), (2, "t1 t2 t11")]
+    got = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_search(None, queries, tf_df=tf2, dl_df=dl2, meta_df=merged).collect()
+    }
+    current = docs.where(~F.col("doc_id").isin(*changed_ids)).unionByName(batch)
+    rebuilt = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_search(current, queries).collect()
+    }
+    assert got == rebuilt
+
+
+@pytest.mark.parametrize("seed", [9, 31])
+def test_ivf_upsert_randomized_equals_rebuild(spark, seed):
+    """Randomized ivf_upsert sweep: a random batch of changed vectors
+    (re-embedded as deterministic element permutations) plus new ids;
+    the upserted assignment table must equal a from-scratch assignment
+    of the current corpus against the same frozen centroids, and a
+    replay of the same batch must change nothing."""
+    import random
+
+    from calculate_file_content_size_for_vector_db_spark.operators import similarity as sim
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    rng = random.Random(seed)
+    emb = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(60).collect()]
+    changed_ids = rng.sample(ids, 9)
+    batch = (
+        emb.where(F.col("vec_id").isin(*changed_ids))
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+    )
+    cents = sim.ivf_centroids(emb).persist()
+    store = sim.ivf_assign(emb)
+    up1 = sim.ivf_upsert(store, batch, cents).persist()
+    got = {(r.vec_id, r.cell, r.cell_cosine) for r in up1.collect()}
+    current = emb.where(~F.col("vec_id").isin(*changed_ids)).unionByName(batch)
+    rebuilt = {
+        (r.vec_id, r.cell, r.cell_cosine)
+        for r in sim.ivf_append_assign(current, cents).collect()
+    }
+    assert got == rebuilt  # upsert == rebuild-on-current-corpus
+    replay = {
+        (r.vec_id, r.cell, r.cell_cosine)
+        for r in sim.ivf_upsert(up1, batch, cents).collect()
+    }
+    assert replay == got  # idempotent
+    cents.unpersist()
+    up1.unpersist()
