@@ -90,6 +90,7 @@ _VERIFY_FIRST = [
     "drift_takedown_refold",  # sum-fold refold for the drift marginal store
     "sim_topk_maxsim",  # ColBERT-style late-interaction MaxSim over token bags
     "graph_filtered_recall_at_10",  # filtered-beam recall vs exact filtered top-k
+    "sim_topk_maxsim_ivf",  # PLAID-style IVF-bucketed MaxSim (the scale path)
     # --- 1. r06 cohort (13 rows -- the r11 window's spill) ---
     "multimodal_phash_dedup",
     "multimodal_resize",

@@ -231,11 +231,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sql_kmeans_chain(k: int = 8, iters: int = 3, src: str = "e", tag: str = "") -> str:
+def _sql_kmeans_chain(
+    k: int = 8, iters: int = 3, src: str = "e", tag: str = "", dims: int = 64
+) -> str:
     """Unrolled Lloyd chain over ``src``; ``tag`` namespaces the CTEs
     (cent{tag}{i} / assign{tag}{i}) so two trainings — e.g. the
     base-corpus store and a fresh full-corpus retrain in
-    ivf_staleness — can coexist in one oracle."""
+    ivf_staleness — can coexist in one oracle. ``dims`` sizes the
+    per-dimension centroid average (64 for the embeddings table; 16
+    for the MaxSim token subvectors)."""
     parts = [
         f"cent{tag}0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv"
         f" FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT {k}))"
@@ -257,7 +261,7 @@ def _sql_kmeans_chain(k: int = 8, iters: int = 3, src: str = "e", tag: str = "")
     SELECT cell, list(cx ORDER BY pos) AS cv FROM (
         SELECT s.cell, t.pos AS pos, round(avg(a.v[t.pos]), 6) AS cx
         FROM {src} a JOIN assign{tag}{i} s ON a.vec_id = s.vec_id,
-             (SELECT unnest(range(1, 65)) AS pos) t
+             (SELECT unnest(range(1, {dims + 1})) AS pos) t
         GROUP BY s.cell, t.pos
     ) GROUP BY cell
 )"""

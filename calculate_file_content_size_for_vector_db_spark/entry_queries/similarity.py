@@ -1900,6 +1900,100 @@ def sim_topk_maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_MAXSIM_TOKENS = """dt AS (
+    SELECT e.vec_id * 4 + t.tok AS vec_id, e.vec_id AS did, t.tok AS tok,
+           v[16 * t.tok + 1 : 16 * t.tok + 16] AS v
+    FROM e, (SELECT unnest(range(0, 4)) AS tok) t
+)"""
+
+
+@register(
+    "sim_topk_maxsim_ivf",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_MAXSIM_TOKENS},
+{_sql_kmeans_chain(src="dt", tag="m", dims=16)},
+centm AS (SELECT cell, cv FROM centm3),
+dassign AS (
+    SELECT did, cell FROM (
+        SELECT a.did, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM dt a, centm c
+    ) WHERE rn = 1
+),
+qcells AS (
+    SELECT did AS query_id, cell FROM (
+        SELECT a.did, a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM dt a, centm c WHERE a.did < 10
+    ) WHERE rn <= 2
+),
+cand AS (
+    SELECT DISTINCT q.query_id, d.did AS doc_id
+    FROM qcells q JOIN dassign d ON q.cell = d.cell
+    WHERE q.query_id <> d.did
+),
+m AS (
+    SELECT c.query_id, c.doc_id, q.tok AS qtok,
+           max(round(list_cosine_similarity(q.v, d.v), 6)) AS mx
+    FROM cand c
+    JOIN dt q ON q.did = c.query_id
+    JOIN dt d ON d.did = c.doc_id
+    GROUP BY 1, 2, 3
+),
+pair AS (
+    SELECT query_id, doc_id, round(sum(mx), 6) AS maxsim
+    FROM m GROUP BY 1, 2
+)
+SELECT query_id, doc_id, maxsim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS INT) AS rank
+    FROM pair
+) WHERE rank <= 5
+""",
+)
+def sim_topk_maxsim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim's SCALE path (similarity.topk_maxsim_ivf) — the
+    PLAID/ColBERTv2 layout that makes late-interaction retrieval
+    feasible at 100 TB: an IVF quantizer trains over the DOC TOKEN
+    vectors (16-dim subvectors here — the oracle's kmeans chain runs
+    at dims=16 via the parametrized builder), doc tokens are stored
+    cell-assigned, each query token probes its top-2 cells, and only
+    the candidate docs (any token in a probed cell) are exact-MaxSim
+    rescored — the brute (queries x corpus) token product never
+    materializes. Exact rescoring of a candidate superset keeps
+    ranking quality probe-monotone, the same argument as the exact
+    IVF probes. The oracle unrolls the identical quantizer training,
+    assignment, probing, candidate join, and two-stage MaxSim
+    aggregation CTE-for-CTE."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        topk_maxsim_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    tok = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
+                    for t in range(4)
+                ]
+            )
+        ).alias("tok", "tv"),
+    )
+    return topk_maxsim_ivf(
+        tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv"),
+        tok.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "tok", "tv"
+        ),
+        k=5,
+        probes=2,
+    )
+
+
 @register(
     "int8_recall_at_10",
     f"""

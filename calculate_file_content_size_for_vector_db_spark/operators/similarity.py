@@ -1683,6 +1683,72 @@ def topk_maxsim(
     )
 
 
+def topk_maxsim_ivf(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+    probes: int = 2,
+    n_cells: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    tokens_per_doc: int = 4,
+) -> DataFrame:
+    """topk_maxsim's SCALE path — the PLAID/ColBERTv2 layout: an IVF
+    quantizer trains over the DOC TOKEN vectors, every doc token is
+    assigned to its argmax cell (the stored token index), each QUERY
+    token probes its top-``probes`` cells, and the candidate docs —
+    any doc holding a token in a probed cell — are then scored by
+    EXACT MaxSim over all their tokens. Candidate generation is the
+    ordinary cell equi-join (probes x n_tokens / n_cells of the token
+    table per query token); exact rescoring touches only candidate
+    docs' tokens, so the brute (queries x corpus) token product never
+    materializes. Exact rescoring of a candidate SUPERSET can only
+    improve the served ranking, the same monotonicity argument as the
+    exact IVF probes — and the candidate set grows with ``probes``,
+    so recall is probe-monotone here too.
+
+    ``tokens_per_doc`` builds the synthetic unique token id
+    (doc_id * tokens_per_doc + tok) the quantizer keys on; callers
+    with ragged bags pass any value exceeding the max token ordinal."""
+    dt = doc_tokens.select(
+        (F.col("doc_id") * tokens_per_doc + F.col("tok")).alias("_tid"),
+        F.col("doc_id"),
+        as_double("tv").alias("v"),
+    )
+    qt = query_tokens.select(
+        (F.col("query_id") * tokens_per_doc + F.col("tok")).alias("_tid"),
+        F.col("query_id"),
+        F.col("tok").alias("_qtok"),
+        as_double("tv").alias("v"),
+    )
+    cents = ivf_centroids(dt, k=n_cells, iters=iters, id_col="_tid", vec_col="v")
+    dcells = dt.join(
+        _assign_to(dt.select("_tid", "v"), cents, "_tid").select("_tid", "cell"), "_tid"
+    )
+    qcells = qt.join(_assign_topc(qt.select("_tid", "v"), cents, "_tid", probes), "_tid")
+    cand = (
+        qcells.select("query_id", "cell")
+        .join(dcells.select("doc_id", "cell"), "cell")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    per_qtok = (
+        cand.join(qt.select("query_id", "_qtok", F.col("v").alias("_qv")), "query_id")
+        .join(dt.select("doc_id", F.col("v").alias("_dv")), "doc_id")
+        .groupBy("query_id", "doc_id", "_qtok")
+        .agg(F.max(cosine(F.col("_qv"), F.col("_dv"))).alias("_m"))
+    )
+    pair = per_qtok.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_m"), 6).alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        pair.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "maxsim", "rank")
+    )
+
+
 def rrf_fuse(
     lexical: DataFrame,
     vector: DataFrame,
