@@ -940,6 +940,48 @@ def test_topk_maxsim_term_interaction_and_scores(spark):
     assert got == {1: (2.0, 1), 2: (1.0, 2), 3: (0.0, 3)}
 
 
+def test_topk_maxsim_ivf_full_probe_equals_brute(spark):
+    """The PLAID-layout correctness anchor: when every cell is probed
+    the candidate set is the whole corpus and topk_maxsim_ivf must
+    equal the brute topk_maxsim exactly (same scores, same ranks) —
+    the candidates-superset limit. With 1 probe the answer is a
+    subset of the brute ranking's pairs re-ranked (never an invented
+    pair), and per-query it returns at most k rows."""
+    import random
+
+    from pyspark.sql import functions as F
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(80)
+    tok = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16) for t in range(4)]
+            )
+        ).alias("tok", "tv"),
+    ).persist()
+    dt = tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv")
+    qt = tok.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "tok", "tv")
+    brute = {
+        (r.query_id, r.doc_id): (r.maxsim, r.rank)
+        for r in sim.topk_maxsim(dt, qt, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.doc_id): (r.maxsim, r.rank)
+        for r in sim.topk_maxsim_ivf(dt, qt, k=5, probes=8, n_cells=8).collect()
+    }
+    assert full == brute
+    one = sim.topk_maxsim_ivf(dt, qt, k=5, probes=1, n_cells=8).collect()
+    per_q = {}
+    for r in one:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        assert r.doc_id != r.query_id
+    assert all(c <= 5 for c in per_q.values())
+    tok.unpersist()
+
+
 def test_topk_int8_candidate_filter_prefilter_semantics(spark):
     """Filtered SQ8: the predicate applies BEFORE the compressed
     shortlist, so the int8 scan + exact rerank rank the true filtered
