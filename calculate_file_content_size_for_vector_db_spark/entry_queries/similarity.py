@@ -1995,6 +1995,112 @@ def sim_topk_maxsim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maxsim_ivf_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_MAXSIM_TOKENS},
+{_sql_kmeans_chain(src="dt", tag="m", dims=16)},
+centm AS (SELECT cell, cv FROM centm3),
+dassign AS (
+    SELECT did, cell FROM (
+        SELECT a.did, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM dt a, centm c
+    ) WHERE rn = 1
+),
+qcells AS (
+    SELECT did AS query_id, cell FROM (
+        SELECT a.did, a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM dt a, centm c WHERE a.did < 10
+    ) WHERE rn <= 2
+),
+cand AS (
+    SELECT DISTINCT q.query_id, d.did AS doc_id
+    FROM qcells q JOIN dassign d ON q.cell = d.cell
+    WHERE q.query_id <> d.did
+),
+mi AS (
+    SELECT c.query_id, c.doc_id, q.tok AS qtok,
+           max(round(list_cosine_similarity(q.v, d.v), 6)) AS mx
+    FROM cand c
+    JOIN dt q ON q.did = c.query_id
+    JOIN dt d ON d.did = c.doc_id
+    GROUP BY 1, 2, 3
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, doc_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(sum(mx), 6) DESC, doc_id) AS rank
+        FROM mi GROUP BY query_id, doc_id
+    ) WHERE rank <= {_RECALL_K}
+),
+mb AS (
+    SELECT q.did AS query_id, d.did AS doc_id, q.tok AS qtok,
+           max(round(list_cosine_similarity(q.v, d.v), 6)) AS mx
+    FROM dt q JOIN dt d ON q.did <> d.did
+    WHERE q.did < 10
+    GROUP BY 1, 2, 3
+),
+mexact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, doc_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(sum(mx), 6) DESC, doc_id) AS rank
+        FROM mb GROUP BY query_id, doc_id
+    ) WHERE rank <= {_RECALL_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM mexact ex
+LEFT JOIN approx ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+""",
+)
+def maxsim_ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PLAID-style IVF-bucketed MaxSim vs the brute
+    MaxSim ground truth — the new retrieval family's row in the
+    recall matrix (every other family has one; the number that picks
+    probe counts before a 100-TB token-index build). Probe-monotone
+    by the candidates-superset argument (exact rescoring; the
+    full-probe limit equals brute exactly, pinned by
+    tests/test_similarity.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_maxsim,
+        topk_maxsim_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    tok = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
+                    for t in range(4)
+                ]
+            )
+        ).alias("tok", "tv"),
+    ).persist()
+    dtk = tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv")
+    qtk = tok.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "tok", "tv"
+    )
+    exact = topk_maxsim(dtk, qtk, k=_RECALL_K).withColumnRenamed(
+        "doc_id", "neighbor_id"
+    )
+    approx = topk_maxsim_ivf(dtk, qtk, k=_RECALL_K, probes=2).withColumnRenamed(
+        "doc_id", "neighbor_id"
+    )
+    return recall_vs_exact(exact, approx)
+
+
+@register(
     "int8_recall_at_10",
     f"""
 WITH {_SQL_EMB},
