@@ -294,6 +294,45 @@ def sim_topk_ivf_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_topk_ivf_stored_filtered")
+def sim_topk_ivf_stored_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search on the STORED-index path — the last filtered
+    gap VERDICT r11 named (a real deployment runs the predicate
+    against the offline-built index, not a fresh training lineage):
+    centroids + assignment persist to parquet, the query serves from
+    the store alone, and candidate_filter applies the label predicate
+    to the corpus scan, where Catalyst pushes it into the parquet read
+    NEXT TO the stored-assignment cell join — predicate pushdown and
+    cell pruning compose on the serving path itself. Oracle =
+    sim_topk_ivf_filtered's verbatim (assigned below, the
+    drift_psi_stored pattern): the store round-trip must be exact, so
+    any schema/rounding drift in the index tables hash-mismatches
+    through the filtered serve."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        topk_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="ivf_filt_store_")
+    ivf_centroids(emb).write.mode("overwrite").parquet(f"{idx}/centroids")
+    ivf_assign(emb).write.mode("overwrite").parquet(f"{idx}/assign")
+    return topk_ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        assign=spark.read.parquet(f"{idx}/assign"),
+        centroids=spark.read.parquet(f"{idx}/centroids"),
+        candidate_filter=F.col("label").isin(2, 5),
+    )
+
+
+REGISTRY["sim_topk_ivf_stored_filtered"].oracle = REGISTRY["sim_topk_ivf_filtered"].oracle
+
+
 @register(
     "sim_ivf_takedown_serve",
     f"""
