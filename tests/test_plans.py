@@ -437,6 +437,13 @@ _BNLJ_ALLOWED = {
     "ivf_probe2_recall_at_10",  # packed-centroid broadcast for query top-2 cells
     "sim_ivf_takedown_serve",  # same packed-centroid broadcast, routing the forgotten queries
     "sim_topk_int8",  # broadcast-queries x corpus int8 scan
+    "sim_topk_sq8_filtered",  # same broadcast-queries scan over the pre-filtered code table (reviewed r12)
+    "sim_topk_graph_filtered",  # sim_topk_graph's 1-row entry broadcast per beam frame + the visited-set rescore (reviewed r12)
+    "graph_filtered_recall_at_10",  # the filtered beam above + broadcast-queries x filtered corpus exact side (reviewed r12)
+    "drift_takedown_refold",  # read_drift == drift_psi_stored's 1-row psi-aggregate broadcasts over the refolded store (reviewed r12)
+    "sim_topk_maxsim",  # broadcast query-token bag x doc-token scan — the documented MaxSim plan shape (reviewed r12)
+    "sim_topk_maxsim_ivf",  # packed-centroid assignment broadcasts + bounded candidate-pair rescore (reviewed r12)
+    "maxsim_ivf_recall_at_10",  # both MaxSim shapes above composed for recall (reviewed r12)
     "lsh_multiprobe_recall_at_10", "lsh_recall_at_10",
     "matryoshka_recall_at_10",  # broadcast-queries x corpus prefix scan
     "mix_balanced_recipe",
