@@ -392,3 +392,91 @@ def test_bpe_vocab_coverage_empty_batch_keeps_null_rates(spark):
     row = textstats.bpe_vocab_coverage(df).collect()[0]
     assert row.n_batch_words == 0
     assert row.oov_word_rate is None and row.oov_token_rate is None
+
+
+def test_filtered_search_empty_filter_returns_no_rows(spark):
+    """A predicate matching NOTHING is a legal filtered query: every
+    tier must return an empty frame (not error, not fall back to
+    unfiltered)."""
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators import similarity as sim
+
+    rows = [
+        (i, [m.cos(m.radians(i * 30.0)), m.sin(m.radians(i * 30.0))], 1)
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.where("vec_id = 0")
+    nothing = F.col("label") == 99
+    assert sim.topk_bruteforce(emb, q, k=3, candidate_filter=nothing).count() == 0
+    assert sim.topk_int8(emb, q, k=3, candidate_filter=nothing).count() == 0
+    assert (
+        sim.topk_ivf(emb, q, k=3, assign=sim.ivf_assign(emb, k=1), candidate_filter=nothing).count()
+        == 0
+    )
+    edges = sim.topk_grid(emb, emb, k=3)
+    assert sim.topk_graph(emb, q, k=3, edges=edges, candidate_filter=nothing).count() == 0
+
+
+def test_upsert_empty_batch_is_identity(spark):
+    """Upserting an EMPTY batch must leave both stores untouched
+    (anti-join drops nothing, append adds nothing, meta delta nets 0)."""
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators import similarity as sim
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bm25_postings,
+        postings_upsert,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(40).select("vec_id", "embedding")
+    empty_vecs = emb.where("vec_id < 0")
+    cents = sim.ivf_centroids(emb)
+    store = sim.ivf_assign(emb)
+    before = {(r.vec_id, r.cell) for r in store.collect()}
+    after = {(r.vec_id, r.cell) for r in sim.ivf_upsert(store, empty_vecs, cents).collect()}
+    assert after == before
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma alpha")], "doc_id long, text string"
+    )
+    tf, dl, _ = bm25_postings(docs)
+    tf2, dl2, mdelta = postings_upsert(
+        tf, dl, docs.where("doc_id < 0"), admitted=docs.select("doc_id")
+    )
+    assert {tuple(r) for r in tf2.collect()} == {tuple(r) for r in tf.collect()}
+    assert {tuple(r) for r in dl2.collect()} == {tuple(r) for r in dl.collect()}
+    assert mdelta.agg(F.sum("n_docs")).first()[0] == 0
+
+
+def test_drift_refold_empty_takedown_is_identity(spark, tmp_path):
+    """An empty takedown set touches no batch: both marginal stores
+    come back byte-identical through the refold."""
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.streaming.drift import (
+        append_drift_marginals,
+        refold_drift_takedown,
+    )
+
+    admitted = spark.createDataFrame(
+        [(i, f"text {'x' * (i % 5)}", "en", i % 2) for i in range(12)],
+        "doc_id long, text string, lang string, batch_id long",
+    )
+    store = str(tmp_path / "m")
+    for b in (0, 1):
+        append_drift_marginals(
+            admitted.where(F.col("batch_id") == b).drop("batch_id"), b, store
+        )
+    before_h = {tuple(r) for r in spark.read.parquet(f"{store}/hist").collect()}
+    before_l = {tuple(r) for r in spark.read.parquet(f"{store}/langs").collect()}
+    refold_drift_takedown(
+        admitted, spark.createDataFrame([], "doc_id long"), store
+    )
+    assert {tuple(r) for r in spark.read.parquet(f"{store}/hist").collect()} == before_h
+    assert {tuple(r) for r in spark.read.parquet(f"{store}/langs").collect()} == before_l
