@@ -93,6 +93,7 @@ _VERIFY_FIRST = [
     "sim_topk_maxsim_ivf",  # PLAID-style IVF-bucketed MaxSim (the scale path)
     "maxsim_ivf_recall_at_10",  # the new family's recall-matrix row
     "sim_topk_ivf_stored_filtered",  # filtered serve from the parquet-backed index
+    "sim_topk_pq_filtered",  # pre-filter semi-join on the PQ code table before ADC
     # --- 1. r06 cohort (13 rows -- the r11 window's spill) ---
     "multimodal_phash_dedup",
     "multimodal_resize",

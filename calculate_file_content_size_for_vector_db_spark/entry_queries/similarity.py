@@ -719,6 +719,49 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_topk_pq_filtered",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co
+    JOIN embeddings be ON be.vec_id = co.vec_id
+    JOIN lut l ON co.sub = l.sub AND co.code = l.code
+    WHERE co.vec_id <> l.query_id AND be.label IN (2, 5)
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+    FROM adc
+) WHERE rank <= 5
+""",
+)
+def sim_topk_pq_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED PQ/ADC search — the remaining compressed tier from
+    VERDICT r11 item 2's list (IVF and SQ8 landed earlier this round;
+    with this row candidate_filter spans brute, IVF, IVF-stored, SQ8,
+    PQ/ADC, and graph): the predicate semi-joins the CODE TABLE
+    before the ADC scan, so the distance aggregation and ranking see
+    only the filtered corpus — true filtered ADC top-k. The quantizer
+    still trains on the FULL corpus (a filter selects candidates, it
+    must never silently retrain the codebooks — the oracle's
+    _sql_pq_chain trains identically and filters only the adc
+    candidate side). At 100 TB the semi-join rides the stored
+    code-table scan next to the (sub, code) LUT join."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        topk=5,
+        candidate_filter=F.col("label").isin(2, 5),
+    )
+
+
+@register(
     "sim_topk_ivfpq",
     f"""
 WITH {_SQL_IVF},

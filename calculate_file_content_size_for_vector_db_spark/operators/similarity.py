@@ -1024,6 +1024,7 @@ def pq_topk(
     vec_col: str = "embedding",
     train_df: DataFrame | None = None,
     persist: bool = True,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """ADC top-k: rank corpus vectors by the SUM of per-subspace
     codeword distances to the query (ascending; approximate L2²).
@@ -1031,10 +1032,21 @@ def pq_topk(
     The per-query LUT (n_queries * m * k rows) broadcasts; the corpus
     side is only its code table. One keyed aggregation produces the
     scores; a per-query window ranks them. ``queries`` is a frame of
-    ids (subset of the corpus, as in the other sim_ queries)."""
+    ids (subset of the corpus, as in the other sim_ queries).
+
+    ``candidate_filter``: PRE-filter on the compressed tier — a
+    semi-join of the CODE TABLE against the matching metadata ids
+    BEFORE the ADC scan (the quantizer still trains on the full
+    corpus: the filter selects candidates, never changes the learned
+    codebooks), so the ADC aggregation and ranking see only the
+    filtered corpus — the true filtered ADC top-k. On a stored code
+    table the id semi-join rides the code-table scan."""
     sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist)
     cb = _maybe_persist(cb, persist)
     codes = _pq_assign(sv, cb, id_col)  # corpus code table, N*m rows
+    if candidate_filter is not None:
+        allowed = embeddings.where(candidate_filter).select(id_col)
+        codes = codes.join(allowed, id_col, "left_semi")
     qsv = sv.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qsv")
     )
