@@ -100,10 +100,23 @@ def takedown_store_batch(
     store_dir: str,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    admitted_ledger: DataFrame | None = None,
 ) -> None:
     """One trigger of the takedown face (batch-callable, like every
     face body — the stream test pins THIS function against the batch
-    operators). ``requests`` carries one column ``doc_id``."""
+    operators). ``requests`` carries one column ``doc_id``.
+
+    ``admitted_ledger``: the BATCH-TAGGED admitted rows (batch_id,
+    doc_id, text, lang, source) a production ingest keeps per trigger
+    — optional because the shared admitted/ store is deliberately
+    untagged. When provided, the face additionally drives the
+    sum-fold refolds (refold_card_takedown on card/,
+    refold_drift_takedown on drift/) so right-to-be-forgotten covers
+    the observability stores in the SAME trigger as the serving
+    stores; without it the refolds remain a batch maintenance job
+    (the documented honest contract). Refolds are idempotent under
+    replay: the ledger is caller-owned (never purged here), so a
+    re-run recomputes byte-identical touched-batch partials."""
     spark = requests.sparkSession
     td = requests.select("doc_id").distinct().localCheckpoint(eager=True)
     if td.count() == 0:
@@ -134,6 +147,18 @@ def takedown_store_batch(
             max_bucket_size=max_bucket_size,
         )
         swap_rewrite(spark, f"{store_dir}/labels", repaired)
+    if admitted_ledger is not None:
+        from calculate_file_content_size_for_vector_db_spark.streaming.datacard import (
+            refold_card_takedown,
+        )
+        from calculate_file_content_size_for_vector_db_spark.streaming.drift import (
+            refold_drift_takedown,
+        )
+
+        if _exists(spark, f"{store_dir}/card/scalars"):
+            refold_card_takedown(admitted_ledger, td, f"{store_dir}/card")
+        if _exists(spark, f"{store_dir}/drift/hist"):
+            refold_drift_takedown(admitted_ledger, td, f"{store_dir}/drift")
     td.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
         "append"
     ).parquet(f"{store_dir}/takedowns")
@@ -145,12 +170,14 @@ def takedown_face(
     checkpoint_dir: str,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    admitted_ledger: DataFrame | None = None,
 ) -> StreamingQuery:
     """Start the takedown face. ``stream`` rows carry (doc_id)."""
 
     def _purge(batch_df: DataFrame, batch_id: int) -> None:
         takedown_store_batch(
-            batch_df, batch_id, store_dir, threshold, max_bucket_size
+            batch_df, batch_id, store_dir, threshold, max_bucket_size,
+            admitted_ledger=admitted_ledger,
         )
 
     return (

@@ -650,3 +650,58 @@ def test_ivf_upsert_randomized_equals_rebuild(spark, seed):
     assert replay == got  # idempotent
     cents.unpersist()
     up1.unpersist()
+
+
+def test_takedown_face_drives_sum_fold_refolds(spark, tmp_path):
+    """The takedown face's optional admitted_ledger hook (round 12):
+    when the batch-tagged ledger is provided, ONE purge trigger also
+    refolds the card/ and drift/ sum-fold stores — right-to-be-
+    forgotten covers the observability stores in the same trigger as
+    the serving stores. Pinned: both folds equal rebuilds on the
+    survivor corpus, and replaying the trigger changes nothing."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard_merge,
+        drift_psi,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.datacard import (
+        append_card_partials,
+        read_datacard,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.drift import (
+        append_drift_marginals,
+        read_drift,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.takedown import (
+        takedown_store_batch,
+    )
+
+    ledger = spark.createDataFrame(
+        [
+            (i, f"doc {i} body {'pad ' * (i % 4)}", ["en", "fr"][i % 2], f"s{i % 3}", i % 3)
+            for i in range(18)
+        ],
+        "doc_id long, text string, lang string, source string, batch_id long",
+    )
+    store = str(tmp_path / "store")
+    for b in range(3):
+        batch = ledger.where(F.col("batch_id") == b).drop("batch_id")
+        append_card_partials(batch, b, f"{store}/card")
+        append_drift_marginals(batch, b, f"{store}/drift")
+    base = ledger.drop("batch_id")  # frozen drift reference
+
+    td_ids = [0, 4, 7]  # spans batches 0 and 1; batch 2 untouched
+    reqs = spark.createDataFrame([(i,) for i in td_ids], "doc_id long")
+    takedown_store_batch(reqs, 0, store, admitted_ledger=ledger)
+
+    surv = ledger.where(~F.col("doc_id").isin(*td_ids)).drop("batch_id")
+    got_card = {r.metric: r.value for r in read_datacard(spark, f"{store}/card").collect()}
+    want_card = {r.metric: r.value for r in corpus_datacard_merge(surv).collect()}
+    assert got_card == want_card
+    got_drift = {tuple(r) for r in read_drift(spark, base, f"{store}/drift").collect()}
+    want_drift = {tuple(r) for r in drift_psi(base, surv).collect()}
+    assert got_drift == want_drift
+
+    # replay the identical trigger: nothing changes
+    takedown_store_batch(reqs, 0, store, admitted_ledger=ledger)
+    assert {r.metric: r.value for r in read_datacard(spark, f"{store}/card").collect()} == want_card
+    assert {tuple(r) for r in read_drift(spark, base, f"{store}/drift").collect()} == want_drift
