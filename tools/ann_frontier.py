@@ -109,6 +109,48 @@ def main() -> None:
         emb, q, k=K, edges=gi_edges, scored_candidates=True
     ).count()
 
+    # MaxSim (multi-vector, round 12): candidates are (query, doc)
+    # TOKEN-PAIR scorings — brute = nq x (n-1) x 16 pairs of 16-dim
+    # tokens; the IVF-bucketed path scores only candidate docs' token
+    # pairs. The cand frame below mirrors topk_maxsim_ivf's candidate
+    # generation exactly (tid-keyed quantizer, top-2 probes/qtok).
+    T, TDIM = 4, 16
+    tok = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding").cast("array<double>"), TDIM * t + 1, TDIM)
+                    for t in range(T)
+                ]
+            )
+        ).alias("tok", "tv"),
+    )
+    dtt = tok.select(
+        (F.col("vec_id") * T + F.col("tok")).alias("_tid"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("tv").alias("v"),
+    ).persist()
+    mcents = sim.ivf_centroids(dtt, id_col="_tid", vec_col="v")
+    mdc = dtt.join(
+        sim._assign_to(dtt.select("_tid", "v"), mcents, "_tid").select("_tid", "cell"),
+        "_tid",
+    )
+    mqc = (
+        dtt.where(F.col("doc_id") < 10)
+        .join(sim._assign_topc(dtt.where(F.col("doc_id") < 10).select("_tid", "v"), mcents, "_tid", 2), "_tid")
+    )
+    maxsim_cand_docs = (
+        mqc.select(F.col("doc_id").alias("qid"), "cell")
+        .join(mdc.select("doc_id", "cell"), "cell")
+        .where(F.col("qid") != F.col("doc_id"))
+        .select("qid", "doc_id")
+        .distinct()
+        .count()
+    )
+    maxsim_brute_pairs = nq * (n - 1) * T * T
+    maxsim_ivf_pairs = maxsim_cand_docs * T * T
+
     tiers = [
         # tier, recall query, candidate rows, bytes/candidate, rerank rows
         ("bruteforce", None, full_scan, DIM * F32, 0),
@@ -124,16 +166,26 @@ def main() -> None:
         ("int8_rerank", "int8_recall_at_10", full_scan, DIM, nq * RERANK * K),
         ("graph_beam3", "graph_recall_at_10", graph_cand, DIM * F32, 0),
         ("graph_ivf_beam3", "graph_ivf_recall_at_10", graph_ivf_cand, DIM * F32, 0),
+        # multi-vector rows: candidate unit = token PAIR (16-dim),
+        # normalized against maxsim_brute below, not the single-vector
+        # bruteforce (different query shape)
+        ("maxsim_brute", None, maxsim_brute_pairs, TDIM * F32, 0),
+        ("maxsim_ivf_probe2", "maxsim_ivf_recall_at_10", maxsim_ivf_pairs, TDIM * F32, 0),
     ]
 
     rows = []
     bf_bytes = full_scan * DIM * F32
+    maxsim_bf_bytes = maxsim_brute_pairs * TDIM * F32
     for tier, rq, cand, bpc, rerank_rows in tiers:
         t0 = time.time()
         recall = (
             1.0 if rq is None else REGISTRY[rq].fn(spark, SF_DIR).collect()[0].recall
         )
         scan_bytes = cand * bpc + rerank_rows * DIM * F32
+        if tier.startswith("maxsim"):
+            bf_bytes_for_tier = maxsim_bf_bytes
+        else:
+            bf_bytes_for_tier = bf_bytes
         rows.append(
             {
                 "tier": tier,
@@ -141,7 +193,7 @@ def main() -> None:
                 "candidate_rows": cand,
                 "bytes_per_candidate": bpc,
                 "scan_mb": round(scan_bytes / 1e6, 3),
-                "scan_vs_bruteforce": round(scan_bytes / bf_bytes, 4),
+                "scan_vs_bruteforce": round(scan_bytes / bf_bytes_for_tier, 4),
                 "recall_query_sec": round(time.time() - t0, 1),
             }
         )
@@ -187,6 +239,19 @@ def main() -> None:
         "serves from the cheap probe-2 build (knn_graph_ivf); the graph",
         "BUILD cost is amortized once per corpus like every stored index",
         "here.",
+        "",
+        "The maxsim rows (round 12) are a DIFFERENT query shape — multi-",
+        "vector late interaction, candidates counted as 16-dim token PAIRS",
+        "— so their `vs bruteforce` normalizes against maxsim_brute, not",
+        "the single-vector scan. maxsim_ivf_probe2 is the PLAID layout:",
+        "the token quantizer prunes candidate DOCS, exact MaxSim rescoring",
+        "keeps ranking quality probe-monotone (full-probe == brute, test-",
+        "pinned). Honest fixture-scale caveat: with only 8 cells and 16",
+        "query tokens x 2 probes, the probed-cell union covers nearly the",
+        "whole corpus, so the measured pruning here is ~nothing (and",
+        "recall is 1.0 for the same reason); the layout's pruning scales",
+        "with n_cells, which production sizes with the token count —",
+        "this row documents the MACHINERY, the ladder documents cost.",
         "",
         f"Regenerate: `python tools/ann_frontier.py {SF_DIR}`.",
         "",
