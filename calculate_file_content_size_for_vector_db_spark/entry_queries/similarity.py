@@ -1994,7 +1994,7 @@ _SQL_MAXSIM_TOKENS = """dt AS (
     f"""
 WITH {_SQL_EMB},
 {_SQL_MAXSIM_TOKENS},
-{_sql_kmeans_chain(src="dt", tag="m", dims=16)},
+{_sql_kmeans_chain(k=32, src="dt", tag="m", dims=16)},
 centm AS (SELECT cell, cv FROM centm3),
 dassign AS (
     SELECT did, cell FROM (
@@ -2040,8 +2040,11 @@ def sim_topk_maxsim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MaxSim's SCALE path (similarity.topk_maxsim_ivf) — the
     PLAID/ColBERTv2 layout that makes late-interaction retrieval
     feasible at 100 TB: an IVF quantizer trains over the DOC TOKEN
-    vectors (16-dim subvectors here — the oracle's kmeans chain runs
-    at dims=16 via the parametrized builder), doc tokens are stored
+    vectors (16-dim subvectors here; 32 cells — sized UP from the
+    single-vector default 8 because 16 query tokens x 2 probes over
+    too few cells covers the whole corpus and prunes nothing — the
+    oracle's kmeans chain runs at k=32, dims=16 via the parametrized
+    builder), doc tokens are stored
     cell-assigned, each query token probes its top-2 cells, and only
     the candidate docs (any token in a probed cell) are exact-MaxSim
     rescored — the brute (queries x corpus) token product never
@@ -2073,6 +2076,7 @@ def sim_topk_maxsim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k=5,
         probes=2,
+        n_cells=32,
     )
 
 
@@ -2081,7 +2085,7 @@ def sim_topk_maxsim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {_SQL_EMB},
 {_SQL_MAXSIM_TOKENS},
-{_sql_kmeans_chain(src="dt", tag="m", dims=16)},
+{_sql_kmeans_chain(k=32, src="dt", tag="m", dims=16)},
 centm AS (SELECT cell, cv FROM centm3),
 dassign AS (
     SELECT did, cell FROM (
@@ -2176,9 +2180,9 @@ def maxsim_ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = topk_maxsim(dtk, qtk, k=_RECALL_K).withColumnRenamed(
         "doc_id", "neighbor_id"
     )
-    approx = topk_maxsim_ivf(dtk, qtk, k=_RECALL_K, probes=2).withColumnRenamed(
-        "doc_id", "neighbor_id"
-    )
+    approx = topk_maxsim_ivf(
+        dtk, qtk, k=_RECALL_K, probes=2, n_cells=32
+    ).withColumnRenamed("doc_id", "neighbor_id")
     return recall_vs_exact(exact, approx)
 
 

@@ -131,7 +131,7 @@ def main() -> None:
         F.col("vec_id").alias("doc_id"),
         F.col("tv").alias("v"),
     ).persist()
-    mcents = sim.ivf_centroids(dtt, id_col="_tid", vec_col="v")
+    mcents = sim.ivf_centroids(dtt, k=32, id_col="_tid", vec_col="v")
     mdc = dtt.join(
         sim._assign_to(dtt.select("_tid", "v"), mcents, "_tid").select("_tid", "cell"),
         "_tid",
@@ -246,12 +246,11 @@ def main() -> None:
         "the single-vector scan. maxsim_ivf_probe2 is the PLAID layout:",
         "the token quantizer prunes candidate DOCS, exact MaxSim rescoring",
         "keeps ranking quality probe-monotone (full-probe == brute, test-",
-        "pinned). Honest fixture-scale caveat: with only 8 cells and 16",
-        "query tokens x 2 probes, the probed-cell union covers nearly the",
-        "whole corpus, so the measured pruning here is ~nothing (and",
-        "recall is 1.0 for the same reason); the layout's pruning scales",
-        "with n_cells, which production sizes with the token count —",
-        "this row documents the MACHINERY, the ladder documents cost.",
+        "pinned). The token quantizer runs 32 cells (sized UP from the",
+        "single-vector default 8: 16 query tokens x 2 probes over too few",
+        "cells covers the whole corpus and prunes nothing — measured at 8",
+        "cells the scan ratio was 0.98 at recall 1.0); production sizes",
+        "n_cells with the token count.",
         "",
         f"Regenerate: `python tools/ann_frontier.py {SF_DIR}`.",
         "",
