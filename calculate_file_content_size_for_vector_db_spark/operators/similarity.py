@@ -1720,33 +1720,138 @@ def topk_maxsim_ivf(
 
     ``tokens_per_doc`` builds the synthetic unique token id
     (doc_id * tokens_per_doc + tok) the quantizer keys on; callers
-    with ragged bags pass any value exceeding the max token ordinal."""
+    with ragged bags pass any value exceeding the max token ordinal.
+
+    Composition: train, then delegate to the lifecycle halves —
+    maxsim_token_index (write) + topk_maxsim_from_index (read) — so
+    the inline row and the stored-index path are the same code, the
+    identity tests/test_maxsim_lifecycle.py pins."""
     dt = doc_tokens.select(
         (F.col("doc_id") * tokens_per_doc + F.col("tok")).alias("_tid"),
-        F.col("doc_id"),
-        as_double("tv").alias("v"),
-    )
-    qt = query_tokens.select(
-        (F.col("query_id") * tokens_per_doc + F.col("tok")).alias("_tid"),
-        F.col("query_id"),
-        F.col("tok").alias("_qtok"),
         as_double("tv").alias("v"),
     )
     cents = ivf_centroids(dt, k=n_cells, iters=iters, id_col="_tid", vec_col="v")
-    dcells = dt.join(
-        _assign_to(dt.select("_tid", "v"), cents, "_tid").select("_tid", "cell"), "_tid"
+    index = maxsim_token_index(doc_tokens, cents, tokens_per_doc)
+    return topk_maxsim_from_index(index, query_tokens, cents, k, probes, tokens_per_doc)
+
+
+def maxsim_token_index(
+    doc_tokens: DataFrame,
+    stored_centroids: DataFrame,
+    tokens_per_doc: int = 4,
+) -> DataFrame:
+    """(doc_id, tok, tv, cell): the STORED token index behind the
+    PLAID-style MaxSim serve — every doc token assigned to its argmax
+    cell against FROZEN centroids. This is the write half of the
+    multi-vector lifecycle (the ivf_append_assign contract applied to
+    token bags): no retraining, one packed 1-row centroid broadcast
+    over the batch's tokens, so the cost is batch-sized — building
+    the full index and appending a daily batch are the SAME operator
+    at different input sizes. Per-token assignment depends only on
+    the frozen centroids, so store + index(batch) == index(store's
+    docs + batch's docs) exactly — the equivalence every lifecycle
+    verb below leans on."""
+    dt = doc_tokens.select(
+        (F.col("doc_id") * tokens_per_doc + F.col("tok")).alias("_tid"),
+        "doc_id",
+        "tok",
+        as_double("tv").alias("tv"),
     )
-    qcells = qt.join(_assign_topc(qt.select("_tid", "v"), cents, "_tid", probes), "_tid")
+    assigned = _assign_to(
+        dt.select("_tid", F.col("tv").alias("v")), stored_centroids, "_tid"
+    ).select("_tid", "cell")
+    return dt.join(assigned, "_tid").select("doc_id", "tok", "tv", "cell")
+
+
+def maxsim_takedown(
+    token_index: DataFrame,
+    forgotten: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The stored MaxSim token index with every forgotten doc's token
+    rows removed — right-to-be-forgotten for the multi-vector family.
+    Unlike the graph store (where edges point BETWEEN docs and a
+    one-direction purge leaves ghosts), token rows are keyed by their
+    own doc only, so ONE broadcast anti-join is the complete purge:
+    no candidate generation or rescoring path can surface a doc with
+    zero token rows. At 100 TB this is a linear scan of the token
+    store a compaction pays anyway — the store itself never shuffles."""
+    return token_index.join(
+        F.broadcast(forgotten.select(id_col)), id_col, "left_anti"
+    )
+
+
+def maxsim_upsert(
+    token_index: DataFrame,
+    batch_tokens: DataFrame,
+    stored_centroids: DataFrame,
+    tokens_per_doc: int = 4,
+) -> DataFrame:
+    """UPSERT a re-embedded doc's WHOLE token bag into the stored
+    MaxSim token index — takedown + append composed in one plan, the
+    ivf_upsert contract extended to multi-vector stores. Replacing
+    the bag wholesale (rather than diffing token ordinals) is the
+    correct unit: a re-embedding changes every token vector, and a
+    doc whose new bag is SHORTER must not keep stale tail tokens —
+    the anti-join on doc_id guarantees it cannot.
+
+        purge  = token_index ANTI-JOIN batch doc_ids   (request-sized)
+        append = maxsim_token_index(batch, frozen cents) (batch-sized)
+        upsert = purge UNION append
+
+    Equivalences (test-pinned): upsert == rebuild-on-current-corpus
+    (per-token assignment depends only on the frozen centroids), and
+    replay-safe (upserting the same batch twice == once — the second
+    purge removes exactly what the first append wrote). New doc ids
+    come through for free, so upsert subsumes append. The caller
+    persists to a versioned sibling path and swaps last (the
+    crash-safe store_swap pattern — never overwrite the live store)."""
+    purged = maxsim_takedown(token_index, batch_tokens.select("doc_id").distinct())
+    return purged.unionByName(
+        maxsim_token_index(batch_tokens, stored_centroids, tokens_per_doc)
+    )
+
+
+def topk_maxsim_from_index(
+    token_index: DataFrame,
+    query_tokens: DataFrame,
+    stored_centroids: DataFrame,
+    k: int = 5,
+    probes: int = 2,
+    tokens_per_doc: int = 4,
+) -> DataFrame:
+    """(query_id, doc_id, maxsim, rank): serve MaxSim from the STORED
+    token index — the read half of the multi-vector lifecycle, split
+    from topk_maxsim_ivf (which trains + indexes + serves inline)
+    exactly as sim_topk_ivf_stored splits from sim_topk_ivf. Each
+    query token probes its top-``probes`` cells against the SAME
+    frozen centroids the index was assigned with, candidate docs are
+    any doc holding a token in a probed cell (the ordinary cell
+    equi-join over the stored index), and candidates are exact-MaxSim
+    rescored from the index's own token vectors — the brute
+    (queries x corpus) token product never materializes, and the
+    serve path touches no training. Determinism matches topk_maxsim:
+    cosine rounded to 6 before the max, sum rounded to 6, ties
+    (maxsim desc, doc_id asc)."""
+    qt = query_tokens.select(
+        (F.col("query_id") * tokens_per_doc + F.col("tok")).alias("_tid"),
+        "query_id",
+        F.col("tok").alias("_qtok"),
+        as_double("tv").alias("v"),
+    )
+    qcells = qt.join(
+        _assign_topc(qt.select("_tid", "v"), stored_centroids, "_tid", probes), "_tid"
+    )
     cand = (
         qcells.select("query_id", "cell")
-        .join(dcells.select("doc_id", "cell"), "cell")
+        .join(token_index.select("doc_id", "cell"), "cell")
         .where(F.col("query_id") != F.col("doc_id"))
         .select("query_id", "doc_id")
         .distinct()
     )
     per_qtok = (
         cand.join(qt.select("query_id", "_qtok", F.col("v").alias("_qv")), "query_id")
-        .join(dt.select("doc_id", F.col("v").alias("_dv")), "doc_id")
+        .join(token_index.select("doc_id", F.col("tv").alias("_dv")), "doc_id")
         .groupBy("query_id", "doc_id", "_qtok")
         .agg(F.max(cosine(F.col("_qv"), F.col("_dv"))).alias("_m"))
     )
