@@ -535,6 +535,53 @@ def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> di
             )
 
         t("postings_upsert_1pct", _postings_up)
+    # multi-vector (MaxSim) lifecycle rows: token bags are the 4x16-dim
+    # slices of each vector (the registered rows' derivation), so the
+    # token store is 4x the vector count. Index build and upsert are
+    # frozen-centroid assignment passes (expect ~linear in token rows,
+    # the ivf_assign shape); the stored serve probes 2 cells per query
+    # token over a FIXED 10-query bag, so its cost tracks the
+    # candidate slice (~probes/cells of the token store per query
+    # token), expected ~linear-in-corpus at fixed cell count.
+    with tempfile.TemporaryDirectory() as tmp:
+      if want("maxsim_index_build", "maxsim_upsert_1pct", "maxsim_serve_stored"):
+        toks = emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
+                        for t in range(4)
+                    ]
+                )
+            ).alias("tok", "tv"),
+        ).select(F.col("vec_id").alias("doc_id"), "tok", "tv")
+        dt = toks.select(
+            (F.col("doc_id") * 4 + F.col("tok")).alias("_tid"), F.col("tv").alias("v")
+        )
+        similarity.ivf_centroids(dt, k=32, id_col="_tid", vec_col="v").write.parquet(
+            f"{tmp}/mcents"
+        )
+        mcents = spark.read.parquet(f"{tmp}/mcents")
+        t("maxsim_index_build", similarity.maxsim_token_index(toks, mcents))
+        if want("maxsim_upsert_1pct", "maxsim_serve_stored"):
+            similarity.maxsim_token_index(toks, mcents).write.parquet(f"{tmp}/mindex")
+            changed_bags = toks.where(F.col("doc_id") % 100 == 0).select(
+                "doc_id", "tok", F.reverse("tv").alias("tv")
+            )
+            t(
+                "maxsim_upsert_1pct",
+                lambda: similarity.maxsim_upsert(
+                    spark.read.parquet(f"{tmp}/mindex"), changed_bags, mcents
+                ),
+            )
+            qt = toks.where("doc_id < 10").withColumnRenamed("doc_id", "query_id")
+            t(
+                "maxsim_serve_stored",
+                lambda: similarity.topk_maxsim_from_index(
+                    spark.read.parquet(f"{tmp}/mindex"), qt, mcents, k=5, probes=2
+                ),
+            )
     return timings
 
 
