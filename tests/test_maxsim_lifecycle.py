@@ -17,6 +17,9 @@ registrations will lean on.
 
 from __future__ import annotations
 
+import random
+
+import pytest
 from pyspark.sql import functions as F
 
 import calculate_file_content_size_for_vector_db_spark.operators.similarity as sim
@@ -199,3 +202,59 @@ def test_maxsim_upsert_empty_batch_is_identity(spark):
     toks.unpersist()
     cents.unpersist()
     store.unpersist()
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_maxsim_upsert_randomized_sequence_equals_rebuild(spark, seed):
+    """Randomized multi-step sweep (the test_ivf_upsert_randomized
+    pattern on token bags): two upsert rounds against the stored token
+    index — round 1 re-embeds a random sample of EXISTING docs and
+    ingests NEW doc ids in the same batch (upsert subsumes append),
+    round 2 re-embeds another random sample including a doc already
+    changed in round 1 (the last write must win). After the sequence
+    the store must equal a from-scratch index of the final corpus
+    against the same frozen centroids — the sequence-of-writes ==
+    one-rebuild contract the refold multibatch sweep pins for sum-fold
+    stores, here for the multi-vector index."""
+    toks = _token_bags(spark, n_docs=50).persist()
+    base = toks.where(F.col("doc_id") < 40)
+    cents = _frozen_cents(toks).persist()
+    cents.count()
+    store = sim.maxsim_token_index(base, cents).persist()
+    store.count()
+
+    rng = random.Random(seed)
+    existing = list(range(40))
+    r1_changed = rng.sample(existing, 6)
+    r1_new = rng.sample(range(40, 50), 3)
+    batch1 = toks.where(F.col("doc_id").isin(*(r1_changed + r1_new))).select(
+        "doc_id", "tok", F.reverse("tv").alias("tv")
+    )
+    after1 = sim.maxsim_upsert(store, batch1, cents).persist()
+    after1.count()
+
+    r2_changed = rng.sample(existing, 4) + [r1_changed[0]]
+    batch2 = toks.where(F.col("doc_id").isin(*r2_changed)).select(
+        "doc_id",
+        "tok",
+        F.transform("tv", lambda x: -x).alias("tv"),
+    )
+    after2 = sim.maxsim_upsert(after1, batch2, cents)
+
+    r2_set = set(r2_changed)
+    r1_set = (set(r1_changed) | set(r1_new)) - r2_set
+    final_corpus = (
+        toks.where(F.col("doc_id") < 40)
+        .where(~F.col("doc_id").isin(*(r1_set | r2_set)))
+        .unionByName(
+            toks.where(F.col("doc_id").isin(*r1_set)).select(
+                "doc_id", "tok", F.reverse("tv").alias("tv")
+            )
+        )
+        .unionByName(batch2)
+    )
+    rebuilt = sim.maxsim_token_index(final_corpus, cents)
+    assert _rows(after2) == _rows(rebuilt)
+    toks.unpersist()
+    cents.unpersist()
+    store.unpersist()
+    after1.unpersist()
