@@ -2460,6 +2460,111 @@ def graph_takedown_repair(
     return kept.unionByName(recomputed)
 
 
+def graph_upsert(
+    edges: DataFrame,
+    batch: DataFrame,
+    embeddings: DataFrame,
+    k_graph: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_col: str = "query_id",
+    dst_col: str = "neighbor_id",
+) -> DataFrame:
+    """(src, dst): the stored EXACT kNN edge table after re-ingesting
+    a batch of RE-EMBEDDED (or brand-new) nodes — the upsert verb for
+    the graph store, completing its lifecycle matrix (append /
+    takedown / repair / upsert). Result == a from-scratch exact kNN
+    rebuild over the current corpus (survivors' old vectors + the
+    batch's new vectors), by a three-piece decomposition in which
+    every piece is bounded:
+
+    1. survivor graph: graph_takedown_repair with the batch ids as
+       the takedown set — exact top-k over survivors, touching only
+       the nodes that held an edge into the batch (the localization
+       theorem).
+    2. batch lists: exact top-k of each batch vector over the current
+       corpus — ONE broadcast of the request-sized batch against one
+       corpus scan (the topk_bruteforce shape; the |B| x N score
+       frame is the exact baseline, and at 100 TB the candidate set
+       first shrinks through the IVF cells exactly as
+       knn_graph_append does).
+    3. survivor insertion: a survivor's exact top-k over the current
+       corpus is the re-truncation of (its exact top-k over the
+       survivors) UNION (its |B| batch candidates) — removing the
+       batch can only promote survivors INTO a list, so every true
+       non-batch neighbor already sits in the survivor list, and the
+       batch candidates are enumerated exhaustively; re-truncating
+       the union under the same (rounded cosine desc, id asc) order
+       is therefore exact, the same
+       add-a-candidate-to-an-exact-list argument maxsim_upsert and
+       ivf_upsert lean on.
+
+    The batch x corpus scores are computed ONCE (cosine is symmetric):
+    the same frame serves piece 2 directly and piece 3 transposed,
+    restricted to survivor rows. Survivor-edge cosines are re-derived
+    from the embedding table (two hash-join lookups per edge), so the
+    store may carry bare (src, dst) pairs — the schema
+    graph_takedown_repair emits. Every comparator here is the JVM
+    ``cosine`` helper (rounded to 6), so the output ranking is
+    internally consistent; equality against a topk_grid rebuild
+    additionally relies on the numpy path rounding identically, which
+    the oracle sweeps pin corpus-wide on the fixtures.
+
+    Contracts (test-pinned): upsert == rebuild-on-current-corpus,
+    replay idempotence (same batch twice == once), empty batch ==
+    stored lists verbatim, new ids subsume append. Exactness needs an
+    EXACT stored graph (same k_graph); on an IVF-built approximate
+    store the verbs still compose but the equality becomes
+    "no ghost edges + locally exact", the graph_takedown contract."""
+    b_ids = batch.select(id_col)
+    surv_emb = embeddings.join(F.broadcast(b_ids), id_col, "left_anti")
+    current = surv_emb.select(id_col, vec_col).unionByName(
+        batch.select(id_col, vec_col)
+    )
+    # 1. exact survivor graph, touched lists recomputed (localized)
+    e_s = graph_takedown_repair(
+        edges, b_ids, embeddings, k_graph, id_col, vec_col, src_col, dst_col
+    )
+    sv = surv_emb.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    e_s_scored = (
+        e_s.join(
+            sv.select(F.col(id_col).alias(src_col), F.col("_v").alias("_sv")), src_col
+        )
+        .join(
+            sv.select(F.col(id_col).alias(dst_col), F.col("_v").alias("_dv")), dst_col
+        )
+        .select(src_col, dst_col, cosine(F.col("_sv"), F.col("_dv")).alias("cosine"))
+    )
+    # 2. the ONE batch x corpus score frame (request-sized broadcast)
+    bq = batch.select(F.col(id_col).alias(src_col), as_double(vec_col).alias("_qv"))
+    cv = current.select(F.col(id_col).alias(dst_col), as_double(vec_col).alias("_cv"))
+    pairs = (
+        cv.crossJoin(F.broadcast(bq))
+        .where(F.col(src_col) != F.col(dst_col))
+        .select(src_col, dst_col, cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+    )
+    w = Window.partitionBy(src_col).orderBy(F.desc("cosine"), F.asc(dst_col))
+    batch_lists = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_graph)
+        .select(src_col, dst_col)
+    )
+    # 3. transpose the survivor-side rows of the same frame and
+    #    re-truncate each survivor's list under the same comparator
+    cross = pairs.join(
+        F.broadcast(b_ids.withColumnRenamed(id_col, dst_col)), dst_col, "left_anti"
+    ).select(
+        F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col), "cosine"
+    )
+    surv_new = (
+        e_s_scored.unionByName(cross)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_graph)
+        .select(src_col, dst_col)
+    )
+    return surv_new.unionByName(batch_lists)
+
+
 def pca_power_iteration(
     embeddings: DataFrame,
     rounds: int = 3,

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
     graph_takedown,
+    graph_upsert,
     topk_graph,
     topk_grid,
 )
@@ -705,3 +706,86 @@ def test_takedown_face_drives_sum_fold_refolds(spark, tmp_path):
     takedown_store_batch(reqs, 0, store, admitted_ledger=ledger)
     assert {r.metric: r.value for r in read_datacard(spark, f"{store}/card").collect()} == want_card
     assert {tuple(r) for r in read_drift(spark, base, f"{store}/drift").collect()} == want_drift
+
+# ---------------------------------------------------------------------------
+# graph_upsert — the re-ingest verb for the graph store (round 12,
+# late session; registration deferred to the round-13 budget). The
+# bridge geometry makes the interesting motion readable: re-embedding
+# the bridge node ACROSS the gap must rewire both clusters' lists
+# exactly as a from-scratch rebuild would.
+# ---------------------------------------------------------------------------
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_graph_upsert_equals_rebuild_bridge_motion(spark, bridge_emb, bridge_edges):
+    """Move the bridge node 0 from 45deg into cluster B (86deg) and
+    ingest a NEW node 8 inside cluster A (2deg), one batch. The upsert
+    must equal the exact rebuild on the current corpus: node 0's own
+    list re-anchors in B, node 3 (which held 3->0) backfills toward A,
+    node 8's list materializes inside A, and A-side lists absorb 8."""
+    batch = spark.createDataFrame(
+        [(0, _vec(86.0)), (8, _vec(2.0))], "vec_id long, embedding array<double>"
+    )
+    up = graph_upsert(bridge_edges, batch, bridge_emb, k_graph=2)
+    current = bridge_emb.where(~F.col("vec_id").isin(0)).unionByName(batch)
+    rebuilt = topk_grid(current, current, k=2).select("query_id", "neighbor_id")
+    got = _pairs(up)
+    assert got == _pairs(rebuilt)
+    # the readable motions: 0 now lives between 6@84 and 7@88;
+    # 8@2 slots between 1@0 and 2@4; 1 prefers {8@2, 2@4} over 3@30
+    assert {p for p in got if p[0] == 0} == {(0, 6), (0, 7)}
+    assert {p for p in got if p[0] == 8} == {(8, 1), (8, 2)}
+    assert {p for p in got if p[0] == 1} == {(1, 8), (1, 2)}
+
+
+def test_graph_upsert_empty_batch_is_identity(spark, bridge_emb, bridge_edges):
+    """Edge input: an empty batch leaves the stored lists verbatim
+    (purge and insertion drop nothing, batch lists are empty) — valid
+    because the store is an exact k_graph-list per node, which the
+    re-truncation window reproduces unchanged."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    up = graph_upsert(bridge_edges, empty, bridge_emb, k_graph=2)
+    assert _pairs(up) == _pairs(bridge_edges)
+
+
+def test_graph_upsert_replay_idempotent(spark, bridge_emb, bridge_edges):
+    """Upserting the same batch twice == once. The second pass runs
+    against the CURRENT corpus (survivors + the batch's new vectors) —
+    the store and corpus a production re-delivery would see."""
+    batch = spark.createDataFrame(
+        [(0, _vec(86.0))], "vec_id long, embedding array<double>"
+    )
+    once = graph_upsert(bridge_edges, batch, bridge_emb, k_graph=2)
+    current = bridge_emb.where(F.col("vec_id") != 0).unionByName(batch)
+    twice = graph_upsert(once, batch, current, k_graph=2)
+    assert _pairs(twice) == _pairs(once)
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_graph_upsert_randomized_equals_rebuild(spark, seed):
+    """Randomized sweep on fixture embeddings: a random batch of
+    re-embedded existing nodes PLUS brand-new ids (upsert subsumes
+    append) must equal the exact kNN rebuild on the current corpus —
+    including the survivor lists the batch merely brushes past."""
+    import random
+
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    rng = random.Random(seed)
+    emb60 = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ids = sorted(r.vec_id for r in emb60.select("vec_id").limit(60).collect())
+    base_ids, new_ids = ids[:50], rng.sample(ids[50:], 3)
+    base = emb60.where(F.col("vec_id").isin(*base_ids))
+    changed_ids = rng.sample(base_ids, 5)
+    batch = emb60.where(F.col("vec_id").isin(*(changed_ids + new_ids))).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    store = topk_grid(base, base, k=4).select("query_id", "neighbor_id")
+    up = graph_upsert(store, batch, base, k_graph=4)
+    current = base.where(~F.col("vec_id").isin(*changed_ids)).unionByName(batch)
+    rebuilt = topk_grid(current, current, k=4).select("query_id", "neighbor_id")
+    assert _pairs(up) == _pairs(rebuilt)
