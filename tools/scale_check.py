@@ -582,6 +582,31 @@ def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> di
                     spark.read.parquet(f"{tmp}/mindex"), qt, mcents, k=5, probes=2
                 ),
             )
+    # graph upsert: FIXED 200-node re-embedded batch (takedown
+    # re-deliveries are request-sized, not %-sized), IVF-built store
+    # from setup exactly like graph_takedown_1pct. The verb's
+    # corpus-dependent stages are the store scan (purge/kept
+    # anti-joins), the touched-nodes exact recompute (|touched| ~
+    # k x 200, blocked vs survivors), and the batch x corpus score
+    # frame (200 broadcast rows per corpus row) — all linear in N at
+    # fixed batch, so expect ~the vector factor.
+    with tempfile.TemporaryDirectory() as tmp:
+      if want("graph_upsert_fixed_batch"):
+        n_cells_scaled = max(8, n_vec // 500)
+        similarity.knn_graph_ivf(
+            emb,
+            assign=similarity.ivf_assign(emb, k=n_cells_scaled),
+            centroids=similarity.ivf_centroids(emb, k=n_cells_scaled),
+        ).select("query_id", "neighbor_id").write.parquet(f"{tmp}/edges")
+        changed_nodes = emb.where(F.col("vec_id") < 200).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        )
+        t(
+            "graph_upsert_fixed_batch",
+            lambda: similarity.graph_upsert(
+                spark.read.parquet(f"{tmp}/edges"), changed_nodes, emb, k_graph=8
+            ),
+        )
     return timings
 
 
