@@ -1049,6 +1049,84 @@ def cluster_takedown(
     return untouched.unionByName(repaired)
 
 
+def dedup_upsert(
+    stored_labels: DataFrame,
+    changed_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(key, cluster_id): re-ingest CHANGED documents into the stored
+    near-dup cluster labeling — the upsert verb for the dedup store,
+    completing its lifecycle matrix (build / append / takedown /
+    upsert) and the package-wide upsert symmetry (ivf_upsert,
+    postings_upsert, maxsim_upsert, graph_upsert). A changed document
+    is a delete THEN an insert: its old near-dup edges are stale (the
+    content that justified them is gone), so the composition is
+
+      1. cluster_takedown(stored, changed ids, OLD bands/shingles) —
+         purge + localized re-CC, giving exactly the survivor-corpus
+         labeling (the takedown equality already pinned),
+      2. survivor artifacts = bands/shingles ANTI-JOIN changed ids
+         (the store rewrite a takedown pays anyway),
+      3. new edges = incremental_neardup_pairs(changed docs vs the
+         survivor artifacts)  UNION  minhash_lsh_pairs(changed docs
+         alone) — between them every pair of the current corpus that
+         touches a changed doc, both batch-sized,
+      4. cluster_append(purged labels, those edges).
+
+    Equality with a from-scratch clustering of the current corpus
+    (survivors' old text + the batch's new text) follows because the
+    current pair graph partitions into survivor<->survivor edges
+    (whose CC the takedown output encodes — near-dup edges never
+    cross component boundaries), changed<->survivor and
+    changed<->changed edges (enumerated in step 3); cluster_append's
+    contract-solve-relabel then reproduces the CC of the union graph
+    with component-min labels. Replay-safe: re-upserting the same
+    batch re-derives the same edges against the same survivors.
+
+    New doc ids come through for free (the takedown of an unknown id
+    is the pinned identity), so upsert subsumes append — but note the
+    inputs: ``changed_docs`` carries the NEW text, while
+    ``corpus_bands``/``corpus_shingles`` must be the CURRENT stored
+    artifacts (still containing the changed docs' OLD rows; step 2
+    excludes them). Cost at 100 TB: two store semi/anti-join scans
+    plus batch-sized signature work — the takedown and append costs,
+    composed."""
+    changed_ids = changed_docs.select(key)
+    purged = cluster_takedown(
+        stored_labels,
+        changed_ids,
+        corpus_bands,
+        corpus_shingles,
+        threshold=threshold,
+        key=key,
+        max_bucket_size=max_bucket_size,
+    )
+    surv_bands = corpus_bands.join(F.broadcast(changed_ids), key, "left_anti")
+    surv_shingles = corpus_shingles.join(F.broadcast(changed_ids), key, "left_anti")
+    vs_corpus = incremental_neardup_pairs(
+        changed_docs,
+        surv_bands,
+        surv_shingles,
+        threshold=threshold,
+        text_col=text_col,
+        key=key,
+        max_bucket_size=max_bucket_size,
+    ).select(F.col("new_id").alias("src"), F.col("corpus_id").alias("dst"))
+    within_batch = minhash_lsh_pairs(
+        changed_docs,
+        threshold=threshold,
+        text_col=text_col,
+        key=key,
+        max_bucket_size=max_bucket_size,
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    return cluster_append(purged, vs_corpus.unionByName(within_batch), key=key)
+
+
 def neardup_clusters(
     df: DataFrame,
     threshold: float = 0.5,

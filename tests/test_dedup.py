@@ -1,4 +1,5 @@
 """Unit tests for dedup operators on crafted micro-fixtures."""
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -1087,3 +1088,122 @@ def test_cluster_takedown_whole_cluster_vanishes(spark):
         for r in dedup.cluster_takedown(stored, td, bands, sh).collect()
     }
     assert got == {(10, 10), (11, 10)}
+
+# ---------------------------------------------------------------------------
+# dedup_upsert — re-ingest CHANGED documents into the stored labeling
+# (round 12, late session; registration deferred to the round-13
+# budget). Composition: cluster_takedown + batch-sized edge discovery
+# + cluster_append, pinned == from-scratch clustering of the current
+# corpus.
+# ---------------------------------------------------------------------------
+
+
+def _upsert_fixture(spark, rows):
+    docs = _docs(spark, rows)
+    stored = dedup.neardup_clusters(docs, threshold=0.5, method="star")
+    bands = dedup.minhash_bands(dedup.minhash_signature(docs))
+    sh = dedup.shingle_sets(docs)
+    return docs, stored, bands, sh
+
+
+def _labels(df):
+    return {(r.doc_id, r.cluster_id) for r in df.collect()}
+
+
+def test_dedup_upsert_equals_rebuild_on_current_corpus(spark):
+    """Doc 11 is rewritten to leave group 1 and duplicate group 2's
+    text; doc 99 is brand-new (a dup of group 1) — one batch. The
+    upserted labeling must equal a from-scratch clustering of the
+    current corpus: group 2 absorbs 11, group 1 absorbs 99."""
+    rows = [
+        (10, "alpha beta gamma delta epsilon"),
+        (11, "alpha beta gamma delta epsilon"),
+        (12, "alpha beta gamma delta epsilon"),
+        (20, "omega psi chi phi upsilon"),
+        (21, "omega psi chi phi upsilon"),
+        (30, "a lone unique document body"),
+    ]
+    docs, stored, bands, sh = _upsert_fixture(spark, rows)
+    batch = _docs(
+        spark,
+        [(11, "omega psi chi phi upsilon"), (99, "alpha beta gamma delta epsilon")],
+    )
+    got = _labels(dedup.dedup_upsert(stored, batch, bands, sh))
+    current = docs.where(~F.col("doc_id").isin(11, 99)).unionByName(batch)
+    rebuild = _labels(dedup.neardup_clusters(current, threshold=0.5, method="star"))
+    assert got == rebuild
+    # the readable motions: 11 now labels with group 2's min (11 < 20
+    # makes it the NEW component min), 99 joins group 1 under min 10
+    assert {(11, 11), (20, 11), (21, 11), (99, 10), (10, 10), (12, 10)} == got
+
+
+def test_dedup_upsert_to_singleton_drops_row(spark):
+    """A doc rewritten to match NOTHING must vanish from the labeling
+    (singletons carry no row — the neardup_clusters convention), and
+    its old cluster must relabel without it."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta epsilon"),
+    ]
+    docs, stored, bands, sh = _upsert_fixture(spark, rows)
+    batch = _docs(spark, [(1, "completely unrelated new content body")])
+    got = _labels(dedup.dedup_upsert(stored, batch, bands, sh))
+    assert got == {(2, 2), (3, 2)}
+
+
+def test_dedup_upsert_empty_batch_is_identity(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (10, "omega psi chi phi upsilon"),
+        (11, "omega psi chi phi upsilon"),
+    ]
+    docs, stored, bands, sh = _upsert_fixture(spark, rows)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert _labels(dedup.dedup_upsert(stored, empty, bands, sh)) == _labels(stored)
+
+
+def test_dedup_upsert_replay_idempotent(spark):
+    """Re-delivering the same changed batch against the post-upsert
+    store (labels + rewritten band/shingle artifacts, as production
+    would hold them) must change nothing."""
+    rows = [
+        (10, "alpha beta gamma delta epsilon"),
+        (11, "alpha beta gamma delta epsilon"),
+        (20, "omega psi chi phi upsilon"),
+        (21, "omega psi chi phi upsilon"),
+    ]
+    docs, stored, bands, sh = _upsert_fixture(spark, rows)
+    batch = _docs(spark, [(11, "omega psi chi phi upsilon")])
+    once = dedup.dedup_upsert(stored, batch, bands, sh)
+    current = docs.where(F.col("doc_id") != 11).unionByName(batch)
+    bands2 = dedup.minhash_bands(dedup.minhash_signature(current))
+    sh2 = dedup.shingle_sets(current)
+    twice = dedup.dedup_upsert(once, batch, bands2, sh2)
+    assert _labels(twice) == _labels(once)
+
+
+@pytest.mark.parametrize("seed", [23, 41])
+def test_dedup_upsert_randomized_equals_rebuild(spark, seed):
+    """Randomized sweep: shuffled dup-group corpora, a random batch of
+    rewrites (docs moved between groups, to fresh text, or duplicated
+    into a group they never touched) plus new ids — upsert must equal
+    the from-scratch clustering of the current corpus."""
+    import random
+
+    rng = random.Random(seed)
+    groups = [f"group {g} shares these exact common words {g}" for g in range(5)]
+    rows = [(g * 10 + m, groups[g]) for g in range(5) for m in range(rng.randint(2, 4))]
+    rows += [(90 + i, f"unique stray number {i} text body piece") for i in range(3)]
+    docs, stored, bands, sh = _upsert_fixture(spark, rows)
+    all_ids = [r[0] for r in rows]
+    changed = rng.sample(all_ids, 4)
+    new_ids = [200 + i for i in range(2)]
+    batch_rows = [(i, groups[rng.randrange(5)]) for i in changed]
+    batch_rows += [(i, rng.choice(groups + ["fresh singleton text entirely new"])) for i in new_ids]
+    batch = _docs(spark, batch_rows)
+    got = _labels(dedup.dedup_upsert(stored, batch, bands, sh))
+    current = docs.where(~F.col("doc_id").isin(*(changed + new_ids))).unionByName(batch)
+    rebuild = _labels(dedup.neardup_clusters(current, threshold=0.5, method="star"))
+    assert got == rebuild
