@@ -1154,3 +1154,226 @@ def test_takedown_face_over_composed_ingest_store(spark, tmp_path):
     # card subtree untouched (refold is the separate, documented op)
     assert spark.read.parquet(f"{store}/card/scalars").collect()[0]._n == 8
     assert {(r.batch_id, r.doc_id) for r in spark.read.parquet(f"{store}/takedowns").collect()} == {(1, 3)}
+
+def test_streaming_upsert_face_rewrites_all_stores_and_is_idempotent(spark, tmp_path):
+    """The write-path sibling of the takedown face
+    (streaming/upsert.py): a re-delivery stream whose triggers drive
+    the batch upsert verbs against the shared store. Pins (a)
+    per-doc-row stores (admitted/bands/shingles) hold the batch's NEW
+    rows and none of the replaced ones, (b) the labels store after two
+    sequential triggers equals ONE from-scratch clustering of the
+    current corpus, (c) index/assign equals a frozen-centroid
+    assignment of the current vectors (upsert subsumes append: trigger
+    0 carries a brand-new id), (d) the audit ledger is
+    batch_id-tagged, and (e) a replayed trigger is a no-op on every
+    store."""
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators import dedup
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+        ivf_centroids,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.upsert import (
+        upsert_face,
+        upsert_store_batch,
+    )
+
+    rows = [
+        (10, "alpha beta gamma delta epsilon"),
+        (11, "alpha beta gamma delta epsilon"),
+        (12, "alpha beta gamma delta epsilon"),
+        (20, "omega psi chi phi upsilon"),
+        (21, "omega psi chi phi upsilon"),
+        (30, "lonely words with no duplicate here"),
+    ]
+
+    def emb(i):
+        return [float((i * 7 + d * 3) % 11) for d in range(8)]
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = spark.createDataFrame(
+        [(i, emb(i)) for i, _ in rows], "vec_id long, embedding array<double>"
+    )
+    store = str(tmp_path / "store")
+    docs.write.parquet(f"{store}/admitted")
+    dedup.minhash_bands(dedup.minhash_signature(docs)).write.parquet(f"{store}/bands")
+    dedup.shingle_sets(docs).write.parquet(f"{store}/shingles")
+    dedup.neardup_clusters(docs, method="star").write.parquet(f"{store}/labels")
+    ivf_centroids(vecs).write.parquet(f"{store}/index/centroids")
+    cents = spark.read.parquet(f"{store}/index/centroids")
+    ivf_append_assign(vecs, cents).write.parquet(f"{store}/index/assign")
+
+    # trigger 0: doc 11 rewritten into group 2's text (cluster move,
+    # re-embedded) + brand-new doc 99 duplicating group 1; trigger 1:
+    # doc 21 rewritten to a singleton
+    t0 = [
+        (11, "omega psi chi phi upsilon", emb(111)),
+        (99, "alpha beta gamma delta epsilon", emb(99)),
+    ]
+    t1 = [(21, "nothing like anything else at all", emb(121))]
+    req_dir = tmp_path / "redeliveries"
+    req_dir.mkdir()
+    schema = "doc_id long, text string, embedding array<double>"
+    spark.createDataFrame(t0, schema).coalesce(1).write.parquet(str(req_dir / "t0"))
+    spark.createDataFrame(t1, schema).coalesce(1).write.parquet(str(req_dir / "t1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(req_dir / "*"))
+    )
+    q = upsert_face(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    current_rows = [
+        (10, "alpha beta gamma delta epsilon"),
+        (11, "omega psi chi phi upsilon"),
+        (12, "alpha beta gamma delta epsilon"),
+        (20, "omega psi chi phi upsilon"),
+        (21, "nothing like anything else at all"),
+        (30, "lonely words with no duplicate here"),
+        (99, "alpha beta gamma delta epsilon"),
+    ]
+    current = spark.createDataFrame(current_rows, "doc_id long, text string")
+
+    # (a) per-doc-row stores == the current corpus's own derivations
+    got_admitted = {(r.doc_id, r.text) for r in spark.read.parquet(f"{store}/admitted").collect()}
+    assert got_admitted == set(current_rows)
+    want_bands = {
+        tuple(r)
+        for r in dedup.minhash_bands(dedup.minhash_signature(current)).collect()
+    }
+    assert {tuple(r) for r in spark.read.parquet(f"{store}/bands").collect()} == want_bands
+    want_sh = {
+        (r.doc_id, tuple(sorted(r.sh))) for r in dedup.shingle_sets(current).collect()
+    }
+    got_sh = {
+        (r.doc_id, tuple(sorted(r.sh)))
+        for r in spark.read.parquet(f"{store}/shingles").collect()
+    }
+    assert got_sh == want_sh
+
+    # (b) labels == one from-scratch clustering of the current corpus
+    got_labels = {
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(f"{store}/labels").collect()
+    }
+    want_labels = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.neardup_clusters(current, method="star").collect()
+    }
+    assert got_labels == want_labels
+    assert (21, 21) not in got_labels  # 21 became a singleton: no row
+
+    # (c) index/assign == frozen-centroid assignment of current vectors
+    cur_vecs = spark.createDataFrame(
+        [(i, emb(i)) for i in (10, 12, 20, 30)]
+        + [(11, emb(111)), (99, emb(99)), (21, emb(121))],
+        "vec_id long, embedding array<double>",
+    )
+    want_assign = {
+        (r.vec_id, r.cell, r.cell_cosine)
+        for r in ivf_append_assign(cur_vecs, cents).collect()
+    }
+    got_assign = {
+        (r.vec_id, r.cell, r.cell_cosine)
+        for r in spark.read.parquet(f"{store}/index/assign").collect()
+    }
+    assert got_assign == want_assign
+
+    # (d) audit ledger batch-tagged
+    audit = {(r.batch_id, r.doc_id) for r in spark.read.parquet(f"{store}/upserts").collect()}
+    assert audit == {(0, 11), (0, 99), (1, 21)}
+
+    # (e) replay of trigger 1 is a no-op on every store
+    def rows_of(path):
+        return {
+            tuple(tuple(sorted(x)) if isinstance(x, list) else x for x in r)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    snap = {
+        sub: rows_of(f"{store}/{sub}")
+        for sub in ("admitted", "bands", "shingles", "labels", "index/assign")
+    }
+    upsert_store_batch(spark.createDataFrame(t1, schema), 1, store)
+    for sub, want in snap.items():
+        assert rows_of(f"{store}/{sub}") == want, f"replay mutated {sub}"
+    audit2 = {
+        (r.batch_id, r.doc_id)
+        for r in spark.read.parquet(f"{store}/upserts").distinct().collect()
+    }
+    assert audit2 == {(0, 11), (0, 99), (1, 21)}
+
+def test_upsert_face_over_composed_ingest_store(spark, tmp_path):
+    """Integration of the upsert face with the composed ingest face's
+    real store layout: ingest 8 docs through the gate, then re-deliver
+    doc 3 with new text/lang/embedding. Pins that the rewrite keeps
+    the full ingest schema, replaces exactly doc 3's rows everywhere
+    (admitted text changes, bands/shingles re-derive, assign re-keys
+    against the FROZEN centroid store), and leaves the sum-fold
+    card subtree to the documented refold contract."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.composed import (
+        composed_ingest_batch,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.upsert import (
+        upsert_store_batch,
+    )
+
+    words = [f"w{i:03d}" for i in range(200)]
+
+    def row(i):
+        return (
+            i,
+            " ".join(words[20 * i : 20 * i + 20]),
+            ["en", "fr"][i % 2],
+            f"s{i % 3}",
+            [float(math.sin(0.1 * i * (d + 1)) % 1.0) for d in range(16)],
+        )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, embedding array<float>"
+    )
+    store = str(tmp_path / "store")
+    composed_ingest_batch(
+        spark.createDataFrame([row(i) for i in range(8)], schema), 0, store
+    )
+
+    new_vec = [float(math.cos(0.2 * (d + 1)) % 1.0) for d in range(16)]
+    redelivery = spark.createDataFrame(
+        [(3, " ".join(words[180:200]), "de", "s9", new_vec)], schema
+    )
+    upsert_store_batch(redelivery, 1, store)
+
+    adm = spark.read.parquet(f"{store}/admitted")
+    assert set(adm.columns) == {"doc_id", "text", "lang", "source", "embedding"}
+    got3 = adm.where("doc_id = 3").collect()
+    assert len(got3) == 1 and got3[0].lang == "de" and got3[0].text.startswith("w180")
+    assert adm.count() == 8
+    # bands/shingles re-derived for doc 3 (new text -> new shingles)
+    sh3 = spark.read.parquet(f"{store}/shingles").where("doc_id = 3").collect()
+    assert len(sh3) == 1
+    # assign: doc 3 re-assigned from its NEW vector against the frozen store
+    cents = spark.read.parquet(f"{store}/index/centroids")
+    want3 = ivf_append_assign(
+        redelivery.select(F.col("doc_id").alias("vec_id"), "embedding"), cents
+    ).collect()[0]
+    got_assign3 = (
+        spark.read.parquet(f"{store}/index/assign").where("vec_id = 3").collect()
+    )
+    assert len(got_assign3) == 1
+    assert (got_assign3[0].cell, got_assign3[0].cell_cosine) == (want3.cell, want3.cell_cosine)
+    assert spark.read.parquet(f"{store}/index/assign").count() == 8
+    # card subtree untouched (the documented sum-fold refold contract)
+    assert spark.read.parquet(f"{store}/card/scalars").collect()[0]._n == 8
+    assert {
+        (r.batch_id, r.doc_id)
+        for r in spark.read.parquet(f"{store}/upserts").collect()
+    } == {(1, 3)}
