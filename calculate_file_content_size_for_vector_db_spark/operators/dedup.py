@@ -206,6 +206,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     key: str = "doc_id",
     max_bucket_size: int | None = None,
+    bands_df: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket candidates, exact-Jaccard
     verified (>= threshold). The 100 TB path: the only shuffles are the
@@ -218,11 +220,19 @@ def minhash_lsh_pairs(
     a recall tradeoff: members of a dropped bucket can still pair via
     their other bands. None (default) keeps exact LSH semantics.
 
+    ``bands_df`` / ``shingles_df``: optional PRECOMPUTED artifacts for
+    ``df`` (minhash_bands(minhash_signature(df)) and shingle_sets(df)
+    respectively) — callers that already derived them for a store
+    rewrite (the streaming upsert face) pass them so the signature
+    pipeline is not recomputed; None derives them here.
+
     The band table self-joins (both candidate sides) and the shingle
     table feeds both verify sides; persist both so the signature
     pipeline runs once."""
-    bands = minhash_bands(
-        minhash_signature(df, text_col=text_col, key=key), key=key
+    bands = (
+        bands_df
+        if bands_df is not None
+        else minhash_bands(minhash_signature(df, text_col=text_col, key=key), key=key)
     ).persist()
     if max_bucket_size is not None:
         # window count, not a groupBy+self-join — the join form would
@@ -244,7 +254,11 @@ def minhash_lsh_pairs(
     )
     from calculate_file_content_size_for_vector_db_spark.partitioning import spread
 
-    sh = spread(df).select(F.col(key), shingles(text_col).alias("sh")).persist()
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else spread(df).select(F.col(key), shingles(text_col).alias("sh"))
+    ).persist()
     return (
         candidates.join(sh.withColumnsRenamed({key: "a_id", "sh": "sh_a"}), "a_id")
         .join(sh.withColumnsRenamed({key: "b_id", "sh": "sh_b"}), "b_id")
@@ -387,6 +401,8 @@ def incremental_neardup_pairs(
     text_col: str = "text",
     key: str = "doc_id",
     max_bucket_size: int | None = None,
+    batch_bands: DataFrame | None = None,
+    batch_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, corpus_id, jaccard): which documents of a NEW batch
     near-duplicate an EXISTING corpus document — the operation a
@@ -407,9 +423,16 @@ def incremental_neardup_pairs(
     ``max_bucket_size`` guards the corpus side exactly as in
     minhash_lsh_pairs: hub buckets (boilerplate) are dropped whole
     before the join, bounding per-bucket fanout.
+
+    ``batch_bands`` / ``batch_shingles``: optional PRECOMPUTED batch
+    artifacts (same contract as minhash_lsh_pairs' hook) — callers
+    that already derived them for a store rewrite pass them so the
+    batch signature pipeline runs once per trigger, not once per leg.
     """
-    bb = minhash_bands(
-        minhash_signature(batch, text_col=text_col, key=key), key=key
+    bb = (
+        batch_bands
+        if batch_bands is not None
+        else minhash_bands(minhash_signature(batch, text_col=text_col, key=key), key=key)
     ).withColumnRenamed(key, "new_id")
     cb = corpus_bands.withColumnRenamed(key, "corpus_id")
     if max_bucket_size is not None:
@@ -424,9 +447,9 @@ def incremental_neardup_pairs(
     candidates = (
         bb.join(cb, ["band", "band_hash"]).select("new_id", "corpus_id").distinct()
     )
-    sh_new = shingle_sets(batch, text_col, key).withColumnsRenamed(
-        {key: "new_id", "sh": "sh_new"}
-    )
+    sh_new = (
+        batch_shingles if batch_shingles is not None else shingle_sets(batch, text_col, key)
+    ).withColumnsRenamed({key: "new_id", "sh": "sh_new"})
     sh_old = corpus_shingles.withColumnsRenamed({key: "corpus_id", "sh": "sh_old"})
     return (
         candidates.join(sh_new, "new_id")
@@ -1058,6 +1081,8 @@ def dedup_upsert(
     text_col: str = "text",
     key: str = "doc_id",
     max_bucket_size: int | None = None,
+    batch_bands: DataFrame | None = None,
+    batch_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(key, cluster_id): re-ingest CHANGED documents into the stored
     near-dup cluster labeling — the upsert verb for the dedup store,
@@ -1093,9 +1118,28 @@ def dedup_upsert(
     inputs: ``changed_docs`` carries the NEW text, while
     ``corpus_bands``/``corpus_shingles`` must be the CURRENT stored
     artifacts (still containing the changed docs' OLD rows; step 2
-    excludes them). Cost at 100 TB: two store semi/anti-join scans
-    plus batch-sized signature work — the takedown and append costs,
-    composed."""
+    excludes them). ``batch_bands``/``batch_shingles``: optional
+    precomputed artifacts of the batch's NEW text, threaded into the
+    edge-discovery legs so a caller rewriting the stores anyway (the
+    streaming upsert face) pays the batch signature pipeline once.
+
+    ``max_bucket_size`` caveat: the == rebuild equality above is
+    EXACT only for max_bucket_size=None. With a cap, the three legs
+    count hub-bucket sizes over three different universes (the
+    takedown repair: all survivor rows; the incremental leg: the
+    survivor store; the within-batch leg: the batch alone), while a
+    capped from-scratch rebuild counts over the whole CURRENT corpus
+    (survivors + batch) — so a bucket that crosses the cap only when
+    batch rows are added (or only corpus-wide) is suppressed on one
+    side and not the other, and the labelings can diverge at exactly
+    those hub-bucket boundaries. Capped upsert is therefore a
+    BOUNDED-WORK mode (every leg's fanout is capped), not a pinned
+    equality — the same honest contract PLANS.md documents for the
+    capped-repair family; unify the counting universe before pinning
+    a capped oracle row.
+
+    Cost at 100 TB: two store semi/anti-join scans plus batch-sized
+    signature work — the takedown and append costs, composed."""
     changed_ids = changed_docs.select(key)
     purged = cluster_takedown(
         stored_labels,
@@ -1116,6 +1160,8 @@ def dedup_upsert(
         text_col=text_col,
         key=key,
         max_bucket_size=max_bucket_size,
+        batch_bands=batch_bands,
+        batch_shingles=batch_shingles,
     ).select(F.col("new_id").alias("src"), F.col("corpus_id").alias("dst"))
     within_batch = minhash_lsh_pairs(
         changed_docs,
@@ -1123,6 +1169,8 @@ def dedup_upsert(
         text_col=text_col,
         key=key,
         max_bucket_size=max_bucket_size,
+        bands_df=batch_bands,
+        shingles_df=batch_shingles,
     ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     return cluster_append(purged, vs_corpus.unionByName(within_batch), key=key)
 

@@ -2515,7 +2515,17 @@ def graph_upsert(
     stored lists verbatim, new ids subsume append. Exactness needs an
     EXACT stored graph (same k_graph); on an IVF-built approximate
     store the verbs still compose but the equality becomes
-    "no ghost edges + locally exact", the graph_takedown contract."""
+    "no ghost edges + locally exact", the graph_takedown contract.
+
+    Precondition: ``embeddings`` must cover EVERY node id the edge
+    store references — the survivor-edge re-scoring is two inner
+    joins against the embedding table, so an edge whose endpoint lost
+    its embedding row silently vanishes from the output (and its
+    node's list back-fills short) instead of failing. The stores are
+    maintained together by every verb here (a takedown that purges an
+    embedding row also purges its edges), so the invariant holds
+    along any supported lifecycle; a caller splicing stores from
+    different epochs must reconcile them first."""
     b_ids = batch.select(id_col)
     surv_emb = embeddings.join(F.broadcast(b_ids), id_col, "left_anti")
     current = surv_emb.select(id_col, vec_col).unionByName(

@@ -84,14 +84,24 @@ def _exists(spark, path: str) -> bool:
         return False
 
 
-def _purge_rewrite(spark, path: str, td: DataFrame, join_key: str) -> None:
+def _purge_rewrite(
+    spark, path: str, td: DataFrame, join_key: str, replacement: DataFrame | None = None
+) -> None:
     """Anti-join rewrite of one per-doc-row store through the
     crash-safe swap (survivors committed to {path}__swap before the
-    live path is touched — store_swap module docstring)."""
-    purged = spark.read.parquet(path).join(
+    live path is touched — store_swap module docstring).
+
+    ``replacement``: optional fresh rows appended after the purge —
+    the whole-row REPLACEMENT shape the upsert face shares (selected
+    in the store's own column order, so extra batch columns are
+    dropped); None keeps the pure purge."""
+    store = spark.read.parquet(path)
+    kept = store.join(
         F.broadcast(td.withColumnRenamed("doc_id", join_key)), join_key, "left_anti"
     )
-    swap_rewrite(spark, path, purged)
+    if replacement is not None:
+        kept = kept.unionByName(replacement.select(*store.columns))
+    swap_rewrite(spark, path, kept)
 
 
 def takedown_store_batch(

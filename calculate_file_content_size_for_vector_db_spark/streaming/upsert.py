@@ -16,7 +16,11 @@ face maintains:
 - ``labels/`` (optional): dedup_upsert — cluster_takedown purges +
   locally re-CCs, batch-sized edge discovery against the survivor
   artifacts, cluster_append merges; pinned == from-scratch
-  clustering of the current corpus (tests/test_dedup.py).
+  clustering of the current corpus (tests/test_dedup.py). The batch's
+  band/shingle artifacts derive ONCE per trigger and feed both the
+  edge discovery and the store rewrites. With ``max_bucket_size``
+  set, the labels leg is a bounded-work mode, not a pinned equality
+  (the counting-universe caveat in dedup_upsert's docstring).
 - ``index/assign`` (optional, when the batch carries an embedding
   column and ``index/centroids`` exists): ivf_upsert against the
   FROZEN stored centroids — upsert never retrains; staleness remains
@@ -82,20 +86,10 @@ from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import
     heal_store,
     swap_rewrite,
 )
-from calculate_file_content_size_for_vector_db_spark.streaming.takedown import _exists
-
-
-def _replace_rewrite(
-    spark, path: str, batch_rows: DataFrame, ids: DataFrame, join_key: str
-) -> None:
-    """Whole-row replacement of one per-doc-row store through the
-    crash-safe swap: survivors (anti-join on the batch ids) plus the
-    batch's fresh rows, selected in the store's own column order."""
-    store = spark.read.parquet(path)
-    kept = store.join(
-        F.broadcast(ids.withColumnRenamed("doc_id", join_key)), join_key, "left_anti"
-    )
-    swap_rewrite(spark, path, kept.unionByName(batch_rows.select(*store.columns)))
+from calculate_file_content_size_for_vector_db_spark.streaming.takedown import (
+    _exists,
+    _purge_rewrite,
+)
 
 
 def upsert_store_batch(
@@ -131,6 +125,15 @@ def upsert_store_batch(
     ids = batch.select(key).withColumnRenamed(key, "doc_id")
     for sub in ("admitted", "bands", "shingles", "labels", "index/assign"):
         heal_store(spark, f"{store_dir}/{sub}")
+    # the batch's artifacts derive ONCE per trigger (eager snapshots):
+    # they feed both edge-discovery legs of dedup_upsert AND the
+    # band/shingle store rewrites
+    fresh_bands = minhash_bands(
+        minhash_signature(batch, text_col=text_col, key=key), key=key
+    ).localCheckpoint(eager=True)
+    fresh_shingles = shingle_sets(batch, text_col=text_col, key=key).localCheckpoint(
+        eager=True
+    )
     # labels first: one consistent snapshot of labels+bands+shingles
     new_labels = None
     if _exists(spark, f"{store_dir}/labels"):
@@ -143,21 +146,16 @@ def upsert_store_batch(
             text_col=text_col,
             key=key,
             max_bucket_size=max_bucket_size,
+            batch_bands=fresh_bands,
+            batch_shingles=fresh_shingles,
         ).localCheckpoint(eager=True)
     if _exists(spark, f"{store_dir}/admitted"):
-        _replace_rewrite(spark, f"{store_dir}/admitted", batch, ids, key)
+        _purge_rewrite(spark, f"{store_dir}/admitted", ids, key, replacement=batch)
     if _exists(spark, f"{store_dir}/bands"):
-        fresh_bands = minhash_bands(
-            minhash_signature(batch, text_col=text_col, key=key), key=key
-        )
-        _replace_rewrite(spark, f"{store_dir}/bands", fresh_bands, ids, key)
+        _purge_rewrite(spark, f"{store_dir}/bands", ids, key, replacement=fresh_bands)
     if _exists(spark, f"{store_dir}/shingles"):
-        _replace_rewrite(
-            spark,
-            f"{store_dir}/shingles",
-            shingle_sets(batch, text_col=text_col, key=key),
-            ids,
-            key,
+        _purge_rewrite(
+            spark, f"{store_dir}/shingles", ids, key, replacement=fresh_shingles
         )
     if new_labels is not None:
         swap_rewrite(spark, f"{store_dir}/labels", new_labels)
