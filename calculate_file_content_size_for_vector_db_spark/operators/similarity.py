@@ -1645,6 +1645,7 @@ def topk_maxsim(
     doc_tokens: DataFrame,
     query_tokens: DataFrame,
     k: int = 5,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, maxsim, rank): MULTI-VECTOR (late-
     interaction) retrieval — ColBERT's MaxSim (Khattab & Zaharia
@@ -1671,11 +1672,20 @@ def topk_maxsim(
     QUERY token, union the hit docs, then exact-MaxSim only those) —
     the scoring stages here are unchanged by that swap. Determinism:
     token cosine rounded to 6 before the max, the sum of maxes
-    rounded to 6, ties (maxsim desc, doc_id asc)."""
+    rounded to 6, ties (maxsim desc, doc_id asc).
+
+    ``candidate_filter``: optional metadata predicate on the doc-token
+    side only — PRE-filter semantics (the topk_bruteforce contract):
+    the scan is restricted BEFORE scoring, so the result is the true
+    MaxSim top-k of the filtered corpus; queries are never filtered.
+    This is the exact baseline the filtered multi-vector tier
+    measures against, completing the filtered matrix
+    (brute/IVF/IVF-stored/SQ8/PQ/graph + MaxSim)."""
     q = query_tokens.select(
         F.col("query_id"), F.col("tok").alias("_qtok"), as_double("tv").alias("_qv")
     )
-    d = doc_tokens.select(
+    d_base = doc_tokens if candidate_filter is None else doc_tokens.where(candidate_filter)
+    d = d_base.select(
         F.col("doc_id"), as_double("tv").alias("_dv")
     )
     per_qtok = (
@@ -1819,6 +1829,7 @@ def topk_maxsim_from_index(
     k: int = 5,
     probes: int = 2,
     tokens_per_doc: int = 4,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, maxsim, rank): serve MaxSim from the STORED
     token index — the read half of the multi-vector lifecycle, split
@@ -1832,7 +1843,18 @@ def topk_maxsim_from_index(
     (queries x corpus) token product never materializes, and the
     serve path touches no training. Determinism matches topk_maxsim:
     cosine rounded to 6 before the max, sum rounded to 6, ties
-    (maxsim desc, doc_id asc)."""
+    (maxsim desc, doc_id asc).
+
+    ``candidate_filter``: optional metadata predicate on the stored
+    token index — PRE-filter semantics, applied BEFORE candidate
+    generation AND rescoring, so the served ranking is the
+    PLAID-pruned top-k of the FILTERED corpus (a post-filtered
+    unfiltered shortlist instead starves at selectivity s — the same
+    argument as every other filtered tier). Declarative, so Catalyst
+    pushes it into the stored index's parquet scan next to the cell
+    equi-join; full-probe composition == topk_maxsim with the same
+    filter (test-pinned)."""
+    idx = token_index if candidate_filter is None else token_index.where(candidate_filter)
     qt = query_tokens.select(
         (F.col("query_id") * tokens_per_doc + F.col("tok")).alias("_tid"),
         "query_id",
@@ -1844,14 +1866,14 @@ def topk_maxsim_from_index(
     )
     cand = (
         qcells.select("query_id", "cell")
-        .join(token_index.select("doc_id", "cell"), "cell")
+        .join(idx.select("doc_id", "cell"), "cell")
         .where(F.col("query_id") != F.col("doc_id"))
         .select("query_id", "doc_id")
         .distinct()
     )
     per_qtok = (
         cand.join(qt.select("query_id", "_qtok", F.col("v").alias("_qv")), "query_id")
-        .join(token_index.select("doc_id", F.col("tv").alias("_dv")), "doc_id")
+        .join(idx.select("doc_id", F.col("tv").alias("_dv")), "doc_id")
         .groupBy("query_id", "doc_id", "_qtok")
         .agg(F.max(cosine(F.col("_qv"), F.col("_dv"))).alias("_m"))
     )

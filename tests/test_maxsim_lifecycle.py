@@ -258,3 +258,80 @@ def test_maxsim_upsert_randomized_sequence_equals_rebuild(spark, seed):
     cents.unpersist()
     store.unpersist()
     after1.unpersist()
+
+def test_maxsim_filtered_prefilter_semantics(spark):
+    """candidate_filter on the multi-vector tier: crafted corpus where
+    the query's nearest docs all FAIL the predicate, so post-filtering
+    an unfiltered top-k would starve while the pre-filter serves the
+    true top-k of the filtered corpus. Pins (a) brute filtered MaxSim
+    == MaxSim over the manually filtered corpus, (b) the full-probe
+    filtered serve from the stored index == the brute filtered
+    ranking, (c) only matching docs are served."""
+    A, B, C = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]
+    AB = [0.707107, 0.707107, 0.0]
+    # query doc 0 = {A, B}; docs 1-3 match it perfectly but are
+    # EXCLUDED by the predicate (doc_id >= 10); docs 10-12 match
+    # partially and pass
+    toks = spark.createDataFrame(
+        [
+            (0, 0, A), (0, 1, B),
+            (1, 0, A), (1, 1, B),
+            (2, 0, A), (2, 1, B),
+            (3, 0, A), (3, 1, B),
+            (10, 0, A), (10, 1, C),
+            (11, 0, AB), (11, 1, AB),
+            (12, 0, C), (12, 1, C),
+        ],
+        "doc_id long, tok int, tv array<double>",
+    )
+    q = toks.where("doc_id = 0").withColumnRenamed("doc_id", "query_id")
+    flt = F.col("doc_id") >= 10
+
+    brute = {
+        r.doc_id: (r.maxsim, r.rank)
+        for r in sim.topk_maxsim(toks, q, k=3, candidate_filter=flt).collect()
+    }
+    manual = {
+        r.doc_id: (r.maxsim, r.rank)
+        for r in sim.topk_maxsim(toks.where(flt), q, k=3).collect()
+    }
+    assert brute == manual
+    assert set(brute) == {10, 11, 12}  # pre-filter never starves
+    # 10: max(A.A, A.C)=1 + max(B.A, B.C)=0 -> 1.0
+    # 11: 0.707107 + 0.707107 -> 1.414214; 12: 0.0
+    assert brute[11] == (1.414214, 1)
+    assert brute[10] == (1.0, 2)
+    assert brute[12] == (0.0, 3)
+
+    cents = _frozen_cents(toks, n_cells=4).persist()
+    cents.count()
+    index = sim.maxsim_token_index(toks, cents)
+    served = {
+        r.doc_id: (r.maxsim, r.rank)
+        for r in sim.topk_maxsim_from_index(
+            index, q, cents, k=3, probes=4, candidate_filter=flt
+        ).collect()
+    }
+    assert served == brute  # full probes: filtered serve == filtered brute
+    cents.unpersist()
+
+
+def test_maxsim_filtered_empty_match_serves_nothing(spark):
+    """Edge input: a predicate matching no doc serves zero rows on
+    both the brute and stored paths (the honest empty result, not an
+    unfiltered fallback)."""
+    toks = _token_bags(spark, n_docs=20).persist()
+    qt = toks.where("doc_id < 3").withColumnRenamed("doc_id", "query_id")
+    flt = F.col("doc_id") < 0
+    assert sim.topk_maxsim(toks, qt, k=5, candidate_filter=flt).count() == 0
+    cents = _frozen_cents(toks).persist()
+    cents.count()
+    index = sim.maxsim_token_index(toks, cents)
+    assert (
+        sim.topk_maxsim_from_index(
+            index, qt, cents, k=5, probes=2, candidate_filter=flt
+        ).count()
+        == 0
+    )
+    toks.unpersist()
+    cents.unpersist()
