@@ -789,3 +789,21 @@ def test_graph_upsert_randomized_equals_rebuild(spark, seed):
     current = base.where(~F.col("vec_id").isin(*changed_ids)).unionByName(batch)
     rebuilt = topk_grid(current, current, k=4).select("query_id", "neighbor_id")
     assert _pairs(up) == _pairs(rebuilt)
+
+def test_graph_upsert_whole_corpus_reembedding_equals_fresh_build(spark, bridge_emb, bridge_edges):
+    """The batch == corpus limit (a model upgrade re-embeds
+    EVERYTHING): upsert must degrade gracefully to a fresh build —
+    the survivor graph is empty, every list comes from the batch
+    legs, and the output equals topk_grid over the new vectors alone."""
+    rotated = bridge_emb.select(
+        "vec_id",
+        F.array(F.element_at("embedding", 2) * -1.0, F.element_at("embedding", 1)).alias(
+            "embedding"
+        ),
+    )
+    up = graph_upsert(bridge_edges, rotated, bridge_emb, k_graph=2)
+    rebuilt = topk_grid(rotated, rotated, k=2).select("query_id", "neighbor_id")
+    assert _pairs(up) == _pairs(rebuilt)
+    # a global rotation preserves all pairwise angles: the fresh build
+    # equals the original stored graph, making the check readable
+    assert _pairs(up) == _pairs(bridge_edges)
