@@ -1377,3 +1377,40 @@ def test_upsert_face_over_composed_ingest_store(spark, tmp_path):
         (r.batch_id, r.doc_id)
         for r in spark.read.parquet(f"{store}/upserts").collect()
     } == {(1, 3)}
+
+def test_upsert_face_duplicate_deliveries_in_one_trigger_deterministic(spark, tmp_path):
+    """Two deliveries of the SAME doc inside one trigger collapse to
+    one row picked deterministically (max over the non-key columns as
+    a struct — batch frames carry no row order), and replaying the
+    trigger makes the same pick: the store ends with exactly one row
+    for the doc, equal across runs."""
+    from calculate_file_content_size_for_vector_db_spark.streaming.upsert import (
+        upsert_store_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "original text one"), (2, "original text two")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    docs.write.parquet(f"{store}/admitted")
+
+    dup = spark.createDataFrame(
+        [(1, "candidate a rewrite"), (1, "candidate b rewrite")],
+        "doc_id long, text string",
+    ).repartition(2)
+    upsert_store_batch(dup, 0, store)
+    got1 = spark.read.parquet(f"{store}/admitted").where("doc_id = 1").collect()
+    assert len(got1) == 1
+    # max-over-struct pick: 'candidate b rewrite' > 'candidate a rewrite'
+    assert got1[0].text == "candidate b rewrite"
+    assert spark.read.parquet(f"{store}/admitted").count() == 2
+
+    # replay with the rows in reversed order/partitioning: same pick
+    dup2 = spark.createDataFrame(
+        [(1, "candidate b rewrite"), (1, "candidate a rewrite")],
+        "doc_id long, text string",
+    ).repartition(3)
+    upsert_store_batch(dup2, 0, store)
+    got2 = spark.read.parquet(f"{store}/admitted").where("doc_id = 1").collect()
+    assert len(got2) == 1 and got2[0].text == "candidate b rewrite"
