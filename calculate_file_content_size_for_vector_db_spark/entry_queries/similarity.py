@@ -1495,9 +1495,12 @@ def knn_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
 
     emb = _emb(spark, sf_dir)
+    # persist: the iterative chain back-references the edge frame once
+    # per round, and an unpersisted lazy build re-runs the topk_grid
+    # block-matmul each time (the topk_graph persist fix, same class)
     edges = topk_grid(emb, emb, k=3).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    ).persist()
     return pagerank(edges, emb.select(F.col("vec_id").alias("node"))).select(
         F.col("node").alias("vec_id"), "pagerank_micro"
     )
@@ -1724,9 +1727,12 @@ def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
 
     emb = _emb(spark, sf_dir)
+    # persist: the iterative chain back-references the edge frame once
+    # per round, and an unpersisted lazy build re-runs the topk_grid
+    # block-matmul each time (the topk_graph persist fix, same class)
     edges = topk_grid(emb, emb, k=3).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    ).persist()
     seeds = emb.where(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("node"), "label"
     )
@@ -2258,9 +2264,12 @@ def knn_clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_grid
 
     emb = _emb(spark, sf_dir)
+    # persist: the iterative chain back-references the edge frame once
+    # per round, and an unpersisted lazy build re-runs the topk_grid
+    # block-matmul each time (the topk_graph persist fix, same class)
     edges = topk_grid(emb, emb, k=3).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    ).persist()
     return clustering_coefficients(edges, emb.select(F.col("vec_id").alias("node"))).select(
         F.col("node").alias("vec_id"), "degree", "triangles", "clustering_coeff"
     )
@@ -2677,7 +2686,9 @@ def graph_ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb, q, exact = _recall_queries(spark, sf_dir)
-    edges = knn_graph_ivf(emb)
+    # persist: each beam hop back-references the edge frame; unpersisted,
+    # the whole IVF build (kmeans included) re-ran once per hop
+    edges = knn_graph_ivf(emb).persist()
     return recall_vs_exact(
         exact, topk_graph(emb, q, k=_RECALL_K, hops=_GRAPH_HOPS, edges=edges)
     )
