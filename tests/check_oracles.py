@@ -65,6 +65,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
         dt = time.time() - t0
+        # drop every frame the row persisted (several operators persist
+        # internal artifacts per call — bands/shingles, edge stores):
+        # without this the cache accumulates across all ~273 rows, and
+        # late rows pay eviction/GC pressure for early rows' leftovers
+        # (the same per-op hygiene tools/scale_check.py applies)
+        spark.catalog.clearCache()
         tag = "no-oracle" if q.oracle is None else "oracle"
         rows[name] = {
             "status": ("fail" if problems else ("green_rows_only" if q.oracle is None else "green")),
