@@ -65,77 +65,27 @@ from calculate_file_content_size_for_vector_db_spark.entry_queries import (  # n
 # rounds even if the driver caps or timeboxes its sweep.
 # ---------------------------------------------------------------------------
 
-# Round-12 window. Steady-state policy (SURVEY.md §5.1, declared r10,
+# Round-13 window. Steady-state policy (SURVEY.md §5.1, declared r10,
 # rebuilt per-round by tools/verify_window.py from the committed
 # CORRECTNESS_r*.json history): (1) queries never driver-checked --
 # this round's registrations, budget <=10/round -- then (2) the
 # driver-checked cohorts, OLDEST latest-round first, whole cohorts
-# only. After r11 the oldest cohorts are the 13-row r06 spill and the
-# 50-row r07 cohort: 63 rows against a ~50-row driver cap, so any
-# spill lands on the r07 tail and leads r13's window per policy.
-# Round-12 registrations are prepended to section 0 as they land.
+# only. After r12 the oldest cohorts are the 23-row r07-stale spill
+# and the 50-row r08 cohort: 73 rows against a ~50-row driver cap,
+# so any spill lands on the r08 tail and leads r14's window per
+# policy. Round-13 registrations are prepended to section 0.
 
 # The round this window was built FOR: the lists below were rebuilt
 # from the r01..r{N-1} CORRECTNESS history at the start of round N.
 # tests/test_registry_inventory.py uses this to SKIP (not fail) the
 # policy check once the driver drops CORRECTNESS_r{N}.json — the
 # skip message is the r{N+1} rebuild reminder (ADVICE r11 item 4).
-_WINDOW_BUILT_FOR_ROUND = 12
+_WINDOW_BUILT_FOR_ROUND = 13
 
 _VERIFY_FIRST = [
     # --- 0. registered this round (never driver-checked) ---
-    "sim_topk_graph_filtered",  # ACORN-style expand-then-filter on the graph beam
-    "sim_topk_sq8_filtered",  # pre-filter semi-join on the int8 code table
-    "sim_ivf_upsert",  # takedown+append composed == rebuild; replayed twice in-row
-    "drift_takedown_refold",  # sum-fold refold for the drift marginal store
-    "sim_topk_maxsim",  # ColBERT-style late-interaction MaxSim over token bags
-    "graph_filtered_recall_at_10",  # filtered-beam recall vs exact filtered top-k
-    "sim_topk_maxsim_ivf",  # PLAID-style IVF-bucketed MaxSim (the scale path)
-    "maxsim_ivf_recall_at_10",  # the new family's recall-matrix row
-    "sim_topk_ivf_stored_filtered",  # filtered serve from the parquet-backed index
-    "sim_topk_pq_filtered",  # pre-filter semi-join on the PQ code table before ADC
-    # --- 1. r06 cohort (13 rows -- the r11 window's spill) ---
-    "multimodal_phash_dedup",
-    "multimodal_resize",
-    "sim_topk_matryoshka",
-    "matryoshka_recall_at_10",
-    "knn_label_propagation",
-    "heavy_hitters_cms",
-    "dedup_containment",
-    "text_bigram_lm",
-    "minhash_jaccard_estimate",
-    "sim_topk_int8",
-    "int8_recall_at_10",
-    "bm25_search",
-    "hybrid_search_rrf",
-    # --- 2. r07 cohort (50 rows) ---
-    "ann_frontier",
-    "part_unpivot",
-    "salted_event_counts",
-    "cdc_upsert",
-    "grouping_sets_lang_source",
-    "events_json_struct",
-    "fuzzy_source_match",
-    "orders_moving_avg",
-    "tpch_q6",
-    "late_shipment_orders",
-    "above_avg_customers",
-    "vocabulary",
-    "tfidf_top_terms",
-    "train_test_split",
-    "events_props_map",
-    "orders_window_stats",
-    "lineitem_stats",
-    "grouped_percentiles",
-    "value_histogram",
-    "richest_customer_per_nation",
-    "zscore_by_lang",
-    "char_entropy",
-    "training_shard_order",
-    "orc_source",
-    "mix_temperature_recipe",
-    "text_readability",
-    "bpe_top_pairs",
+    # (r13 registrations are prepended here as they land)
+    # --- r07 cohort (23 rows) ---
     "zorder_layout",
     "embedding_dim_stats",
     "label_centroid_quality",
@@ -159,11 +109,6 @@ _VERIFY_FIRST = [
     "quality_classifier_score",
     "leakage_safe_split",
     "dedup_pair_quality",
-]
-
-# Everything beyond the verification window: the r08..r11 cohorts,
-# oldest first, canonical registry order within each cohort.
-_REST_ORDER = [
     # --- r08 cohort (50 rows) ---
     "dedup_bloom_prefilter",
     "dedup_bloom_append",
@@ -215,6 +160,9 @@ _REST_ORDER = [
     "hll_overlap_sources",
     "dedup_ngram_prefix",
     "sim_topk_graph_stored",
+]
+
+_REST_ORDER = [
     # --- r09 cohort (50 rows) ---
     "dedup_canonical",
     "embedding_pca_power",
@@ -368,6 +316,57 @@ _REST_ORDER = [
     "approx_percentile_error",
     "curation_pipeline",
     "dedup_span_rewrite",
+    # --- r12 cohort (50 rows) ---
+    "sim_topk_graph_filtered",
+    "sim_topk_sq8_filtered",
+    "sim_ivf_upsert",
+    "drift_takedown_refold",
+    "sim_topk_maxsim",
+    "graph_filtered_recall_at_10",
+    "sim_topk_maxsim_ivf",
+    "maxsim_ivf_recall_at_10",
+    "sim_topk_ivf_stored_filtered",
+    "sim_topk_pq_filtered",
+    "multimodal_phash_dedup",
+    "multimodal_resize",
+    "sim_topk_matryoshka",
+    "matryoshka_recall_at_10",
+    "knn_label_propagation",
+    "heavy_hitters_cms",
+    "dedup_containment",
+    "text_bigram_lm",
+    "minhash_jaccard_estimate",
+    "sim_topk_int8",
+    "int8_recall_at_10",
+    "bm25_search",
+    "hybrid_search_rrf",
+    "ann_frontier",
+    "part_unpivot",
+    "salted_event_counts",
+    "cdc_upsert",
+    "grouping_sets_lang_source",
+    "events_json_struct",
+    "fuzzy_source_match",
+    "orders_moving_avg",
+    "tpch_q6",
+    "late_shipment_orders",
+    "above_avg_customers",
+    "vocabulary",
+    "tfidf_top_terms",
+    "train_test_split",
+    "events_props_map",
+    "orders_window_stats",
+    "lineitem_stats",
+    "grouped_percentiles",
+    "value_histogram",
+    "richest_customer_per_nation",
+    "zscore_by_lang",
+    "char_entropy",
+    "training_shard_order",
+    "orc_source",
+    "mix_temperature_recipe",
+    "text_readability",
+    "bpe_top_pairs",
 ]
 
 # Unconditional (not `assert` — must survive `python -O`): a query
