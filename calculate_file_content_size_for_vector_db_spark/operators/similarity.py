@@ -307,10 +307,13 @@ IVF_ITERS = 3
 
 
 def _assign_to(
-    vectors: DataFrame, centroids: DataFrame, id_col: str
+    vectors: DataFrame, centroids: DataFrame, id_col: str, keep: tuple = ()
 ) -> DataFrame:
-    """(id, cell, cell_cosine): nearest centroid by rounded cosine,
-    ties -> smallest cell id.
+    """(id, *keep, cell, cell_cosine): nearest centroid by rounded
+    cosine, ties -> smallest cell id. ``keep`` columns pass through
+    untouched — callers with composite keys (e.g. token bags keyed
+    (doc_id, tok)) carry the extra key columns here instead of
+    packing a collision-prone synthetic id and joining back.
 
     Shuffle-free: the k centroids are packed into ONE broadcast row and
     the argmax runs as a higher-order array_max per vector — a narrow
@@ -330,9 +333,10 @@ def _assign_to(
     )
     return (
         vectors.crossJoin(F.broadcast(packed))
-        .select(F.col(id_col), best.alias("best"))
+        .select(F.col(id_col), *[F.col(c) for c in keep], best.alias("best"))
         .select(
             id_col,
+            *keep,
             (-F.col("best.negcell")).cast("int").alias("cell"),
             F.col("best.cc").alias("cell_cosine"),
         )
@@ -1175,12 +1179,14 @@ def recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
 
 
 def _assign_topc(
-    vectors: DataFrame, centroids: DataFrame, id_col: str, c: int
+    vectors: DataFrame, centroids: DataFrame, id_col: str, c: int, keep: tuple = ()
 ) -> DataFrame:
-    """(id, cell): each vector's top-``c`` nearest centroids by rounded
-    cosine (ties -> smaller cell), for multi-probe search. Same packed
-    1-row broadcast as _assign_to; the per-vector sort runs over k
-    structs inside codegen, then explodes to c rows."""
+    """(id, *keep, cell): each vector's top-``c`` nearest centroids by
+    rounded cosine (ties -> smaller cell), for multi-probe search.
+    ``keep`` columns pass through untouched (composite keys, see
+    _assign_to). Same packed 1-row broadcast as _assign_to; the
+    per-vector sort runs over k structs inside codegen, then explodes
+    to c rows."""
     packed = centroids.groupBy().agg(
         F.collect_list(F.struct("cell", "centroid")).alias("cents")
     )
@@ -1195,8 +1201,8 @@ def _assign_topc(
     topc = F.slice(F.reverse(F.array_sort(scored)), 1, c)
     return (
         vectors.crossJoin(F.broadcast(packed))
-        .select(F.col(id_col), F.explode(topc).alias("b"))
-        .select(id_col, (-F.col("b.negcell")).cast("int").alias("cell"))
+        .select(F.col(id_col), *[F.col(k_) for k_ in keep], F.explode(topc).alias("b"))
+        .select(id_col, *keep, (-F.col("b.negcell")).cast("int").alias("cell"))
     )
 
 
@@ -1760,17 +1766,19 @@ def maxsim_token_index(
     at different input sizes. Per-token assignment depends only on
     the frozen centroids, so store + index(batch) == index(store's
     docs + batch's docs) exactly — the equivalence every lifecycle
-    verb below leans on."""
-    dt = doc_tokens.select(
-        (F.col("doc_id") * tokens_per_doc + F.col("tok")).alias("_tid"),
-        "doc_id",
-        "tok",
-        as_double("tv").alias("tv"),
+    verb below leans on.
+
+    ``tokens_per_doc`` is retained for signature stability with the
+    quantizer-training helper (topk_maxsim_ivf derives unique ids for
+    k-means init from it) but no longer affects assignment: the
+    token key is carried as (doc_id, tok) directly through
+    _assign_to's ``keep`` pass-through, so ragged bags with
+    tok >= tokens_per_doc can no longer collide (ADVICE r12)."""
+    del tokens_per_doc  # see docstring — assignment keys (doc_id, tok)
+    dt = doc_tokens.select("doc_id", "tok", as_double("tv").alias("v"))
+    return _assign_to(dt, stored_centroids, "doc_id", keep=("tok", "v")).select(
+        "doc_id", "tok", F.col("v").alias("tv"), "cell"
     )
-    assigned = _assign_to(
-        dt.select("_tid", F.col("tv").alias("v")), stored_centroids, "_tid"
-    ).select("_tid", "cell")
-    return dt.join(assigned, "_tid").select("doc_id", "tok", "tv", "cell")
 
 
 def maxsim_takedown(
@@ -1854,15 +1862,13 @@ def topk_maxsim_from_index(
     pushes it into the stored index's parquet scan next to the cell
     equi-join; full-probe composition == topk_maxsim with the same
     filter (test-pinned)."""
+    del tokens_per_doc  # query tokens key (query_id, _qtok) directly
     idx = token_index if candidate_filter is None else token_index.where(candidate_filter)
     qt = query_tokens.select(
-        (F.col("query_id") * tokens_per_doc + F.col("tok")).alias("_tid"),
-        "query_id",
-        F.col("tok").alias("_qtok"),
-        as_double("tv").alias("v"),
+        "query_id", F.col("tok").alias("_qtok"), as_double("tv").alias("v")
     )
-    qcells = qt.join(
-        _assign_topc(qt.select("_tid", "v"), stored_centroids, "_tid", probes), "_tid"
+    qcells = _assign_topc(
+        qt, stored_centroids, "query_id", probes, keep=("_qtok", "v")
     )
     cand = (
         qcells.select("query_id", "cell")

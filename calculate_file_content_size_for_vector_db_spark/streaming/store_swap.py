@@ -76,3 +76,35 @@ def swap_rewrite(spark: SparkSession, path: str, df: DataFrame) -> None:
     spark.read.parquet(swap).write.mode("overwrite").parquet(path)
     fs, sp, _ = _fs(spark, swap)
     fs.delete(sp, True)
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Snapshot of the JVM's persistent-RDD id set. Both persist()
+    and localCheckpoint() register here; DataFrame.unpersist() does
+    NOT release a localCheckpoint (it only uncaches cacheManager
+    entries), so the faces release per-trigger state by diffing this
+    snapshot instead (ADVICE r12: a long-running stream otherwise
+    leaks one checkpointed batch + artifact set per trigger until
+    driver GC happens to collect them)."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+    except Exception:  # pragma: no cover - non-JVM backends
+        return set()
+
+
+def release_rdds_since(spark: SparkSession, before: set[int]) -> None:
+    """Unpersist every RDD persisted since ``before`` was snapshotted
+    (non-blocking). Run in a finally block at the end of a face
+    trigger: triggers run serially within a streaming query, so
+    everything new in the diff belongs to this trigger — the
+    trigger's localCheckpoints and the batch verbs' internal
+    persists, all of which are dead once the trigger's store writes
+    committed."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jid in jmap.keySet().toArray():
+            if int(jid) not in before:
+                jmap.get(jid).unpersist(False)
+    except Exception:  # pragma: no cover - non-JVM backends
+        pass

@@ -70,6 +70,8 @@ from pyspark.sql.streaming import StreamingQuery
 from calculate_file_content_size_for_vector_db_spark.operators.dedup import cluster_takedown
 from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
     heal_store,
+    persistent_rdd_ids,
+    release_rdds_since,
     swap_rewrite,
 )
 
@@ -128,13 +130,37 @@ def takedown_store_batch(
     replay: the ledger is caller-owned (never purged here), so a
     re-run recomputes byte-identical touched-batch partials."""
     spark = requests.sparkSession
+    # self-heal any swap a crashed prior trigger left behind BEFORE
+    # reading the stores AND before the empty-batch return (a
+    # replayed — possibly now-empty — trigger enters here first; an
+    # empty trigger must still complete an interrupted swap, ADVICE
+    # r12)
+    for sub in ("admitted", "bands", "shingles", "index/assign", "labels"):
+        heal_store(spark, f"{store_dir}/{sub}")
+    rdds_before = persistent_rdd_ids(spark)
+    try:
+        _takedown_body(
+            requests, batch_id, store_dir, threshold, max_bucket_size, admitted_ledger
+        )
+    finally:
+        # release the trigger's localCheckpoints and the batch
+        # verbs' internal persists — dead state once the store
+        # writes committed (ADVICE r12)
+        release_rdds_since(spark, rdds_before)
+
+
+def _takedown_body(
+    requests: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    threshold: float,
+    max_bucket_size: int | None,
+    admitted_ledger: DataFrame | None,
+) -> None:
+    spark = requests.sparkSession
     td = requests.select("doc_id").distinct().localCheckpoint(eager=True)
     if td.count() == 0:
         return
-    # self-heal any swap a crashed prior trigger left behind BEFORE
-    # reading the stores (a replayed trigger enters here first)
-    for sub in ("admitted", "bands", "shingles", "index/assign", "labels"):
-        heal_store(spark, f"{store_dir}/{sub}")
     for sub, key in (
         ("admitted", "doc_id"),
         ("bands", "doc_id"),

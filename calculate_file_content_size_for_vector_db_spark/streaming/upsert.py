@@ -84,6 +84,8 @@ from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
 )
 from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
     heal_store,
+    persistent_rdd_ids,
+    release_rdds_since,
     swap_rewrite,
 )
 from calculate_file_content_size_for_vector_db_spark.streaming.takedown import (
@@ -113,70 +115,101 @@ def upsert_store_batch(
     replay contract breaks; producers that need last-write-wins
     should carry an explicit version column and filter upstream."""
     spark = batch_df.sparkSession
-    rest = [c for c in batch_df.columns if c != key]
-    batch = (
-        batch_df.groupBy(key)
-        .agg(F.max(F.struct(*rest)).alias("_s"))
-        .select(key, "_s.*")
-        .localCheckpoint(eager=True)
-    )
-    if batch.count() == 0:
-        return
-    ids = batch.select(key).withColumnRenamed(key, "doc_id")
+    # self-heal BEFORE the empty-batch return (ADVICE r12): an empty
+    # trigger must still complete a crash-interrupted swap — until it
+    # does, concurrent readers see the half-written store
     for sub in ("admitted", "bands", "shingles", "labels", "index/assign"):
         heal_store(spark, f"{store_dir}/{sub}")
-    # the batch's artifacts derive ONCE per trigger (eager snapshots):
-    # they feed both edge-discovery legs of dedup_upsert AND the
-    # band/shingle store rewrites
-    fresh_bands = minhash_bands(
-        minhash_signature(batch, text_col=text_col, key=key), key=key
-    ).localCheckpoint(eager=True)
-    fresh_shingles = shingle_sets(batch, text_col=text_col, key=key).localCheckpoint(
-        eager=True
-    )
-    # labels first: one consistent snapshot of labels+bands+shingles
-    new_labels = None
-    if _exists(spark, f"{store_dir}/labels"):
-        new_labels = dedup_upsert(
-            spark.read.parquet(f"{store_dir}/labels"),
-            batch,
-            spark.read.parquet(f"{store_dir}/bands"),
-            spark.read.parquet(f"{store_dir}/shingles"),
-            threshold=threshold,
-            text_col=text_col,
-            key=key,
-            max_bucket_size=max_bucket_size,
-            batch_bands=fresh_bands,
-            batch_shingles=fresh_shingles,
+    rest = [c for c in batch_df.columns if c != key]
+    rdds_before = persistent_rdd_ids(spark)
+    try:
+        if rest:
+            batch = (
+                batch_df.groupBy(key)
+                .agg(F.max(F.struct(*rest)).alias("_s"))
+                .select(key, "_s.*")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # key-only schema: F.struct() of zero columns is an
+            # analysis error; plain distinct() is the same collapse
+            batch = batch_df.distinct().localCheckpoint(eager=True)
+        if batch.count() == 0:
+            return
+        ids = batch.select(key).withColumnRenamed(key, "doc_id")
+        # the batch's artifacts derive ONCE per trigger (eager
+        # snapshots): they feed both edge-discovery legs of
+        # dedup_upsert AND the band/shingle store rewrites
+        fresh_bands = minhash_bands(
+            minhash_signature(batch, text_col=text_col, key=key), key=key
         ).localCheckpoint(eager=True)
-    if _exists(spark, f"{store_dir}/admitted"):
-        _purge_rewrite(spark, f"{store_dir}/admitted", ids, key, replacement=batch)
-    if _exists(spark, f"{store_dir}/bands"):
-        _purge_rewrite(spark, f"{store_dir}/bands", ids, key, replacement=fresh_bands)
-    if _exists(spark, f"{store_dir}/shingles"):
-        _purge_rewrite(
-            spark, f"{store_dir}/shingles", ids, key, replacement=fresh_shingles
-        )
-    if new_labels is not None:
-        swap_rewrite(spark, f"{store_dir}/labels", new_labels)
-    if (
-        vec_col in batch.columns
-        and _exists(spark, f"{store_dir}/index/assign")
-        and _exists(spark, f"{store_dir}/index/centroids")
-    ):
-        from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
-            ivf_upsert,
-        )
+        fresh_shingles = shingle_sets(
+            batch, text_col=text_col, key=key
+        ).localCheckpoint(eager=True)
+        # labels first: one consistent snapshot of labels+bands+shingles
+        new_labels = None
+        if _exists(spark, f"{store_dir}/labels"):
+            new_labels = dedup_upsert(
+                spark.read.parquet(f"{store_dir}/labels"),
+                batch,
+                spark.read.parquet(f"{store_dir}/bands"),
+                spark.read.parquet(f"{store_dir}/shingles"),
+                threshold=threshold,
+                text_col=text_col,
+                key=key,
+                max_bucket_size=max_bucket_size,
+                batch_bands=fresh_bands,
+                batch_shingles=fresh_shingles,
+            ).localCheckpoint(eager=True)
+        if _exists(spark, f"{store_dir}/admitted"):
+            _purge_rewrite(spark, f"{store_dir}/admitted", ids, key, replacement=batch)
+        if _exists(spark, f"{store_dir}/bands"):
+            _purge_rewrite(
+                spark, f"{store_dir}/bands", ids, key, replacement=fresh_bands
+            )
+        if _exists(spark, f"{store_dir}/shingles"):
+            _purge_rewrite(
+                spark, f"{store_dir}/shingles", ids, key, replacement=fresh_shingles
+            )
+        if new_labels is not None:
+            swap_rewrite(spark, f"{store_dir}/labels", new_labels)
+        if (
+            vec_col in batch.columns
+            and _exists(spark, f"{store_dir}/index/assign")
+            and _exists(spark, f"{store_dir}/index/centroids")
+        ):
+            from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+                ivf_upsert,
+            )
 
-        upserted = ivf_upsert(
-            spark.read.parquet(f"{store_dir}/index/assign"),
-            batch.select(F.col(key).alias("vec_id"), F.col(vec_col).alias("embedding")),
-            spark.read.parquet(f"{store_dir}/index/centroids"),
-        )
-        swap_rewrite(spark, f"{store_dir}/index/assign", upserted)
-    ids.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-        "append"
-    ).parquet(f"{store_dir}/upserts")
+            # only rows that CARRY a new embedding touch the index: a
+            # mixed re-delivery (text fixed, embedding unchanged and
+            # absent) must not purge the doc's assign row and
+            # re-append a bogus null-vector assignment (ADVICE r12 —
+            # cosine coalesces null to -2.0, picking an arbitrary
+            # cell). ivf_upsert purges exactly the ids in the batch
+            # it is given, so filtering here scopes both legs.
+            vec_batch = batch.where(F.col(vec_col).isNotNull()).localCheckpoint(
+                eager=True
+            )
+            if vec_batch.count() > 0:
+                upserted = ivf_upsert(
+                    spark.read.parquet(f"{store_dir}/index/assign"),
+                    vec_batch.select(
+                        F.col(key).alias("vec_id"), F.col(vec_col).alias("embedding")
+                    ),
+                    spark.read.parquet(f"{store_dir}/index/centroids"),
+                )
+                swap_rewrite(spark, f"{store_dir}/index/assign", upserted)
+        ids.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(f"{store_dir}/upserts")
+    finally:
+        # every store write above committed (or raised) — the
+        # trigger's checkpointed frames and the verbs' internal
+        # persists are dead state a long-running stream must not
+        # accumulate (ADVICE r12)
+        release_rdds_since(spark, rdds_before)
 
 
 def upsert_face(
