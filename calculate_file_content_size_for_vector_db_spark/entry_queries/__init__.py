@@ -84,7 +84,13 @@ _WINDOW_BUILT_FOR_ROUND = 13
 
 _VERIFY_FIRST = [
     # --- 0. registered this round (never driver-checked) ---
-    # (r13 registrations are prepended here as they land)
+    "sq8_filtered_recall_at_10",  # filtered SQ8 decay vs exact filtered truth
+    "pq_filtered_recall_at_10",  # filtered PQ/ADC decay vs exact filtered truth
+    "sim_topk_maxsim_filtered",  # pre-filtered late-interaction MaxSim (exact baseline)
+    "sim_maxsim_upsert_serve",  # token-index upsert x2 + serve == rebuild-on-current-corpus
+    "sim_maxsim_takedown_serve",  # token-index purge + forgotten-bag ghost check
+    "bm25_upsert_search",  # posting-store upsert x2 + serve == rebuild-on-current-corpus
+    "dedup_upsert_relabel",  # cluster-store upsert x2 == re-cluster of the edited corpus
     # --- r07 cohort (23 rows) ---
     "zorder_layout",
     "embedding_dim_stats",

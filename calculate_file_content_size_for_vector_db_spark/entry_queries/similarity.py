@@ -2932,3 +2932,425 @@ def sim_graph_takedown_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 13 == 0).select("vec_id"),
         emb,
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 13: filtered-recall breadth for the compressed tiers (VERDICT
+# r12 item 5 — the graph tier's filtered-recall row exists; SQ8 and
+# PQ/ADC get theirs so the decay-vs-selectivity of EVERY filtered
+# tier is a measured number, not an assumption), plus the MaxSim
+# filtered row and the store-lifecycle registrations.
+# ---------------------------------------------------------------------------
+
+# The filtered ground truth: exact top-k of the FILTERED corpus
+# (topk_bruteforce candidate_filter semantics — the same fexact CTE
+# graph_filtered_recall_at_10 pins), joined against whichever
+# filtered `approx` CTE the tier under test produced.
+_SQL_FILTERED_RECALL_TAIL = f"""
+fexact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN e b ON a.vec_id <> b.vec_id
+        JOIN embeddings be ON be.vec_id = b.vec_id
+        WHERE a.vec_id < 10 AND be.label IN (2, 5)
+    ) WHERE rank <= {_RECALL_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM fexact ex
+LEFT JOIN approx ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+"""
+
+
+@register(
+    "sq8_filtered_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_INT8},
+{_sql_int8_approx(_RECALL_K, cand_pred=" AND b.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))")},
+{_SQL_FILTERED_RECALL_TAIL}
+""",
+)
+def sq8_filtered_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of FILTERED SQ8 search vs the exact FILTERED top-10
+    (VERDICT r12 item 5): quantifies what the compressed tier's
+    pre-filter semi-join costs in accuracy at this selectivity. The
+    decay mechanism differs from the graph tier's: SQ8 pre-filters
+    BEFORE the int8 shortlist, so both the 4x-k shortlist and the
+    exact rerank already rank the true filtered corpus — recall can
+    only be lost to int8 rounding inside the shortlist stage (the
+    same loss the unfiltered int8_recall_at_10 row measures), never
+    to candidate starvation. Expected: recall at-or-near the
+    unfiltered SQ8 row — the number that certifies the semi-join
+    design against the post-filter alternative, whose expectation is
+    ~selectivity x rerank x k survivors."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_bruteforce,
+        topk_int8,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10)
+    flt = F.col("label").isin(2, 5)
+    exact = topk_bruteforce(emb, q, k=_RECALL_K, candidate_filter=flt)
+    approx = topk_int8(emb, q, k=_RECALL_K, rerank=4, candidate_filter=flt)
+    return recall_vs_exact(exact, approx)
+
+
+@register(
+    "pq_filtered_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM codes co
+    JOIN embeddings be ON be.vec_id = co.vec_id
+    JOIN lut l ON co.sub = l.sub AND co.code = l.code
+    WHERE co.vec_id <> l.query_id AND be.label IN (2, 5)
+    GROUP BY l.query_id, co.vec_id
+),
+{_SQL_ADC_TOPK},
+{_SQL_FILTERED_RECALL_TAIL}
+""",
+)
+def pq_filtered_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of FILTERED PQ/ADC search vs the exact FILTERED
+    top-10 — the PQ twin of sq8_filtered_recall_at_10, closing the
+    filtered-recall matrix for the compressed tiers. Same pre-filter
+    argument (the predicate semi-joins the code table, so the ADC
+    aggregation ranks the true filtered corpus; the codebooks still
+    train on the FULL corpus — a filter selects candidates, never
+    retrains), but the loss channel is ADC quantization distortion
+    with NO exact-rerank stage to repair it, so this row is expected
+    to sit at-or-near the unfiltered pq_recall_at_10 number and
+    BELOW the SQ8 filtered row — the per-tier decay ordering
+    FRONTIER.md's filtered columns record."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_topk,
+        recall_vs_exact,
+        topk_bruteforce,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10)
+    flt = F.col("label").isin(2, 5)
+    exact = topk_bruteforce(emb, q, k=_RECALL_K, candidate_filter=flt)
+    approx = pq_topk(emb, q, topk=_RECALL_K, candidate_filter=flt)
+    return recall_vs_exact(exact, approx)
+
+
+@register(
+    "sim_topk_maxsim_filtered",
+    f"""
+WITH {_SQL_EMB},
+dt AS (
+    SELECT vec_id, t.tok AS tok, v[16 * t.tok + 1 : 16 * t.tok + 16] AS tv
+    FROM e, (SELECT unnest(range(0, 4)) AS tok) t
+),
+m AS (
+    SELECT q.vec_id AS query_id, d.vec_id AS doc_id, q.tok AS qtok,
+           max(round(list_cosine_similarity(q.tv, d.tv), 6)) AS mx
+    FROM dt q JOIN dt d ON q.vec_id <> d.vec_id
+    JOIN embeddings be ON be.vec_id = d.vec_id
+    WHERE q.vec_id < 10 AND be.label IN (2, 5)
+    GROUP BY 1, 2, 3
+),
+pair AS (
+    SELECT query_id, doc_id, round(sum(mx), 6) AS maxsim
+    FROM m GROUP BY 1, 2
+)
+SELECT query_id, doc_id, maxsim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS INT) AS rank
+    FROM pair
+) WHERE rank <= 5
+""",
+)
+def sim_topk_maxsim_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED multi-vector retrieval — MaxSim under a metadata
+    predicate, completing the filtered matrix across every tier
+    (brute / IVF / IVF-stored / SQ8 / PQ / graph / MaxSim). PRE-filter
+    semantics on the DOC-TOKEN side: the predicate restricts the
+    doc-token scan BEFORE the per-query-token max and the per-pair
+    sum, so the served ranking is the true MaxSim top-k of the
+    FILTERED corpus — a post-filtered unfiltered shortlist instead
+    starves at selectivity s, the same argument as every other
+    filtered tier. Queries are never filtered. Declarative predicate
+    (a label equi-semi-join on the token table), so at 100 TB it
+    pushes into the stored token index's parquet scan next to the
+    cell equi-join — the PLAID scale path accepts the same filter via
+    topk_maxsim_from_index's candidate_filter (full-probe composition
+    == this row, pinned in tests/test_maxsim_lifecycle.py)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_maxsim
+
+    emb = _emb(spark, sf_dir)
+    tok = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
+                    for t in range(4)
+                ]
+            )
+        ).alias("tok", "tv"),
+    )
+    return topk_maxsim(
+        tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv", "label"),
+        tok.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "tok", "tv"
+        ),
+        k=5,
+        candidate_filter=F.col("label").isin(2, 5),
+    )
+
+
+@register(
+    "sim_maxsim_upsert_serve",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_MAXSIM_TOKENS},
+{_sql_kmeans_chain(k=32, src="dt", tag="m", dims=16)},
+centm AS (SELECT cell, cv FROM centm3),
+ct AS (
+    SELECT e.vec_id * 4 + t.tok AS vec_id, e.vec_id AS did, t.tok AS tok,
+           (CASE WHEN e.vec_id % 13 = 0 THEN list_reverse(v) ELSE v END)
+               [16 * t.tok + 1 : 16 * t.tok + 16] AS v
+    FROM e, (SELECT unnest(range(0, 4)) AS tok) t
+),
+dassign AS (
+    SELECT did, cell FROM (
+        SELECT a.did, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM ct a, centm c
+    ) WHERE rn = 1
+),
+qcells AS (
+    SELECT did AS query_id, cell FROM (
+        SELECT a.did, a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM ct a, centm c WHERE a.did < 10
+    ) WHERE rn <= 2
+),
+cand AS (
+    SELECT DISTINCT q.query_id, d.did AS doc_id
+    FROM qcells q JOIN dassign d ON q.cell = d.cell
+    WHERE q.query_id <> d.did
+),
+m AS (
+    SELECT c.query_id, c.doc_id, q.tok AS qtok,
+           max(round(list_cosine_similarity(q.v, d.v), 6)) AS mx
+    FROM cand c
+    JOIN ct q ON q.did = c.query_id
+    JOIN ct d ON d.did = c.doc_id
+    GROUP BY 1, 2, 3
+),
+pair AS (
+    SELECT query_id, doc_id, round(sum(mx), 6) AS maxsim
+    FROM m GROUP BY 1, 2
+)
+SELECT query_id, doc_id, maxsim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS INT) AS rank
+    FROM pair
+) WHERE rank <= 5
+""",
+)
+def sim_maxsim_upsert_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT + SERVE for the MaxSim token-index store — the
+    multi-vector family joins the registered lifecycle matrix
+    (VERDICT r12 item 2; operators landed late r12, registration
+    deferred to this round's budget). Every 13th doc is re-embedded
+    (deterministically: the reversed vector, so both engines derive
+    the new token bag by slicing the reversed embedding), and
+    maxsim_upsert replaces its WHOLE token bag in the STORED index —
+    takedown + append in one plan against the FROZEN token quantizer
+    (32 cells over 16-dim token vectors, trained on the ORIGINAL
+    corpus — upsert never retrains). The upsert is applied TWICE
+    through parquet store seams (v1 -> v2 -> v3), then the CURRENT
+    corpus bags of the first 10 docs are served from the upserted
+    store via the PLAID probe-2 path, so ONE hash pins three
+    contracts at once: replay-safety (upsert twice == once), upsert
+    == index-rebuild-on-current-corpus (per-token assignment depends
+    only on the frozen centroids), and serve-from-store == inline
+    serve. The oracle rebuilds the current-corpus index declaratively
+    (assignment of the CASE-reversed token table against the
+    original-corpus kmeans chain) and serves CTE-for-CTE."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_centroids,
+        maxsim_token_index,
+        maxsim_upsert,
+        topk_maxsim_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+
+    def bags(frame, id_alias):
+        t = frame.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(
+                            F.col("embedding").cast("array<double>"), 16 * t_ + 1, 16
+                        )
+                        for t_ in range(4)
+                    ]
+                )
+            ).alias("tok", "tv"),
+        )
+        return t.select(F.col("vec_id").alias(id_alias), "tok", "tv")
+
+    dtk = bags(emb, "doc_id")
+    changed = emb.where(F.col("vec_id") % 13 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    current = emb.where(F.col("vec_id") % 13 != 0).unionByName(
+        changed.join(emb.select("vec_id", "label"), "vec_id").select(
+            "vec_id", "embedding", "label"
+        )
+    )
+    # frozen quantizer: trained ONCE on the original corpus's tokens
+    dt_train = dtk.select(
+        (F.col("doc_id") * 4 + F.col("tok")).alias("_tid"), F.col("tv").alias("v")
+    )
+    store = tempfile.mkdtemp(prefix="maxsim_upsert_")
+    ivf_centroids(dt_train, k=32, iters=3, id_col="_tid", vec_col="v").write.parquet(
+        f"{store}/centroids"
+    )
+    cents = spark.read.parquet(f"{store}/centroids")
+    maxsim_token_index(dtk, cents).write.parquet(f"{store}/index_v1")
+    for v in (1, 2):
+        maxsim_upsert(
+            spark.read.parquet(f"{store}/index_v{v}"), bags(changed, "doc_id"), cents
+        ).write.parquet(f"{store}/index_v{v + 1}")
+    return topk_maxsim_from_index(
+        spark.read.parquet(f"{store}/index_v3"),
+        bags(current.where(F.col("vec_id") < 10), "query_id"),
+        cents,
+        k=5,
+        probes=2,
+    )
+
+
+@register(
+    "sim_maxsim_takedown_serve",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_MAXSIM_TOKENS},
+{_sql_kmeans_chain(k=32, src="dt", tag="m", dims=16)},
+centm AS (SELECT cell, cv FROM centm3),
+dassign AS (
+    SELECT did, cell FROM (
+        SELECT a.did, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM dt a, centm c WHERE a.did % 13 <> 0
+    ) WHERE rn = 1
+),
+qcells AS (
+    SELECT did AS query_id, cell FROM (
+        SELECT a.did, a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM dt a, centm c WHERE a.did % 13 = 0
+    ) WHERE rn <= 2
+),
+cand AS (
+    SELECT DISTINCT q.query_id, d.did AS doc_id
+    FROM qcells q JOIN dassign d ON q.cell = d.cell
+    WHERE q.query_id <> d.did
+),
+m AS (
+    SELECT c.query_id, c.doc_id, q.tok AS qtok,
+           max(round(list_cosine_similarity(q.v, d.v), 6)) AS mx
+    FROM cand c
+    JOIN dt q ON q.did = c.query_id
+    JOIN dt d ON d.did = c.doc_id
+    GROUP BY 1, 2, 3
+),
+pair AS (
+    SELECT query_id, doc_id, round(sum(mx), 6) AS maxsim
+    FROM m GROUP BY 1, 2
+)
+SELECT query_id, doc_id, maxsim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS INT) AS rank
+    FROM pair
+) WHERE rank <= 5
+""",
+)
+def sim_maxsim_takedown_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serve-side GHOST CHECK for the MaxSim token index —
+    right-to-be-forgotten for the multi-vector store, mirroring
+    sim_ivf_takedown_serve: every 13th doc's token rows are purged
+    from the STORED index (maxsim_takedown — ONE broadcast anti-join
+    is the complete purge, since token rows are keyed by their own
+    doc; no graph-style ghost direction exists), and the FORGOTTEN
+    docs' own bags are then served as queries from the purged store.
+    A forgotten doc is the sharpest probe: a leaked token row would
+    surface the doc itself at maxsim == 4.0 (four exact-match tokens)
+    at rank 1 — maximally visible in the hash. The oracle assigns
+    only SURVIVOR tokens declaratively (serve-from-purged-store ==
+    serve-over-survivors) and probes the forgotten bags against the
+    same frozen 32-cell token quantizer, which — like every takedown
+    — never retrains."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_centroids,
+        maxsim_takedown,
+        maxsim_token_index,
+        topk_maxsim_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    tok = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
+                    for t in range(4)
+                ]
+            )
+        ).alias("tok", "tv"),
+    )
+    dtk = tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv")
+    dt_train = dtk.select(
+        (F.col("doc_id") * 4 + F.col("tok")).alias("_tid"), F.col("tv").alias("v")
+    )
+    store = tempfile.mkdtemp(prefix="maxsim_takedown_")
+    ivf_centroids(dt_train, k=32, iters=3, id_col="_tid", vec_col="v").write.parquet(
+        f"{store}/centroids"
+    )
+    cents = spark.read.parquet(f"{store}/centroids")
+    maxsim_token_index(dtk, cents).write.parquet(f"{store}/index_v1")
+    forgotten = emb.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    maxsim_takedown(
+        spark.read.parquet(f"{store}/index_v1"), forgotten
+    ).write.parquet(f"{store}/index_v2")
+    return topk_maxsim_from_index(
+        spark.read.parquet(f"{store}/index_v2"),
+        tok.where(F.col("vec_id") % 13 == 0).select(
+            F.col("vec_id").alias("query_id"), "tok", "tv"
+        ),
+        cents,
+        k=5,
+        probes=2,
+    )

@@ -624,6 +624,82 @@ def bm25_takedown_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The upsert oracle is bm25_search's CTE chain verbatim, rebased onto
+# the CURRENT corpus (every 13th doc re-delivered with deterministically
+# edited text) — the same strong purge==rebuild equivalence the takedown
+# row pins, in the replace direction.
+_SQL_BM25_CUR_CTES = (
+    "cdocs AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 "
+    "THEN text || ' spark spark hash' ELSE text END AS text FROM documents),\n"
+    + _SQL_BM25_CTES.replace("FROM documents", "FROM cdocs")
+)
+
+
+@register(
+    "bm25_upsert_search",
+    f"""
+WITH {_SQL_BM25_CUR_CTES}
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM sc QUALIFY rank <= 10
+""",
+)
+def bm25_upsert_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT for the LEXICAL posting store (VERDICT r12 item 2 — the
+    BM25 twin of sim_ivf_upsert, registered from the r12-built
+    surface): every 13th doc is RE-DELIVERED with edited text (a
+    deterministic append both engines derive: " spark spark hash",
+    which shifts tf for live query terms, so a stale posting row
+    moves scores in the hash), and textstats.postings_upsert replaces
+    its tf/dl rows as takedown + append in one plan — broadcast
+    anti-join purges, batch-only re-tokenize, and a netted meta delta
+    (−|batch| compensating partial + |batch| re-admit) appended to
+    the sum-folded meta store. The upsert is applied TWICE through
+    parquet store seams (v1 -> v2 -> v3), so one hash pins
+    replay-safety AND upsert == rebuild-on-current-corpus — a TRUE
+    equality for BM25 because df/idf/avgdl derive from tf/dl at query
+    time, never stored (the same argument as the takedown row, in the
+    replace direction). Search serves entirely from the upserted
+    store; the oracle is bm25_search's chain on the edited corpus."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        bm25_postings,
+        bm25_search,
+        postings_upsert,
+    )
+
+    docs = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="bm25_upsert_")
+    tf, dl, meta = bm25_postings(docs)
+    tf.write.parquet(f"{store}/tf_v1")
+    dl.write.parquet(f"{store}/dl_v1")
+    meta.write.parquet(f"{store}/meta")
+    changed = docs.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" spark spark hash")).alias("text")
+    )
+    for v in (1, 2):
+        tf_v, dl_v, meta_delta = postings_upsert(
+            spark.read.parquet(f"{store}/tf_v{v}"),
+            spark.read.parquet(f"{store}/dl_v{v}"),
+            changed,
+            admitted=docs,  # the ingested id universe (ids unchanged by re-delivery)
+        )
+        tf_v.write.parquet(f"{store}/tf_v{v + 1}")
+        dl_v.write.parquet(f"{store}/dl_v{v + 1}")
+        meta_delta.write.mode("append").parquet(f"{store}/meta")
+    meta_merged = spark.read.parquet(f"{store}/meta").agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    return bm25_search(
+        None,
+        _BM25_QUERIES,
+        tf_df=spark.read.parquet(f"{store}/tf_v3"),
+        dl_df=spark.read.parquet(f"{store}/dl_v3"),
+        meta_df=meta_merged,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-6 extension surface (seventh wave): lang-ID confusion matrix,
 # KS distribution-drift monitor, weekday seasonality profile

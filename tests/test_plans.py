@@ -444,6 +444,12 @@ _BNLJ_ALLOWED = {
     "sim_topk_maxsim",  # broadcast query-token bag x doc-token scan — the documented MaxSim plan shape (reviewed r12)
     "sim_topk_maxsim_ivf",  # packed-centroid assignment broadcasts + bounded candidate-pair rescore (reviewed r12)
     "maxsim_ivf_recall_at_10",  # both MaxSim shapes above composed for recall (reviewed r12)
+    "sq8_filtered_recall_at_10",  # broadcast-queries x pre-filtered int8 scan + broadcast-queries x filtered corpus exact side (reviewed r13)
+    "pq_filtered_recall_at_10",  # broadcast-queries x filtered corpus exact side; the ADC leg itself is equi-joined (reviewed r13)
+    "sim_topk_maxsim_filtered",  # sim_topk_maxsim's broadcast query-token bag over the pre-filtered doc-token scan (reviewed r13)
+    "sim_maxsim_upsert_serve",  # packed-centroid assignment broadcasts (index + query routing) + bounded candidate-pair rescore (reviewed r13)
+    "sim_maxsim_takedown_serve",  # same packed-centroid broadcasts, routing the forgotten bags over the purged store (reviewed r13)
+    "bm25_upsert_search",  # bm25_search's 1-row (N, avgdl) stats broadcast, folded from the upserted meta store (reviewed r13)
     "lsh_multiprobe_recall_at_10", "lsh_recall_at_10",
     "matryoshka_recall_at_10",  # broadcast-queries x corpus prefix scan
     "mix_balanced_recipe",
