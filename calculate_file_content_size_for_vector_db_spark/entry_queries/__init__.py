@@ -91,6 +91,7 @@ _VERIFY_FIRST = [
     "sim_maxsim_takedown_serve",  # token-index purge + forgotten-bag ghost check
     "bm25_upsert_search",  # posting-store upsert x2 + serve == rebuild-on-current-corpus
     "dedup_upsert_relabel",  # cluster-store upsert x2 == re-cluster of the edited corpus
+    "sim_graph_upsert_serve",  # IVF-candidate graph upsert x2 == declarative IVF rebuild
     # --- r07 cohort (23 rows) ---
     "zorder_layout",
     "embedding_dim_stats",

@@ -3354,3 +3354,91 @@ def sim_maxsim_takedown_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         probes=2,
     )
+
+
+@register(
+    "sim_graph_upsert_serve",
+    f"""
+WITH {_SQL_IVF},
+cur AS (
+    SELECT vec_id, v FROM e WHERE vec_id % 13 <> 0
+    UNION ALL
+    SELECT vec_id, list_reverse(v) AS v FROM e WHERE vec_id % 13 = 0
+),
+curassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM cur a, cent c
+    ) WHERE rn = 1
+),
+curg AS (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM cur a, cent c
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT ga.vec_id AS query_id, sb.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM curg ga JOIN curassign sb ON ga.cell = sb.cell AND ga.vec_id <> sb.vec_id
+    JOIN cur a ON a.vec_id = ga.vec_id JOIN cur b ON b.vec_id = sb.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 8
+""",
+)
+def sim_graph_upsert_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH upsert in its 100-TB form (VERDICT r12 item 3: the exact
+    graph_upsert's |batch| x N insertion frame is the honest baseline
+    but the wrong registered shape — this row registers the
+    IVF-candidate swap, similarity.graph_upsert_ivf, and keeps the
+    exact verb as the suite-pinned truth). The store is the
+    IVF-BUILT graph (knn_graph_ivf: each node's exact top-8 among its
+    top-2 frozen-centroid cells' members); every 13th vector is
+    re-embedded (reversed), and the upsert recomputes ONLY the
+    localized set — batch nodes, survivors holding an edge into the
+    batch, and survivors one of whose probe cells the batch's new
+    assignment touches — keeping every other list verbatim from the
+    store. That localization is a TRUE equality for the IVF graph (a
+    node's list depends only on its own probe cells and their current
+    membership), so the oracle is the DECLARATIVE from-scratch
+    knn_graph_ivf rebuild over the current corpus: frozen centroids
+    from the original-corpus kmeans chain, survivor assignment rows
+    unchanged, batch re-assigned, one cell equi-join, top-8 — no
+    O(N^2) exact-kNN CTE anywhere (the graph family's cheapest oracle
+    by far). Applied TWICE through parquet store seams so the hash
+    also pins replay-safety. Cost at 100 TB: request-sized anti-joins
+    + a cell equi-join whose left side is (batch + recompute-set)
+    rows — batch-sized times the cell width, never N x |batch|
+    (measured against the exact verb in SCALE.md's ladder)."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        graph_upsert_ivf,
+        ivf_assign,
+        ivf_centroids,
+        knn_graph_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="graph_upsert_ivf_")
+    ivf_centroids(emb).write.parquet(f"{idx}/centroids")
+    ivf_assign(emb).write.parquet(f"{idx}/assign")
+    cents = spark.read.parquet(f"{idx}/centroids")
+    assign = spark.read.parquet(f"{idx}/assign")
+    knn_graph_ivf(emb, assign=assign, centroids=cents).write.parquet(f"{idx}/edges_v1")
+    changed = emb.where(F.col("vec_id") % 13 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    for v in (1, 2):
+        graph_upsert_ivf(
+            spark.read.parquet(f"{idx}/edges_v{v}"), changed, emb, assign, cents
+        ).write.parquet(f"{idx}/edges_v{v + 1}")
+    return spark.read.parquet(f"{idx}/edges_v3")

@@ -2609,6 +2609,114 @@ def graph_upsert(
     return surv_new.unionByName(batch_lists)
 
 
+def graph_upsert_ivf(
+    edges: DataFrame,
+    batch: DataFrame,
+    embeddings: DataFrame,
+    stored_assign: DataFrame,
+    stored_centroids: DataFrame,
+    k_graph: int = 8,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_col: str = "query_id",
+    dst_col: str = "neighbor_id",
+) -> DataFrame:
+    """graph_upsert's 100-TB form — the upsert verb for the
+    IVF-BUILT graph store (knn_graph_ivf), replacing graph_upsert's
+    exact-contract |batch| x N insertion frame with cell-pruned
+    candidate generation throughout (the knn_graph_append builder
+    applied to the upsert verb; SCALE.md's documented scale swap for
+    the graph family's heaviest lifecycle op).
+
+    Contract (test-pinned): result == knn_graph_ivf REBUILT over the
+    current corpus (survivors' old vectors + the batch's new vectors)
+    against the FROZEN centroids, with the candidate-side assignment
+    = stored survivor rows + the batch's frozen-centroid
+    re-assignment. A TRUE equality — not an approximation of the
+    exact graph — because an IVF-graph node's list depends only on
+    (its own probe cells, which derive from its unchanged vector) and
+    (the current membership of those cells):
+
+    - recompute set = survivors holding an edge INTO the batch
+      (their list loses or re-scores a member; a batch doc NOT in a
+      survivor's list can only LEAVE its candidate set, which cannot
+      change a top-k) UNION survivors one of whose probe cells the
+      batch's NEW assignment touches (their candidate set gains a
+      member). Everything else keeps its stored list verbatim — its
+      probe cells' membership is unchanged.
+    - batch lists and recompute-set lists are ONE knn_graph_ivf call
+      over the current corpus (cell equi-join, co-partitioned).
+
+    Replay-safe: the same batch twice recomputes the same sets to the
+    same values. New ids subsume append (the anti-joins drop nothing;
+    the cell join inserts them). Precondition: the store was built by
+    knn_graph_ivf with the SAME k_graph/probes/centroids/assignment
+    (on an exact store the verbs still compose, but the equality
+    becomes graph_takedown's "no ghosts + locally exact").
+
+    Cost at 100 TB: request-sized anti-joins, one narrow probe-cell
+    map over survivors, and a cell equi-join whose left side is
+    (|batch| + |recompute|) rows — with production n_cells ~ sqrt(N),
+    |recompute| ~ |batch new cells| x sqrt(N), i.e. batch-sized times
+    the cell width, never N x |batch| (graph_upsert's exact frame)."""
+    b_ids = batch.select(id_col)
+    surv_emb = embeddings.join(F.broadcast(b_ids), id_col, "left_anti")
+    cur_emb = surv_emb.select(id_col, vec_col).unionByName(
+        batch.select(id_col, vec_col)
+    )
+    surv_assign = stored_assign.select(id_col, "cell").join(
+        F.broadcast(b_ids), id_col, "left_anti"
+    )
+    batch_assign = ivf_append_assign(batch, stored_centroids, id_col, vec_col).select(
+        id_col, "cell"
+    )
+    cur_assign = surv_assign.unionByName(batch_assign)
+    # survivors whose stored list holds an edge into the batch
+    touched = (
+        edges.join(
+            F.broadcast(b_ids.withColumnRenamed(id_col, dst_col)), dst_col, "left_semi"
+        )
+        .select(F.col(src_col).alias(id_col))
+        .distinct()
+        .join(F.broadcast(b_ids), id_col, "left_anti")
+    )
+    # survivors whose probe cells gain a batch member under the NEW
+    # assignment (probe cells derive from their unchanged vectors, so
+    # one narrow packed-centroid map over the survivor scan)
+    sv = surv_emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    new_cells = batch_assign.select("cell").distinct()
+    cell_touched = (
+        _assign_topc(sv, stored_centroids, id_col, probes)
+        .join(F.broadcast(new_cells), "cell", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    recompute = touched.unionByName(cell_touched).distinct()
+    sources = (
+        surv_emb.select(id_col, vec_col)
+        .join(recompute, id_col, "left_semi")
+        .unionByName(batch.select(id_col, vec_col))
+    )
+    fresh = knn_graph_ivf(
+        sources,
+        k_graph,
+        probes,
+        id_col,
+        vec_col,
+        assign=cur_assign,
+        centroids=stored_centroids,
+        candidates=cur_emb,
+    )
+    fresh = fresh.withColumnRenamed("query_id", src_col).withColumnRenamed(
+        "neighbor_id", dst_col
+    )
+    kept = graph_takedown(edges, b_ids, src_col, dst_col, id_col).join(
+        recompute.withColumnRenamed(id_col, src_col), src_col, "left_anti"
+    )
+    return kept.unionByName(fresh.select(*kept.columns))
+
+
 def pca_power_iteration(
     embeddings: DataFrame,
     rounds: int = 3,

@@ -807,3 +807,107 @@ def test_graph_upsert_whole_corpus_reembedding_equals_fresh_build(spark, bridge_
     # a global rotation preserves all pairwise angles: the fresh build
     # equals the original stored graph, making the check readable
     assert _pairs(up) == _pairs(bridge_edges)
+
+
+# ---------------------------------------------------------------------------
+# graph_upsert_ivf — the 100-TB form of the graph upsert (round 13):
+# cell-pruned candidate generation end-to-end, pinned == knn_graph_ivf
+# rebuilt over the current corpus against the frozen quantizer.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_store(spark, base):
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        knn_graph_ivf,
+    )
+
+    cents = ivf_centroids(base).persist()
+    assign = ivf_assign(base).persist()
+    edges = knn_graph_ivf(base, k_graph=4, assign=assign, centroids=cents).persist()
+    return cents, assign, edges
+
+
+def _ivf_rebuild(current, batch, assign, cents, b_ids_col="vec_id"):
+    """The from-scratch IVF graph over the current corpus: stored
+    survivor assignment + the batch's frozen-centroid re-assignment,
+    self-graph candidates — the declarative truth the upsert must hit."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+        knn_graph_ivf,
+    )
+
+    cur_assign = (
+        assign.select("vec_id", "cell")
+        .join(batch.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(ivf_append_assign(batch, cents).select("vec_id", "cell"))
+    )
+    return knn_graph_ivf(current, k_graph=4, assign=cur_assign, centroids=cents)
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_graph_upsert_ivf_randomized_equals_ivf_rebuild(spark, seed):
+    """Random re-embedded nodes + brand-new ids against a stored
+    IVF-built graph: graph_upsert_ivf's localized recompute (edge-
+    touched survivors + probe-cells-gaining-a-member survivors) must
+    equal the full knn_graph_ivf rebuild on the current corpus —
+    including survivors kept verbatim, whose probe-cell membership
+    the batch did not touch."""
+    import random
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        graph_upsert_ivf,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    rng = random.Random(seed)
+    emb60 = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ids = sorted(r.vec_id for r in emb60.select("vec_id").limit(60).collect())
+    base_ids, new_ids = ids[:50], rng.sample(ids[50:], 3)
+    base = emb60.where(F.col("vec_id").isin(*base_ids))
+    changed_ids = rng.sample(base_ids, 5)
+    batch = emb60.where(F.col("vec_id").isin(*(changed_ids + new_ids))).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    cents, assign, edges = _ivf_store(spark, base)
+    up = graph_upsert_ivf(edges, batch, base, assign, cents, k_graph=4)
+    current = base.where(~F.col("vec_id").isin(*changed_ids)).unionByName(batch)
+    rebuilt = _ivf_rebuild(current, batch, assign, cents)
+    assert {tuple(r) for r in up.collect()} == {tuple(r) for r in rebuilt.collect()}
+
+
+def test_graph_upsert_ivf_empty_batch_is_identity(spark):
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        graph_upsert_ivf,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    base = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").limit(40)
+    cents, assign, edges = _ivf_store(spark, base)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    up = graph_upsert_ivf(edges, empty, base, assign, cents, k_graph=4)
+    assert {tuple(r) for r in up.collect()} == {tuple(r) for r in edges.collect()}
+
+
+def test_graph_upsert_ivf_replay_idempotent(spark):
+    """The same batch twice == once; the second pass sees the upserted
+    edge store (and, as in production, unchanged survivor stores — the
+    anti-joins make the stale batch rows invisible either way)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        graph_upsert_ivf,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    base = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").limit(40)
+    ids = sorted(r.vec_id for r in base.select("vec_id").collect())
+    batch = base.where(F.col("vec_id").isin(*ids[:4])).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    cents, assign, edges = _ivf_store(spark, base)
+    once = graph_upsert_ivf(edges, batch, base, assign, cents, k_graph=4).persist()
+    twice = graph_upsert_ivf(once, batch, base, assign, cents, k_graph=4)
+    assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}

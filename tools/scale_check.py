@@ -591,22 +591,47 @@ def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> di
     # frame (200 broadcast rows per corpus row) — all linear in N at
     # fixed batch, so expect ~the vector factor.
     with tempfile.TemporaryDirectory() as tmp:
-      if want("graph_upsert_fixed_batch"):
+      if want("graph_upsert_fixed_batch", "graph_upsert_ivf_fixed_batch"):
         n_cells_scaled = max(8, n_vec // 500)
+        cents_g = similarity.ivf_centroids(emb, k=n_cells_scaled)
+        assign_g = similarity.ivf_assign(emb, k=n_cells_scaled)
+        cents_g.write.parquet(f"{tmp}/gcents")
+        assign_g.write.parquet(f"{tmp}/gassign")
         similarity.knn_graph_ivf(
             emb,
-            assign=similarity.ivf_assign(emb, k=n_cells_scaled),
-            centroids=similarity.ivf_centroids(emb, k=n_cells_scaled),
-        ).select("query_id", "neighbor_id").write.parquet(f"{tmp}/edges")
+            assign=spark.read.parquet(f"{tmp}/gassign"),
+            centroids=spark.read.parquet(f"{tmp}/gcents"),
+        ).write.parquet(f"{tmp}/edges")
         changed_nodes = emb.where(F.col("vec_id") < 200).select(
             "vec_id", F.reverse("embedding").alias("embedding")
         )
-        t(
-            "graph_upsert_fixed_batch",
-            lambda: similarity.graph_upsert(
-                spark.read.parquet(f"{tmp}/edges"), changed_nodes, emb, k_graph=8
-            ),
-        )
+        if want("graph_upsert_fixed_batch"):
+            t(
+                "graph_upsert_fixed_batch",
+                lambda: similarity.graph_upsert(
+                    spark.read.parquet(f"{tmp}/edges").select(
+                        "query_id", "neighbor_id"
+                    ),
+                    changed_nodes,
+                    emb,
+                    k_graph=8,
+                ),
+            )
+        if want("graph_upsert_ivf_fixed_batch"):
+            # the REGISTERED shape (sim_graph_upsert_serve): localized
+            # recompute through the cell equi-join — expected flat-ish
+            # on the vector factor, vs the exact verb's xN frame
+            t(
+                "graph_upsert_ivf_fixed_batch",
+                lambda: similarity.graph_upsert_ivf(
+                    spark.read.parquet(f"{tmp}/edges"),
+                    changed_nodes,
+                    emb,
+                    spark.read.parquet(f"{tmp}/gassign"),
+                    spark.read.parquet(f"{tmp}/gcents"),
+                    k_graph=8,
+                ),
+            )
     return timings
 
 
