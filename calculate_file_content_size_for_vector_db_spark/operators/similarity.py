@@ -2636,17 +2636,25 @@ def graph_upsert_ivf(
     re-assignment. A TRUE equality — not an approximation of the
     exact graph — because an IVF-graph node's list depends only on
     (its own probe cells, which derive from its unchanged vector) and
-    (the current membership of those cells):
+    (the current membership of those cells). Three legs:
 
-    - recompute set = survivors holding an edge INTO the batch
-      (their list loses or re-scores a member; a batch doc NOT in a
-      survivor's list can only LEAVE its candidate set, which cannot
-      change a top-k) UNION survivors one of whose probe cells the
-      batch's NEW assignment touches (their candidate set gains a
-      member). Everything else keeps its stored list verbatim — its
-      probe cells' membership is unchanged.
-    - batch lists and recompute-set lists are ONE knn_graph_ivf call
-      over the current corpus (cell equi-join, co-partitioned).
+    1. survivors holding an edge INTO the batch: their stored list
+       loses or re-scores a member, so their lists recompute through
+       the cell equi-join over the current corpus — |touched| <=
+       k_graph x |batch| sources, request-sized. The batch's own
+       lists ride the SAME knn_graph_ivf call.
+    2. other survivors whose probe cells GAIN a batch member under
+       the new assignment: their new list is the RE-TRUNCATION of
+       (stored list, cosines reused verbatim) UNION (the entering
+       batch members, scored) — exact because no stored-list member
+       left their candidate set (a leaver in the list would put them
+       in leg 1; a leaver below the list cannot change a top-k), the
+       same add-candidates-to-an-exact-list argument as
+       graph_upsert's piece 3, localized to cells. Vector math only
+       on the entering (survivor, batch) pairs: |batch| x cell-width
+       x probes rows, never a per-survivor candidate rescan.
+    3. everyone else keeps their stored rows verbatim — their probe
+       cells' membership is unchanged.
 
     Replay-safe: the same batch twice recomputes the same sets to the
     same values. New ids subsume append (the anti-joins drop nothing;
@@ -2655,11 +2663,11 @@ def graph_upsert_ivf(
     (on an exact store the verbs still compose, but the equality
     becomes graph_takedown's "no ghosts + locally exact").
 
-    Cost at 100 TB: request-sized anti-joins, one narrow probe-cell
-    map over survivors, and a cell equi-join whose left side is
-    (|batch| + |recompute|) rows — with production n_cells ~ sqrt(N),
-    |recompute| ~ |batch new cells| x sqrt(N), i.e. batch-sized times
-    the cell width, never N x |batch| (graph_upsert's exact frame)."""
+    Cost at 100 TB: request-sized anti-joins and leg-1 recompute, one
+    narrow probe-cell map over the survivor scan, the batch-sized
+    entering-pair frame, and one window over (k_graph + entering)
+    SMALL rows per leg-2 node — a store-scan-shaped shuffle with no
+    vector math, vs graph_upsert's N x |batch| scored frame."""
     b_ids = batch.select(id_col)
     surv_emb = embeddings.join(F.broadcast(b_ids), id_col, "left_anti")
     cur_emb = surv_emb.select(id_col, vec_col).unionByName(
@@ -2672,7 +2680,7 @@ def graph_upsert_ivf(
         id_col, "cell"
     )
     cur_assign = surv_assign.unionByName(batch_assign)
-    # survivors whose stored list holds an edge into the batch
+    # leg 1: survivors whose stored list holds an edge into the batch
     touched = (
         edges.join(
             F.broadcast(b_ids.withColumnRenamed(id_col, dst_col)), dst_col, "left_semi"
@@ -2681,21 +2689,9 @@ def graph_upsert_ivf(
         .distinct()
         .join(F.broadcast(b_ids), id_col, "left_anti")
     )
-    # survivors whose probe cells gain a batch member under the NEW
-    # assignment (probe cells derive from their unchanged vectors, so
-    # one narrow packed-centroid map over the survivor scan)
-    sv = surv_emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-    new_cells = batch_assign.select("cell").distinct()
-    cell_touched = (
-        _assign_topc(sv, stored_centroids, id_col, probes)
-        .join(F.broadcast(new_cells), "cell", "left_semi")
-        .select(id_col)
-        .distinct()
-    )
-    recompute = touched.unionByName(cell_touched).distinct()
     sources = (
         surv_emb.select(id_col, vec_col)
-        .join(recompute, id_col, "left_semi")
+        .join(touched, id_col, "left_semi")
         .unionByName(batch.select(id_col, vec_col))
     )
     fresh = knn_graph_ivf(
@@ -2707,14 +2703,48 @@ def graph_upsert_ivf(
         assign=cur_assign,
         centroids=stored_centroids,
         candidates=cur_emb,
-    )
-    fresh = fresh.withColumnRenamed("query_id", src_col).withColumnRenamed(
+    ).withColumnRenamed("query_id", src_col).withColumnRenamed(
         "neighbor_id", dst_col
     )
-    kept = graph_takedown(edges, b_ids, src_col, dst_col, id_col).join(
-        recompute.withColumnRenamed(id_col, src_col), src_col, "left_anti"
+    # leg 2: survivors whose probe cells gain a batch member under the
+    # NEW assignment (probe cells derive from their unchanged vectors:
+    # one narrow packed-centroid map over the survivor scan)
+    sv = surv_emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    sprobe = _assign_topc(sv, stored_centroids, id_col, probes)
+    leg2_pairs = (
+        sprobe.join(touched, id_col, "left_anti")
+        .join(
+            batch_assign.withColumnRenamed(id_col, dst_col), "cell"
+        )
+        .select(F.col(id_col).alias(src_col), dst_col)
+        .where(F.col(src_col) != F.col(dst_col))
     )
-    return kept.unionByName(fresh.select(*kept.columns))
+    bv = batch.select(F.col(id_col).alias(dst_col), as_double(vec_col).alias("_bv"))
+    entering = leg2_pairs.join(
+        sv.select(F.col(id_col).alias(src_col), F.col("v").alias("_sv")), src_col
+    ).join(F.broadcast(bv), dst_col).select(
+        src_col, dst_col, cosine(F.col("_sv"), F.col("_bv")).alias("cosine")
+    )
+    leg2_ids = entering.select(F.col(src_col).alias(id_col)).distinct()
+    purged = graph_takedown(edges, b_ids, src_col, dst_col, id_col)
+    leg2_stored = purged.join(
+        leg2_ids.withColumnRenamed(id_col, src_col), src_col, "left_semi"
+    ).select(src_col, dst_col, "cosine")
+    w = Window.partitionBy(src_col).orderBy(F.desc("cosine"), F.asc(dst_col))
+    leg2 = (
+        leg2_stored.unionByName(entering)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k_graph)
+    )
+    # leg 3: verbatim keeps — nodes in neither recompute set
+    kept = purged.join(
+        touched.unionByName(leg2_ids).withColumnRenamed(id_col, src_col),
+        src_col,
+        "left_anti",
+    )
+    return kept.unionByName(leg2.select(*kept.columns)).unionByName(
+        fresh.select(*kept.columns)
+    )
 
 
 def pca_power_iteration(
