@@ -78,11 +78,15 @@ HEADLINE = [
     "ingest_serve_handoff",  # round 10: the heaviest composed flagship (train+store+serve handoff)
     "sim_graph_takedown_repair",  # round 11: graph purge + localized repair (the hard takedown)
     "dedup_takedown_recluster",  # round 10: stored-labeling takedown + localized re-CC
-    # Round 13: the newly registered lifecycle/filtered surface's two
-    # heaviest rows join at their baseline round (same rationale as the
+    # Round 13: the newly registered lifecycle surface's heaviest
+    # MaxSim row joins at its baseline round (same rationale as the
     # r12 additions — regressions in the newest plans must be visible
-    # round-over-round, not only in ladder runs).
-    "sim_graph_upsert_serve",  # round 13: IVF-candidate graph upsert x2 + serve
+    # round-over-round, not only in ladder runs). sim_graph_upsert_serve
+    # is deliberately NOT here: at sf0.1 it measured 33-42s of which
+    # ~30s is fixture overhead (deep unrolled-kmeans plans + five
+    # parquet roundtrips on a 2000-vector capped corpus) — noise, not
+    # signal; its per-round timing lives in the oracle sweep and its
+    # scale evidence is the FLAT isolated ladder (SCALE.md).
     "sim_maxsim_upsert_serve",  # round 13: MaxSim token-index upsert x2 + PLAID serve
 ]
 

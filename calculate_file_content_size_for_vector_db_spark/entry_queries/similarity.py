@@ -3356,10 +3356,23 @@ def sim_maxsim_takedown_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The graph-upsert fixture corpus is CAPPED at vec_id < 2000 on both
+# engines: the stored-graph BUILD pays ~2 x n_cells x (N/n_cells)^2
+# cosines, and with the oracle's kmeans chain fixed at 8 cells the
+# cell width grows with the fixture SF (at sf0.1 the uncapped build
+# alone cost 40s of bench time — measured, then capped). The capped
+# row still exercises every store seam and both upsert contracts;
+# the SCALE story is the ladder row (graph_upsert_ivf_fixed_batch,
+# production-scaled cells, FLAT x1.01), not the fixture width.
+_SQL_IVF_GCAP = _SQL_IVF.replace(
+    "FROM embeddings)", "FROM embeddings WHERE vec_id < 2000)", 1
+)
+
+
 @register(
     "sim_graph_upsert_serve",
     f"""
-WITH {_SQL_IVF},
+WITH {_SQL_IVF_GCAP},
 cur AS (
     SELECT vec_id, v FROM e WHERE vec_id % 13 <> 0
     UNION ALL
@@ -3427,7 +3440,7 @@ def sim_graph_upsert_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_graph_ivf,
     )
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 2000)
     idx = tempfile.mkdtemp(prefix="graph_upsert_ivf_")
     ivf_centroids(emb).write.parquet(f"{idx}/centroids")
     ivf_assign(emb).write.parquet(f"{idx}/assign")
