@@ -92,6 +92,8 @@ _VERIFY_FIRST = [
     "bm25_upsert_search",  # posting-store upsert x2 + serve == rebuild-on-current-corpus
     "dedup_upsert_relabel",  # cluster-store upsert x2 == re-cluster of the edited corpus
     "sim_graph_upsert_serve",  # IVF-candidate graph upsert x2 == declarative IVF rebuild
+    "sim_topk_maxsim_ivf_filtered",  # pre-filtered PLAID serve (semi-join on the token index)
+    "maxsim_filtered_recall_at_10",  # filtered PLAID decay vs exact filtered MaxSim truth
     # --- r07 cohort (23 rows) ---
     "zorder_layout",
     "embedding_dim_stats",

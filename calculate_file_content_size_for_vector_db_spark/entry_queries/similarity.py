@@ -3455,3 +3455,233 @@ def sim_graph_upsert_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(f"{idx}/edges_v{v}"), changed, emb, assign, cents
         ).write.parquet(f"{idx}/edges_v{v + 1}")
     return spark.read.parquet(f"{idx}/edges_v3")
+
+
+@register(
+    "sim_topk_maxsim_ivf_filtered",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_MAXSIM_TOKENS},
+{_sql_kmeans_chain(k=32, src="dt", tag="m", dims=16)},
+centm AS (SELECT cell, cv FROM centm3),
+dassign AS (
+    SELECT did, cell FROM (
+        SELECT a.did, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM dt a, centm c
+        WHERE a.did IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))
+    ) WHERE rn = 1
+),
+qcells AS (
+    SELECT did AS query_id, cell FROM (
+        SELECT a.did, a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM dt a, centm c WHERE a.did < 10
+    ) WHERE rn <= 2
+),
+cand AS (
+    SELECT DISTINCT q.query_id, d.did AS doc_id
+    FROM qcells q JOIN dassign d ON q.cell = d.cell
+    WHERE q.query_id <> d.did
+),
+m AS (
+    SELECT c.query_id, c.doc_id, q.tok AS qtok,
+           max(round(list_cosine_similarity(q.v, d.v), 6)) AS mx
+    FROM cand c
+    JOIN dt q ON q.did = c.query_id
+    JOIN dt d ON d.did = c.doc_id
+    GROUP BY 1, 2, 3
+),
+pair AS (
+    SELECT query_id, doc_id, round(sum(mx), 6) AS maxsim
+    FROM m GROUP BY 1, 2
+)
+SELECT query_id, doc_id, maxsim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS INT) AS rank
+    FROM pair
+) WHERE rank <= 5
+""",
+)
+def sim_topk_maxsim_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED PLAID — the metadata predicate on MaxSim's SCALE path,
+    completing the filtered matrix's last cell (the exact filtered
+    baseline registered as sim_topk_maxsim_filtered; this is the
+    stored-index serve). PRE-filter semantics in the semi-join form
+    every compressed tier uses (SQ8/PQ filter their code tables the
+    same way): the label predicate semi-joins the TOKEN INDEX before
+    candidate generation AND rescoring, so both the probed candidate
+    set and the exact-MaxSim rescore rank the true filtered corpus —
+    a post-filtered unfiltered shortlist starves at selectivity s.
+    The token quantizer still trains on the FULL corpus (a filter
+    selects candidates, it never retrains). At 100 TB the semi-join
+    rides the stored token index's parquet scan next to the cell
+    equi-join (or the label column rides the index itself and the
+    predicate pushes into the scan); the oracle restricts its
+    dassign CTE with the identical predicate."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_centroids,
+        maxsim_token_index,
+        topk_maxsim_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    tok = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
+                    for t in range(4)
+                ]
+            )
+        ).alias("tok", "tv"),
+    )
+    dtk = tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv")
+    cents = ivf_centroids(
+        dtk.select((F.col("doc_id") * 4 + F.col("tok")).alias("_tid"), F.col("tv").alias("v")),
+        k=32,
+        iters=3,
+        id_col="_tid",
+        vec_col="v",
+    )
+    match = emb.where(F.col("label").isin(2, 5)).select(F.col("vec_id").alias("doc_id"))
+    return topk_maxsim_from_index(
+        maxsim_token_index(dtk, cents).join(match, "doc_id", "left_semi"),
+        tok.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "tok", "tv"
+        ),
+        cents,
+        k=5,
+        probes=2,
+    )
+
+
+@register(
+    "maxsim_filtered_recall_at_10",
+    f"""
+WITH {_SQL_EMB},
+{_SQL_MAXSIM_TOKENS},
+{_sql_kmeans_chain(k=32, src="dt", tag="m", dims=16)},
+centm AS (SELECT cell, cv FROM centm3),
+dassign AS (
+    SELECT did, cell FROM (
+        SELECT a.did, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM dt a, centm c
+        WHERE a.did IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))
+    ) WHERE rn = 1
+),
+qcells AS (
+    SELECT did AS query_id, cell FROM (
+        SELECT a.did, a.vec_id, c.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell) AS rn
+        FROM dt a, centm c WHERE a.did < 10
+    ) WHERE rn <= 2
+),
+cand AS (
+    SELECT DISTINCT q.query_id, d.did AS doc_id
+    FROM qcells q JOIN dassign d ON q.cell = d.cell
+    WHERE q.query_id <> d.did
+),
+mi AS (
+    SELECT c.query_id, c.doc_id, q.tok AS qtok,
+           max(round(list_cosine_similarity(q.v, d.v), 6)) AS mx
+    FROM cand c
+    JOIN dt q ON q.did = c.query_id
+    JOIN dt d ON d.did = c.doc_id
+    GROUP BY 1, 2, 3
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, doc_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(sum(mx), 6) DESC, doc_id) AS rank
+        FROM mi GROUP BY query_id, doc_id
+    ) WHERE rank <= {_RECALL_K}
+),
+mb AS (
+    SELECT q.did AS query_id, d.did AS doc_id, q.tok AS qtok,
+           max(round(list_cosine_similarity(q.v, d.v), 6)) AS mx
+    FROM dt q JOIN dt d ON q.did <> d.did
+    WHERE q.did < 10
+      AND d.did IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))
+    GROUP BY 1, 2, 3
+),
+mexact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, doc_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(sum(mx), 6) DESC, doc_id) AS rank
+        FROM mb GROUP BY query_id, doc_id
+    ) WHERE rank <= {_RECALL_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(ap.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM mexact ex
+LEFT JOIN approx ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+""",
+)
+def maxsim_filtered_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of FILTERED PLAID vs the exact FILTERED MaxSim truth
+    — the multi-vector tier's entry in the filtered-recall table
+    (FRONTIER.md), completing it across every tier that serves under
+    a predicate (graph / SQ8 / PQ / MaxSim). The decay channel here
+    is candidate coverage of the FILTERED corpus: pre-filtering the
+    token index cannot starve (candidates are generated from the
+    filtered index directly), so the loss is only whichever matching
+    docs hold no token in a probed cell — probe-monotone, recovering
+    to the exact filtered ranking at full probes (test-pinned
+    composition)."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_centroids,
+        maxsim_token_index,
+        recall_vs_exact,
+        topk_maxsim,
+        topk_maxsim_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    tok = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
+                    for t in range(4)
+                ]
+            )
+        ).alias("tok", "tv"),
+    ).persist()
+    dtk = tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv", "label")
+    qtk = tok.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "tok", "tv"
+    )
+    exact = topk_maxsim(
+        dtk, qtk, k=_RECALL_K, candidate_filter=F.col("label").isin(2, 5)
+    ).withColumnRenamed("doc_id", "neighbor_id")
+    cents = ivf_centroids(
+        dtk.select((F.col("doc_id") * 4 + F.col("tok")).alias("_tid"), F.col("tv").alias("v")),
+        k=32,
+        iters=3,
+        id_col="_tid",
+        vec_col="v",
+    )
+    match = emb.where(F.col("label").isin(2, 5)).select(F.col("vec_id").alias("doc_id"))
+    approx = topk_maxsim_from_index(
+        maxsim_token_index(dtk.select("doc_id", "tok", "tv"), cents).join(
+            match, "doc_id", "left_semi"
+        ),
+        qtk,
+        cents,
+        k=_RECALL_K,
+        probes=2,
+    ).withColumnRenamed("doc_id", "neighbor_id")
+    return recall_vs_exact(exact, approx)

@@ -450,6 +450,8 @@ _BNLJ_ALLOWED = {
     "sim_maxsim_upsert_serve",  # packed-centroid assignment broadcasts (index + query routing) + bounded candidate-pair rescore (reviewed r13)
     "sim_maxsim_takedown_serve",  # same packed-centroid broadcasts, routing the forgotten bags over the purged store (reviewed r13)
     "bm25_upsert_search",  # bm25_search's 1-row (N, avgdl) stats broadcast, folded from the upserted meta store (reviewed r13)
+    "sim_topk_maxsim_ivf_filtered",  # packed-centroid assignment broadcasts over the semi-join-filtered token index (reviewed r13)
+    "maxsim_filtered_recall_at_10",  # the filtered PLAID above + broadcast query-token bag x filtered doc-token exact side (reviewed r13)
     "lsh_multiprobe_recall_at_10", "lsh_recall_at_10",
     "matryoshka_recall_at_10",  # broadcast-queries x corpus prefix scan
     "mix_balanced_recipe",
