@@ -1968,24 +1968,36 @@ def sim_topk_maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_maxsim
 
     emb = _emb(spark, sf_dir)
-    tok = emb.select(
-        "vec_id",
+    return topk_maxsim(
+        _token_bags(emb, "doc_id"),
+        _token_bags(emb.where(F.col("vec_id") < 10), "query_id"),
+        k=5,
+    )
+
+
+def _token_bags(emb, id_alias: str, with_label: bool = False):
+    """(id_alias, tok, tv[, label]): the deterministic token-bag
+    fixture every MaxSim row shares — each 64-dim embedding splits
+    into four contiguous 16-dim token vectors, the engine-side twin
+    of _SQL_MAXSIM_TOKENS (extracted after the construct reached its
+    ninth copy; any change to the bag shape must land HERE and in
+    the SQL CTE together, nowhere else)."""
+    cols = ["vec_id"] + (["label"] if with_label else [])
+    t = emb.select(
+        *cols,
         F.posexplode(
             F.array(
                 *[
-                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
-                    for t in range(4)
+                    F.slice(F.col("embedding").cast("array<double>"), 16 * i + 1, 16)
+                    for i in range(4)
                 ]
             )
         ).alias("tok", "tv"),
     )
-    return topk_maxsim(
-        tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv"),
-        tok.where(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), "tok", "tv"
-        ),
-        k=5,
+    out = [F.col("vec_id").alias(id_alias), "tok", "tv"] + (
+        ["label"] if with_label else []
     )
+    return t.select(*out)
 
 
 _SQL_MAXSIM_TOKENS = """dt AS (
@@ -2064,22 +2076,9 @@ def sim_topk_maxsim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    tok = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
-                    for t in range(4)
-                ]
-            )
-        ).alias("tok", "tv"),
-    )
     return topk_maxsim_ivf(
-        tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv"),
-        tok.where(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), "tok", "tv"
-        ),
+        _token_bags(emb, "doc_id"),
+        _token_bags(emb.where(F.col("vec_id") < 10), "query_id"),
         k=5,
         probes=2,
         n_cells=32,
@@ -2168,21 +2167,8 @@ def maxsim_ivf_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    tok = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
-                    for t in range(4)
-                ]
-            )
-        ).alias("tok", "tv"),
-    ).persist()
-    dtk = tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv")
-    qtk = tok.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "tok", "tv"
-    )
+    dtk = _token_bags(emb, "doc_id").persist()
+    qtk = dtk.where(F.col("doc_id") < 10).withColumnRenamed("doc_id", "query_id")
     exact = topk_maxsim(dtk, qtk, k=_RECALL_K).withColumnRenamed(
         "doc_id", "neighbor_id"
     )
@@ -3092,23 +3078,9 @@ def sim_topk_maxsim_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calculate_file_content_size_for_vector_db_spark.operators.similarity import topk_maxsim
 
     emb = _emb(spark, sf_dir)
-    tok = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
-                    for t in range(4)
-                ]
-            )
-        ).alias("tok", "tv"),
-    )
     return topk_maxsim(
-        tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv", "label"),
-        tok.where(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), "tok", "tv"
-        ),
+        _token_bags(emb, "doc_id", with_label=True),
+        _token_bags(emb.where(F.col("vec_id") < 10), "query_id"),
         k=5,
         candidate_filter=F.col("label").isin(2, 5),
     )
@@ -3197,24 +3169,7 @@ def sim_maxsim_upsert_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-
-    def bags(frame, id_alias):
-        t = frame.select(
-            "vec_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice(
-                            F.col("embedding").cast("array<double>"), 16 * t_ + 1, 16
-                        )
-                        for t_ in range(4)
-                    ]
-                )
-            ).alias("tok", "tv"),
-        )
-        return t.select(F.col("vec_id").alias(id_alias), "tok", "tv")
-
-    dtk = bags(emb, "doc_id")
+    dtk = _token_bags(emb, "doc_id")
     changed = emb.where(F.col("vec_id") % 13 == 0).select(
         "vec_id", F.reverse("embedding").alias("embedding")
     )
@@ -3235,11 +3190,11 @@ def sim_maxsim_upsert_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxsim_token_index(dtk, cents).write.parquet(f"{store}/index_v1")
     for v in (1, 2):
         maxsim_upsert(
-            spark.read.parquet(f"{store}/index_v{v}"), bags(changed, "doc_id"), cents
+            spark.read.parquet(f"{store}/index_v{v}"), _token_bags(changed, "doc_id"), cents
         ).write.parquet(f"{store}/index_v{v + 1}")
     return topk_maxsim_from_index(
         spark.read.parquet(f"{store}/index_v3"),
-        bags(current.where(F.col("vec_id") < 10), "query_id"),
+        _token_bags(current.where(F.col("vec_id") < 10), "query_id"),
         cents,
         k=5,
         probes=2,
@@ -3318,18 +3273,7 @@ def sim_maxsim_takedown_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    tok = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
-                    for t in range(4)
-                ]
-            )
-        ).alias("tok", "tv"),
-    )
-    dtk = tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv")
+    dtk = _token_bags(emb, "doc_id")
     dt_train = dtk.select(
         (F.col("doc_id") * 4 + F.col("tok")).alias("_tid"), F.col("tv").alias("v")
     )
@@ -3347,9 +3291,7 @@ def sim_maxsim_takedown_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.parquet(f"{store}/index_v2")
     return topk_maxsim_from_index(
         spark.read.parquet(f"{store}/index_v2"),
-        tok.where(F.col("vec_id") % 13 == 0).select(
-            F.col("vec_id").alias("query_id"), "tok", "tv"
-        ),
+        _token_bags(emb.where(F.col("vec_id") % 13 == 0), "query_id"),
         cents,
         k=5,
         probes=2,
@@ -3528,18 +3470,7 @@ def sim_topk_maxsim_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     emb = _emb(spark, sf_dir)
-    tok = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
-                    for t in range(4)
-                ]
-            )
-        ).alias("tok", "tv"),
-    )
-    dtk = tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv")
+    dtk = _token_bags(emb, "doc_id")
     cents = ivf_centroids(
         dtk.select((F.col("doc_id") * 4 + F.col("tok")).alias("_tid"), F.col("tv").alias("v")),
         k=32,
@@ -3550,9 +3481,7 @@ def sim_topk_maxsim_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFram
     match = emb.where(F.col("label").isin(2, 5)).select(F.col("vec_id").alias("doc_id"))
     return topk_maxsim_from_index(
         maxsim_token_index(dtk, cents).join(match, "doc_id", "left_semi"),
-        tok.where(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), "tok", "tv"
-        ),
+        _token_bags(emb.where(F.col("vec_id") < 10), "query_id"),
         cents,
         k=5,
         probes=2,
@@ -3648,21 +3577,9 @@ def maxsim_filtered_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     emb = _emb(spark, sf_dir)
-    tok = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("embedding").cast("array<double>"), 16 * t + 1, 16)
-                    for t in range(4)
-                ]
-            )
-        ).alias("tok", "tv"),
-    ).persist()
-    dtk = tok.select(F.col("vec_id").alias("doc_id"), "tok", "tv", "label")
-    qtk = tok.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "tok", "tv"
+    dtk = _token_bags(emb, "doc_id", with_label=True).persist()
+    qtk = dtk.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "tok", "tv"
     )
     exact = topk_maxsim(
         dtk, qtk, k=_RECALL_K, candidate_filter=F.col("label").isin(2, 5)

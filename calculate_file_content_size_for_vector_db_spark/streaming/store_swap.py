@@ -42,6 +42,8 @@ instead).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 _SWAP_SUFFIX = "__swap"
@@ -78,6 +80,21 @@ def swap_rewrite(spark: SparkSession, path: str, df: DataFrame) -> None:
     fs.delete(sp, True)
 
 
+# Serializes face trigger bodies WITHIN one driver process: the
+# release below diffs the JVM-GLOBAL persistent-RDD set, so without
+# mutual exclusion one face's end-of-trigger release could sweep a
+# concurrent face's in-flight localCheckpoints (unrecoverable —
+# checkpoints truncate lineage). With the lock, the diff window of
+# one trigger never overlaps another face's trigger, so everything
+# in the diff belongs to the releasing trigger. Caveat (documented,
+# not enforced): NON-face session activity that localCheckpoints
+# frames concurrently with a running trigger shares the same risk —
+# run the faces on their own SparkSession in deployments that also
+# checkpoint elsewhere (plain persist() frames are safe either way:
+# their lineage survives an unpersist and they recompute).
+_FACE_TRIGGER_LOCK = threading.RLock()
+
+
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Snapshot of the JVM's persistent-RDD id set. Both persist()
     and localCheckpoint() register here; DataFrame.unpersist() does
@@ -85,7 +102,9 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     entries), so the faces release per-trigger state by diffing this
     snapshot instead (ADVICE r12: a long-running stream otherwise
     leaks one checkpointed batch + artifact set per trigger until
-    driver GC happens to collect them)."""
+    driver GC happens to collect them). Callers must hold
+    _FACE_TRIGGER_LOCK from this snapshot through the matching
+    release_rdds_since (see the lock's comment)."""
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(i) for i in jmap.keySet().toArray()}
@@ -96,10 +115,10 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
 def release_rdds_since(spark: SparkSession, before: set[int]) -> None:
     """Unpersist every RDD persisted since ``before`` was snapshotted
     (non-blocking). Run in a finally block at the end of a face
-    trigger: triggers run serially within a streaming query, so
-    everything new in the diff belongs to this trigger — the
-    trigger's localCheckpoints and the batch verbs' internal
-    persists, all of which are dead once the trigger's store writes
+    trigger, under _FACE_TRIGGER_LOCK: the lock guarantees no other
+    face's trigger ran inside the diff window, so the diff contains
+    only this trigger's localCheckpoints and the batch verbs'
+    internal persists — all dead once the trigger's store writes
     committed."""
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()

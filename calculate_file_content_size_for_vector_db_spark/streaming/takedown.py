@@ -69,6 +69,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from calculate_file_content_size_for_vector_db_spark.operators.dedup import cluster_takedown
 from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
+    _FACE_TRIGGER_LOCK,
     heal_store,
     persistent_rdd_ids,
     release_rdds_since,
@@ -137,6 +138,7 @@ def takedown_store_batch(
     # r12)
     for sub in ("admitted", "bands", "shingles", "index/assign", "labels"):
         heal_store(spark, f"{store_dir}/{sub}")
+    _FACE_TRIGGER_LOCK.acquire()
     rdds_before = persistent_rdd_ids(spark)
     try:
         _takedown_body(
@@ -145,8 +147,12 @@ def takedown_store_batch(
     finally:
         # release the trigger's localCheckpoints and the batch
         # verbs' internal persists — dead state once the store
-        # writes committed (ADVICE r12)
-        release_rdds_since(spark, rdds_before)
+        # writes committed (ADVICE r12); the lock scopes the
+        # persistent-RDD diff to THIS trigger (store_swap comment)
+        try:
+            release_rdds_since(spark, rdds_before)
+        finally:
+            _FACE_TRIGGER_LOCK.release()
 
 
 def _takedown_body(

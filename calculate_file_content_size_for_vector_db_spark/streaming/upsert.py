@@ -83,6 +83,7 @@ from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
     shingle_sets,
 )
 from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
+    _FACE_TRIGGER_LOCK,
     heal_store,
     persistent_rdd_ids,
     release_rdds_since,
@@ -115,25 +116,32 @@ def upsert_store_batch(
     replay contract breaks; producers that need last-write-wins
     should carry an explicit version column and filter upstream."""
     spark = batch_df.sparkSession
+    # validate the schema UP FRONT with a descriptive error: every
+    # downstream leg derives from the re-delivered CONTENT, and a
+    # key-only batch would otherwise pass the dedup collapse and die
+    # two statements later inside minhash_signature with an
+    # unresolved-column error that no longer points at the producer
+    if key not in batch_df.columns or text_col not in batch_df.columns:
+        raise ValueError(
+            f"upsert face batch must carry ({key!r}, {text_col!r}); "
+            f"got schema {batch_df.columns} — a re-delivery replaces the "
+            "document's content, so content-free batches are a producer bug"
+        )
     # self-heal BEFORE the empty-batch return (ADVICE r12): an empty
     # trigger must still complete a crash-interrupted swap — until it
     # does, concurrent readers see the half-written store
     for sub in ("admitted", "bands", "shingles", "labels", "index/assign"):
         heal_store(spark, f"{store_dir}/{sub}")
     rest = [c for c in batch_df.columns if c != key]
+    _FACE_TRIGGER_LOCK.acquire()
     rdds_before = persistent_rdd_ids(spark)
     try:
-        if rest:
-            batch = (
-                batch_df.groupBy(key)
-                .agg(F.max(F.struct(*rest)).alias("_s"))
-                .select(key, "_s.*")
-                .localCheckpoint(eager=True)
-            )
-        else:
-            # key-only schema: F.struct() of zero columns is an
-            # analysis error; plain distinct() is the same collapse
-            batch = batch_df.distinct().localCheckpoint(eager=True)
+        batch = (
+            batch_df.groupBy(key)
+            .agg(F.max(F.struct(*rest)).alias("_s"))
+            .select(key, "_s.*")
+            .localCheckpoint(eager=True)
+        )
         if batch.count() == 0:
             return
         ids = batch.select(key).withColumnRenamed(key, "doc_id")
@@ -209,7 +217,10 @@ def upsert_store_batch(
         # trigger's checkpointed frames and the verbs' internal
         # persists are dead state a long-running stream must not
         # accumulate (ADVICE r12)
-        release_rdds_since(spark, rdds_before)
+        try:
+            release_rdds_since(spark, rdds_before)
+        finally:
+            _FACE_TRIGGER_LOCK.release()
 
 
 def upsert_face(

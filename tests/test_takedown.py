@@ -829,7 +829,7 @@ def _ivf_store(spark, base):
     return cents, assign, edges
 
 
-def _ivf_rebuild(current, batch, assign, cents, b_ids_col="vec_id"):
+def _ivf_rebuild(current, batch, assign, cents):
     """The from-scratch IVF graph over the current corpus: stored
     survivor assignment + the batch's frozen-centroid re-assignment,
     self-graph candidates — the declarative truth the upsert must hit."""
