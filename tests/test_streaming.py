@@ -1414,3 +1414,28 @@ def test_upsert_face_duplicate_deliveries_in_one_trigger_deterministic(spark, tm
     upsert_store_batch(dup2, 0, store)
     got2 = spark.read.parquet(f"{store}/admitted").where("doc_id = 1").collect()
     assert len(got2) == 1 and got2[0].text == "candidate b rewrite"
+
+
+def test_upsert_face_rejects_content_free_batch_upfront(spark, tmp_path):
+    """A batch without the text column fails FAST with a descriptive
+    producer-contract error (review r13: the key-only schema used to
+    pass the dedup collapse and die two statements later inside
+    minhash_signature with an unresolved-column error) — and the
+    store is left untouched."""
+    import pytest as _pytest
+
+    from calculate_file_content_size_for_vector_db_spark.streaming.upsert import (
+        upsert_store_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "original text one")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "store")
+    docs.write.parquet(f"{store}/admitted")
+
+    key_only = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with _pytest.raises(ValueError, match="must carry .*'text'"):
+        upsert_store_batch(key_only, 0, store)
+    got = spark.read.parquet(f"{store}/admitted").collect()
+    assert len(got) == 1 and got[0].text == "original text one"
