@@ -2661,13 +2661,29 @@ def graph_upsert_ivf(
     the cell join inserts them). Precondition: the store was built by
     knn_graph_ivf with the SAME k_graph/probes/centroids/assignment
     (on an exact store the verbs still compose, but the equality
-    becomes graph_takedown's "no ghosts + locally exact").
+    becomes graph_takedown's "no ghosts + locally exact"). Unlike
+    graph_upsert's 2-column (src, dst) contract, the stored edges
+    MUST carry the ``cosine`` column knn_graph_ivf writes: leg 2
+    re-truncates stored lists by reusing their scores verbatim
+    instead of recomputing them — validated up front (ADVICE r13: a
+    2-column store otherwise fails with an unresolved-column error
+    deep in the plan instead of naming the migration gap).
 
     Cost at 100 TB: request-sized anti-joins and leg-1 recompute, one
     narrow probe-cell map over the survivor scan, the batch-sized
     entering-pair frame, and one window over (k_graph + entering)
     SMALL rows per leg-2 node — a store-scan-shaped shuffle with no
     vector math, vs graph_upsert's N x |batch| scored frame."""
+    missing = [c for c in (src_col, dst_col, "cosine") if c not in edges.columns]
+    if missing:
+        raise ValueError(
+            f"graph_upsert_ivf needs a knn_graph_ivf-built edge store with "
+            f"columns ({src_col!r}, {dst_col!r}, 'cosine') — got schema "
+            f"{edges.columns} (missing {missing}). Leg 2 reuses stored "
+            "cosines verbatim for its re-truncation; a 2-column (src, dst) "
+            "store is graph_upsert's exact contract, not this one — rebuild "
+            "the store with knn_graph_ivf or migrate it by re-scoring."
+        )
     b_ids = batch.select(id_col)
     surv_emb = embeddings.join(F.broadcast(b_ids), id_col, "left_anti")
     cur_emb = surv_emb.select(id_col, vec_col).unionByName(

@@ -57,6 +57,7 @@ from calculate_file_content_size_for_vector_db_spark.streaming.index_maintenance
     maintain_index_batch,
 )
 from calculate_file_content_size_for_vector_db_spark.streaming.neardup import gate_batch
+from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import face_scope
 
 
 def composed_ingest_batch(
@@ -74,26 +75,34 @@ def composed_ingest_batch(
     admitted/ (gate), index/{centroids,assign,bloom,metrics} (index
     face), card/{scalars,langs,sources,hll} (datacard face),
     drift/{hist,langs} (drift face)."""
-    admitted = gate_batch(
-        batch_df,
-        f"{store_dir}/bands",
-        f"{store_dir}/shingles",
-        f"{store_dir}/admitted",
-        threshold,
-        text_col,
-        key,
-        max_bucket_size,
-    )
-    # admitted is an eager localCheckpoint snapshot (see gate_batch) —
-    # safe to keep evaluating even though the gate just mutated the
-    # stores its plan read; count() here is served from the snapshot.
-    if admitted.count() == 0:
-        return
-    maintain_index_batch(
-        admitted, batch_id, f"{store_dir}/index", key, text_col, vec_col
-    )
-    append_card_partials(admitted, batch_id, f"{store_dir}/card", text_col)
-    append_drift_marginals(admitted, batch_id, f"{store_dir}/drift", text_col)
+    # One face_scope around all four bodies (ADVICE r13: every face
+    # trigger runs under _FACE_TRIGGER_LOCK): the gate's admitted
+    # checkpoint is created under the reentrant inner lock and stays
+    # alive for the three downstream faces; this OUTERMOST scope
+    # releases it — with the whole trigger's persisted state — once
+    # every store write committed.
+    with face_scope(batch_df.sparkSession):
+        admitted = gate_batch(
+            batch_df,
+            f"{store_dir}/bands",
+            f"{store_dir}/shingles",
+            f"{store_dir}/admitted",
+            threshold,
+            text_col,
+            key,
+            max_bucket_size,
+        )
+        # admitted is an eager localCheckpoint snapshot (see
+        # gate_batch) — safe to keep evaluating even though the gate
+        # just mutated the stores its plan read; count() here is
+        # served from the snapshot.
+        if admitted.count() == 0:
+            return
+        maintain_index_batch(
+            admitted, batch_id, f"{store_dir}/index", key, text_col, vec_col
+        )
+        append_card_partials(admitted, batch_id, f"{store_dir}/card", text_col)
+        append_drift_marginals(admitted, batch_id, f"{store_dir}/drift", text_col)
 
 
 def composed_ingest_face(

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import face_scope
 from calculate_file_content_size_for_vector_db_spark.operators.textstats import tokens
 
 _HLL_P = 8
@@ -224,43 +225,50 @@ def refold_card_takedown(
     (heal first), so a crash mid-rewrite never destroys untouched
     partials (ADVICE r11 item 2)."""
     from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
+        face_scope,
         heal_store,
         swap_rewrite,
     )
 
     spark = admitted.sparkSession
-    for sub in ("scalars", "langs", "sources", "hll"):
-        heal_store(spark, f"{card_dir}/{sub}")
-    td = takedown.select("doc_id").distinct()
-    touched = (
-        admitted.join(F.broadcast(td), "doc_id", "left_semi")
-        .select("batch_id")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    surv = (
-        admitted.join(F.broadcast(touched), "batch_id", "left_semi")
-        .join(F.broadcast(td), "doc_id", "left_anti")
-        .persist()
-    )
-    t = F.size(tokens(text_col)).cast("long")
-    recomputed = {
-        "scalars": surv.groupBy("batch_id").agg(
-            F.count("*").cast("long").alias("_n"),
-            F.sum(t).alias("_tok"),
-            F.sum(F.length(text_col)).alias("_ch"),
-            F.sum(F.when(t == 0, 1).otherwise(0)).alias("_emp"),
-        ),
-        "langs": surv.groupBy("batch_id", "lang").agg(F.count("*").alias("_c")),
-        "sources": surv.groupBy("batch_id", "source").agg(F.count("*").alias("_c")),
-        "hll": _hll_regs(surv, text_col, p, group_cols=["batch_id"]),
-    }
-    for sub, fresh in recomputed.items():
-        kept = spark.read.parquet(f"{card_dir}/{sub}").join(
-            F.broadcast(touched), "batch_id", "left_anti"
+    # face_scope (ADVICE r13): the refold localCheckpoints and heals —
+    # both must stay inside the trigger lock whether this runs as the
+    # takedown face's sub-body (reentrant) or as a batch query
+    # concurrent with live faces; the scope also releases the touched
+    # snapshot on exit.
+    with face_scope(spark):
+        for sub in ("scalars", "langs", "sources", "hll"):
+            heal_store(spark, f"{card_dir}/{sub}")
+        td = takedown.select("doc_id").distinct()
+        touched = (
+            admitted.join(F.broadcast(td), "doc_id", "left_semi")
+            .select("batch_id")
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        swap_rewrite(spark, f"{card_dir}/{sub}", kept.unionByName(fresh))
-    surv.unpersist()
+        surv = (
+            admitted.join(F.broadcast(touched), "batch_id", "left_semi")
+            .join(F.broadcast(td), "doc_id", "left_anti")
+            .persist()
+        )
+        t = F.size(tokens(text_col)).cast("long")
+        recomputed = {
+            "scalars": surv.groupBy("batch_id").agg(
+                F.count("*").cast("long").alias("_n"),
+                F.sum(t).alias("_tok"),
+                F.sum(F.length(text_col)).alias("_ch"),
+                F.sum(F.when(t == 0, 1).otherwise(0)).alias("_emp"),
+            ),
+            "langs": surv.groupBy("batch_id", "lang").agg(F.count("*").alias("_c")),
+            "sources": surv.groupBy("batch_id", "source").agg(F.count("*").alias("_c")),
+            "hll": _hll_regs(surv, text_col, p, group_cols=["batch_id"]),
+        }
+        for sub, fresh in recomputed.items():
+            kept = spark.read.parquet(f"{card_dir}/{sub}").join(
+                F.broadcast(touched), "batch_id", "left_anti"
+            )
+            swap_rewrite(spark, f"{card_dir}/{sub}", kept.unionByName(fresh))
+        surv.unpersist()
 
 
 def datacard_face(
@@ -276,7 +284,13 @@ def datacard_face(
     `read_datacard`."""
 
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
-        append_card_partials(batch_df, batch_id, card_dir, text_col, p)
+        # every face trigger body runs under the trigger lock
+        # (store_swap.face_scope comment, ADVICE r13): persist-only
+        # bodies survive a sweep (lineage recomputes) but must not
+        # have their in-flight persists released by a concurrent
+        # upsert/takedown trigger's diff mid-body
+        with face_scope(batch_df.sparkSession):
+            append_card_partials(batch_df, batch_id, card_dir, text_col, p)
 
     return (
         stream.writeStream.foreachBatch(_maintain)

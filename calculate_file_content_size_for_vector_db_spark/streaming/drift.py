@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import face_scope
 from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
     psi_from_marginals,
     psi_lang_marginal,
@@ -84,9 +85,15 @@ def drift_face(
     read the current drift number with `read_drift`."""
 
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
-        append_drift_marginals(
-            batch_df, batch_id, marginals_dir, text_col, n_bins, bin_width
-        )
+        # every face trigger body runs under the trigger lock
+        # (store_swap.face_scope comment, ADVICE r13): persist-only
+        # bodies survive a sweep (lineage recomputes) but must not
+        # have their in-flight persists released by a concurrent
+        # upsert/takedown trigger's diff mid-body
+        with face_scope(batch_df.sparkSession):
+            append_drift_marginals(
+                batch_df, batch_id, marginals_dir, text_col, n_bins, bin_width
+            )
 
     return (
         stream.writeStream.foreachBatch(_maintain)
@@ -126,37 +133,44 @@ def refold_drift_takedown(
     untouched partials survive via a metadata-scale anti-join on
     batch_id."""
     from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
+        face_scope,
         heal_store,
         swap_rewrite,
     )
 
     spark = admitted.sparkSession
-    for sub in ("hist", "langs"):
-        heal_store(spark, f"{marginals_dir}/{sub}")
-    td = takedown.select("doc_id").distinct()
-    touched = (
-        admitted.join(F.broadcast(td), "doc_id", "left_semi")
-        .select("batch_id")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    surv = (
-        admitted.join(F.broadcast(touched), "batch_id", "left_semi")
-        .join(F.broadcast(td), "doc_id", "left_anti")
-        .persist()
-    )
-    recomputed = {
-        "hist": psi_length_hist(
-            surv, text_col, n_bins, bin_width, group_cols=["batch_id"]
-        ),
-        "langs": psi_lang_marginal(surv, group_cols=["batch_id"]),
-    }
-    for sub, fresh in recomputed.items():
-        kept = spark.read.parquet(f"{marginals_dir}/{sub}").join(
-            F.broadcast(touched), "batch_id", "left_anti"
+    # face_scope (ADVICE r13): the refold localCheckpoints and heals —
+    # both must stay inside the trigger lock whether this runs as the
+    # takedown face's sub-body (reentrant) or as a batch query
+    # concurrent with live faces; the scope also releases the touched
+    # snapshot on exit.
+    with face_scope(spark):
+        for sub in ("hist", "langs"):
+            heal_store(spark, f"{marginals_dir}/{sub}")
+        td = takedown.select("doc_id").distinct()
+        touched = (
+            admitted.join(F.broadcast(td), "doc_id", "left_semi")
+            .select("batch_id")
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        swap_rewrite(spark, f"{marginals_dir}/{sub}", kept.unionByName(fresh))
-    surv.unpersist()
+        surv = (
+            admitted.join(F.broadcast(touched), "batch_id", "left_semi")
+            .join(F.broadcast(td), "doc_id", "left_anti")
+            .persist()
+        )
+        recomputed = {
+            "hist": psi_length_hist(
+                surv, text_col, n_bins, bin_width, group_cols=["batch_id"]
+            ),
+            "langs": psi_lang_marginal(surv, group_cols=["batch_id"]),
+        }
+        for sub, fresh in recomputed.items():
+            kept = spark.read.parquet(f"{marginals_dir}/{sub}").join(
+                F.broadcast(touched), "batch_id", "left_anti"
+            )
+            swap_rewrite(spark, f"{marginals_dir}/{sub}", kept.unionByName(fresh))
+        surv.unpersist()
 
 
 def read_ingest_marginals(

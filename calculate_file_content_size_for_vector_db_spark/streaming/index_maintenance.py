@@ -138,9 +138,17 @@ def index_maintenance_face(
     per trigger)."""
 
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
-        maintain_index_batch(
-            batch_df, batch_id, index_dir, key, text_col, vec_col, m_bits, n_hashes
-        )
+        # every face trigger body runs under the trigger lock
+        # (store_swap.face_scope comment, ADVICE r13): persist-only
+        # bodies survive a sweep (lineage recomputes) but must not
+        # have their in-flight persists released by a concurrent
+        # upsert/takedown trigger's diff mid-body
+        from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import face_scope
+
+        with face_scope(batch_df.sparkSession):
+            maintain_index_batch(
+                batch_df, batch_id, index_dir, key, text_col, vec_col, m_bits, n_hashes
+            )
 
     return (
         stream.writeStream.foreachBatch(_maintain)

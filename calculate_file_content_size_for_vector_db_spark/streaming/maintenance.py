@@ -121,32 +121,37 @@ def lake_maintenance_face(
             return None
 
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        store = _read_store(spark)
-        if store is None:
-            store = batch_df.limit(0).withColumn("_v", F.lit(0).cast("long"))
-        diff = batch_maintenance(batch_df, store, key, text_col)
-        diff.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-            "append"
-        ).parquet(diff_dir)
-        batch_df.withColumn("_v", F.lit(batch_id).cast("long")).write.partitionBy(
-            partition_col
-        ).mode("append").parquet(lake_dir)
-        dirty = batch_df.select(partition_col).distinct()
-        plan = compaction_plan(
-            lake_file_listing(spark, lake_dir, partition_col).join(
-                F.broadcast(dirty), partition_col, "left_semi"
-            ),
-            target_bytes,
-            partition_col=partition_col,
-            size_col="size_bytes",
-            key="path",
-        )
-        plan.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-            "append"
-        ).parquet(plan_dir)
-        batch_df.unpersist()
+        # every face trigger body runs under the trigger lock
+        # (store_swap.face_scope comment, ADVICE r13)
+        from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import face_scope
+
+        with face_scope(batch_df.sparkSession):
+            spark = batch_df.sparkSession
+            batch_df = batch_df.persist()
+            store = _read_store(spark)
+            if store is None:
+                store = batch_df.limit(0).withColumn("_v", F.lit(0).cast("long"))
+            diff = batch_maintenance(batch_df, store, key, text_col)
+            diff.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+                "append"
+            ).parquet(diff_dir)
+            batch_df.withColumn("_v", F.lit(batch_id).cast("long")).write.partitionBy(
+                partition_col
+            ).mode("append").parquet(lake_dir)
+            dirty = batch_df.select(partition_col).distinct()
+            plan = compaction_plan(
+                lake_file_listing(spark, lake_dir, partition_col).join(
+                    F.broadcast(dirty), partition_col, "left_semi"
+                ),
+                target_bytes,
+                partition_col=partition_col,
+                size_col="size_bytes",
+                key="path",
+            )
+            plan.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+                "append"
+            ).parquet(plan_dir)
+            batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_maintain)

@@ -41,6 +41,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
+    _FACE_TRIGGER_LOCK,
+    face_scope,
+)
 from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
     incremental_neardup_pairs,
     incremental_survivors,
@@ -138,32 +142,40 @@ def gate_batch(
             return empty_like
 
     spark = batch_df.sparkSession
-    batch_df = batch_df.persist()
-    empty = batch_df.limit(0)
-    admitted = admit_batch(
-        batch_df,
-        _read_store(
-            spark,
-            bands_dir,
-            minhash_bands(
-                minhash_signature(empty, text_col=text_col, key=key), key=key
+    # The bare lock, not face_scope: the admitted checkpoint below is
+    # the RETURN VALUE (the composed face keeps evaluating it), so
+    # this body must not release it — the enclosing trigger scope
+    # does. Holding the lock during CREATION is what matters (ADVICE
+    # r13): it keeps the checkpoint out of any concurrent face's
+    # persistent-RDD diff window, so an upsert/takedown release can
+    # never sweep an in-flight gate trigger's snapshot.
+    with _FACE_TRIGGER_LOCK:
+        batch_df = batch_df.persist()
+        empty = batch_df.limit(0)
+        admitted = admit_batch(
+            batch_df,
+            _read_store(
+                spark,
+                bands_dir,
+                minhash_bands(
+                    minhash_signature(empty, text_col=text_col, key=key), key=key
+                ),
             ),
-        ),
-        _read_store(spark, shingles_dir, shingle_sets(empty, text_col, key)),
-        threshold,
-        text_col,
-        key,
-        max_bucket_size,
-    ).localCheckpoint(eager=True)  # snapshot BEFORE the store mutates
-    admitted.write.mode("append").parquet(admitted_dir)
-    minhash_bands(
-        minhash_signature(admitted, text_col=text_col, key=key), key=key
-    ).write.mode("append").parquet(bands_dir)
-    shingle_sets(admitted, text_col, key).write.mode("append").parquet(
-        shingles_dir
-    )
-    batch_df.unpersist()
-    return admitted
+            _read_store(spark, shingles_dir, shingle_sets(empty, text_col, key)),
+            threshold,
+            text_col,
+            key,
+            max_bucket_size,
+        ).localCheckpoint(eager=True)  # snapshot BEFORE the store mutates
+        admitted.write.mode("append").parquet(admitted_dir)
+        minhash_bands(
+            minhash_signature(admitted, text_col=text_col, key=key), key=key
+        ).write.mode("append").parquet(bands_dir)
+        shingle_sets(admitted, text_col, key).write.mode("append").parquet(
+            shingles_dir
+        )
+        batch_df.unpersist()
+        return admitted
 
 
 def neardup_ingest_gate(
@@ -189,16 +201,21 @@ def neardup_ingest_gate(
     everything), and the first trigger's appends create them."""
 
     def _gate(batch_df: DataFrame, _batch_id: int) -> None:
-        gate_batch(
-            batch_df,
-            bands_dir,
-            shingles_dir,
-            admitted_dir,
-            threshold,
-            text_col,
-            key,
-            max_bucket_size,
-        )
+        # face_scope (reentrant around gate_batch's bare lock): the
+        # solo face discards the admitted snapshot, so the trigger
+        # scope releases it here — a long-running gate stream must
+        # not leak one checkpointed batch per trigger (ADVICE r12)
+        with face_scope(batch_df.sparkSession):
+            gate_batch(
+                batch_df,
+                bands_dir,
+                shingles_dir,
+                admitted_dir,
+                threshold,
+                text_col,
+                key,
+                max_bucket_size,
+            )
 
     return (
         stream.writeStream.foreachBatch(_gate)

@@ -43,6 +43,7 @@ instead).
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -86,13 +87,45 @@ def swap_rewrite(spark: SparkSession, path: str, df: DataFrame) -> None:
 # concurrent face's in-flight localCheckpoints (unrecoverable —
 # checkpoints truncate lineage). With the lock, the diff window of
 # one trigger never overlaps another face's trigger, so everything
-# in the diff belongs to the releasing trigger. Caveat (documented,
-# not enforced): NON-face session activity that localCheckpoints
-# frames concurrently with a running trigger shares the same risk —
-# run the faces on their own SparkSession in deployments that also
-# checkpoint elsewhere (plain persist() frames are safe either way:
-# their lineage survives an unpersist and they recompute).
+# in the diff belongs to the releasing trigger. EVERY face trigger
+# body — upsert, takedown, gate/ingest, composed, index-maintenance,
+# datacard, drift, lake, the parquet-merge sink — runs under this
+# lock (ADVICE r13: the gate face localCheckpoints too, so a
+# lock-free ingest trigger could still be swept by a concurrent
+# upsert/takedown release). heal_store calls also belong INSIDE the
+# critical section: a heal that observes another face's in-flight
+# swap_rewrite would "restore" the live path concurrently with the
+# owner's step-2 overwrite and then delete the swap — the exact
+# survivor-loss window swap_rewrite exists to close (ADVICE r13).
+# Remaining caveat (documented, not enforced): NON-face session
+# activity that localCheckpoints frames concurrently with a running
+# trigger shares the same risk — run the faces on their own
+# SparkSession in deployments that also checkpoint elsewhere (plain
+# persist() frames are safe either way: their lineage survives an
+# unpersist and they recompute).
 _FACE_TRIGGER_LOCK = threading.RLock()
+
+
+@contextmanager
+def face_scope(spark: SparkSession):
+    """The per-trigger critical section every face body runs in:
+    acquire _FACE_TRIGGER_LOCK, snapshot the persistent-RDD set, and
+    on exit release everything the trigger persisted (then the lock).
+    Reentrant (RLock), so a composed face can hold the scope around
+    sub-bodies that also acquire the lock; the OUTERMOST scope's diff
+    then releases the whole trigger's state exactly once. Bodies that
+    must hand a localCheckpoint back to their caller (gate_batch's
+    admitted snapshot) take the bare lock instead and leave the
+    release to the enclosing trigger scope."""
+    _FACE_TRIGGER_LOCK.acquire()
+    before = persistent_rdd_ids(spark)
+    try:
+        yield
+    finally:
+        try:
+            release_rdds_since(spark, before)
+        finally:
+            _FACE_TRIGGER_LOCK.release()
 
 
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:

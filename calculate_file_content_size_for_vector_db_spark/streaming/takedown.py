@@ -69,10 +69,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from calculate_file_content_size_for_vector_db_spark.operators.dedup import cluster_takedown
 from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
-    _FACE_TRIGGER_LOCK,
+    face_scope,
     heal_store,
-    persistent_rdd_ids,
-    release_rdds_since,
     swap_rewrite,
 )
 
@@ -131,28 +129,18 @@ def takedown_store_batch(
     replay: the ledger is caller-owned (never purged here), so a
     re-run recomputes byte-identical touched-batch partials."""
     spark = requests.sparkSession
-    # self-heal any swap a crashed prior trigger left behind BEFORE
-    # reading the stores AND before the empty-batch return (a
-    # replayed — possibly now-empty — trigger enters here first; an
-    # empty trigger must still complete an interrupted swap, ADVICE
-    # r12)
-    for sub in ("admitted", "bands", "shingles", "index/assign", "labels"):
-        heal_store(spark, f"{store_dir}/{sub}")
-    _FACE_TRIGGER_LOCK.acquire()
-    rdds_before = persistent_rdd_ids(spark)
-    try:
+    with face_scope(spark):
+        # self-heal any swap a crashed prior trigger left behind
+        # INSIDE the critical section (ADVICE r13: healing another
+        # face's in-flight swap loses survivors), BEFORE reading the
+        # stores AND before the empty-batch return (a replayed —
+        # possibly now-empty — trigger enters here first; an empty
+        # trigger must still complete an interrupted swap, ADVICE r12)
+        for sub in ("admitted", "bands", "shingles", "index/assign", "labels"):
+            heal_store(spark, f"{store_dir}/{sub}")
         _takedown_body(
             requests, batch_id, store_dir, threshold, max_bucket_size, admitted_ledger
         )
-    finally:
-        # release the trigger's localCheckpoints and the batch
-        # verbs' internal persists — dead state once the store
-        # writes committed (ADVICE r12); the lock scopes the
-        # persistent-RDD diff to THIS trigger (store_swap comment)
-        try:
-            release_rdds_since(spark, rdds_before)
-        finally:
-            _FACE_TRIGGER_LOCK.release()
 
 
 def _takedown_body(

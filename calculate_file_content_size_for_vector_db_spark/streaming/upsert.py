@@ -83,10 +83,8 @@ from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
     shingle_sets,
 )
 from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
-    _FACE_TRIGGER_LOCK,
+    face_scope,
     heal_store,
-    persistent_rdd_ids,
-    release_rdds_since,
     swap_rewrite,
 )
 from calculate_file_content_size_for_vector_db_spark.streaming.takedown import (
@@ -127,15 +125,17 @@ def upsert_store_batch(
             f"got schema {batch_df.columns} — a re-delivery replaces the "
             "document's content, so content-free batches are a producer bug"
         )
-    # self-heal BEFORE the empty-batch return (ADVICE r12): an empty
-    # trigger must still complete a crash-interrupted swap — until it
-    # does, concurrent readers see the half-written store
-    for sub in ("admitted", "bands", "shingles", "labels", "index/assign"):
-        heal_store(spark, f"{store_dir}/{sub}")
     rest = [c for c in batch_df.columns if c != key]
-    _FACE_TRIGGER_LOCK.acquire()
-    rdds_before = persistent_rdd_ids(spark)
-    try:
+    with face_scope(spark):
+        # self-heal INSIDE the critical section (ADVICE r13: a heal
+        # that observes another face's in-flight swap_rewrite would
+        # restore live from the swap concurrently with the owner's
+        # step-2 overwrite, then delete the swap — the survivor-loss
+        # window swap_rewrite closes) and BEFORE the empty-batch
+        # return (ADVICE r12: an empty trigger must still complete a
+        # crash-interrupted swap)
+        for sub in ("admitted", "bands", "shingles", "labels", "index/assign"):
+            heal_store(spark, f"{store_dir}/{sub}")
         batch = (
             batch_df.groupBy(key)
             .agg(F.max(F.struct(*rest)).alias("_s"))
@@ -212,15 +212,6 @@ def upsert_store_batch(
         ids.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(f"{store_dir}/upserts")
-    finally:
-        # every store write above committed (or raised) — the
-        # trigger's checkpointed frames and the verbs' internal
-        # persists are dead state a long-running stream must not
-        # accumulate (ADVICE r12)
-        try:
-            release_rdds_since(spark, rdds_before)
-        finally:
-            _FACE_TRIGGER_LOCK.release()
 
 
 def upsert_face(

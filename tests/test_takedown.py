@@ -911,3 +911,24 @@ def test_graph_upsert_ivf_replay_idempotent(spark):
     once = graph_upsert_ivf(edges, batch, base, assign, cents, k_graph=4).persist()
     twice = graph_upsert_ivf(once, batch, base, assign, cents, k_graph=4)
     assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
+
+
+def test_graph_upsert_ivf_rejects_two_column_edge_store(spark):
+    """ADVICE r13 (low): a caller migrating graph_upsert's documented
+    2-column (src, dst) store must get a descriptive entry-time error
+    naming the missing cosine column, not an unresolved-column failure
+    deep in leg 2's re-truncation plan."""
+    import pytest as _pytest
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        graph_upsert_ivf,
+    )
+    from calculate_file_content_size_for_vector_db_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    base = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").limit(40)
+    cents, assign, edges = _ivf_store(spark, base)
+    batch = base.limit(2)
+    two_col = edges.select("query_id", "neighbor_id")
+    with _pytest.raises(ValueError, match="cosine"):
+        graph_upsert_ivf(two_col, batch, base, assign, cents, k_graph=4)
