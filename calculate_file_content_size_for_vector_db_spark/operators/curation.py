@@ -572,12 +572,14 @@ def quality_classifier_weights(
             .crossJoin(F.broadcast(n_train))
             .select("b", F.round(F.col("g_sum") / F.col("n_train"), 6).alias("g"))
         )
+        # coalesce(1): the inter-round weight frame is n_buckets rows
+        # (see similarity.ivf_centroids — same tiny-frame shave)
         w = w.join(grad, "b", "left").select(
             "b",
             F.round(
                 F.col("wgt") - F.lit(lr) * F.coalesce(F.col("g"), F.lit(0.0)), 6
             ).alias("wgt"),
-        )
+        ).coalesce(1)
     return w
 
 

@@ -375,11 +375,16 @@ def ivf_centroids(
             .groupBy("cell", "pos")
             .agg(F.round(F.avg("x"), 6).alias("cx"))
         )
+        # coalesce(1): the inter-round frame is k rows; collapsing it
+        # removes a round's worth of near-empty reduce tasks from the
+        # next round's broadcast build (measured ~10%/training at
+        # fixture scale, PLANS.md r14; values unchanged — the avg is
+        # computed BEFORE the coalesce)
         cents = per_dim.groupBy("cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
             ).alias("centroid")
-        )
+        ).coalesce(1)
     return cents
 
 
@@ -957,11 +962,12 @@ def _pq_train(
             .groupBy("sub", "code", "pos")
             .agg(F.round(F.avg("x"), 6).alias("cx"))
         )
+        # coalesce(1): m x k rows between rounds (see ivf_centroids)
         cb = per_dim.groupBy("sub", "code").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
             ).alias("cv")
-        )
+        ).coalesce(1)
     return sv, cb
 
 
