@@ -3034,6 +3034,58 @@ def pq_filtered_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_filtered_recall_at_10",
+    f"""
+WITH {_SQL_IVF},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id)
+                   AS rank
+        FROM e a
+        JOIN assign sa ON a.vec_id = sa.vec_id
+        JOIN assign sb ON sa.cell = sb.cell
+        JOIN e b ON b.vec_id = sb.vec_id
+        JOIN embeddings be ON be.vec_id = b.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id AND be.label IN (2, 5)
+    ) WHERE rank <= {_RECALL_K}
+),
+{_SQL_FILTERED_RECALL_TAIL}
+""",
+)
+def ivf_filtered_recall_at_10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of FILTERED single-probe IVF vs the exact FILTERED
+    top-10 — the last cell of the filtered-recall matrix (VERDICT r13
+    item 3: the serving row sim_topk_ivf_filtered passes, this
+    quantifies it). IVF scores in-cell candidates EXACTLY, so like
+    the graph tier the decay channel is COVERAGE ONLY: the true
+    filtered neighbor is missed iff it lives outside the query's
+    probed cell — quantizer geometry, which the label predicate can
+    only thin, never re-rank. Two pinned consequences (tests): recall
+    is probe-MONOTONE (the probe-1 filtered candidate set nests
+    inside probe-2's and exact cosine ranks both — widening probes
+    recovers filtered recall exactly as the unfiltered
+    ivf_probe2_recall_at_10 story), and it lower-bounds near the
+    unfiltered ivf_recall_at_10 number because the filter removes
+    exact-scored candidates symmetrically from both the truth and the
+    served set. FRONTIER.md's filtered-decay table gets its last
+    tier from this row."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        recall_vs_exact,
+        topk_bruteforce,
+        topk_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10)
+    flt = F.col("label").isin(2, 5)
+    exact = topk_bruteforce(emb, q, k=_RECALL_K, candidate_filter=flt)
+    approx = topk_ivf(emb, q, k=_RECALL_K, candidate_filter=flt)
+    return recall_vs_exact(exact, approx)
+
+
+@register(
     "sim_topk_maxsim_filtered",
     f"""
 WITH {_SQL_EMB},

@@ -999,3 +999,40 @@ def test_topk_int8_candidate_filter_prefilter_semantics(spark):
         emb, q, k=2, rerank=4, candidate_filter=F.col("label") == 2
     ).orderBy("rank")
     assert [(r.neighbor_id, r.rank) for r in filtered.collect()] == [(28, 1), (29, 2)]
+
+
+def test_filtered_ivf_recall_probe_monotone(spark):
+    """The ivf_filtered_recall_at_10 docstring's pinned property: with
+    exact in-cell scoring, the filtered probe-1 candidate set nests
+    inside probe-2's, so per-query hit counts against the exact
+    FILTERED truth can't shrink as probes widen (the ADC tiers lack
+    this — see test_ivfpq_multiprobe_recall_monotone's contrast)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(31)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 3)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.where("vec_id < 4")
+    flt = F.col("label").isin(0, 1)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.topk_bruteforce(df, q, k=5, candidate_filter=flt).collect()
+    }
+
+    def hits(probes):
+        got = sim.topk_ivf(df, q, k=5, probes=probes, candidate_filter=flt).collect()
+        per_q = {}
+        for r in got:
+            if (r.query_id, r.neighbor_id) in exact:
+                per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        return per_q
+
+    h1, h2 = hits(1), hits(2)
+    assert sum(h1.values()) > 0  # the fixture produces real hits
+    for qid, n in h1.items():
+        assert h2.get(qid, 0) >= n
