@@ -85,6 +85,7 @@ _WINDOW_BUILT_FOR_ROUND = 14
 _VERIFY_FIRST = [
     # --- 0. registered this round (never driver-checked) ---
     "ivf_filtered_recall_at_10",  # filtered IVF decay vs exact filtered truth (last matrix cell)
+    "upsert_face_relabel",  # real writeStream upsert face == rebuild-on-current-corpus
     # --- r08 cohort (33 rows) ---
     "bpe_vocab_coverage",
     "line_dedup_rewrite",
