@@ -88,6 +88,13 @@ HEADLINE = [
     # signal; its per-round timing lives in the oracle sweep and its
     # scale evidence is the FLAT isolated ladder (SCALE.md).
     "sim_maxsim_upsert_serve",  # round 13: MaxSim token-index upsert x2 + PLAID serve
+    # Round 14 registrations deliberately NOT here, same rationale as
+    # sim_graph_upsert_serve: upsert_face_relabel is stream-machinery
+    # + store-rewrite stage count on a fixture-sized corpus (its
+    # timing lives in the oracle sweep; the verbs it composes are
+    # benched via dedup_takedown_recluster and laddered in SCALE.md),
+    # and ivf_filtered_recall_at_10 is a recall QA row like every
+    # other *_recall_at_10 (accuracy, not throughput).
 ]
 
 

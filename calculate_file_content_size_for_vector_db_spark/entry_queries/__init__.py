@@ -86,6 +86,7 @@ _VERIFY_FIRST = [
     # --- 0. registered this round (never driver-checked) ---
     "ivf_filtered_recall_at_10",  # filtered IVF decay vs exact filtered truth (last matrix cell)
     "upsert_face_relabel",  # real writeStream upsert face == rebuild-on-current-corpus
+    "sim_topk_pq_stored",  # parquet-backed ADC serve (codebooks+codes store round-trip)
     # --- r08 cohort (33 rows) ---
     "bpe_vocab_coverage",
     "line_dedup_rewrite",

@@ -718,6 +718,45 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.where(F.col("vec_id") < 10), topk=5)
 
 
+@register("sim_topk_pq_stored")
+def sim_topk_pq_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parquet-backed PQ serve — the one serving tier that still
+    trained inline on every query (IVF, BM25, graph, the quality
+    classifier and drift all have their stored rows; VERDICT r14
+    closure): codebooks and the packed code table persist to parquet
+    — the 16x-compressed index a 100-TB deployment builds offline —
+    and the ADC query serves from the STORE alone via pq_topk's
+    codebooks=/codes= hooks: subvectors are built for the ten query
+    vectors only, the corpus appears solely as its stored code table.
+    Oracle = pq_topk's verbatim (assigned below): the round-trip must
+    be exact because codes are ints and codebook doubles are
+    6-decimal-rounded — any schema/rounding drift in either index
+    table hash-mismatches through the serve."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="pq_index_")
+    pq_codebooks(emb).write.parquet(f"{idx}/codebooks")
+    cb = spark.read.parquet(f"{idx}/codebooks")
+    pq_encode(emb, codebooks=cb).write.parquet(f"{idx}/codes")
+    return pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        topk=5,
+        codebooks=cb,
+        codes=spark.read.parquet(f"{idx}/codes"),
+    )
+
+
+REGISTRY["sim_topk_pq_stored"].oracle = REGISTRY["pq_topk"].oracle
+
+
 @register(
     "sim_topk_pq_filtered",
     f"""

@@ -1035,6 +1035,8 @@ def pq_topk(
     train_df: DataFrame | None = None,
     persist: bool = True,
     candidate_filter: Column | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: rank corpus vectors by the SUM of per-subspace
     codeword distances to the query (ascending; approximate L2²).
@@ -1050,13 +1052,42 @@ def pq_topk(
     corpus: the filter selects candidates, never changes the learned
     codebooks), so the ADC aggregation and ranking see only the
     filtered corpus — the true filtered ADC top-k. On a stored code
-    table the id semi-join rides the code-table scan."""
-    sv, cb = _pq_train(embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist)
-    cb = _maybe_persist(cb, persist)
-    codes = _pq_assign(sv, cb, id_col)  # corpus code table, N*m rows
+    table the id semi-join rides the code-table scan.
+
+    ``codebooks``/``codes``: the stored-artifact hooks (topk_ivf's
+    assign=/centroids= pattern): pass the parquet-stored (sub, code,
+    cv) codebooks and pq_encode's packed (id, codes) table together
+    and the serve pays ZERO training lineage — subvectors are built
+    for the QUERY vectors only, the corpus appears solely as its
+    stored code table (exploded back to (id, sub, code) rows, exact:
+    codes are ints) — the offline-build / online-ADC-serve split a
+    100-TB deployment actually runs."""
+    if (codebooks is None) != (codes is None):
+        raise ValueError(
+            "pq_topk stored-serve needs BOTH codebooks and codes (got one): "
+            "the LUT prices query-to-codeword distances against the same "
+            "codebooks the stored code table was encoded with"
+        )
+    if codebooks is not None:
+        cb = codebooks
+        # queries only — the corpus never re-enters vector space
+        sv = subvectors(
+            embeddings.join(queries.select(id_col), id_col, "left_semi"),
+            m, dim, id_col, vec_col,
+        )
+        code_rows = codes.select(
+            F.col(id_col), F.posexplode("codes").alias("sub", "code")
+        )
+    else:
+        sv, cb = _pq_train(
+            embeddings, m, k, iters, dim, id_col, vec_col, train_df, persist
+        )
+        cb = _maybe_persist(cb, persist)
+        code_rows = _pq_assign(sv, cb, id_col)  # corpus code table, N*m rows
     if candidate_filter is not None:
         allowed = embeddings.where(candidate_filter).select(id_col)
-        codes = codes.join(allowed, id_col, "left_semi")
+        code_rows = code_rows.join(allowed, id_col, "left_semi")
+    codes = code_rows
     qsv = sv.join(queries.select(id_col), id_col).select(
         F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qsv")
     )
