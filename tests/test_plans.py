@@ -452,6 +452,7 @@ _BNLJ_ALLOWED = {
     "bm25_upsert_search",  # bm25_search's 1-row (N, avgdl) stats broadcast, folded from the upserted meta store (reviewed r13)
     "sim_topk_maxsim_ivf_filtered",  # packed-centroid assignment broadcasts over the semi-join-filtered token index (reviewed r13)
     "maxsim_filtered_recall_at_10",  # the filtered PLAID above + broadcast query-token bag x filtered doc-token exact side (reviewed r13)
+    "ivf_filtered_recall_at_10",  # broadcast-queries x filtered corpus exact side (the ivf_recall_at_10 / graph_filtered pattern); the filtered IVF approx side is cell-equi-joined (reviewed r14)
     "lsh_multiprobe_recall_at_10", "lsh_recall_at_10",
     "matryoshka_recall_at_10",  # broadcast-queries x corpus prefix scan
     "mix_balanced_recipe",

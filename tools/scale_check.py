@@ -165,6 +165,25 @@ def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> di
     # out of the linear pass (compare against pq_encode's ratio)
     t("pq_encode_sampled", similarity.pq_encode(emb, train_df=emb.where("vec_id % 100 = 0")))
     t("pq_topk", similarity.pq_topk(emb, emb.where("vec_id < 10")))
+    # the STORED ADC serve (r14): codebooks + packed codes prebuilt to
+    # parquet, the query pays only the LUT broadcast + the code-table
+    # scan — pq_topk minus its training fixed cost; the one remaining
+    # corpus-sized stage is the m-byte code scan, so the slope should
+    # sit at-or-under pq_topk's (which is itself training-dominated)
+    if want("pq_topk_serve_stored"):
+        with tempfile.TemporaryDirectory() as tmp:
+            similarity.pq_codebooks(emb).write.parquet(f"{tmp}/codebooks")
+            pq_cb = spark.read.parquet(f"{tmp}/codebooks")
+            similarity.pq_encode(emb, codebooks=pq_cb).write.parquet(f"{tmp}/codes")
+            t(
+                "pq_topk_serve_stored",
+                similarity.pq_topk(
+                    emb,
+                    emb.where("vec_id < 10"),
+                    codebooks=pq_cb,
+                    codes=spark.read.parquet(f"{tmp}/codes"),
+                ),
+            )
     t("ivfpq_topk", similarity.topk_ivfpq(emb, emb.where("vec_id < 10")))
     t("semantic_dedup_pq", similarity.semantic_dedup_pq(emb))
     # the other three compressed-scan tiers (round 6): all linear
