@@ -87,6 +87,8 @@ _VERIFY_FIRST = [
     "ivf_filtered_recall_at_10",  # filtered IVF decay vs exact filtered truth (last matrix cell)
     "upsert_face_relabel",  # real writeStream upsert face == rebuild-on-current-corpus
     "sim_topk_pq_stored",  # parquet-backed ADC serve (codebooks+codes store round-trip)
+    "sim_pq_upsert",  # PQ code-store upsert x2 == frozen-codebook re-encode of current corpus
+    "sim_topk_pq_stored_filtered",  # filtered ADC serve from the parquet store
     # --- r08 cohort (33 rows) ---
     "bpe_vocab_coverage",
     "line_dedup_rewrite",

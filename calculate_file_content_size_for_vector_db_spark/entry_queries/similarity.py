@@ -758,6 +758,109 @@ REGISTRY["sim_topk_pq_stored"].oracle = REGISTRY["pq_topk"].oracle
 
 
 @register(
+    "sim_pq_upsert",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+cur AS (
+    SELECT vec_id, v FROM e WHERE vec_id % 13 <> 0
+    UNION ALL
+    SELECT vec_id, list_reverse(v) AS v FROM e WHERE vec_id % 13 = 0
+),
+csv AS (
+    SELECT vec_id, CAST(t.s AS INT) AS sub,
+           list_slice(v, t.s * 16 + 1, t.s * 16 + 16) AS sv
+    FROM cur, (SELECT unnest(range(0, 4)) AS s) t
+),
+ccodes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY round(list_sum(list_transform(range(1, 17),
+                       j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))), 6), c.code) AS rn
+        FROM csv s JOIN cb2 c ON s.sub = c.sub
+    ) WHERE rn = 1
+)
+SELECT vec_id, CAST(to_json(list(code ORDER BY sub)) AS VARCHAR) AS codes
+FROM ccodes GROUP BY vec_id
+""",
+)
+def sim_pq_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT for the PQ code store — sim_ivf_upsert's contract on
+    the compressed tier, the one store that still lacked its upsert
+    verb (ivf/bm25/dedup/maxsim/graph registered theirs in r12-r13):
+    every 13th vector is re-embedded (deterministically reversed),
+    pq_upsert replaces its code row as broadcast anti-join purge +
+    frozen-codebook re-encode, applied TWICE through versioned
+    sibling parquet paths (crash-safe pattern), and the hash pins
+    both contracts at once — replay-safety (twice == once) and
+    upsert == re-encode of the current corpus: the oracle trains the
+    codebooks on the ORIGINAL corpus (the frozen artifact), then
+    assigns the current one from scratch. Codebooks never retrain on
+    upsert. Both legs batch-sized against one linear code-table scan
+    at any corpus size."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_upsert,
+    )
+
+    emb = _emb(spark, sf_dir)
+    changed = emb.where(F.col("vec_id") % 13 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    idx = tempfile.mkdtemp(prefix="pq_upsert_")
+    pq_codebooks(emb).write.parquet(f"{idx}/codebooks")
+    cb = spark.read.parquet(f"{idx}/codebooks")
+    pq_encode(emb, codebooks=cb).write.parquet(f"{idx}/codes_v1")
+    for v in (1, 2):
+        store = spark.read.parquet(f"{idx}/codes_v{v}")
+        pq_upsert(store, changed, cb).write.parquet(f"{idx}/codes_v{v + 1}")
+    return spark.read.parquet(f"{idx}/codes_v3").select(
+        "vec_id", F.to_json("codes").alias("codes")
+    )
+
+
+@register("sim_topk_pq_stored_filtered")
+def sim_topk_pq_stored_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ADC search on the STORED-index path — the stored ×
+    filtered cell for the PQ tier (IVF got its own in r12;
+    sim_topk_pq_stored landed the stored serve this round): codebooks
+    + packed codes persist to parquet, the serve runs from the store
+    alone, and candidate_filter semi-joins the stored code table by
+    the label predicate BEFORE the ADC aggregation — predicate
+    pushdown and the (sub, code) LUT equi-join compose on the serving
+    path itself. Oracle = sim_topk_pq_filtered's verbatim (the
+    sim_topk_ivf_stored_filtered pattern): the store round-trip must
+    be exact, so schema/rounding drift in either index table
+    hash-mismatches through the filtered serve."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="pq_filt_store_")
+    pq_codebooks(emb).write.parquet(f"{idx}/codebooks")
+    cb = spark.read.parquet(f"{idx}/codebooks")
+    pq_encode(emb, codebooks=cb).write.parquet(f"{idx}/codes")
+    return pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        topk=5,
+        codebooks=cb,
+        codes=spark.read.parquet(f"{idx}/codes"),
+        candidate_filter=F.col("label").isin(2, 5),
+    )
+
+
+
+@register(
     "sim_topk_pq_filtered",
     f"""
 WITH {_SQL_EMB},
@@ -799,6 +902,9 @@ def sim_topk_pq_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidate_filter=F.col("label").isin(2, 5),
     )
 
+
+
+REGISTRY["sim_topk_pq_stored_filtered"].oracle = REGISTRY["sim_topk_pq_filtered"].oracle
 
 @register(
     "sim_topk_ivfpq",

@@ -1109,6 +1109,42 @@ def pq_topk(
     )
 
 
+def pq_upsert(
+    stored_codes: DataFrame,
+    batch: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_SUBS,
+    k: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """UPSERT into the stored packed code table (pq_encode's (id,
+    codes) output) — ivf_upsert's contract on the PQ tier, completing
+    the PQ store's lifecycle next to build (pq_codebooks/pq_encode),
+    stored serve (pq_topk codebooks=/codes=) and the semantic-dedup
+    append (dedup_semantic_append): a re-ingested CHANGED vector
+    replaces its own code row. One plan, takedown + append composed:
+
+        purge  = stored_codes ANTI-JOIN batch ids      (request-sized)
+        append = encode(batch, FROZEN codebooks)       (batch-sized)
+        upsert = purge UNION append
+
+    Same two hash-pinned equivalences as ivf_upsert (sim_pq_upsert):
+    upsert == re-encode of the current corpus (per-vector codes
+    depend only on the frozen codebooks), and replay-safe (twice ==
+    once). New ids subsume append; codebooks never retrain on upsert
+    (quantizer drift is the staleness QA's concern). At 100 TB both
+    legs are batch-sized against one linear store scan; the caller
+    writes to a versioned sibling path and swaps last."""
+    purged = stored_codes.join(batch.select(id_col), id_col, "left_anti")
+    fresh = pq_encode(
+        batch, m, k, iters, dim, id_col, vec_col, codebooks=codebooks, persist=False
+    )
+    return purged.unionByName(fresh.select(*purged.columns))
+
+
 def semantic_dedup_pq(
     embeddings: DataFrame,
     m: int = PQ_SUBS,
