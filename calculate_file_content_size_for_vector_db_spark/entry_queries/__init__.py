@@ -89,6 +89,7 @@ _VERIFY_FIRST = [
     "sim_topk_pq_stored",  # parquet-backed ADC serve (codebooks+codes store round-trip)
     "sim_pq_upsert",  # PQ code-store upsert x2 == frozen-codebook re-encode of current corpus
     "sim_topk_pq_stored_filtered",  # filtered ADC serve from the parquet store
+    "sim_pq_takedown_serve",  # purged code store + forgotten-query ghost check
     # --- r08 cohort (33 rows) ---
     "bpe_vocab_coverage",
     "line_dedup_rewrite",

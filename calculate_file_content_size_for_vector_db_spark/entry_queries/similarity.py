@@ -823,6 +823,73 @@ def sim_pq_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_pq_takedown_serve",
+    f"""
+WITH {_SQL_EMB},
+{_sql_pq_chain()},
+surv AS (SELECT * FROM codes WHERE vec_id % 13 <> 0),
+tlut AS (
+    SELECT s.vec_id AS query_id, c.sub, c.code,
+           round(list_sum(list_transform(range(1, 17),
+               j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))), 6) AS d2
+    FROM sv s JOIN cb2 c ON s.sub = c.sub
+    WHERE s.vec_id % 13 = 0
+),
+adc AS (
+    SELECT l.query_id, co.vec_id AS neighbor_id, round(SUM(l.d2), 6) AS adist
+    FROM surv co JOIN tlut l ON co.sub = l.sub AND co.code = l.code
+    WHERE co.vec_id <> l.query_id
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+    FROM adc
+) WHERE rank <= 3
+""",
+)
+def sim_pq_takedown_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serve-side ghost check for the PQ code store, squaring the
+    tier's lifecycle (build / stored serve / filtered / upsert /
+    takedown — every other store registered its takedown in r10-r13):
+    every 13th vector is purged from the stored packed code table
+    with one anti-join rewrite (codebooks stay frozen — takedown does
+    not retrain), then the FORGOTTEN vectors themselves serve as ADC
+    queries against the purged store. The forgotten vector is the
+    sharpest probe on this tier too: a leaked code row puts the query
+    at ADC distance exactly 0 at rank 1 — maximally visible in the
+    hash. Oracle: the same frozen-codebook chain, candidates filtered
+    to survivors only, i.e. serve-from-purged-store == serve-over-
+    survivors. At 100 TB the purge is a request-sized broadcast
+    anti-join over the code-table scan a compaction pays anyway; the
+    serve is the ordinary broadcast-LUT ADC aggregation."""
+    import tempfile
+
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="pq_takedown_")
+    pq_codebooks(emb).write.parquet(f"{idx}/codebooks")
+    cb = spark.read.parquet(f"{idx}/codebooks")
+    pq_encode(emb, codebooks=cb).write.parquet(f"{idx}/codes")
+    forgotten = emb.where(F.col("vec_id") % 13 == 0).select("vec_id")
+    spark.read.parquet(f"{idx}/codes").join(
+        forgotten, "vec_id", "left_anti"
+    ).write.parquet(f"{idx}/codes_v2")
+    return pq_topk(
+        emb,
+        forgotten,
+        topk=3,
+        codebooks=cb,
+        codes=spark.read.parquet(f"{idx}/codes_v2"),
+    )
+
+
 @register("sim_topk_pq_stored_filtered")
 def sim_topk_pq_stored_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ADC search on the STORED-index path — the stored ×

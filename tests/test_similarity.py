@@ -1036,3 +1036,50 @@ def test_filtered_ivf_recall_probe_monotone(spark):
     assert sum(h1.values()) > 0  # the fixture produces real hits
     for qid, n in h1.items():
         assert h2.get(qid, 0) >= n
+
+
+def test_pq_upsert_new_ids_subsume_append_and_replay_idempotent(spark):
+    """pq_upsert's two mechanical contracts on synthetic data (the
+    registered sim_pq_upsert row pins the oracle equality): a batch
+    with a BRAND-NEW id inserts it (upsert subsumes append), a
+    re-delivered id replaces its row, and applying the same batch
+    twice equals once."""
+    import random
+
+    rng = random.Random(37)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    df = _emb(spark, rows)
+    cb = sim.pq_codebooks(df)
+    stored = sim.pq_encode(df, codebooks=cb)
+    batch = spark.createDataFrame(
+        [(3, [rng.uniform(-1, 1) for _ in range(64)]),
+         (99, [rng.uniform(-1, 1) for _ in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    once = sim.pq_upsert(stored, batch, cb)
+    got = {r.vec_id: list(r.codes) for r in once.collect()}
+    assert set(got) == set(range(40)) | {99}
+    fresh = {r.vec_id: list(r.codes) for r in sim.pq_encode(batch, codebooks=cb).collect()}
+    assert got[3] == fresh[3] and got[99] == fresh[99]
+    untouched = {r.vec_id: list(r.codes) for r in stored.collect()}
+    assert got[5] == untouched[5]
+    twice = {r.vec_id: list(r.codes) for r in sim.pq_upsert(once, batch, cb).collect()}
+    assert twice == got
+
+
+def test_pq_topk_stored_serve_requires_both_artifacts(spark):
+    """The codebooks=/codes= hooks must come together — passing one
+    raises a descriptive error instead of serving ADC distances
+    against mismatched artifacts."""
+    import random
+
+    import pytest as _pytest
+
+    rng = random.Random(41)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    df = _emb(spark, rows)
+    cb = sim.pq_codebooks(df)
+    with _pytest.raises(ValueError, match="BOTH codebooks and codes"):
+        sim.pq_topk(df, df.where("vec_id < 2"), codebooks=cb)
+    with _pytest.raises(ValueError, match="BOTH codebooks and codes"):
+        sim.pq_topk(df, df.where("vec_id < 2"), codes=sim.pq_encode(df, codebooks=cb))
