@@ -1453,7 +1453,13 @@ def upsert_face_relabel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed.coalesce(1).write.mode("overwrite").parquet(redeliveries)
     stream = spark.readStream.schema("doc_id long, text string").parquet(redeliveries)
     q = upsert_face(stream, store, tempfile.mkdtemp(prefix="upsert_face_ckpt_"))
-    q.awaitTermination(600)
+    # availableNow must DRAIN before the labels store is read: a False
+    # return means the trigger may still be mid-rewrite, and reading
+    # now would be a wrong-but-quiet hash (ADVICE r14 item 1) — fail
+    # loud instead.
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("upsert face did not drain in 600s")
     return spark.read.parquet(f"{store}/labels")
 
 

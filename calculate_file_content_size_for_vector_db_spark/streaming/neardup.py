@@ -131,7 +131,16 @@ def gate_batch(
     checkpoint cost is one materialization of the admitted rows.
 
     Missing store dirs bootstrap as an empty corpus (admits everything);
-    the first trigger's appends create them."""
+    the first trigger's appends create them.
+
+    CALLER CONTRACT (ADVICE r14 item 2): this body takes the bare
+    _FACE_TRIGGER_LOCK and deliberately does NOT release the admitted
+    localCheckpoint it returns — the enclosing ``face_scope`` (the
+    solo/composed faces' trigger scope) releases it at trigger exit.
+    A standalone caller without a surrounding ``face_scope`` therefore
+    leaks one lineage-truncated checkpoint per call; wrap the call in
+    ``store_swap.face_scope(spark)`` (if the snapshot is discarded) or
+    release it yourself via ``persistent_rdd_ids``/``release_rdds_since``."""
 
     def _read_store(spark, path: str, empty_like: DataFrame) -> DataFrame:
         from pyspark.errors import AnalysisException

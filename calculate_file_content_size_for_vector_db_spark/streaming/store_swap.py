@@ -106,6 +106,14 @@ def swap_rewrite(spark: SparkSession, path: str, df: DataFrame) -> None:
 _FACE_TRIGGER_LOCK = threading.RLock()
 
 
+# face_scope reentry depth, per thread: a nested scope (a composed
+# face's sub-body that itself calls face_scope) must NOT run its own
+# release diff — only the outermost scope releases, exactly once, so
+# a sub-body may hand a localCheckpoint back to the outer trigger
+# without it being swept at inner exit (ADVICE r14 item 3).
+_SCOPE_DEPTH = threading.local()
+
+
 @contextmanager
 def face_scope(spark: SparkSession):
     """The per-trigger critical section every face body runs in:
@@ -113,17 +121,25 @@ def face_scope(spark: SparkSession):
     on exit release everything the trigger persisted (then the lock).
     Reentrant (RLock), so a composed face can hold the scope around
     sub-bodies that also acquire the lock; the OUTERMOST scope's diff
-    then releases the whole trigger's state exactly once. Bodies that
-    must hand a localCheckpoint back to their caller (gate_batch's
-    admitted snapshot) take the bare lock instead and leave the
-    release to the enclosing trigger scope."""
+    then releases the whole trigger's state exactly once — inner
+    scopes are pure lock reentries with no snapshot/release of their
+    own (per-thread depth counter), so a sub-body can hand a
+    localCheckpoint back to the outer trigger safely. Bodies that
+    must hand a localCheckpoint back past the OUTERMOST scope
+    (gate_batch's admitted snapshot in the composed face) take the
+    bare lock instead and leave the release to the enclosing trigger
+    scope."""
     _FACE_TRIGGER_LOCK.acquire()
-    before = persistent_rdd_ids(spark)
+    depth = getattr(_SCOPE_DEPTH, "d", 0)
+    _SCOPE_DEPTH.d = depth + 1
+    before = persistent_rdd_ids(spark) if depth == 0 else None
     try:
         yield
     finally:
+        _SCOPE_DEPTH.d = depth
         try:
-            release_rdds_since(spark, before)
+            if depth == 0:
+                release_rdds_since(spark, before)
         finally:
             _FACE_TRIGGER_LOCK.release()
 

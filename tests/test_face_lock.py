@@ -48,19 +48,22 @@ def _noop_lock():
     yield
 
 
-def _interleaved_release(spark, lock_ctx):
+def _interleaved_release(spark, lock_ctx, b_wait_timeout):
     """Deterministic two-trigger interleaving.
 
     Trigger A (thread): enter lock_ctx, snapshot the persistent-RDD
-    set, signal entry, then WAIT (bounded) for B's checkpoint before
-    running its release diff. Trigger B (main thread): after A is
-    inside, localCheckpoint a frame under the REAL face lock.
+    set, signal entry, then WAIT for B's checkpoint before running its
+    release diff. Trigger B (main thread): after A is inside,
+    localCheckpoint a frame under the REAL face lock.
 
     With the real lock, B blocks until A finishes -> A's wait times
-    out, A releases only its own window, B's checkpoint is created
-    after and survives. With the no-op lock, B's checkpoint lands
-    INSIDE A's diff window -> A's release sweeps it. Returns
-    (b_ids, survived) where survived = b_ids still persistent.
+    out (the timeout IS the expected path, so keep it short), A
+    releases only its own window, B's checkpoint is created after and
+    survives. With the no-op lock, B proceeds immediately and ALWAYS
+    signals, so A waits unbounded (b_wait_timeout=None) — B's creation
+    deterministically lands inside A's diff window regardless of
+    machine load (ADVICE r14 item 4) -> A's release sweeps it.
+    Returns (b_ids, survived) where survived = b_ids still persistent.
     """
     a_entered = threading.Event()
     b_created = threading.Event()
@@ -71,10 +74,7 @@ def _interleaved_release(spark, lock_ctx):
             with lock_ctx():
                 before = persistent_rdd_ids(spark)
                 a_entered.set()
-                # bounded wait: real lock -> B can't create until we
-                # exit, so this times out; no-op lock -> B's creation
-                # lands inside our diff window
-                b_created.wait(timeout=15)
+                b_created.wait(timeout=b_wait_timeout)
                 release_rdds_since(spark, before)
         except Exception as e:  # pragma: no cover - surfaced below
             errs.append(e)
@@ -102,7 +102,7 @@ def test_lock_prevents_cross_trigger_sweep(spark):
     """With the face lock on both sides, trigger A's release can never
     contain trigger B's checkpoint — B's persistent RDDs survive."""
     b_ids, survived = _interleaved_release(
-        spark, lambda: store_swap._FACE_TRIGGER_LOCK
+        spark, lambda: store_swap._FACE_TRIGGER_LOCK, b_wait_timeout=3
     )
     assert b_ids and survived == b_ids
 
@@ -111,7 +111,7 @@ def test_sweep_happens_without_lock(spark):
     """The falsifier: the IDENTICAL interleaving with trigger A's lock
     neutered sweeps B's in-flight checkpoint — so removing the lock
     from a face body turns the test above red, deterministically."""
-    b_ids, survived = _interleaved_release(spark, _noop_lock)
+    b_ids, survived = _interleaved_release(spark, _noop_lock, b_wait_timeout=None)
     assert b_ids and survived == set()
 
 
@@ -171,7 +171,11 @@ def test_concurrent_upsert_takedown_triggers(spark, tmp_path):
             [(f"d{i}", f"document number {i} body text with words {i % 3}") for i in range(12)],
             "doc_id string, text string",
         )
-        gate_batch(docs, f"{store}/bands", f"{store}/shingles", f"{store}/admitted")
+        # gate_batch's caller contract: the admitted snapshot is
+        # released by an enclosing face_scope — a bare call here would
+        # leak one checkpoint per seed (ADVICE r14 item 2)
+        with store_swap.face_scope(spark):
+            gate_batch(docs, f"{store}/bands", f"{store}/shingles", f"{store}/admitted")
 
     s_up, s_td = str(tmp_path / "up"), str(tmp_path / "td")
     seed(s_up)

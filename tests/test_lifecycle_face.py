@@ -1,0 +1,156 @@
+"""Composed day-2 lifecycle face (streaming/lifecycle.py — VERDICT
+r14 item 2): takedown + upsert in ONE trigger against ONE store.
+
+Pins the composition seam the solo-face tests cannot see:
+(a) the composed end-state equals the solo takedown-then-upsert
+    sequence byte-for-byte on every store (the face IS the verbs,
+    composed, not a reimplementation),
+(b) the ghost contract — a doc_id carried by BOTH a takedown request
+    and an upsert re-delivery in the same trigger is forgotten and
+    does NOT resurface through the upsert leg, on any store,
+(c) labels equal a from-scratch clustering of the current corpus
+    (survivors with re-delivered edits applied),
+(d) a replayed trigger is a no-op on every store,
+(e) unknown actions fail loud.
+"""
+
+from pyspark.sql import functions as F
+
+from calculate_file_content_size_for_vector_db_spark.operators import dedup
+from calculate_file_content_size_for_vector_db_spark.streaming.lifecycle import (
+    lifecycle_face,
+    lifecycle_store_batch,
+)
+from calculate_file_content_size_for_vector_db_spark.streaming.takedown import (
+    takedown_store_batch,
+)
+from calculate_file_content_size_for_vector_db_spark.streaming.upsert import (
+    upsert_store_batch,
+)
+
+ROWS = [
+    (10, "alpha beta gamma delta epsilon"),
+    (11, "alpha beta gamma delta epsilon"),
+    (12, "alpha beta gamma delta epsilon"),
+    (20, "omega psi chi phi upsilon"),
+    (21, "omega psi chi phi upsilon"),
+    (30, "lonely words with no duplicate here"),
+    (40, "another singleton of entirely distinct content"),
+]
+
+# one trigger: forget 12 and 40; re-deliver 11 (cluster move into
+# group 2) and 40 (GHOST: also taken down — takedown must win)
+TD_IDS = [12, 40]
+UP_ROWS = [
+    (11, "omega psi chi phi upsilon"),
+    (40, "resurrection attempt that must not land"),
+]
+CURRENT = [
+    (10, "alpha beta gamma delta epsilon"),
+    (11, "omega psi chi phi upsilon"),
+    (20, "omega psi chi phi upsilon"),
+    (21, "omega psi chi phi upsilon"),
+    (30, "lonely words with no duplicate here"),
+]
+
+
+def _seed(spark, store):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    docs.write.parquet(f"{store}/admitted")
+    dedup.minhash_bands(dedup.minhash_signature(docs)).write.parquet(f"{store}/bands")
+    dedup.shingle_sets(docs).write.parquet(f"{store}/shingles")
+    dedup.neardup_clusters(docs, method="star").write.parquet(f"{store}/labels")
+
+
+def _rows_of(spark, path):
+    return {
+        tuple(tuple(sorted(x)) if isinstance(x, list) else x for x in r)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _snapshot(spark, store):
+    return {
+        sub: _rows_of(spark, f"{store}/{sub}")
+        for sub in ("admitted", "bands", "shingles", "labels")
+    }
+
+
+def _lifecycle_batch(spark):
+    rows = [(i, "takedown", None) for i in TD_IDS] + [
+        (i, "upsert", t) for i, t in UP_ROWS
+    ]
+    return spark.createDataFrame(rows, "doc_id long, action string, text string")
+
+
+def test_lifecycle_face_composes_solo_verbs_and_keeps_ghosts_out(spark, tmp_path):
+    s_face, s_solo = str(tmp_path / "face"), str(tmp_path / "solo")
+    _seed(spark, s_face)
+    _seed(spark, s_solo)
+
+    # composed store: one REAL trigger through writeStream
+    batch_dir = tmp_path / "batch"
+    _lifecycle_batch(spark).coalesce(1).write.parquet(str(batch_dir))
+    stream = spark.readStream.schema("doc_id long, action string, text string").parquet(
+        str(batch_dir)
+    )
+    q = lifecycle_face(stream, s_face, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+
+    # twin store: the solo verbs in the face's documented order, with
+    # the ghost id pre-filtered exactly as the face's contract states
+    takedown_store_batch(
+        spark.createDataFrame([(i,) for i in TD_IDS], "doc_id long"), 0, s_solo
+    )
+    upsert_store_batch(
+        spark.createDataFrame(
+            [r for r in UP_ROWS if r[0] not in TD_IDS], "doc_id long, text string"
+        ),
+        0,
+        s_solo,
+    )
+
+    # (a) composed == solo sequence, every store byte-for-byte
+    face_snap, solo_snap = _snapshot(spark, s_face), _snapshot(spark, s_solo)
+    for sub in face_snap:
+        assert face_snap[sub] == solo_snap[sub], f"composed != solo on {sub}"
+
+    # (b) ghost contract: 40 (takedown ∩ upsert) and 12 are GONE
+    for sub in ("admitted", "bands", "shingles", "labels"):
+        ids = {r[0] for r in face_snap[sub]}
+        assert 40 not in ids, f"ghost 40 resurfaced in {sub}"
+        assert 12 not in ids, f"taken-down 12 still in {sub}"
+
+    # (c) labels == from-scratch clustering of the current corpus
+    current = spark.createDataFrame(CURRENT, "doc_id long, text string")
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.neardup_clusters(current, method="star").collect()
+    }
+    assert face_snap["labels"] == want
+
+    # audit ledgers carry both verbs' rows
+    td_audit = {r.doc_id for r in spark.read.parquet(f"{s_face}/takedowns").collect()}
+    up_audit = {r.doc_id for r in spark.read.parquet(f"{s_face}/upserts").collect()}
+    assert td_audit == set(TD_IDS)
+    assert up_audit == {11}  # the ghost never reached the upsert leg
+
+    # (d) replaying the SAME composed trigger is a no-op on every store
+    lifecycle_store_batch(_lifecycle_batch(spark), 0, s_face)
+    assert _snapshot(spark, s_face) == face_snap
+
+
+def test_lifecycle_face_rejects_unknown_action(spark, tmp_path):
+    store = str(tmp_path / "store")
+    _seed(spark, store)
+    bad = spark.createDataFrame(
+        [(10, "delete", None)], "doc_id long, action string, text string"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown action"):
+        lifecycle_store_batch(bad, 0, store)
+    # and the store is untouched
+    assert {r.doc_id for r in spark.read.parquet(f"{store}/admitted").collect()} == {
+        r[0] for r in ROWS
+    }
