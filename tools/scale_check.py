@@ -184,6 +184,27 @@ def run_tier(spark, n_docs: int, n_vec: int, only: set[str] | None = None) -> di
                     codes=spark.read.parquet(f"{tmp}/codes"),
                 ),
             )
+    # PQ code-store upsert (r15, VERDICT r14 item 6): FIXED 200-vector
+    # re-embedded batch against the stored packed code table — purge is
+    # a request-sized anti-join over one linear store scan, the append
+    # leg re-encodes only the batch against the FROZEN broadcast
+    # codebooks, so at fixed batch the slope should track the vector
+    # factor (the store scan) and nothing else: expect ~flat-to-linear
+    # like graph_upsert_ivf's x1.01.
+    if want("pq_upsert_fixed_batch"):
+        with tempfile.TemporaryDirectory() as tmp:
+            similarity.pq_codebooks(emb).write.parquet(f"{tmp}/ucodebooks")
+            u_cb = spark.read.parquet(f"{tmp}/ucodebooks")
+            similarity.pq_encode(emb, codebooks=u_cb).write.parquet(f"{tmp}/ucodes")
+            changed_vecs = emb.where(F.col("vec_id") < 200).select(
+                "vec_id", F.reverse("embedding").alias("embedding")
+            )
+            t(
+                "pq_upsert_fixed_batch",
+                lambda: similarity.pq_upsert(
+                    spark.read.parquet(f"{tmp}/ucodes"), changed_vecs, u_cb
+                ),
+            )
     t("ivfpq_topk", similarity.topk_ivfpq(emb, emb.where("vec_id < 10")))
     t("semantic_dedup_pq", similarity.semantic_dedup_pq(emb))
     # the other three compressed-scan tiers (round 6): all linear
