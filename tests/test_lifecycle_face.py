@@ -140,6 +140,57 @@ def test_lifecycle_face_composes_solo_verbs_and_keeps_ghosts_out(spark, tmp_path
     assert _snapshot(spark, s_face) == face_snap
 
 
+def test_lifecycle_face_drives_index_store_both_verbs(spark, tmp_path):
+    """The composed trigger against a store WITH an IVF index: the
+    takedown leg must purge the forgotten ids' assign rows, and the
+    upsert leg must re-assign re-embedded survivors against the FROZEN
+    stored centroids — end state == frozen-centroid assignment of the
+    current vector set. The ghost id's re-delivery carries an
+    embedding too, and must still not land."""
+    from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
+        ivf_append_assign,
+        ivf_centroids,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.lifecycle import (
+        lifecycle_store_batch,
+    )
+
+    def emb(i):
+        return [float((i * 7 + d * 3) % 11) for d in range(8)]
+
+    store = str(tmp_path / "store")
+    _seed(spark, store)
+    vecs = spark.createDataFrame(
+        [(i, emb(i)) for i, _ in ROWS], "vec_id long, embedding array<double>"
+    )
+    ivf_centroids(vecs).write.parquet(f"{store}/index/centroids")
+    cents = spark.read.parquet(f"{store}/index/centroids")
+    ivf_append_assign(vecs, cents).write.parquet(f"{store}/index/assign")
+
+    rows = [(i, "takedown", None, None) for i in TD_IDS] + [
+        (i, "upsert", t, emb(i * 100)) for i, t in UP_ROWS
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, action string, text string, embedding array<double>"
+    )
+    lifecycle_store_batch(batch, 0, store)
+
+    cur_vecs = spark.createDataFrame(
+        [(i, emb(i)) for i, _ in CURRENT if i != 11] + [(11, emb(1100))],
+        "vec_id long, embedding array<double>",
+    )
+    want = {
+        (r.vec_id, r.cell, r.cell_cosine)
+        for r in ivf_append_assign(cur_vecs, cents).collect()
+    }
+    got = {
+        (r.vec_id, r.cell, r.cell_cosine)
+        for r in spark.read.parquet(f"{store}/index/assign").collect()
+    }
+    assert got == want
+    assert 40 not in {v for v, _, _ in got} and 12 not in {v for v, _, _ in got}
+
+
 def test_lifecycle_face_rejects_unknown_action(spark, tmp_path):
     store = str(tmp_path / "store")
     _seed(spark, store)
