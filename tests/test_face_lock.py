@@ -98,6 +98,34 @@ def _interleaved_release(spark, lock_ctx, b_wait_timeout):
     return b_ids, survived
 
 
+def test_nested_face_scope_releases_once_at_outermost_exit(spark):
+    """ADVICE r14 item 3: a NESTED face_scope (a composed face's
+    sub-body) must be a pure lock reentry — no snapshot, no release of
+    its own — so a checkpoint the sub-body hands back to the outer
+    trigger survives the inner exit and the OUTERMOST exit releases
+    the whole trigger's state exactly once (the docstring's promise,
+    now behavior)."""
+    from pyspark.sql import functions as F
+
+    outer_before = persistent_rdd_ids(spark)
+    with store_swap.face_scope(spark):
+        _, a_ids = _checkpointed_ids(spark, spark.range(32).withColumn("x", F.rand(3)))
+        with store_swap.face_scope(spark):
+            ck_b, b_ids = _checkpointed_ids(
+                spark, spark.range(32).withColumn("x", F.rand(5))
+            )
+        # the inner exit must NOT have swept the sub-body's checkpoint
+        assert b_ids and b_ids <= persistent_rdd_ids(spark), (
+            "inner face_scope released the sub-body's checkpoint"
+        )
+        # ...and the outer trigger can still evaluate it
+        assert ck_b.count() == 32
+        del ck_b
+    # the outermost exit releases EVERYTHING the trigger persisted
+    assert (a_ids | b_ids) & persistent_rdd_ids(spark) == set()
+    assert persistent_rdd_ids(spark) <= outer_before
+
+
 def test_lock_prevents_cross_trigger_sweep(spark):
     """With the face lock on both sides, trigger A's release can never
     contain trigger B's checkpoint — B's persistent RDDs survive."""
