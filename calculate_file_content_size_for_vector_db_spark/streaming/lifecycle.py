@@ -69,13 +69,22 @@ def lifecycle_store_batch(
     key: str = "doc_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    admitted_ledger: DataFrame | None = None,
 ) -> None:
     """One composed trigger: split ``batch_df`` on its ``action``
     column, run the takedown verb, then the upsert verb with the
     taken-down ids anti-joined OUT (takedown wins — the ghost
     contract), all inside one ``face_scope``. Batch-callable like
     every face body; the stream test pins THIS function against the
-    solo-sequence end state."""
+    solo-sequence end state.
+
+    ``admitted_ledger``: the batch-tagged admitted rows, passed
+    through to the takedown verb so right-to-be-forgotten covers the
+    card/drift sum-fold stores in the SAME composed trigger
+    (takedown_store_batch's documented optional contract). The upsert
+    leg's refolds remain a batch maintenance job — they need the
+    caller-owned ledger REWRITTEN first, which is the caller's
+    transaction (the sum-fold contract, streaming/upsert.py)."""
     spark = batch_df.sparkSession
     if "action" not in batch_df.columns or key not in batch_df.columns:
         raise ValueError(
@@ -110,7 +119,12 @@ def lifecycle_store_batch(
         # the outer scope releases the whole trigger's state once
         if td.count() > 0:
             takedown_store_batch(
-                td, batch_id, store_dir, threshold, max_bucket_size
+                td,
+                batch_id,
+                store_dir,
+                threshold,
+                max_bucket_size,
+                admitted_ledger=admitted_ledger,
             )
         if up.count() > 0:
             upsert_store_batch(
@@ -134,6 +148,7 @@ def lifecycle_face(
     key: str = "doc_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    admitted_ledger: DataFrame | None = None,
 ) -> StreamingQuery:
     """Start the composed lifecycle face. ``stream`` rows carry
     (doc_id, action, text[, embedding]) — 'takedown' rows with NULL
@@ -149,6 +164,7 @@ def lifecycle_face(
             key,
             vec_col,
             max_bucket_size,
+            admitted_ledger,
         )
 
     return (

@@ -191,6 +191,56 @@ def test_lifecycle_face_drives_index_store_both_verbs(spark, tmp_path):
     assert 40 not in {v for v, _, _ in got} and 12 not in {v for v, _, _ in got}
 
 
+def test_lifecycle_face_passes_ledger_to_takedown_refolds(spark, tmp_path):
+    """The admitted_ledger pass-through: ONE composed trigger with the
+    batch-tagged ledger provided must drive the takedown leg's card/
+    drift sum-fold refolds (right-to-be-forgotten covers the
+    observability stores in the same trigger), folding exactly the
+    takedown ids out — the upsert leg's refolds remain a batch
+    maintenance job by the documented contract, so the expected fold
+    is the UNREWRITTEN ledger minus the forgotten ids."""
+    from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
+        corpus_datacard_merge,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.datacard import (
+        append_card_partials,
+        read_datacard,
+    )
+    from calculate_file_content_size_for_vector_db_spark.streaming.lifecycle import (
+        lifecycle_store_batch,
+    )
+
+    ledger = spark.createDataFrame(
+        [
+            (i, f"doc {i} body {'pad ' * (i % 4)}", ["en", "fr"][i % 2], f"s{i % 3}", i % 2)
+            for i in range(12)
+        ],
+        "doc_id long, text string, lang string, source string, batch_id long",
+    )
+    store = str(tmp_path / "store")
+    docs = ledger.select("doc_id", "text")
+    docs.write.parquet(f"{store}/admitted")
+    for b in range(2):
+        append_card_partials(
+            ledger.where(F.col("batch_id") == b).drop("batch_id"), b, f"{store}/card"
+        )
+
+    batch = spark.createDataFrame(
+        [(0, "takedown", None), (4, "takedown", None), (5, "upsert", "rewritten body five")],
+        "doc_id long, action string, text string",
+    )
+    lifecycle_store_batch(batch, 0, store, admitted_ledger=ledger)
+
+    surv = ledger.where(~F.col("doc_id").isin(0, 4)).drop("batch_id")
+    got = {r.metric: r.value for r in read_datacard(spark, f"{store}/card").collect()}
+    want = {r.metric: r.value for r in corpus_datacard_merge(surv).collect()}
+    assert got == want
+    # and the serving store saw BOTH verbs in the same trigger
+    adm = {r.doc_id: r.text for r in spark.read.parquet(f"{store}/admitted").collect()}
+    assert 0 not in adm and 4 not in adm
+    assert adm[5] == "rewritten body five"
+
+
 def test_lifecycle_face_rejects_unknown_action(spark, tmp_path):
     store = str(tmp_path / "store")
     _seed(spark, store)
