@@ -32,9 +32,12 @@ upsert_store_batch), so this module pins the COMPOSITION seam, not a
 reimplementation — the suite test asserts the composed end-state
 equals the solo sequence byte-for-byte.
 
-Batch schema: (doc_id, action, text) where action ∈ {'takedown',
-'upsert'}; takedown rows carry NULL text (there is no content in a
-forgetting request), upsert rows carry the re-delivered content.
+Batch schema: (doc_id, action, text[, embedding]) where action ∈
+{'takedown', 'upsert'}; takedown rows carry NULL content (there is
+no content in a forgetting request), upsert rows carry the
+re-delivered content — text, and an embedding when the store has an
+IVF index to re-assign (the registered row's shape,
+entry_queries/pipelines.py lifecycle_takedown_upsert_q).
 
 At 100 TB: both legs stay request/batch-sized — broadcast anti-joins
 against one linear scan per touched store, batch-sized signature
