@@ -556,8 +556,12 @@ def quality_classifier_weights(
         .withColumn("wgt", F.lit(0.0))
     )
     for _ in range(rounds):
+        # broadcast(w): n_buckets+1 rows — without the hint the
+        # planner's post-aggregate size estimate picked a sort-merge
+        # join here, shuffling the corpus-sized feature table on b
+        # every round (guide §3.1: hint when you KNOW a side is small)
         z = (
-            feat.join(w, "b")
+            feat.join(F.broadcast(w), "b")
             .groupBy(key)
             .agg(F.round(F.sum(F.col("x") * F.col("wgt")), 6).alias("z"))
         )
@@ -573,8 +577,10 @@ def quality_classifier_weights(
             .select("b", F.round(F.col("g_sum") / F.col("n_train"), 6).alias("g"))
         )
         # coalesce(1): the inter-round weight frame is n_buckets rows
-        # (see similarity.ivf_centroids — same tiny-frame shave)
-        w = w.join(grad, "b", "left").select(
+        # (see similarity.ivf_centroids — same tiny-frame shave).
+        # broadcast(grad): both sides are n_buckets+1 rows; the default
+        # plan was a 2-exchange sort-merge join between 17-row frames
+        w = w.join(F.broadcast(grad), "b", "left").select(
             "b",
             F.round(
                 F.col("wgt") - F.lit(lr) * F.coalesce(F.col("g"), F.lit(0.0)), 6

@@ -850,10 +850,24 @@ def star_components(
             .distinct()
         )
 
+    n_prev = None
     for _ in range(max_rounds):
         new_e = _small(_large(E)).localCheckpoint(eager=True)
-        diff = new_e.exceptAll(E).limit(1).count() + E.exceptAll(new_e).limit(1).count()
-        E = new_e
+        # Convergence = set equality. Both frames are distinct sets
+        # (initial E and every _small output end in .distinct()), so
+        # |new_e| == |E| plus new_e ⊆ E (one-directional exceptAll)
+        # implies equality — the second, reverse exceptAll job the
+        # pre-r15 loop paid per round is redundant. Counts are
+        # shuffle-free scans of the checkpointed RDDs, and E's count
+        # is simply last round's, so each round pays ONE tiny count
+        # job + ONE exceptAll probe (which short-circuits via
+        # limit(1) on any non-converged round).
+        n_prev = E.count() if n_prev is None else n_prev
+        n_new = new_e.count()
+        diff = 1
+        if n_new == n_prev:
+            diff = new_e.exceptAll(E).limit(1).count()
+        E, n_prev = new_e, n_new
         if diff == 0:
             break
     else:

@@ -368,9 +368,13 @@ def ivf_centroids(
         .select("cell", F.col("v").alias("centroid"))
     )
     for _ in range(iters):
-        assigned = _assign_to(v, cents, id_col).select(id_col, "cell")
+        # keep=("v",): the assignment is a narrow map over v, so the
+        # vector rides along for free — re-joining v by id here (the
+        # pre-r15 shape) cost two corpus exchanges + a sort-merge join
+        # PER ROUND for data the assign row already held (guide §2.4)
+        assigned = _assign_to(v, cents, id_col, keep=("v",))
         per_dim = (
-            v.join(assigned, id_col)
+            assigned
             .select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.round(F.avg("x"), 6).alias("cx"))
@@ -554,38 +558,71 @@ def topk_ivf(
     finding). Probe cells are distinct, so the cell equi-join meets
     each (query, candidate) pair at most once — no dedup needed.
 
-    The assignment feeds both the query side and the candidate side of
-    the cell join; persist it so the unrolled k-means lineage runs once
-    (Spark does not dedupe common subplans). Callers with a stored
-    assignment table (ann_frontier, a parquet index at scale) pass it
-    via ``assign`` (its corpus-side cells are always the argmax
+    The k-row centroid table feeds both the query side and the
+    candidate side; persist IT (k rows, not the corpus) so the
+    unrolled k-means lineage runs once (Spark does not dedupe common
+    subplans). Each side's assignment is then a narrow broadcast map
+    over its own scan (guide §2.4) — no corpus-wide persist, no
+    assignment self-join, and a candidate_filter still reaches the
+    parquet scan as a pushed filter. Callers with a stored assignment
+    table (ann_frontier, a parquet index at scale) pass it via
+    ``assign`` (its corpus-side cells are always the argmax
     assignment; only the query side multi-probes)."""
     if assign is None:
-        assign = ivf_assign(embeddings, id_col, vec_col).persist()
-    emb_c = embeddings.join(assign.select(id_col, "cell"), id_col)
+        # Inline build: train once (tiny persisted frame), assign each
+        # side with the packed 1-row centroid broadcast. The pre-r15
+        # shape persisted the corpus-sized (id, cell) table and joined
+        # embeddings back to it by id — two corpus exchanges + an SMJ
+        # for data a narrow re-map recomputes at k*dim flops/row; the
+        # interim r15 shape persisted the full corpus+vector, which
+        # blocked candidate_filter pushdown and holds corpus-scale
+        # memory. Stored-assign callers keep the join — there the
+        # store genuinely holds only (id, cell).
+        if centroids is None:
+            centroids = ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col)
+        centroids = centroids.persist()
+        vv = spread(embeddings).select(
+            *[F.col(c) for c in embeddings.columns if c != vec_col],
+            as_double(vec_col).alias("v"),
+        )
+        emb_c = _assign_to(
+            vv, centroids, id_col, keep=tuple(c for c in vv.columns if c != id_col)
+        ).drop("cell_cosine")
+    else:
+        emb_c = embeddings.join(assign.select(id_col, "cell"), id_col).withColumn(
+            "v", as_double(vec_col)
+        )
     if probes > 1:
         cents = (
             centroids
             if centroids is not None
             else ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col)
         )
+        # one corpus⨝queries join; the vector rides through the top-c
+        # assignment via keep= instead of a second join back by id
         qv = embeddings.join(queries.select(id_col), id_col).select(
             F.col(id_col), as_double(vec_col).alias("v")
         )
-        qcells = _assign_topc(qv, cents, id_col, probes)
-        q = (
-            embeddings.join(queries.select(id_col), id_col)
-            .select(F.col(id_col), as_double(vec_col).alias("qv"))
-            .join(qcells, id_col)
-            .select(F.col(id_col).alias("query_id"), "qv", "cell")
+        q = _assign_topc(qv, cents, id_col, probes, keep=("v",)).select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
+        )
+    elif assign is None:
+        # join the (small) query-id set first, then assign only those
+        # rows — assigning the whole corpus on the query side computes
+        # k*dim flops/row for rows the join immediately discards
+        qv = embeddings.join(queries.select(id_col), id_col).select(
+            F.col(id_col), as_double(vec_col).alias("v")
+        )
+        q = _assign_to(qv, centroids, id_col, keep=("v",)).select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
         )
     else:
         q = emb_c.join(queries.select(id_col), id_col).select(
-            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"), "cell"
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
         )
     c_src = emb_c if candidate_filter is None else emb_c.where(candidate_filter)
     c = spread(c_src).select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -885,11 +922,15 @@ def subvectors(
     return spread(embeddings).select(F.col(id_col), F.inline(subs))
 
 
-def _pq_assign(sv: DataFrame, codebooks: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """(id, sub, code): nearest codeword per subvector (rounded L2²,
-    ties -> smallest code). The m packed codebook rows broadcast; the
-    argmin is a higher-order array_min per row — no per-candidate
-    window, no shuffle."""
+def _pq_assign(
+    sv: DataFrame, codebooks: DataFrame, id_col: str = "vec_id", keep: tuple = ()
+) -> DataFrame:
+    """(id, sub, *keep, code): nearest codeword per subvector (rounded
+    L2², ties -> smallest code). The m packed codebook rows broadcast;
+    the argmin is a higher-order array_min per row — no per-candidate
+    window, no shuffle. ``keep`` columns pass through untouched (the
+    _assign_to pattern): training carries the subvector itself so the
+    centroid update never re-joins the subvector table by id."""
     packed = codebooks.groupBy("sub").agg(
         F.collect_list(F.struct("code", "cv")).alias("cents")
     )
@@ -903,7 +944,12 @@ def _pq_assign(sv: DataFrame, codebooks: DataFrame, id_col: str = "vec_id") -> D
     )
     return (
         sv.join(F.broadcast(packed), "sub")
-        .select(F.col(id_col), "sub", best.getField("code").alias("code"))
+        .select(
+            F.col(id_col),
+            "sub",
+            *[F.col(c) for c in keep],
+            best.getField("code").alias("code"),
+        )
     )
 
 
@@ -955,9 +1001,13 @@ def _pq_train(
     )
     cb = tsv.join(first_k, id_col).select("sub", "code", F.col("sv").alias("cv"))
     for _ in range(iters):
-        asg = _pq_assign(tsv, cb, id_col)
+        # keep=("sv",): ride the subvector through the narrow assign
+        # map instead of re-joining tsv on (id, sub) each round — the
+        # pre-r15 shape paid two corpus-sized exchanges + an SMJ per
+        # Lloyd round for data the assign row already held (guide §2.4)
+        asg = _pq_assign(tsv, cb, id_col, keep=("sv",))
         per_dim = (
-            tsv.join(asg, [id_col, "sub"])
+            asg
             .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("sub", "code", "pos")
             .agg(F.round(F.avg("x"), 6).alias("cx"))

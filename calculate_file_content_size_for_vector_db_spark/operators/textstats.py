@@ -1195,37 +1195,60 @@ def repetition_filters(
         ).alias("dup_line_char_frac"),
     )
 
-    # --- token positions (shared by the gram metrics) ---
+    # --- token positions (5-gram coverage lengths only) ---
     toks = df.select(
         F.col(key), F.posexplode(tokens(text_col)).alias("pos", "w")
-    ).persist()
-    tok_chars = toks.groupBy(key).agg(
-        F.sum(F.length("w")).cast("double").alias("tchars")
     )
+    # total token chars: a narrow per-row array fold — the pre-r15
+    # shape exploded tokens and hash-agged them back per doc (an
+    # exchange for a number each row can compute locally, guide §2.3)
+    ws0 = tokens(text_col)
+    tok_chars = df.select(
+        F.col(key),
+        F.aggregate(
+            F.transform(ws0, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double").alias("tchars"),
+    ).where(F.col("tchars") > 0)
 
     # --- top bigram ---
-    bg = (
-        toks.alias("a")
-        .join(
-            toks.select(
-                F.col(key), (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
-            ).alias("b"),
-            [key, "pos"],
-        )
-        .select(F.col(key), F.concat_ws(" ", "w", "w2").alias("g"),
-                (F.length("w") + F.length("w2")).alias("glen"))
+    # adjacent pairs straight off the token array (same pattern as the
+    # 5-gram block below) — the pre-r15 shape SELF-JOINED the exploded
+    # token table on (key, pos-1): a corpus-sized exchange + join to
+    # pair rows that sit adjacent in one array (guide §2.4)
+    bigrams = F.when(
+        F.size(ws0) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws0) - 2),
+            lambda i: F.struct(
+                F.concat_ws(
+                    " ", F.element_at(ws0, i + 1), F.element_at(ws0, (i + 2).cast("int"))
+                ).alias("g"),
+                (
+                    F.length(F.element_at(ws0, i + 1))
+                    + F.length(F.element_at(ws0, (i + 2).cast("int")))
+                ).alias("glen"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<g:string,glen:int>>"))
+    bg = df.select(F.col(key), F.explode(bigrams).alias("b")).select(
+        F.col(key), F.col("b.g").alias("g"), F.col("b.glen").alias("glen")
     )
     per_bg = bg.groupBy(key, "g", "glen").agg(F.count("*").alias("c"))
-    wtop = Window.partitionBy(key).orderBy(F.desc("c"), F.asc("g"))
+    # per-doc argmax by (count desc, gram asc) as a plain hash-agg —
+    # min of (−c, g) struct — instead of a row_number window (the agg
+    # does partial aggregation map-side; the window shuffled and
+    # sorted every (doc, gram) row, guide §2.3)
     top_bg = (
-        per_bg.withColumn("rn", F.row_number().over(wtop))
-        .where(F.col("rn") == 1)
+        per_bg.groupBy(key)
+        .agg(F.min(F.struct((-F.col("c")).alias("negc"), "g", "glen")).alias("t"))
         .join(tok_chars, key)
         .select(
             F.col(key),
-            F.round(F.col("c") * F.col("glen") / F.col("tchars"), 6).alias(
-                "top_2gram_char_frac"
-            ),
+            F.round(
+                (-F.col("t.negc")) * F.col("t.glen") / F.col("tchars"), 6
+            ).alias("top_2gram_char_frac"),
         )
     )
 
