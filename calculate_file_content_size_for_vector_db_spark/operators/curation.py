@@ -512,18 +512,30 @@ def _hashed_features(
     )
     from calculate_file_content_size_for_vector_db_spark.partitioning import spread
 
+    from pyspark.sql import Window
+
     tok = spread(df).select(
         F.col(key), F.explode(tokens(text_col)).alias("w")
     )
     cnt = tok.groupBy(key, (token_hash(F.col("w")) % n_buckets).cast("int").alias("b")).agg(
         F.count("*").alias("c")
     )
-    n = tok.groupBy(key).agg(F.count("*").alias("n"))
-    feat = cnt.join(n, key).select(
-        key, "b", (F.col("c") / F.col("n")).alias("x")
+    # per-doc token total = sum of the bucket counts: a window over the
+    # ≤(n_buckets+1)-rows-per-doc cnt frame, NOT a second corpus explode
+    # + groupBy(key) + join (the pre-r15 shape — materializing feat paid
+    # THREE token-explode passes: cnt, n, and the intercept union's n;
+    # guide §2.3/§2.4). The intercept rows ("docs with ≥1 token") come
+    # from a narrow no-shuffle map over df. Values are unchanged: x is
+    # the same long/long division, and the intercept row set is exactly
+    # the docs the old n-table contained.
+    wk = Window.partitionBy(key)
+    feat = cnt.select(
+        key, "b", (F.col("c") / F.sum("c").over(wk)).alias("x")
     )
     return feat.unionByName(
-        n.select(key, F.lit(-1).alias("b"), F.lit(1.0).alias("x"))
+        df.select(F.col(key), F.size(tokens(text_col)).alias("_n"))
+        .where(F.col("_n") > 0)
+        .select(key, F.lit(-1).alias("b"), F.lit(1.0).alias("x"))
     )
 
 

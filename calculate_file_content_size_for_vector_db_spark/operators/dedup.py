@@ -650,18 +650,18 @@ def span_dedup_rewrite(
     the sibling duplicated_spans query, which only DETECTS the spans.
 
     Plan shape (all linear, no pairwise stage): one explode to
-    (doc, pos, token), one explode to (doc, i, span_hash), a hash-agg
-    finding duplicated spans + their keeper, covered positions via an
-    n-wide sequence explode on the non-keeper span hits, a left-anti
-    join dropping covered tokens, and one ordered re-assembly per doc.
-    Shuffles are keyed on span_hash or ``key`` — never a product.
+    (doc, i, span_hash), a hash-agg finding duplicated spans + their
+    keeper, covered positions via an n-wide sequence explode on the
+    non-keeper span hits collected to one array row per doc, and the
+    rewrite itself as a higher-order filter over each doc's own token
+    array. Shuffles are keyed on span_hash or ``key`` and carry only
+    span/position metadata — document tokens never shuffle.
     """
     from calculate_file_content_size_for_vector_db_spark.operators.textstats import tokens
     from calculate_file_content_size_for_vector_db_spark.partitioning import spread
 
     docs = spread(df)
     toks = tokens(text_col)
-    tok_t = docs.select(F.col(key), F.posexplode(toks).alias("pos", "tok"))
     spans_arr = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.md5(
@@ -680,37 +680,47 @@ def span_dedup_rewrite(
         .where(F.col("_nd") >= 2)
         .select("span_hash", "keeper")
     )
-    covered = (
+    # covered positions per doc as ONE array row (collect_set dedupes,
+    # so the standalone .distinct() exchange is gone), then the rewrite
+    # is a higher-order filter over the doc's own token array — the
+    # pre-r15 shape anti-joined the exploded (key, pos) token table and
+    # re-assembled it with array_sort(collect_list(...)), pushing every
+    # corpus token through TWO more exchanges (guide §2.3: shuffle keys
+    # and metadata, not payloads; only covered (key, pos) pairs shuffle
+    # here). Values are unchanged: filter preserves array order, so the
+    # kept tokens re-join in the same pos order the sort produced, and
+    # the NULL-text row keeps ("", 0, NULL) via the same coalesces.
+    cov_arr = (
         span_t.join(dup, "span_hash")
         .where(F.col(key) != F.col("keeper"))
         .select(
             F.col(key),
             F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("pos"),
         )
-        .distinct()
-    )
-    rebuilt = (
-        tok_t.join(covered, [key, "pos"], "left_anti")
         .groupBy(key)
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("clean_text"),
-            F.count("*").cast("long").alias("n_tokens_kept"),
-        )
+        .agg(F.collect_set("pos").alias("_cov"))
     )
+    kept_arr = F.when(
+        F.col("_cov").isNull(), toks
+    ).otherwise(F.filter(toks, lambda t, i: ~F.array_contains(F.col("_cov"), i)))
     return (
-        docs.select(F.col(key), F.size(toks).cast("long").alias("_n_tokens"))
-        .join(rebuilt, key, "left")
+        docs.join(cov_arr, key, "left")
+        .select(
+            F.col(key),
+            F.size(toks).cast("long").alias("_n_tokens"),
+            F.concat_ws(" ", kept_arr).alias("clean_text"),
+            F.size(kept_arr).alias("_kept"),
+        )
         .select(
             key,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
-            (F.col("_n_tokens") - F.coalesce("n_tokens_kept", F.lit(0)))
+            F.coalesce(
+                F.when(F.col("_kept") >= 0, F.col("_kept")), F.lit(0)
+            ).cast("long").alias("n_tokens_kept"),
+            (
+                F.col("_n_tokens")
+                - F.coalesce(F.when(F.col("_kept") >= 0, F.col("_kept")), F.lit(0))
+            )
             .cast("long")
             .alias("n_tokens_removed"),
         )
@@ -829,12 +839,15 @@ def star_components(
             .agg(F.min("v").alias("_mv"))
             .select("u", F.least("u", "_mv").alias("m"))
         )
+        # no trailing .distinct(): _small normalizes and dedups its
+        # input as its FIRST op, so deduping here costs a full edge-set
+        # exchange per round for rows the next exchange re-dedups
+        # anyway (map-side partial aggregation absorbs the duplicates)
         return (
             sym.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small(e: DataFrame) -> DataFrame:

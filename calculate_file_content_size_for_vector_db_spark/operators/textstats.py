@@ -898,7 +898,14 @@ def bm25_postings(
     oracle verbatim)."""
     toks = df.select(F.col(key), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(key, "term").agg(F.count("*").cast("long").alias("tf"))
-    dl = toks.groupBy(key).agg(F.count("*").cast("long").alias("dl"))
+    # dl is just the token-array length per row — a narrow map with NO
+    # explode and NO shuffle (the pre-r15 shape exploded the corpus and
+    # hash-agged it back per doc, guide §2.3/2.4). The >0 filter keeps
+    # the exact row set of the old groupBy form, which emits no row for
+    # a zero-token doc.
+    dl = df.select(
+        F.col(key), F.size(tokens(text_col)).cast("long").alias("dl")
+    ).where(F.col("dl") > 0)
     meta = df.agg(F.count("*").cast("long").alias("n_docs"))
     return tf, dl, meta
 
@@ -1022,10 +1029,21 @@ def bm25_search(
         tf, dl, meta = tf_df, dl_df, meta_df
     else:
         tf, dl, meta = bm25_postings(df, text_col, key)
-    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # gate the vocab-wide tf table down to QUERY terms once, and
+    # persist the result: it is posting-list-sized (only rows whose
+    # term appears in a query) and feeds BOTH the df aggregation and
+    # the scoring join — Spark does not dedupe common subplans, so the
+    # pre-r15 shape recomputed the corpus token explode + tf hash-agg
+    # for each branch (guide §2.3/§2.4: shuffle — and scan — fewer
+    # bytes; df per surviving term still counts over the full corpus,
+    # so every value is unchanged)
+    ptf = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    ).persist()
+    dft = ptf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     stats = meta.crossJoin(F.broadcast(dl.agg(F.avg("dl").alias("avgdl"))))
     scored = (
-        tf.join(F.broadcast(qterms), "term")
+        ptf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dft), "term")
         .join(dl, key)
         .crossJoin(F.broadcast(stats))
