@@ -199,25 +199,22 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     train = docs.where(F.col("doc_id") % 5 != 0)
     bench = docs.where(F.col("doc_id") % 5 == 0)
-    lang_en = (
-        lang_id(docs)
-        .where(
-            (F.col("predicted_lang") == "en")
-        )
-        .select("doc_id")
-    )
-    qual = (
-        quality_score(docs)
-        .where(F.coalesce(F.col("punct_ratio"), F.lit(1.0)) <= 0.1)
-        .select("doc_id")
-    )
     contaminated = decontaminate(train, bench, n=5).select("doc_id")
     dup_b = minhash_lsh_pairs(docs, threshold=0.5).select(
         F.col("b_id").alias("doc_id")
     ).distinct()
+    # lang_id and quality_score are per-row narrow maps, so the lang/
+    # quality gates apply INLINE on the train scan instead of computing
+    # two separate corpus-wide id lists and equi-joining them back (the
+    # pre-r15 shape: two extra corpus passes + two corpus-sized
+    # SortMergeJoins for predicates each row can evaluate locally,
+    # guide §2.4; doc_id is unique, so filter == inner-join row-for-row)
     kept = (
-        train.join(lang_en, "doc_id")
-        .join(qual, "doc_id")
+        quality_score(lang_id(train))
+        .where(
+            (F.col("predicted_lang") == "en")
+            & (F.coalesce(F.col("punct_ratio"), F.lit(1.0)) <= 0.1)
+        )
         .join(contaminated, "doc_id", "left_anti")
         .join(dup_b, "doc_id", "left_anti")
         .select("doc_id", "text")
@@ -422,7 +419,11 @@ def serving_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = bpe_apply_oov(docs)
     base = emb.where(F.col("vec_id") % 17 != 0)
     batch = emb.where(F.col("vec_id") % 17 == 0)
-    cents = ivf_centroids(base)
+    # persist the k-row centroid table: it feeds BOTH the batch routing
+    # and the corpus-side assignment, and Spark does not dedupe common
+    # subplans — unpersisted, the whole unrolled Lloyd training lineage
+    # ran once per reference (the topk_ivf r15 lesson, guide §2.4)
+    cents = ivf_centroids(base).persist()
     routed = ivf_append_assign(batch, cents)
     base_assign = ivf_append_assign(base, cents)
     qv = batch.select(

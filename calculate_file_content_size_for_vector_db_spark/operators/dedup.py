@@ -1272,6 +1272,7 @@ def neardup_clusters(
         .persist()
     )
     changed = -1
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -1308,12 +1309,23 @@ def neardup_clusters(
         # on a cluster, set a checkpoint dir + .checkpoint() for
         # executor-loss tolerance on long jobs.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # Convergence via the label-sum invariant: labels are MONOTONE
+        # non-increasing per node (every update is least(old, ...)) over
+        # a fixed node set, so the exact label sum strictly decreases
+        # unless NO label moved — one shuffle-free aggregate over the
+        # checkpointed frame replaces the old per-round keyed self-join
+        # + filter + count (two exchanges per round, guide §2.4).
+        # decimal(38,0) keeps the sum exact at any corpus size (1e9
+        # rows x 1e18 ids overflows a long).
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if prev_sum is None:
+            prev_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+        changed = 0 if new_sum == prev_sum else 1
+        prev_sum = new_sum
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -1323,7 +1335,7 @@ def neardup_clusters(
         edges.unpersist()
         raise RuntimeError(
             f"neardup_clusters: min-label propagation did not converge in "
-            f"{max_iterations} rounds ({changed} labels still changing) — "
+            f"{max_iterations} rounds (labels still changing) — "
             "the near-dup graph has diameter > max_iterations (chained "
             "near-dups?). Raise max_iterations, or use star-contraction CC "
             "for unbounded-diameter graphs."
