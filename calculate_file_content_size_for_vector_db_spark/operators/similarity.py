@@ -2494,11 +2494,22 @@ def knn_graph_ivf(
     pair meets at most once — no dedup. At scale the join is
     co-partitioned by cell; no cell's block leaves its executor."""
     if assign is None:
-        # the assignment must cover the CANDIDATE side (== embeddings
-        # for the self-graph; the stored corpus in append mode)
-        assign = ivf_assign(
-            candidates if candidates is not None else embeddings, id_col, vec_col
-        ).persist()
+        if probes > 1 and centroids is None and candidates is None:
+            # self-graph: the candidate-side assignment and the source-
+            # side probe cells quantize the SAME corpus with the same
+            # defaults, so train Lloyd ONCE and persist the k-row
+            # centroid table — the pre-r15 shape ran two bit-identical
+            # unrolled trainings, one inside ivf_assign and one for
+            # src_cells (guide §2.4; the topk_ivf persist lesson)
+            centroids = ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col).persist()
+            v0 = embeddings.select(F.col(id_col), as_double(vec_col).alias("v"))
+            assign = _assign_to(v0, centroids, id_col).persist()
+        else:
+            # the assignment must cover the CANDIDATE side (== embeddings
+            # for the self-graph; the stored corpus in append mode)
+            assign = ivf_assign(
+                candidates if candidates is not None else embeddings, id_col, vec_col
+            ).persist()
     if probes > 1:
         cents = (
             centroids
