@@ -422,7 +422,10 @@ def serving_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the k-row centroid table: it feeds BOTH the batch routing
     # and the corpus-side assignment, and Spark does not dedupe common
     # subplans — unpersisted, the whole unrolled Lloyd training lineage
-    # ran once per reference (the topk_ivf r15 lesson, guide §2.4)
+    # ran once per reference (the topk_ivf r15 lesson, guide §2.4).
+    # (Overlapping the three independent trainings from driver threads
+    # via the stored-artifact hooks was tried and measured a wash at
+    # fixture scale — see OPTIMIZATION_r15.md.)
     cents = ivf_centroids(base).persist()
     routed = ivf_append_assign(batch, cents)
     base_assign = ivf_append_assign(base, cents)
@@ -560,7 +563,11 @@ def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
     corpus = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
-    corpus_bands = minhash_bands(minhash_signature(corpus))
+    # persist the corpus band table: the Bloom gate AND the stored-band
+    # pair join both reference it, and unpersisted each reference re-ran
+    # the full corpus shingle+signature lineage (guide §2.4; at scale
+    # this frame IS the parquet band store the handoff row reads back)
+    corpus_bands = minhash_bands(minhash_signature(corpus)).persist()
     gate = bloom_neardup_prefilter(batch, corpus_bands)
     batch_flagged = batch.join(
         gate.where(F.col("maybe_neardup")).select("doc_id"), "doc_id", "left_semi"
