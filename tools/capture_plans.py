@@ -25,7 +25,11 @@ from calculate_file_content_size_for_vector_db_spark.entry_queries import (  # n
 from calculate_file_content_size_for_vector_db_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"),
+)
 
 
 def _shape(plan: str) -> str:
