@@ -424,8 +424,14 @@ def serving_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subplans — unpersisted, the whole unrolled Lloyd training lineage
     # ran once per reference (the topk_ivf r15 lesson, guide §2.4).
     # (Overlapping the three independent trainings from driver threads
-    # via the stored-artifact hooks was tried and measured a wash at
-    # fixture scale — see OPTIMIZATION_r15.md.)
+    # was tried TWICE and regressed both times: r15's per-chain count()
+    # variant was a wash, and r16's persisted-artifact variant —
+    # training weights/merges/centroids eagerly in three threads and
+    # serving through the stored-artifact hooks — measured ×0.69
+    # interleaved (13.5s -> 19.7s rebench): the single lazy plan
+    # already overlaps the independent training subtrees via AQE's
+    # concurrent stage materialization, and the eager split only adds
+    # job barriers + cache round-trips. See OPTIMIZATION_r16.md.)
     cents = ivf_centroids(base).persist()
     routed = ivf_append_assign(batch, cents)
     base_assign = ivf_append_assign(base, cents)
@@ -734,8 +740,22 @@ def ingest_serve_handoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans (trained sampled at 100 TB); the admission/dup frames are
     localCheckpoint snapshots because each day's plan READS the store
     that day then APPENDS to (the gate_batch lesson from
-    streaming/composed.py, in the batch flagship)."""
+    streaming/composed.py, in the batch flagship).
+
+    r16 shape (guide §2.4/§2.6): BOTH days' band/shingle artifacts are
+    one signature pass over the combined batch, persisted — the gates,
+    pair joins and store appends all slice that table instead of
+    re-running the shingle+minhash lineage (five recomputes per day
+    before). Bands are a pure function of the doc text, so the slices
+    are bit-identical to per-day rebuilds. Independent store chains
+    overlap on the job axis from driver threads: the corpus band and
+    shingle writes, the batch-artifact materializations, and the whole
+    IVF train+assign chain (which depends on nothing the admission
+    chain produces) back-fill each other's stragglers; the day-0 ->
+    day-1 -> append ordering the store contract requires stays
+    strictly sequential."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
         bloom_neardup_prefilter,
@@ -754,51 +774,109 @@ def ingest_serve_handoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     mod = _INCR_BATCH_MOD
     corpus = docs.where(F.col("doc_id") % mod != 0)
-    day0 = docs.where(F.col("doc_id") % (2 * mod) == 0)
-    day1 = docs.where(
-        (F.col("doc_id") % mod == 0) & (F.col("doc_id") % (2 * mod) != 0)
-    )
+    batch_all = docs.where(F.col("doc_id") % mod == 0)
+    day0_pred = F.col("doc_id") % (2 * mod) == 0
+    day1_pred = (F.col("doc_id") % mod == 0) & ~day0_pred
     store = tempfile.mkdtemp(prefix="handoff_")
-    minhash_bands(minhash_signature(corpus)).write.parquet(f"{store}/bands")
-    shingle_sets(corpus).write.parquet(f"{store}/shingles")
 
-    def _admit_and_append(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """One ingest day: gate against the store AS-OF NOW, snapshot
-        the decisions, then append the admissions' artifacts. Returns
-        (admitted, dups) as eager snapshots — both plans read the very
-        store this function then mutates."""
-        bands_now = spark.read.parquet(f"{store}/bands")
-        sh_now = spark.read.parquet(f"{store}/shingles")
-        gate = bloom_neardup_prefilter(batch, bands_now)
-        flagged = batch.join(
-            gate.where(F.col("maybe_neardup")).select("doc_id"), "doc_id", "left_semi"
-        )
-        pairs = incremental_neardup_pairs(flagged, bands_now, sh_now)
-        dups = (
-            pairs.groupBy(F.col("new_id").alias("doc_id"))
-            .agg(F.count("*").cast("long").alias("n_store_dups"))
-            .localCheckpoint(eager=True)
-        )
-        admitted = batch.join(dups.select("doc_id"), "doc_id", "left_anti").localCheckpoint(
-            eager=True
-        )
-        minhash_bands(minhash_signature(admitted)).write.mode("append").parquet(
-            f"{store}/bands"
-        )
-        shingle_sets(admitted).write.mode("append").parquet(f"{store}/shingles")
-        return admitted, dups
+    # both days' batch artifacts from ONE signature pass (batch-sized)
+    batch_bands = minhash_bands(minhash_signature(batch_all)).persist()
+    batch_sh = shingle_sets(batch_all).persist()
 
-    adm0, dups0 = _admit_and_append(day0)
-    adm1, dups1 = _admit_and_append(day1)
-    adm_ids = adm0.select("doc_id").union(adm1.select("doc_id"))
+    def _ivf_chain():
+        spark.sparkContext.setJobDescription("handoff: IVF train + corpus assign")
+        base = emb.where(F.col("vec_id") % mod != 0)
+        ivf_centroids(base).write.parquet(f"{store}/centroids")
+        c = spark.read.parquet(f"{store}/centroids")
+        ivf_append_assign(base, c).write.parquet(f"{store}/assign")
+        return c
 
-    ivf_centroids(emb.where(F.col("vec_id") % mod != 0)).write.parquet(
-        f"{store}/centroids"
-    )
-    cents = spark.read.parquet(f"{store}/centroids")
-    ivf_append_assign(emb.where(F.col("vec_id") % mod != 0), cents).write.parquet(
-        f"{store}/assign"
-    )
+    def _job(desc, fn):
+        def run():
+            spark.sparkContext.setJobDescription(f"handoff: {desc}")
+            fn()
+        return run
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_ivf = pool.submit(_ivf_chain)
+        setup = [
+            pool.submit(
+                _job(
+                    "corpus bands store",
+                    lambda: minhash_bands(minhash_signature(corpus)).write.parquet(
+                        f"{store}/bands"
+                    ),
+                )
+            ),
+            pool.submit(
+                _job(
+                    "corpus shingle store",
+                    lambda: shingle_sets(corpus).write.parquet(f"{store}/shingles"),
+                )
+            ),
+            pool.submit(_job("batch band artifacts", lambda: batch_bands.count())),
+            pool.submit(_job("batch shingle artifacts", lambda: batch_sh.count())),
+        ]
+        for f in setup:
+            f.result()
+
+        def _admit_and_append(day_pred) -> tuple[DataFrame, DataFrame]:
+            """One ingest day: gate against the store AS-OF NOW, snapshot
+            the decisions, then append the admissions' artifacts (sliced
+            from the precomputed batch tables). Returns (admitted_ids,
+            dups) as eager snapshots — both plans read the very store
+            this function then mutates."""
+            batch = docs.where(day_pred)
+            b_bands = batch_bands.where(day_pred)
+            b_sh = batch_sh.where(day_pred)
+            bands_now = spark.read.parquet(f"{store}/bands")
+            sh_now = spark.read.parquet(f"{store}/shingles")
+            gate = bloom_neardup_prefilter(batch, bands_now, batch_bands=b_bands)
+            flagged_ids = gate.where(F.col("maybe_neardup")).select("doc_id")
+            pairs = incremental_neardup_pairs(
+                batch.join(flagged_ids, "doc_id", "left_semi"),
+                bands_now,
+                sh_now,
+                batch_bands=b_bands.join(flagged_ids, "doc_id", "left_semi"),
+                batch_shingles=b_sh.join(flagged_ids, "doc_id", "left_semi"),
+            )
+            dups = (
+                pairs.groupBy(F.col("new_id").alias("doc_id"))
+                .agg(F.count("*").cast("long").alias("n_store_dups"))
+                .localCheckpoint(eager=True)
+            )
+            admitted = (
+                batch.select("doc_id")
+                .join(dups.select("doc_id"), "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            appends = [
+                pool.submit(
+                    _job(
+                        "band store append",
+                        lambda: b_bands.join(admitted, "doc_id", "left_semi")
+                        .write.mode("append")
+                        .parquet(f"{store}/bands"),
+                    )
+                ),
+                pool.submit(
+                    _job(
+                        "shingle store append",
+                        lambda: b_sh.join(admitted, "doc_id", "left_semi")
+                        .write.mode("append")
+                        .parquet(f"{store}/shingles"),
+                    )
+                ),
+            ]
+            for f in appends:
+                f.result()
+            return admitted, dups
+
+        adm0, dups0 = _admit_and_append(day0_pred)
+        adm1, dups1 = _admit_and_append(day1_pred)
+        adm_ids = adm0.union(adm1)
+        cents = f_ivf.result()
+
     adm_vec = emb.join(
         adm_ids.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
     )
@@ -1557,7 +1635,7 @@ def lifecycle_takedown_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
-        ivf_assign,
+        ivf_append_assign,
         ivf_centroids,
     )
     from calculate_file_content_size_for_vector_db_spark.streaming.lifecycle import lifecycle_face
@@ -1565,9 +1643,15 @@ def lifecycle_takedown_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).where(F.col("vec_id") < _LC_CAP)
     store = tempfile.mkdtemp(prefix="lifecycle_store_")
     # centroids train ONCE on the original corpus and freeze — the
-    # face's upsert leg re-assigns against the STORE, never retrains
+    # face's upsert leg re-assigns against the STORE, never retrains.
+    # The base assignment reads those written centroids back instead of
+    # calling ivf_assign (which would unroll a SECOND bit-identical
+    # Lloyd training into the assign plan — guide §2.4; training is
+    # deterministic, so assign-against-store == assign-inline).
     ivf_centroids(emb).write.parquet(f"{store}/index/centroids")
-    ivf_assign(emb).write.parquet(f"{store}/index/assign")
+    ivf_append_assign(
+        emb, spark.read.parquet(f"{store}/index/centroids")
+    ).write.parquet(f"{store}/index/assign")
     trigger = (
         emb.where(F.col("vec_id") % _LC_TD_MOD == 0)
         .select(

@@ -3452,6 +3452,12 @@ def sim_maxsim_upsert_serve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = spark.read.parquet(f"{store}/centroids")
     maxsim_token_index(dtk, cents).write.parquet(f"{store}/index_v1")
+    # NOTE (r16, negative result): persisting _token_bags(changed) once
+    # for both upsert generations measured ×0.76 SLOWER interleaved
+    # (9.48s -> 12.45s rebench) — the columnar cache write+read of the
+    # array<double> token vectors costs more than the narrow
+    # slice+posexplode recompute it saves, and it breaks stage fusion
+    # in the append leg. Kept as the recompute.
     for v in (1, 2):
         maxsim_upsert(
             spark.read.parquet(f"{store}/index_v{v}"), _token_bags(changed, "doc_id"), cents

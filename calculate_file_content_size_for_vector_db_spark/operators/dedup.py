@@ -610,6 +610,7 @@ def bloom_neardup_prefilter(
     key: str = "doc_id",
     m_bits: int = BLOOM_BITS,
     n_hashes: int = BLOOM_HASHES,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """(key, maybe_neardup): the Bloom pre-gate in front of
     incremental_neardup_pairs — a fresh batch doc can only near-dup the
@@ -624,11 +625,17 @@ def bloom_neardup_prefilter(
     hash with the corpus, the same guarantee the full band join gives.
     Docs with no shingles at all produce no bands and return
     maybe_neardup=false, matching the band join (no candidates).
+
+    ``batch_bands``: optional PRECOMPUTED batch band table (the
+    incremental_neardup_pairs hook contract) — callers that already
+    derived it for the pair join / a store append pass it so the batch
+    signature pipeline is not recomputed per gate; None derives it here.
     """
     bitmap = bloom_bitmap(corpus_bands, "band_hash", m_bits, n_hashes)
-    batch_bands = minhash_bands(
-        minhash_signature(batch, text_col=text_col, key=key), key=key
-    )
+    if batch_bands is None:
+        batch_bands = minhash_bands(
+            minhash_signature(batch, text_col=text_col, key=key), key=key
+        )
     verdicts = bloom_probe(
         batch_bands, bitmap, "band_hash", [key], m_bits, n_hashes
     )

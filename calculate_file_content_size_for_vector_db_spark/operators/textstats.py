@@ -1025,10 +1025,6 @@ def bm25_search(
     session = (tf_df if tf_df is not None else df).sparkSession
     q = session.createDataFrame(queries, f"query_id int, q string")
     qterms = q.select("query_id", F.explode(tokens("q")).alias("term")).distinct()
-    if tf_df is not None:
-        tf, dl, meta = tf_df, dl_df, meta_df
-    else:
-        tf, dl, meta = bm25_postings(df, text_col, key)
     # gate the vocab-wide tf table down to QUERY terms once, and
     # persist the result: it is posting-list-sized (only rows whose
     # term appears in a query) and feeds BOTH the df aggregation and
@@ -1037,15 +1033,45 @@ def bm25_search(
     # for each branch (guide §2.3/§2.4: shuffle — and scan — fewer
     # bytes; df per surviving term still counts over the full corpus,
     # so every value is unchanged)
-    ptf = tf.join(
-        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-    ).persist()
+    if tf_df is not None:
+        tf, dl, meta = tf_df, dl_df, meta_df
+        ptf = tf.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        ).persist()
+        scoring_rows = ptf.join(dl, key)
+        stats = meta.crossJoin(F.broadcast(dl.agg(F.avg("dl").alias("avgdl"))))
+    else:
+        # Inline path: the pre-r16 shape derived tf, dl and avgdl from
+        # THREE separate tokenize passes over the corpus (tf explode,
+        # the dl scoring join, the avgdl agg) plus a count-only scan
+        # for n_docs — four corpus scans for one ranking. Here dl rides
+        # the tf grouping (dl is a function of the doc key, so adding
+        # it to the groupBy changes no group), which deletes the dl
+        # scoring join outright, and n_docs + avgdl collapse into ONE
+        # agg pass (avg ignores the NULL the <=0 guard produces,
+        # matching the dl table's >0 row filter). Two corpus scans
+        # total; every value is unchanged (guide §2.3/§2.4).
+        toks = tokens(text_col)
+        exploded = df.select(F.col(key), toks.alias("_toks")).select(
+            key, F.size("_toks").cast("long").alias("dl"), F.explode("_toks").alias("term")
+        )
+        ptf = (
+            exploded.join(
+                F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+            )
+            .groupBy(key, "dl", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .persist()
+        )
+        scoring_rows = ptf
+        stats = df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.avg(F.when(F.size(toks) > 0, F.size(toks).cast("long"))).alias("avgdl"),
+        )
     dft = ptf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    stats = meta.crossJoin(F.broadcast(dl.agg(F.avg("dl").alias("avgdl"))))
     scored = (
-        ptf.join(F.broadcast(qterms), "term")
+        scoring_rows.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dft), "term")
-        .join(dl, key)
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",

@@ -579,6 +579,31 @@ def test_bloom_prefilter_no_false_negatives_vs_band_join(spark):
     assert set(verdict) == {0, 7, 14, 21}
 
 
+def test_bloom_prefilter_precomputed_batch_bands_hook(spark):
+    # the batch_bands hook (r16: the handoff feeds every gate from one
+    # shared signature pass) must return bit-identical verdicts to the
+    # derive-inline default — bands are a pure function of the text.
+    rows = [(i, f"unique words number {i} alpha beta gamma delta {i}") for i in range(24)]
+    rows[8] = (8, rows[0][1])
+    df = _docs(spark, rows)
+    batch = df.where(F.col("doc_id") % 7 == 0)
+    corpus = df.where(F.col("doc_id") % 7 != 0)
+    corpus_bands = dedup.minhash_bands(dedup.minhash_signature(corpus))
+    precomputed = dedup.minhash_bands(dedup.minhash_signature(batch))
+    inline = {
+        r.doc_id: r.maybe_neardup
+        for r in dedup.bloom_neardup_prefilter(batch, corpus_bands).collect()
+    }
+    hooked = {
+        r.doc_id: r.maybe_neardup
+        for r in dedup.bloom_neardup_prefilter(
+            batch, corpus_bands, batch_bands=precomputed
+        ).collect()
+    }
+    assert hooked == inline
+    assert set(hooked) == {0, 7, 14, 21}
+
+
 def test_bloom_prefilter_empty_text_is_false(spark):
     df = _docs(spark, [(0, None), (7, ""), (14, "short"), (1, "corpus doc words here")])
     batch = df.where(F.col("doc_id") % 7 == 0)
