@@ -662,14 +662,28 @@ def dedup_clusters_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
     corpus = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
-    stored = neardup_clusters(corpus, threshold=0.5, method="star")
+    # ONE signature pass per side (guide §2.4): the corpus artifacts
+    # feed BOTH the stored clustering and the cross pair join, and the
+    # batch artifacts feed BOTH the cross join and the within-batch
+    # LSH — unhooked, each side's shingle→minhash lineage ran twice.
+    corpus_bands = minhash_bands(minhash_signature(corpus)).persist()
+    corpus_sh = shingle_sets(corpus).persist()
+    batch_bands = minhash_bands(minhash_signature(batch)).persist()
+    batch_sh = shingle_sets(batch).persist()
+    stored = neardup_clusters(
+        corpus, threshold=0.5, method="star", bands_df=corpus_bands, shingles_df=corpus_sh
+    )
     cross = incremental_neardup_pairs(
         batch,
-        minhash_bands(minhash_signature(corpus)),
-        shingle_sets(corpus),
+        corpus_bands,
+        corpus_sh,
         threshold=0.5,
+        batch_bands=batch_bands,
+        batch_shingles=batch_sh,
     )
-    within = minhash_lsh_pairs(batch, threshold=0.5)
+    within = minhash_lsh_pairs(
+        batch, threshold=0.5, bands_df=batch_bands, shingles_df=batch_sh
+    )
     edges = cross.select(
         F.col("new_id").alias("src"), F.col("corpus_id").alias("dst")
     ).unionByName(
@@ -753,7 +767,11 @@ def dedup_takedown_recluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="takedown_")
     # artifact-first store build (see dedup_upsert_relabel_q): bands/
     # shingles written once, labels clustered FROM the stored copies —
-    # one signature pass instead of three, byte-identical labels
+    # one signature pass instead of three, byte-identical labels.
+    # (r16 negative result: overlapping the two writes from driver
+    # threads measured a wash across 3 A/B pairs — two HOMOGENEOUS
+    # corpus shuffle jobs just contend; contrast the handoff, where
+    # overlapping the heterogeneous IVF chain won. Kept serial.)
     minhash_bands(minhash_signature(docs)).write.parquet(f"{store}/bands")
     shingle_sets(docs).write.parquet(f"{store}/shingles")
     pairs = minhash_lsh_pairs(

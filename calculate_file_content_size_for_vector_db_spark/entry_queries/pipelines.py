@@ -574,6 +574,14 @@ def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full corpus shingle+signature lineage (guide §2.4; at scale
     # this frame IS the parquet band store the handoff row reads back)
     corpus_bands = minhash_bands(minhash_signature(corpus)).persist()
+    # (r16 negative result: persisting the BATCH band table and feeding
+    # the gate + pair join through the precomputed-bands hooks measured
+    # 8.76s -> 10.91s interleaved — the batch subtree is cheap, its
+    # duplicate copies evaluate as parallel stages inside this one lazy
+    # plan, and the cache barrier only serializes them. Contrast the
+    # handoff, where the duplicates were EAGER serial store-seam jobs,
+    # and dedup_clusters_append, where the shared subtree is
+    # corpus-sized. Kept derive-inline.)
     gate = bloom_neardup_prefilter(batch, corpus_bands)
     batch_flagged = batch.join(
         gate.where(F.col("maybe_neardup")).select("doc_id"), "doc_id", "left_semi"

@@ -1218,9 +1218,15 @@ def neardup_clusters(
     pointer_jumping: bool = False,
     max_bucket_size: int | None = None,
     method: str = "label",
+    bands_df: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in
     a duplicate cluster gets the cluster's smallest doc id as label.
+
+    ``bands_df`` / ``shingles_df`` pass through to minhash_lsh_pairs'
+    precomputed-artifact hooks (callers that also feed an incremental
+    pair join from the same corpus artifacts share one signature pass).
 
     ``method="star"`` delegates to star_components (large-star/small-
     star contraction, O(log^2 n) rounds on ANY structure) — the
@@ -1262,7 +1268,13 @@ def neardup_clusters(
     the unbounded-diameter deployment turns it on.
     """
     pairs = minhash_lsh_pairs(
-        df, threshold, text_col, key, max_bucket_size=max_bucket_size
+        df,
+        threshold,
+        text_col,
+        key,
+        max_bucket_size=max_bucket_size,
+        bands_df=bands_df,
+        shingles_df=shingles_df,
     )
     if method == "star":
         return star_components(

@@ -2365,7 +2365,8 @@ def topk_graph(
     navigation loss. Cost: identical walk + one semi-join of the
     (queries x visited) frame against the filtered id set — the
     predicate stays declarative, so it pushes into the metadata scan."""
-    if edges is None:
+    inline_build = edges is None
+    if inline_build:
         # persist: every hop's equi-join back-references the edge frame,
         # and an UNPERSISTED lazy build re-runs the whole topk_grid
         # block-matmul once per hop (measured 12.0s -> ~6s at sf0.01,
@@ -2426,6 +2427,18 @@ def topk_graph(
             .where(F.col("_rn") <= beam)
             .drop("_rn")
         )
+        if inline_build:
+            # cap the beam's plan growth: each hop back-references b
+            # 2x, so the lazy lineage re-embeds every earlier hop's
+            # join+window chain ~2^hops times over the INLINE edge
+            # build. Checkpointing the (queries x beam)-row frontier
+            # per hop measured ×1.61 on sim_topk_graph (7.57s->4.70s
+            # interleaved, r16). Stored-edges callers stay lazy: their
+            # lineage is shallow (one materialized store scan per hop)
+            # and the same checkpoint measured ×0.82 on
+            # sim_graph_takedown_repair — three eager barrier jobs
+            # cost more than the thin plan they truncate.
+            b = b.localCheckpoint(eager=True)
     if scored_candidates:
         out = scored_frames[0]
         for f in scored_frames[1:]:

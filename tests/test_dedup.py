@@ -751,6 +751,31 @@ def test_neardup_clusters_star_equals_label_method(spark):
     assert {(2, 2), (5, 2), (8, 2), (3, 3), (9, 3)} <= star
 
 
+def test_neardup_clusters_precomputed_artifact_hooks(spark):
+    # the bands_df/shingles_df pass-through (r16: dedup_clusters_append
+    # shares one corpus signature pass across the stored clustering and
+    # the cross pair join) must label identically to the derive-inline
+    # default — the hooks reach minhash_lsh_pairs' existing contract.
+    rows = [(i, f"unique filler number {i} one two three {i}") for i in range(12)]
+    rows[5] = (5, rows[2][1])
+    rows[8] = (8, rows[2][1])
+    df = _docs(spark, rows)
+    inline = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.neardup_clusters(df, threshold=0.5, method="star").collect()
+    }
+    bands = dedup.minhash_bands(dedup.minhash_signature(df))
+    sh = dedup.shingle_sets(df)
+    hooked = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.neardup_clusters(
+            df, threshold=0.5, method="star", bands_df=bands, shingles_df=sh
+        ).collect()
+    }
+    assert hooked == inline
+    assert {(2, 2), (5, 2), (8, 2)} <= hooked
+
+
 def test_line_dedup_rewrite_goldens(spark):
     df = spark.createDataFrame(
         [
