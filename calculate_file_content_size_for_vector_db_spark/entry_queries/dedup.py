@@ -3,6 +3,7 @@ see entry_queries/__init__.py for the assembled registry)."""
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
@@ -666,8 +667,13 @@ def dedup_clusters_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feed BOTH the stored clustering and the cross pair join, and the
     # batch artifacts feed BOTH the cross join and the within-batch
     # LSH — unhooked, each side's shingle→minhash lineage ran twice.
-    corpus_bands = minhash_bands(minhash_signature(corpus)).persist()
-    corpus_sh = shingle_sets(corpus).persist()
+    # corpus-sized frames cache DISK_ONLY (guide §5): band and shingle
+    # tables scale with the corpus, and a memory-first persist of them
+    # competes with the pair joins' execution memory at 100 TB;
+    # bench-neutral at sf0.1 (r16 A/B). Batch-sized frames keep the
+    # default level.
+    corpus_bands = minhash_bands(minhash_signature(corpus)).persist(StorageLevel.DISK_ONLY)
+    corpus_sh = shingle_sets(corpus).persist(StorageLevel.DISK_ONLY)
     batch_bands = minhash_bands(minhash_signature(batch)).persist()
     batch_sh = shingle_sets(batch).persist()
     stored = neardup_clusters(

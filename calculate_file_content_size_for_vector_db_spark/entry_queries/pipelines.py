@@ -3,6 +3,7 @@ see entry_queries/__init__.py for the assembled registry)."""
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -573,7 +574,13 @@ def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair join both reference it, and unpersisted each reference re-ran
     # the full corpus shingle+signature lineage (guide §2.4; at scale
     # this frame IS the parquet band store the handoff row reads back)
-    corpus_bands = minhash_bands(minhash_signature(corpus)).persist()
+    # DISK_ONLY (guide §5; VERDICT r15 item 6): this frame is corpus x
+    # bands rows — at 100 TB it IS the parquet band store the handoff
+    # row reads back, and a default MEMORY_AND_DISK persist of it would
+    # evict executor memory the joins need before spilling anyway.
+    # Serialized-to-disk cache measured bench-neutral at sf0.1 (r16
+    # A/B, OPTIMIZATION_r16.md).
+    corpus_bands = minhash_bands(minhash_signature(corpus)).persist(StorageLevel.DISK_ONLY)
     # (r16 negative result: persisting the BATCH band table and feeding
     # the gate + pair join through the precomputed-bands hooks measured
     # 8.76s -> 10.91s interleaved — the batch subtree is cheap, its

@@ -11,6 +11,7 @@ or none.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -555,7 +556,12 @@ def quality_classifier_weights(
     ``positive`` is a Boolean Column over ``df`` marking the
     reference-quality class. Weights start at 0; ``rounds`` full-batch
     GD steps unroll into one lazy plan (nothing collected)."""
-    feat = _hashed_features(df, text_col, key, n_buckets).persist()
+    # feat is corpus-sized AT TRAIN TIME (docstring: 100 TB trains on a
+    # labeled sample, so in production this is sample-sized — but the
+    # registered full-corpus rows exercise the worst case). DISK_ONLY
+    # keeps the GD rounds' execution memory clear of the cache (guide
+    # §5; bench-neutral at sf0.1, r16 A/B in OPTIMIZATION_r16.md).
+    feat = _hashed_features(df, text_col, key, n_buckets).persist(StorageLevel.DISK_ONLY)
     y = (
         df.select(F.col(key), positive.cast("int").alias("y"))
         .join(feat.select(key).distinct(), key)

@@ -858,6 +858,11 @@ def star_components(
         )
 
     def _small(e: DataFrame) -> DataFrame:
+        # INVARIANT (load-bearing): _small's output ends in .distinct(),
+        # and the initial E is .distinct() — the convergence test below
+        # relies on BOTH frames being duplicate-free sets (equal counts
+        # + one-sided exceptAll-emptiness ⇒ set equality). Dropping
+        # either dedup silently breaks the loop's termination proof.
         d = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
@@ -1350,11 +1355,25 @@ def neardup_clusters(
         if changed == 0:
             break
     if changed != 0:
+        # Failure path only (ADVICE r15): recover the how-close-was-it
+        # diagnostic the sum-invariant fast path no longer tracks — one
+        # keyed pass comparing the last two checkpointed label frames.
+        prev = labels  # labels still points at the last round's frame
+        nm = (
+            edges.join(prev, edges.dst == prev.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        still_moving = (
+            prev.join(nm, prev.node == nm.src, "left")
+            .where(F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+            .count()
+        )
         labels.unpersist()
         edges.unpersist()
         raise RuntimeError(
             f"neardup_clusters: min-label propagation did not converge in "
-            f"{max_iterations} rounds (labels still changing) — "
+            f"{max_iterations} rounds ({still_moving} labels still moving) — "
             "the near-dup graph has diameter > max_iterations (chained "
             "near-dups?). Raise max_iterations, or use star-contraction CC "
             "for unbounded-diameter graphs."

@@ -567,7 +567,15 @@ def topk_ivf(
     parquet scan as a pushed filter. Callers with a stored assignment
     table (ann_frontier, a parquet index at scale) pass it via
     ``assign`` (its corpus-side cells are always the argmax
-    assignment; only the query side multi-probes)."""
+    assignment; only the query side multi-probes).
+
+    Cache lifetime (ADVICE r15): the k-row centroid persist (like
+    bm25_search's posting slice, the pipelines' artifact tables and
+    knn_graph_ivf's centroid/assign caches) is released by the CALLER
+    — the query registry runs spark.catalog.clearCache() per entry;
+    library consumers in a long-lived session should do the same
+    between calls (the _pq_train docstring states the shared
+    contract)."""
     if assign is None:
         # Inline build: train once (tiny persisted frame), assign each
         # side with the packed 1-row centroid broadcast. The pre-r15
@@ -581,6 +589,17 @@ def topk_ivf(
         if centroids is None:
             centroids = ivf_centroids(embeddings, id_col=id_col, vec_col=vec_col)
         centroids = centroids.persist()
+        # the keep= pass-through threads every non-vector input column
+        # through the assignment map, so the internal names would
+        # collide with same-named input columns at analysis time —
+        # fail loud with the cause instead (ADVICE r15)
+        reserved = {"v", "cell", "cell_cosine"} & set(embeddings.columns)
+        if reserved:
+            raise ValueError(
+                f"topk_ivf: embeddings columns {sorted(reserved)} collide with "
+                "the assignment's internal names (v, cell, cell_cosine) — "
+                "rename them before calling"
+            )
         vv = spread(embeddings).select(
             *[F.col(c) for c in embeddings.columns if c != vec_col],
             as_double(vec_col).alias("v"),
