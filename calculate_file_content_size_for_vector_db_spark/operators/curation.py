@@ -484,16 +484,17 @@ def cap_per_source(
 # heuristic (dsir_importance) in the curation ladder.
 #
 # Spark shape (the 100 TB design): features are one token explode +
-# one (doc, bucket) hash-agg — linear, Heaps-free (bucket count is
-# FIXED at n_buckets, unlike a vocabulary). Each GD round is one
-# broadcast join of the (n_buckets+1)-row weight table onto the
-# feature table, one per-doc keyed agg (the logit), and one
-# n_buckets-group agg (the gradient) — the unrolled-Lloyd pattern of
-# ivf_centroids, with the same determinism discipline: every logit,
-# probability, gradient, and weight rounds to 6 decimals per round,
-# so the DuckDB oracle reproduces training bit-for-bit. At 100 TB,
-# training runs on a labeled SAMPLE (pass train_df) and scoring is a
-# broadcast-weights map over the full corpus.
+# one (doc, bucket) hash-agg folded into ONE array row per doc —
+# linear, Heaps-free (bucket count is FIXED at n_buckets, unlike a
+# vocabulary). Each GD round is a narrow map (packed 1-row weight
+# broadcast → logit, sigmoid, residual per doc row, no shuffle) plus
+# one n_buckets-group agg (the gradient) — the packed-broadcast
+# pattern of similarity._assign_to, with the same determinism
+# discipline: every logit, probability, gradient, and weight rounds
+# to 6 decimals per round, so the DuckDB oracle reproduces training
+# bit-for-bit. At 100 TB, training runs on a labeled SAMPLE (pass
+# train_df) and scoring is a broadcast-weights map over the full
+# corpus.
 # ---------------------------------------------------------------------------
 
 LOGREG_BUCKETS = 16
@@ -501,19 +502,33 @@ LOGREG_ROUNDS = 2
 LOGREG_LR = 1.0
 
 
-def _hashed_features(
+def _doc_features(
     df: DataFrame, text_col: str, key: str, n_buckets: int
 ) -> DataFrame:
-    """(key, b, x): L1-normalized hashed token-count features plus an
-    intercept pseudo-bucket b=-1 with x=1. Zero-token docs produce no
-    rows (they can't be scored or trained on)."""
+    """(key, fx): one row per document with ≥1 token; ``fx`` is the
+    doc's L1-normalized hashed-bag feature vector as a b-ascending
+    array of (b, x) structs, intercept pseudo-bucket b=-1 (x=1.0)
+    first.
+
+    This is the r16 shape of the classifier's feature table (guide
+    §2.3/§2.4): the pre-r16 per-(doc, bucket)-ROW table forced every
+    GD round through corpus-keyed shuffles — z was a groupBy(key), the
+    residual a y⋈p join, the gradient a feat⋈resid join. Folding the
+    ≤(n_buckets+1) feature rows into ONE array row per doc makes the
+    whole forward pass (z, p, residual) a narrow map over a packed
+    1-row weight broadcast, and leaves the gradient's tiny
+    groupBy(b) as the only per-round exchange — shuffling nothing but
+    n_buckets+1 partially-aggregated rows per map partition. It also
+    deletes the second corpus tokenize pass the old intercept union
+    paid: the intercept row set ("docs with ≥1 token") is exactly the
+    docs that own a count row. Values are unchanged: x is the same
+    long/long division (c over the doc's exact token total), and
+    array_sort pins a deterministic b-ascending summation order."""
     from calculate_file_content_size_for_vector_db_spark.operators.textstats import (
         token_hash,
         tokens,
     )
     from calculate_file_content_size_for_vector_db_spark.partitioning import spread
-
-    from pyspark.sql import Window
 
     tok = spread(df).select(
         F.col(key), F.explode(tokens(text_col)).alias("w")
@@ -521,22 +536,48 @@ def _hashed_features(
     cnt = tok.groupBy(key, (token_hash(F.col("w")) % n_buckets).cast("int").alias("b")).agg(
         F.count("*").alias("c")
     )
-    # per-doc token total = sum of the bucket counts: a window over the
-    # ≤(n_buckets+1)-rows-per-doc cnt frame, NOT a second corpus explode
-    # + groupBy(key) + join (the pre-r15 shape — materializing feat paid
-    # THREE token-explode passes: cnt, n, and the intercept union's n;
-    # guide §2.3/§2.4). The intercept rows ("docs with ≥1 token") come
-    # from a narrow no-shuffle map over df. Values are unchanged: x is
-    # the same long/long division, and the intercept row set is exactly
-    # the docs the old n-table contained.
-    wk = Window.partitionBy(key)
-    feat = cnt.select(
-        key, "b", (F.col("c") / F.sum("c").over(wk)).alias("x")
+    bc = cnt.groupBy(key).agg(
+        F.array_sort(F.collect_list(F.struct("b", "c"))).alias("bc")
     )
-    return feat.unionByName(
-        df.select(F.col(key), F.size(tokens(text_col)).alias("_n"))
-        .where(F.col("_n") > 0)
-        .select(key, F.lit(-1).alias("b"), F.lit(1.0).alias("x"))
+    n = F.aggregate("bc", F.lit(0).cast("long"), lambda a, s: a + s["c"])
+    return bc.select(
+        F.col(key),
+        F.concat(
+            F.array(F.struct(F.lit(-1).cast("int").alias("b"), F.lit(1.0).alias("x"))),
+            F.transform(
+                "bc", lambda s: F.struct(s["b"].alias("b"), (s["c"] / n).alias("x"))
+            ),
+        ).alias("fx"),
+    )
+
+
+def _packed_weights(w: DataFrame) -> DataFrame:
+    """1-row (wm) frame: the (b, wgt) weight table folded into a map
+    for narrow per-doc dot products — the bpe_apply_stored /
+    similarity._assign_to packed-broadcast pattern. Attached by
+    crossJoin(broadcast(...)): a 1-row broadcast nested loop, bounded
+    by construction and allowlisted per consumer in the registry plan
+    sweep (an equi-join on a constant key compiles to the same nested
+    loop after constant folding, so there is no BHJ alternative)."""
+    return w.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "wgt"))).alias("wm")
+    )
+
+
+def _z_of(fx_col: str) -> Column:
+    """round(w·x, 6) of a packed feature array against the broadcast
+    weight map ``wm`` — the narrow-map logit. try_element_at mirrors
+    the old inner join feat⋈w by b: a bucket absent from the weight
+    table contributes 0 (trained weight tables always cover every
+    corpus bucket; the guard is for the stored-weights hook)."""
+    return F.round(
+        F.aggregate(
+            fx_col,
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["x"] * F.coalesce(F.try_element_at("wm", s["b"]), F.lit(0.0)),
+        ),
+        6,
     )
 
 
@@ -556,41 +597,49 @@ def quality_classifier_weights(
     ``positive`` is a Boolean Column over ``df`` marking the
     reference-quality class. Weights start at 0; ``rounds`` full-batch
     GD steps unroll into one lazy plan (nothing collected)."""
-    # feat is corpus-sized AT TRAIN TIME (docstring: 100 TB trains on a
-    # labeled sample, so in production this is sample-sized — but the
-    # registered full-corpus rows exercise the worst case). DISK_ONLY
-    # keeps the GD rounds' execution memory clear of the cache (guide
-    # §5; bench-neutral at sf0.1, r16 A/B in OPTIMIZATION_r16.md).
-    feat = _hashed_features(df, text_col, key, n_buckets).persist(StorageLevel.DISK_ONLY)
-    y = (
-        df.select(F.col(key), positive.cast("int").alias("y"))
-        .join(feat.select(key).distinct(), key)
-        .persist()
+    # labeled is corpus-sized AT TRAIN TIME (docstring: 100 TB trains
+    # on a labeled sample, so in production this is sample-sized — but
+    # the registered full-corpus rows exercise the worst case). One
+    # compact array row per doc (≤ n_buckets+1 entries + the label).
+    # DISK_ONLY keeps the GD rounds' execution memory clear of the
+    # cache (guide §5; bench-neutral at sf0.1, r16 A/B in
+    # OPTIMIZATION_r16.md).
+    labeled = (
+        _doc_features(df, text_col, key, n_buckets)
+        .join(df.select(F.col(key), positive.cast("int").alias("y")), key)
+        .persist(StorageLevel.DISK_ONLY)
     )
-    n_train = y.agg(F.count("*").cast("double").alias("n_train"))
+    n_train = labeled.agg(F.count("*").cast("double").alias("n_train"))
     w = (
-        feat.select("b")
+        labeled.select(F.explode("fx").alias("f"))
+        .select(F.col("f.b").alias("b"))
         .distinct()
         .withColumn("wgt", F.lit(0.0))
     )
     for _ in range(rounds):
-        # broadcast(w): n_buckets+1 rows — without the hint the
-        # planner's post-aggregate size estimate picked a sort-merge
-        # join here, shuffling the corpus-sized feature table on b
-        # every round (guide §3.1: hint when you KNOW a side is small)
-        z = (
-            feat.join(F.broadcast(w), "b")
-            .groupBy(key)
-            .agg(F.round(F.sum(F.col("x") * F.col("wgt")), 6).alias("z"))
+        # The whole forward pass is a narrow map: packed 1-row weight
+        # broadcast (equi-joined on _one → BroadcastHashJoin), logit +
+        # sigmoid + residual computed per doc row with no shuffle. The
+        # only per-round exchange is the gradient's groupBy(b) —
+        # n_buckets+1 partially-aggregated rows per map partition
+        # (guide §2.3/§2.4; the pre-r16 shape paid a corpus groupBy(key)
+        # + a y⋈p join + a feat⋈resid join per round).
+        resid = (
+            labeled.crossJoin(F.broadcast(_packed_weights(w)))
+            .select(
+                "fx",
+                (
+                    F.round(
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-_z_of("fx"))), 6
+                    )
+                    - F.col("y")
+                ).alias("r"),
+            )
         )
-        p = z.select(
-            F.col(key), F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("p")
-        )
-        resid = y.join(p, key).select(key, (F.col("p") - F.col("y")).alias("r"))
         grad = (
-            feat.join(resid, key)
-            .groupBy("b")
-            .agg(F.sum(F.col("x") * F.col("r")).alias("g_sum"))
+            resid.select(F.explode("fx").alias("f"), "r")
+            .groupBy(F.col("f.b").alias("b"))
+            .agg(F.sum(F.col("f.x") * F.col("r")).alias("g_sum"))
             .crossJoin(F.broadcast(n_train))
             .select("b", F.round(F.col("g_sum") / F.col("n_train"), 6).alias("g"))
         )
@@ -642,14 +691,17 @@ def quality_classifier_score(
             lr,
         )
     )
-    feat = _hashed_features(df, text_col, key, n_buckets)
+    # Scoring is one narrow map over the per-doc feature arrays against
+    # the packed weight broadcast — the pre-r16 shape paid a corpus
+    # groupBy(key) to assemble each doc's logit from its feature ROWS.
     scores = (
-        feat.join(F.broadcast(w), "b")
-        .groupBy(key)
-        .agg(F.round(F.sum(F.col("x") * F.col("wgt")), 6).alias("z"))
+        _doc_features(df, text_col, key, n_buckets)
+        .crossJoin(F.broadcast(_packed_weights(w)))
         .select(
             F.col(key),
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("score"),
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-_z_of("fx"))), 6
+            ).alias("score"),
         )
     )
     return df.select(F.col(key), positive.cast("int").alias("label")).join(

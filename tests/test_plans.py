@@ -502,10 +502,12 @@ _BNLJ_ALLOWED = {
     "sim_graph_takedown_serve",  # same 1-row SURVIVOR entry-point broadcast over the purged store
     "bm25_takedown_search",  # 1-row (N, avgdl) stats broadcast from the sum-folded purged meta
     "sim_topk_ivf_filtered",  # packed-centroid 1-row broadcast in the assignment map (the knn_graph_ivf pattern)
-    # NOTE deliberately absent: quality_classifier_score_stored — serving
-    # from the parquet store removes the training chain's 1-row
-    # broadcasts entirely, so the sweep pins its plan BNLJ-free; training
-    # lineage creeping back in would fail here.
+    "quality_classifier_score_stored",  # 1-row packed-weights broadcast (the
+    # bpe_apply_stored pattern, r16): stored serving folds the (b, wgt) table
+    # into one map row and scores each doc with a narrow array fold. Training
+    # lineage creeping back into the stored plan is pinned out by
+    # test_classifier_stored_serving_no_training_lineage (scan/BNLJ counts),
+    # which replaced the pre-r16 "BNLJ-free" proxy pin this row used to have.
 }
 
 
@@ -654,6 +656,37 @@ def test_ivf_append_assign_serves_from_store_no_training_lineage(spark, tmp_path
     assert plan.count("Exchange") <= 2  # centroid packing only
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_classifier_stored_serving_no_training_lineage(spark, tmp_path):
+    # the stored-model serving contract (quality_classifier_score_stored):
+    # scoring through weights_df= must read the parquet weight store and
+    # carry ZERO gradient-descent lineage — exactly one bounded broadcast
+    # (the 1-row packed-weights map), docs scanned for features + labels
+    # only, no Python, no product. This is the sharper replacement for the
+    # pre-r16 "stored row is BNLJ-free" proxy pin in _BNLJ_ALLOWED.
+    from pyspark.sql import functions as F
+
+    from calculate_file_content_size_for_vector_db_spark.operators import curation as cu
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma", "en" if i % 2 else "fr") for i in range(12)],
+        "doc_id long, text string, lang string",
+    )
+    pos = F.col("lang") == "en"
+    cu.quality_classifier_weights(docs, pos).write.parquet(str(tmp_path / "w"))
+    out = cu.quality_classifier_score(
+        docs, pos, weights_df=spark.read.parquet(str(tmp_path / "w"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan  # served from the store
+    # feature scan + label scan of docs would be in-memory scans here; the
+    # only parquet scan is the weight store, and training (2 GD rounds)
+    # would multiply both the scan and broadcast counts
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the packed-weights row
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan  # no per-doc window in the r16 feature fold
 
 
 def test_bloom_bitmap_union_is_bounded_equi_join(spark):
