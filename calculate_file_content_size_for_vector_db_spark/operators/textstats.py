@@ -573,9 +573,9 @@ def _bpe_repr0(word: Column) -> Column:
 
 def _bpe_train_reprs(
     df: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
-) -> tuple[list[DataFrame], DataFrame]:
-    """(per-rank 1-row merge DFs, final word reprs) — shared core of
-    bpe_train_merges / bpe_apply_tokens.
+) -> tuple[list[tuple], DataFrame]:
+    """(per-rank (rank, lhs, rhs, merged, pair_count) tuples, final
+    word reprs) — shared core of bpe_train_merges / bpe_apply_tokens.
 
     Classic BPE training (Sennrich et al. 2016) on the (word, count)
     dictionary: each round counts adjacent symbol pairs weighted by
@@ -588,6 +588,15 @@ def _bpe_train_reprs(
     reprs), so a lazy chain would nest the plan exponentially in
     rounds — the neardup_clusters lesson applied at design time.
 
+    The winning pair is fetched to the driver as ONE scalar row per
+    round (the label-propagation convergence-probe pattern — a 5-field
+    scalar, not data): the rewrite then runs on literal search/replace
+    strings with no per-round broadcast build, and the round costs one
+    job (pair agg + argmax) plus the repr checkpoint, instead of the
+    pre-r16 three (best checkpoint, emptiness probe, broadcast-build +
+    rewrite). Values are unchanged — the same deterministic plan
+    produces the pair; only where the 1 row lands differs.
+
     Scale: every stage is vocab-bounded (the dictionary is orders of
     magnitude smaller than the corpus and caps at |V|); the corpus is
     touched once, by the word count."""
@@ -599,7 +608,7 @@ def _bpe_train_reprs(
     reprs = words.select(
         "word", "freq", _bpe_repr0(F.col("word")).alias("repr")
     ).localCheckpoint(eager=True)
-    merges: list[DataFrame] = []
+    merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         s = _bpe_symbols(F.col("repr"))
         pair_arr = F.when(
@@ -625,24 +634,26 @@ def _bpe_train_reprs(
                 F.concat("l", "r").alias("merged"),
                 "pair_count",
             )
-            .localCheckpoint(eager=True)
+            .take(1)
         )
-        if not best.take(1):
+        if not best:
             # Degenerate corpus: no adjacent symbol pair anywhere (every
-            # word already a single symbol before n_merges rounds). The
-            # crossJoin rewrite below would silently EMPTY the repr
-            # table (0-row broadcast x reprs = 0 rows) and every
-            # downstream apply would return zero rows for every doc —
-            # and because the oracle collapses identically, parity
-            # could never catch it. Stop training instead: the merge
-            # table simply has fewer than n_merges rows.
+            # word already a single symbol before n_merges rounds). Stop
+            # training: the merge table simply has fewer than n_merges
+            # rows.
             break
-        merges.append(best)
-        search = F.concat(F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" "))
-        repl = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        row = best[0]
+        merges.append(
+            (row["rank"], row["lhs"], row["rhs"], row["merged"], row["pair_count"])
+        )
+        search = f" {row['lhs']}  {row['rhs']} "
+        repl = f" {row['merged']} "
         reprs = (
-            reprs.crossJoin(F.broadcast(best))
-            .select("word", "freq", F.replace(F.col("repr"), search, repl).alias("repr"))
+            reprs.select(
+                "word",
+                "freq",
+                F.replace(F.col("repr"), F.lit(search), F.lit(repl)).alias("repr"),
+            )
             .localCheckpoint(eager=True)
         )
     return merges, reprs
@@ -659,14 +670,9 @@ def bpe_train_merges(
     adjacent pair to merge) yields an empty merge table, not an
     error."""
     merges, _ = _bpe_train_reprs(df, n_merges, text_col)
-    if not merges:
-        return df.sparkSession.createDataFrame(
-            [], "rank int, lhs string, rhs string, merged string, pair_count long"
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, pair_count long"
+    )
 
 
 def bpe_apply_tokens(

@@ -676,8 +676,10 @@ def test_bpe_merge_respects_symbol_boundaries(spark):
         [(0, "xab xab ab")], "doc_id long, text string"
     )
     merges, reprs = _bpe_train_reprs(df, n_merges=1)
-    m = merges[0].collect()[0]
-    assert (m.lhs, m.rhs, m.pair_count) == ("a", "b", 3)
+    # merges are (rank, lhs, rhs, merged, pair_count) driver tuples (r16:
+    # the 1-row winner is fetched as a scalar; the rewrite runs on literals)
+    rank, lhs, rhs, merged, pair_count = merges[0]
+    assert (lhs, rhs, pair_count) == ("a", "b", 3)
     sym = {
         r.word: r.s
         for r in reprs.select("word", _bpe_symbols(F.col("repr")).alias("s")).collect()
@@ -698,8 +700,8 @@ def test_bpe_consecutive_merge_chains_left_to_right(spark):
 
     df = spark.createDataFrame([(0, "aaaa aaa")], "doc_id long, text string")
     merges, reprs = _bpe_train_reprs(df, n_merges=1)
-    m = merges[0].collect()[0]
-    assert (m.lhs, m.rhs, m.pair_count) == ("a", "a", 5)  # 3 + 2 overlapping
+    rank, lhs, rhs, merged, pair_count = merges[0]
+    assert (lhs, rhs, pair_count) == ("a", "a", 5)  # 3 + 2 overlapping
     sym = {
         r.word: r.s
         for r in reprs.select("word", _bpe_symbols(F.col("repr")).alias("s")).collect()
