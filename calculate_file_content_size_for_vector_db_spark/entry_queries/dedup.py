@@ -651,11 +651,10 @@ def dedup_clusters_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between re-clustering 10^9 docs nightly and solving a
     CC whose node count is the day's touched clusters."""
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bands_from_shingle_sets,
         cluster_append,
         incremental_neardup_pairs,
-        minhash_bands,
         minhash_lsh_pairs,
-        minhash_signature,
         neardup_clusters,
         shingle_sets,
     )
@@ -667,15 +666,19 @@ def dedup_clusters_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feed BOTH the stored clustering and the cross pair join, and the
     # batch artifacts feed BOTH the cross join and the within-batch
     # LSH — unhooked, each side's shingle→minhash lineage ran twice.
+    # The band tables additionally DERIVE from the persisted shingle
+    # sets (bands_from_shingle_sets, bit-identical): each side pays one
+    # tokenize+shingle pass total, and the band build re-reads cached
+    # arrays instead of re-shingling the text (r16, guide §2.4).
     # corpus-sized frames cache DISK_ONLY (guide §5): band and shingle
     # tables scale with the corpus, and a memory-first persist of them
     # competes with the pair joins' execution memory at 100 TB;
     # bench-neutral at sf0.1 (r16 A/B). Batch-sized frames keep the
     # default level.
-    corpus_bands = minhash_bands(minhash_signature(corpus)).persist(StorageLevel.DISK_ONLY)
     corpus_sh = shingle_sets(corpus).persist(StorageLevel.DISK_ONLY)
-    batch_bands = minhash_bands(minhash_signature(batch)).persist()
+    corpus_bands = bands_from_shingle_sets(corpus_sh).persist(StorageLevel.DISK_ONLY)
     batch_sh = shingle_sets(batch).persist()
+    batch_bands = bands_from_shingle_sets(batch_sh).persist()
     stored = neardup_clusters(
         corpus, threshold=0.5, method="star", bands_df=corpus_bands, shingles_df=corpus_sh
     )
@@ -761,10 +764,9 @@ def dedup_takedown_recluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bands_from_shingle_sets,
         cluster_takedown,
-        minhash_bands,
         minhash_lsh_pairs,
-        minhash_signature,
         shingle_sets,
         star_components,
     )
@@ -774,12 +776,18 @@ def dedup_takedown_recluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # artifact-first store build (see dedup_upsert_relabel_q): bands/
     # shingles written once, labels clustered FROM the stored copies —
     # one signature pass instead of three, byte-identical labels.
-    # (r16 negative result: overlapping the two writes from driver
-    # threads measured a wash across 3 A/B pairs — two HOMOGENEOUS
-    # corpus shuffle jobs just contend; contrast the handoff, where
-    # overlapping the heterogeneous IVF chain won. Kept serial.)
-    minhash_bands(minhash_signature(docs)).write.parquet(f"{store}/bands")
+    # The band store DERIVES from the shingle store (r16,
+    # bands_from_shingle_sets — bit-identical): the corpus is
+    # tokenized+shingled exactly once, and the band write re-reads
+    # columnar arrays instead of re-shingling the text. (r16 negative
+    # result: overlapping the two writes from driver threads measured
+    # a wash across 3 A/B pairs — two HOMOGENEOUS corpus shuffle jobs
+    # just contend; deriving one from the other deletes the duplicated
+    # work those threads were contending over.)
     shingle_sets(docs).write.parquet(f"{store}/shingles")
+    bands_from_shingle_sets(
+        spark.read.parquet(f"{store}/shingles")
+    ).write.parquet(f"{store}/bands")
     pairs = minhash_lsh_pairs(
         docs,
         0.5,
@@ -869,10 +877,9 @@ def dedup_upsert_relabel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bands_from_shingle_sets,
         dedup_upsert,
-        minhash_bands,
         minhash_lsh_pairs,
-        minhash_signature,
         shingle_sets,
         star_components,
     )
@@ -887,8 +894,13 @@ def dedup_upsert_relabel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 8.7s -> 2.8s for the labels leg at sf0.01, PLANS.md
     # r14), and the build mirrors how a production corpus actually
     # clusters — from its stored artifacts, not by re-reading text.
-    minhash_bands(minhash_signature(docs)).write.parquet(f"{store}/bands_v1")
+    # The band store derives from the shingle store (r16,
+    # bands_from_shingle_sets — bit-identical): one tokenize+shingle
+    # pass builds both generations' base artifacts.
     shingle_sets(docs).write.parquet(f"{store}/shingles_v1")
+    bands_from_shingle_sets(
+        spark.read.parquet(f"{store}/shingles_v1")
+    ).write.parquet(f"{store}/bands_v1")
     stored_bands = spark.read.parquet(f"{store}/bands_v1")
     stored_shingles = spark.read.parquet(f"{store}/shingles_v1")
     pairs = minhash_lsh_pairs(

@@ -773,10 +773,9 @@ def ingest_serve_handoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bands_from_shingle_sets,
         bloom_neardup_prefilter,
         incremental_neardup_pairs,
-        minhash_bands,
-        minhash_signature,
         shingle_sets,
     )
     from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
@@ -794,9 +793,12 @@ def ingest_serve_handoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     day1_pred = (F.col("doc_id") % mod == 0) & ~day0_pred
     store = tempfile.mkdtemp(prefix="handoff_")
 
-    # both days' batch artifacts from ONE signature pass (batch-sized)
-    batch_bands = minhash_bands(minhash_signature(batch_all)).persist()
+    # both days' batch artifacts from ONE signature pass (batch-sized);
+    # the band table derives from the persisted shingle sets (r16,
+    # bands_from_shingle_sets — bit-identical), so the batch text is
+    # tokenized+shingled exactly once
     batch_sh = shingle_sets(batch_all).persist()
+    batch_bands = bands_from_shingle_sets(batch_sh).persist()
 
     def _ivf_chain():
         spark.sparkContext.setJobDescription("handoff: IVF train + corpus assign")
@@ -812,23 +814,20 @@ def ingest_serve_handoff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             fn()
         return run
 
+    def _dedup_stores():
+        # shingle store first, band store DERIVED from it (r16,
+        # bands_from_shingle_sets): one corpus tokenize+shingle pass
+        # builds both artifacts; the pair stays one sequential chain in
+        # its pool slot while the heterogeneous IVF chain overlaps it
+        shingle_sets(corpus).write.parquet(f"{store}/shingles")
+        bands_from_shingle_sets(
+            spark.read.parquet(f"{store}/shingles")
+        ).write.parquet(f"{store}/bands")
+
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_ivf = pool.submit(_ivf_chain)
         setup = [
-            pool.submit(
-                _job(
-                    "corpus bands store",
-                    lambda: minhash_bands(minhash_signature(corpus)).write.parquet(
-                        f"{store}/bands"
-                    ),
-                )
-            ),
-            pool.submit(
-                _job(
-                    "corpus shingle store",
-                    lambda: shingle_sets(corpus).write.parquet(f"{store}/shingles"),
-                )
-            ),
+            pool.submit(_job("corpus shingle+band stores", _dedup_stores)),
             pool.submit(_job("batch band artifacts", lambda: batch_bands.count())),
             pool.submit(_job("batch shingle artifacts", lambda: batch_sh.count())),
         ]
@@ -1025,10 +1024,9 @@ def ingest_replay_idempotent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bands_from_shingle_sets,
         bloom_neardup_prefilter,
         incremental_neardup_pairs,
-        minhash_bands,
-        minhash_signature,
         shingle_sets,
     )
 
@@ -1037,8 +1035,12 @@ def ingest_replay_idempotent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % mod == 0)
     corpus = docs.where(F.col("doc_id") % mod != 0)
     store = tempfile.mkdtemp(prefix="replay_")
-    minhash_bands(minhash_signature(corpus)).write.parquet(f"{store}/bands")
+    # band store derived from the shingle store (r16 — one corpus
+    # tokenize+shingle pass, bit-identical bands)
     shingle_sets(corpus).write.parquet(f"{store}/shingles")
+    bands_from_shingle_sets(
+        spark.read.parquet(f"{store}/shingles")
+    ).write.parquet(f"{store}/bands")
 
     def _deliver(ledger: DataFrame | None) -> tuple[DataFrame, DataFrame]:
         """One delivery of ``batch``: gate against the store as-of now
@@ -1061,10 +1063,11 @@ def ingest_replay_idempotent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         if ledger is not None:
             admitted = admitted.join(ledger, "doc_id", "left_anti")
         admitted = admitted.localCheckpoint(eager=True)
-        minhash_bands(minhash_signature(admitted)).write.mode("append").parquet(
-            f"{store}/bands"
-        )
-        shingle_sets(admitted).write.mode("append").parquet(f"{store}/shingles")
+        # admitted appends share one batch shingle pass (r16): persist
+        # the sets, derive the band append from the cached arrays
+        adm_sh = shingle_sets(admitted).persist()
+        adm_sh.write.mode("append").parquet(f"{store}/shingles")
+        bands_from_shingle_sets(adm_sh).write.mode("append").parquet(f"{store}/bands")
         return admitted, nd
 
     adm1, nd1 = _deliver(None)
@@ -1193,6 +1196,7 @@ def ingest_takedown_readmit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bands_from_shingle_sets,
         bloom_neardup_prefilter,
         incremental_neardup_pairs,
         minhash_bands,
@@ -1205,8 +1209,12 @@ def ingest_takedown_readmit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % mod == 0)
     corpus = docs.where(F.col("doc_id") % mod != 0)
     store = tempfile.mkdtemp(prefix="takedown_readmit_")
-    minhash_bands(minhash_signature(corpus)).write.parquet(f"{store}/bands")
+    # band store derived from the shingle store (r16 — one corpus
+    # tokenize+shingle pass, bit-identical bands)
     shingle_sets(corpus).write.parquet(f"{store}/shingles")
+    bands_from_shingle_sets(
+        spark.read.parquet(f"{store}/shingles")
+    ).write.parquet(f"{store}/bands")
 
     def _gate(bands_now: DataFrame, sh_now: DataFrame, ledger: DataFrame | None):
         gate = bloom_neardup_prefilter(batch, bands_now)
@@ -1229,10 +1237,11 @@ def ingest_takedown_readmit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{store}/shingles"),
         None,
     )
-    minhash_bands(minhash_signature(adm1)).write.mode("append").parquet(
-        f"{store}/bands"
-    )
-    shingle_sets(adm1).write.mode("append").parquet(f"{store}/shingles")
+    # admitted appends share one batch shingle pass (r16): the shingle
+    # sets persist and the band append derives from the cached arrays
+    adm1_sh = shingle_sets(adm1).persist()
+    adm1_sh.write.mode("append").parquet(f"{store}/shingles")
+    bands_from_shingle_sets(adm1_sh).write.mode("append").parquet(f"{store}/bands")
     adm1.select("doc_id").write.parquet(f"{store}/ledger")
 
     # takedown: purge-rewrite each store with an anti-join (new
@@ -1520,9 +1529,8 @@ def upsert_face_relabel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
-        minhash_bands,
+        bands_from_shingle_sets,
         minhash_lsh_pairs,
-        minhash_signature,
         shingle_sets,
         star_components,
     )
@@ -1532,10 +1540,15 @@ def upsert_face_relabel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="upsert_face_store_")
     # admitted carries exactly the columns a re-delivery replaces
     # (doc_id, text) — the face's _purge_rewrite swaps full rows, so
-    # store schema == re-delivery schema is the producer contract
+    # store schema == re-delivery schema is the producer contract.
+    # Band store derived from the shingle store (r16,
+    # bands_from_shingle_sets — bit-identical): one tokenize+shingle
+    # pass builds both artifacts.
     docs.write.parquet(f"{store}/admitted")
-    minhash_bands(minhash_signature(docs)).write.parquet(f"{store}/bands")
     shingle_sets(docs).write.parquet(f"{store}/shingles")
+    bands_from_shingle_sets(
+        spark.read.parquet(f"{store}/shingles")
+    ).write.parquet(f"{store}/bands")
     pairs = minhash_lsh_pairs(
         docs,
         0.5,

@@ -148,6 +148,22 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signature_from_rows(
+    sh_rows: DataFrame, n_hashes: int = MINHASH_FUNCS, key: str = "doc_id"
+) -> DataFrame:
+    """MinHash signatures from an exploded (key, shingle) table — the
+    shared agg of minhash_signature and bands_from_shingle_sets."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return (
+        sh_rows.groupBy(key)
+        .agg(*aggs)
+        .select(key, F.array(*[f"h{s}" for s in range(n_hashes)]).alias("signature"))
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     n_hashes: int = MINHASH_FUNCS,
@@ -163,16 +179,27 @@ def minhash_signature(
     re-evaluates the whole tokenize+shingle expression once per seed
     (projection collapsing inlines it), an n_hashes-fold recompute.
     """
-    sh = shingle_table(df, text_col, key)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
-        for s in range(n_hashes)
-    ]
-    return (
-        sh.groupBy(key)
-        .agg(*aggs)
-        .select(key, F.array(*[f"h{s}" for s in range(n_hashes)]).alias("signature"))
-    )
+    return _signature_from_rows(shingle_table(df, text_col, key), n_hashes, key)
+
+
+def bands_from_shingle_sets(
+    sets_df: DataFrame,
+    n_bands: int = MINHASH_BANDS,
+    n_hashes: int = MINHASH_FUNCS,
+    key: str = "doc_id",
+) -> DataFrame:
+    """(key, band, band_hash) derived from an EXISTING shingle-set
+    table (a persisted frame or the parquet shingle store) instead of
+    re-shingling the documents — for callers that materialize BOTH
+    artifacts (guide §2.4: the band build re-ran the whole
+    tokenize+shingle lineage the shingle table already paid for).
+
+    Bit-identical to minhash_bands(minhash_signature(docs)):
+    explode(sh) reproduces shingle_table exactly (shingles() is
+    array_distinct, so the set rows ARE the table rows), and the
+    signature's min-agg is duplicate- and order-insensitive."""
+    rows = sets_df.select(F.col(key), F.explode("sh").alias("shingle"))
+    return minhash_bands(_signature_from_rows(rows, n_hashes, key), n_bands, n_hashes, key)
 
 
 def minhash_bands(

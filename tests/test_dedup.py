@@ -66,6 +66,26 @@ def test_minhash_identical_signatures(spark):
     assert sigs[0] == sigs[1] and len(sigs[0]) == dedup.MINHASH_FUNCS
 
 
+def test_bands_from_shingle_sets_bit_identical_to_from_text(spark):
+    """The r16 store-build derivation: bands derived from a shingle-set
+    table (persisted or parquet-stored) must be row-identical to the
+    from-text path — explode(sh) reproduces shingle_table exactly and
+    the signature min-agg is duplicate/order-insensitive."""
+    df = _docs(
+        spark,
+        [
+            (0, "p q r s t u v"),
+            (1, "p q r s t u v w x"),
+            (2, "unrelated words entirely different body"),
+            (3, ""),  # no shingles -> absent from both band tables
+        ],
+    )
+    from_text = dedup.minhash_bands(dedup.minhash_signature(df)).collect()
+    from_sets = dedup.bands_from_shingle_sets(dedup.shingle_sets(df)).collect()
+    key = lambda r: (r.doc_id, r.band, r.band_hash)  # noqa: E731
+    assert sorted(map(key, from_sets)) == sorted(map(key, from_text))
+
+
 def test_minhash_lsh_finds_exact_dup(spark):
     df = _docs(
         spark,
