@@ -46,6 +46,7 @@ from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import
     face_scope,
 )
 from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+    bands_from_shingle_sets,
     incremental_neardup_pairs,
     incremental_survivors,
     minhash_bands,
@@ -177,12 +178,15 @@ def gate_batch(
             max_bucket_size,
         ).localCheckpoint(eager=True)  # snapshot BEFORE the store mutates
         admitted.write.mode("append").parquet(admitted_dir)
-        minhash_bands(
-            minhash_signature(admitted, text_col=text_col, key=key), key=key
-        ).write.mode("append").parquet(bands_dir)
-        shingle_sets(admitted, text_col, key).write.mode("append").parquet(
-            shingles_dir
+        # band append derives from the persisted shingle sets (r16,
+        # bands_from_shingle_sets — bit-identical): the admitted text
+        # tokenizes+shingles once per trigger, not twice
+        adm_sh = shingle_sets(admitted, text_col, key).persist()
+        adm_sh.write.mode("append").parquet(shingles_dir)
+        bands_from_shingle_sets(adm_sh, key=key).write.mode("append").parquet(
+            bands_dir
         )
+        adm_sh.unpersist()
         batch_df.unpersist()
         return admitted
 

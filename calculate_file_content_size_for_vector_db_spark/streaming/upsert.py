@@ -77,9 +77,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+    bands_from_shingle_sets,
     dedup_upsert,
-    minhash_bands,
-    minhash_signature,
     shingle_sets,
 )
 from calculate_file_content_size_for_vector_db_spark.streaming.store_swap import (
@@ -147,13 +146,16 @@ def upsert_store_batch(
         ids = batch.select(key).withColumnRenamed(key, "doc_id")
         # the batch's artifacts derive ONCE per trigger (eager
         # snapshots): they feed both edge-discovery legs of
-        # dedup_upsert AND the band/shingle store rewrites
-        fresh_bands = minhash_bands(
-            minhash_signature(batch, text_col=text_col, key=key), key=key
-        ).localCheckpoint(eager=True)
+        # dedup_upsert AND the band/shingle store rewrites. Bands
+        # derive from the checkpointed shingle sets (r16,
+        # bands_from_shingle_sets — bit-identical), so the batch text
+        # tokenizes+shingles once per trigger, not twice.
         fresh_shingles = shingle_sets(
             batch, text_col=text_col, key=key
         ).localCheckpoint(eager=True)
+        fresh_bands = bands_from_shingle_sets(fresh_shingles, key=key).localCheckpoint(
+            eager=True
+        )
         # labels first: one consistent snapshot of labels+bands+shingles
         new_labels = None
         if _exists(spark, f"{store_dir}/labels"):
