@@ -555,10 +555,9 @@ def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bitmap/band/shingle/centroid tables are the parquet stores
     the dedicated per-artifact queries pin."""
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bands_from_shingle_sets,
         bloom_neardup_prefilter,
         incremental_neardup_pairs,
-        minhash_bands,
-        minhash_signature,
         shingle_sets,
     )
     from calculate_file_content_size_for_vector_db_spark.operators.similarity import (
@@ -580,7 +579,11 @@ def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evict executor memory the joins need before spilling anyway.
     # Serialized-to-disk cache measured bench-neutral at sf0.1 (r16
     # A/B, OPTIMIZATION_r16.md).
-    corpus_bands = minhash_bands(minhash_signature(corpus)).persist(StorageLevel.DISK_ONLY)
+    # one corpus tokenize+shingle pass (r16): the shingle sets persist
+    # (the verify join needs them anyway) and the band table derives
+    # from the cached arrays (bands_from_shingle_sets — bit-identical)
+    corpus_sh = shingle_sets(corpus).persist(StorageLevel.DISK_ONLY)
+    corpus_bands = bands_from_shingle_sets(corpus_sh).persist(StorageLevel.DISK_ONLY)
     # (r16 negative result: persisting the BATCH band table and feeding
     # the gate + pair join through the precomputed-bands hooks measured
     # 8.76s -> 10.91s interleaved — the batch subtree is cheap, its
@@ -594,7 +597,7 @@ def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate.where(F.col("maybe_neardup")).select("doc_id"), "doc_id", "left_semi"
     )
     pairs = incremental_neardup_pairs(
-        batch_flagged, corpus_bands, shingle_sets(corpus)
+        batch_flagged, corpus_bands, corpus_sh
     )
     dups = pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
         F.count("*").cast("long").alias("_nd")
