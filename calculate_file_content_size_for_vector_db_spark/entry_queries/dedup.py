@@ -238,17 +238,19 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc, so subset bands == filtered union bands) and splits in the
     candidate predicate."""
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bands_from_shingle_sets,
         incremental_neardup_pairs,
-        minhash_bands,
-        minhash_signature,
         shingle_sets,
     )
 
     docs = _docs(spark, sf_dir)
     batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
     corpus = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
-    corpus_bands = minhash_bands(minhash_signature(corpus))
-    return incremental_neardup_pairs(batch, corpus_bands, shingle_sets(corpus))
+    # one corpus tokenize+shingle pass (r16): sets persist DISK_ONLY
+    # (corpus-sized cache rule), bands derive from the cached arrays
+    corpus_sh = shingle_sets(corpus).persist(StorageLevel.DISK_ONLY)
+    corpus_bands = bands_from_shingle_sets(corpus_sh)
+    return incremental_neardup_pairs(batch, corpus_bands, corpus_sh)
 
 
 @register(
@@ -615,22 +617,25 @@ def dedup_incremental_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_neardup_pairs; if the gate ever dropped a true
     near-dup, this row would mismatch."""
     from calculate_file_content_size_for_vector_db_spark.operators.dedup import (
+        bands_from_shingle_sets,
         bloom_neardup_prefilter,
         incremental_neardup_pairs,
-        minhash_bands,
-        minhash_signature,
         shingle_sets,
     )
 
     docs = _docs(spark, sf_dir)
     batch = docs.where(F.col("doc_id") % _INCR_BATCH_MOD == 0)
     corpus = docs.where(F.col("doc_id") % _INCR_BATCH_MOD != 0)
-    corpus_bands = minhash_bands(minhash_signature(corpus))
+    # one corpus tokenize+shingle pass (r16, see dedup_incremental_q):
+    # the gate, the pair join, and the verify all derive from the
+    # persisted shingle sets
+    corpus_sh = shingle_sets(corpus).persist(StorageLevel.DISK_ONLY)
+    corpus_bands = bands_from_shingle_sets(corpus_sh)
     gate = bloom_neardup_prefilter(batch, corpus_bands)
     batch_f = batch.join(
         gate.where(F.col("maybe_neardup")).select("doc_id"), "doc_id", "left_semi"
     )
-    return incremental_neardup_pairs(batch_f, corpus_bands, shingle_sets(corpus))
+    return incremental_neardup_pairs(batch_f, corpus_bands, corpus_sh)
 
 
 REGISTRY["dedup_incremental_bloom"].oracle = REGISTRY["dedup_incremental"].oracle
