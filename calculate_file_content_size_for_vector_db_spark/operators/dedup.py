@@ -255,11 +255,20 @@ def minhash_lsh_pairs(
 
     The band table self-joins (both candidate sides) and the shingle
     table feeds both verify sides; persist both so the signature
-    pipeline runs once."""
+    pipeline runs once. On the from-text path the band table DERIVES
+    from the persisted shingle sets (r16, bands_from_shingle_sets —
+    bit-identical), so the input text is tokenized+shingled exactly
+    once instead of once per artifact (guide §2.4; interleaved A/B on
+    the same rewrite in dedup_incremental measured ×1.2)."""
+    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
+
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else spread(df).select(F.col(key), shingles(text_col).alias("sh"))
+    ).persist()
     bands = (
-        bands_df
-        if bands_df is not None
-        else minhash_bands(minhash_signature(df, text_col=text_col, key=key), key=key)
+        bands_df if bands_df is not None else bands_from_shingle_sets(sh, key=key)
     ).persist()
     if max_bucket_size is not None:
         # window count, not a groupBy+self-join — the join form would
@@ -279,13 +288,6 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{key}").alias("a_id"), F.col(f"b.{key}").alias("b_id"))
         .distinct()
     )
-    from calculate_file_content_size_for_vector_db_spark.partitioning import spread
-
-    sh = (
-        shingles_df
-        if shingles_df is not None
-        else spread(df).select(F.col(key), shingles(text_col).alias("sh"))
-    ).persist()
     return (
         candidates.join(sh.withColumnsRenamed({key: "a_id", "sh": "sh_a"}), "a_id")
         .join(sh.withColumnsRenamed({key: "b_id", "sh": "sh_b"}), "b_id")
