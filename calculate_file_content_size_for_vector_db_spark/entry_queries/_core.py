@@ -458,7 +458,7 @@ def _sql_logreg_chain(
     ]
     for r in range(1, rounds + 1):
         parts += [
-            f"zl{r} AS (SELECT f.doc_id, round(sum(f.x * w.wgt), 6) AS z"
+            f"zl{r} AS (SELECT f.doc_id, round(sum(f.x * w.wgt ORDER BY f.b), 6) AS z"
             f" FROM featq f JOIN wl{r - 1} w USING (b) GROUP BY f.doc_id)",
             f"pl{r} AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM zl{r})",
             f"gl{r} AS (SELECT f.b, round(sum(f.x * (p.p - l.y)) / ntrq.n_train, 6) AS g"

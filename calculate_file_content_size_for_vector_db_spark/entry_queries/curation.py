@@ -708,7 +708,7 @@ def quality_classifier_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_classifier_score",
     f"""
 WITH {_sql_logreg_chain()},
-zf AS (SELECT f.doc_id, round(sum(f.x * w.wgt), 6) AS z
+zf AS (SELECT f.doc_id, round(sum(f.x * w.wgt ORDER BY f.b), 6) AS z
        FROM featq f JOIN wl2 w USING (b) GROUP BY f.doc_id)
 SELECT d.doc_id, CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS label,
        round(1.0 / (1.0 + exp(-zf.z)), 6) AS score
@@ -736,7 +736,7 @@ def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {_sql_logreg_chain(train_src="(SELECT * FROM documents WHERE doc_id % 4 = 0)")},
 {_sql_hashed_features("f")},
-zf AS (SELECT f.doc_id, round(sum(f.x * w.wgt), 6) AS z
+zf AS (SELECT f.doc_id, round(sum(f.x * w.wgt ORDER BY f.b), 6) AS z
        FROM featf f JOIN wl2 w USING (b) GROUP BY f.doc_id)
 SELECT d.doc_id, CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS label,
        round(1.0 / (1.0 + exp(-zf.z)), 6) AS score

@@ -327,7 +327,7 @@ btok AS (
 ),
 {_sql_logreg_chain(train_src=_SQL_TRAIN17)},
 {_sql_hashed_features("f", _SQL_SERVE17)},
-zf AS (SELECT f.doc_id, round(sum(f.x * w.wgt), 6) AS z
+zf AS (SELECT f.doc_id, round(sum(f.x * w.wgt ORDER BY f.b), 6) AS z
        FROM featf f JOIN wl2 w USING (b) GROUP BY f.doc_id),
 {_SQL_EMB},
 eb AS (SELECT * FROM e WHERE vec_id % 17 <> 0),
